@@ -1,0 +1,174 @@
+"""filter_parser — parse one field in place with a list of named parsers.
+
+Reference parity (studied, not copied):
+plugins/filter_parser/filter_parser.c:169-328 —
+- find ``Key_Name``, run the configured parsers IN ORDER until one succeeds
+  (:236-277);
+- on success the record is REPLACED by the parsed map; event time is set
+  from the parsed time when nonzero (:260-263);
+- ``Reserve_Data On`` keeps the other original fields (merged after the
+  parsed map, :283-300);
+- ``Preserve_Key On`` keeps the raw source field (:264-270);
+- on failure the record passes unchanged (:305-308).
+
+Vectorized: parser 1 runs over the whole batch; only its failures are re-fed
+to parser 2, etc. Output columns are the union of all parsers' fields (a
+stable schema per stage); `_parse_ok` and `_time` are engine columns.
+
+Divergence: reference merge can produce duplicate msgpack keys when an
+original field collides with a parsed one under Reserve_Data; here the
+parsed value wins for parsed rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..parsers.core import NAT, Parser
+from .base import record_columns, set_col
+
+
+class ParserFilter:
+    def __init__(
+        self,
+        key_name: str,
+        parsers: list[Parser],
+        reserve_data: bool = False,
+        preserve_key: bool = False,
+        now_year: int = 2018,
+    ):
+        if not parsers:
+            raise ValueError("ParserFilter needs at least one parser")
+        self.key_name = key_name
+        self.parsers = parsers
+        self.reserve_data = reserve_data
+        self.preserve_key = preserve_key
+        self.now_year = now_year
+        # stable union of output fields in parser order
+        fields: list[str] = []
+        for p in parsers:
+            for f in p.output_fields():
+                if f not in fields:
+                    fields.append(f)
+        self.out_fields = fields
+
+    def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
+        n = table.num_rows
+        if n == 0 or self.key_name not in table.column_names:
+            return table
+        src = table[self.key_name]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        values = src.to_pylist()
+
+        ok = np.zeros(n, dtype=bool)
+        ts = np.full(n, NAT, dtype=np.int64)
+        merged: dict[str, list] = {f: [None] * n for f in self.out_fields}
+
+        pending = np.arange(n)
+        if mask is not None:
+            pending = pending[np.asarray(mask)]
+        for parser in self.parsers:
+            if len(pending) == 0:
+                break
+            sub = [values[i] for i in pending]
+            out = parser.parse_batch(sub, self.now_year)
+            sub_ok = np.asarray(out["_parse_ok"])
+            hit = pending[sub_ok]
+            ok[hit] = True
+            ts[hit] = np.asarray(out["_time"])[sub_ok]
+            for f in parser.output_fields():
+                col = out.get(f)
+                if col is None:
+                    continue
+                vals = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else col
+                tgt = merged[f]
+                for j, i in enumerate(pending):
+                    if sub_ok[j]:
+                        tgt[i] = vals[j]
+            pending = pending[~sub_ok]
+
+        ok_arr = pa.array(ok)
+        # original record columns: dropped for parsed rows unless Reserve_Data
+        for c in record_columns(table):
+            if c == self.key_name:
+                if not self.preserve_key:
+                    col = table[c]
+                    table = set_col(
+                        table, c, pc.if_else(ok_arr, pa.nulls(n, col.type), col)
+                    )
+                continue
+            if not self.reserve_data and c not in merged:
+                col = table[c]
+                table = set_col(
+                    table, c, pc.if_else(ok_arr, pa.nulls(n, col.type), col)
+                )
+
+        # parsed columns merged in (parsed value wins on parsed rows)
+        for f in self.out_fields:
+            parsed = pa.array(merged[f])
+            if pa.types.is_null(parsed.type):
+                parsed = pc.cast(parsed, pa.string())
+            if f in table.column_names:
+                existing = table[f]
+                if isinstance(existing, pa.ChunkedArray):
+                    existing = existing.combine_chunks()
+                if existing.type != parsed.type:
+                    existing = pc.cast(existing, pa.string())
+                    parsed = pc.cast(parsed, pa.string())
+                table = set_col(table, f, pc.if_else(ok_arr, parsed, existing))
+            else:
+                table = set_col(table, f, parsed)
+
+        # event time: parsed time when valid, else previous _time (null = none)
+        ts_arr = pa.array(ts, mask=(ts == NAT))
+        use_parsed = pc.and_(ok_arr, pc.is_valid(ts_arr))
+        if "_time" in table.column_names:
+            prev = table["_time"]
+            if isinstance(prev, pa.ChunkedArray):
+                prev = prev.combine_chunks()
+            table = set_col(table, "_time", pc.if_else(use_parsed, ts_arr, prev))
+        else:
+            table = set_col(
+                table, "_time", pc.if_else(use_parsed, ts_arr, pa.nulls(n, pa.int64()))
+            )
+        table = set_col(table, "_parse_ok", ok_arr)
+        return table
+
+    def process_row(self, record: dict) -> Optional[dict]:
+        """Oracle twin. Uses '_time'/'_parse_ok' pseudo-keys like the batch path."""
+        val = record.get(self.key_name)
+        rec = dict(record)
+        if not isinstance(val, str):
+            rec["_parse_ok"] = False
+            return rec
+        for parser in self.parsers:
+            ts, parsed = parser.parse_row(val, self.now_year)
+            if parsed is None:
+                continue
+            out = {k: v for k, v in record.items() if k.startswith("_")}
+            if self.reserve_data:
+                keep = {
+                    k: v
+                    for k, v in record.items()
+                    if not k.startswith("_")
+                    and (k != self.key_name or self.preserve_key)
+                }
+            else:
+                keep = (
+                    {self.key_name: val} if self.preserve_key else {}
+                )
+            out.update(parsed)
+            for k, v in keep.items():
+                if k not in parsed:
+                    out[k] = v
+            if ts is not None:
+                out["_time"] = ts
+            out["_parse_ok"] = True
+            return out
+        rec["_parse_ok"] = False
+        return rec

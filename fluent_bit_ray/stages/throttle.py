@@ -1,0 +1,116 @@
+"""filter_throttle — rate limiting, re-expressed over event time.
+
+Reference parity (studied, not copied): plugins/filter_throttle/throttle.c —
+a sliding window of ``Window`` panes advanced every ``Interval`` seconds by a
+wall-clock ticker thread (:67-87, :190-194); a record is dropped when
+``total/size >= Rate`` else counted (:90-99).
+
+Batch-engine mapping (SURVEY §2.3): wall-clock windows are not reproducible,
+so this is the documented semantic shift to EVENT-TIME tumbling buckets: per
+bucket of ``interval_sec`` the first ``rate * window`` records (ordered by
+event time, ties by stable input order) pass. Implemented as
+`groupby(bucket).map_groups(cap)` — a shuffle on the bucket key, which is
+time-partitioned and therefore evenly spread (no skew concern).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from ..parsers.core import NAT
+
+
+class ThrottleFilter:
+    def __init__(self, rate: int, window: int = 5, interval_sec: int = 1):
+        self.cap = int(rate) * int(window)
+        self.interval_ns = int(interval_sec) * 1_000_000_000
+
+    def bucket_of(self, time_ns: int) -> int:
+        if time_ns == NAT:
+            return -1
+        return time_ns // self.interval_ns
+
+    def add_bucket_column(self, table: pa.Table) -> pa.Table:
+        ts = np.asarray(table["_time"].combine_chunks() if isinstance(table["_time"], pa.ChunkedArray) else table["_time"])
+        bucket = np.where(ts == NAT, -1, ts // self.interval_ns)
+        return table.append_column("_throttle_bucket", pa.array(bucket, pa.int64()))
+
+    def cap_group(self, group: pa.Table) -> pa.Table:
+        """map_groups fn: keep the first `cap` records by event time."""
+        if group.num_rows <= self.cap:
+            return group.drop_columns(["_throttle_bucket"])
+        order = pa.compute.sort_indices(group, sort_keys=[("_time", "ascending")])
+        return group.take(order[: self.cap]).drop_columns(["_throttle_bucket"])
+
+    def apply_dataset(self, ds):
+        """Dataset-level application (needs the per-bucket global view)."""
+        ds = ds.map_batches(self.add_bucket_column, batch_format="pyarrow")
+        return ds.groupby("_throttle_bucket").map_groups(
+            self.cap_group, batch_format="pyarrow"
+        )
+
+    # oracle twin: stateful scan in input order
+    def make_row_oracle(self):
+        counts: dict[int, int] = {}
+
+        def process_row(record: dict) -> Optional[dict]:
+            b = self.bucket_of(record.get("_time", NAT))
+            c = counts.get(b, 0)
+            if c >= self.cap:
+                return None
+            counts[b] = c + 1
+            return record
+
+        return process_row
+
+
+class StdoutFilter:
+    """filter_stdout (plugins/filter_stdout/stdout.c:30-69): pass-through."""
+
+    def __init__(self, sample: int = 0):
+        self.sample = sample
+        self.seen: list[dict] = []
+
+    def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
+        if self.sample and len(self.seen) < self.sample:
+            self.seen.extend(table.slice(0, self.sample - len(self.seen)).to_pylist())
+        return table
+
+    def process_row(self, record: dict) -> Optional[dict]:
+        if self.sample and len(self.seen) < self.sample:
+            self.seen.append(dict(record))
+        return record
+
+
+class UdfFilter:
+    """filter_lua analog (plugins/filter_lua/lua.c:292-411): arbitrary
+    per-record UDF. code semantics: callable(record) -> record | None (drop).
+
+    The vectorized variant accepts a batch_fn(pa.Table) -> pa.Table for users
+    who can express their UDF columnar; otherwise the row fn is applied via
+    a per-row loop (the documented slow path, as in the reference).
+    """
+
+    def __init__(self, row_fn=None, batch_fn=None):
+        if row_fn is None and batch_fn is None:
+            raise ValueError("UdfFilter needs row_fn or batch_fn")
+        self.row_fn = row_fn
+        self.batch_fn = batch_fn
+
+    def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
+        if self.batch_fn is not None:
+            return self.batch_fn(table)
+        rows = [r for r in (self.row_fn(r) for r in table.to_pylist()) if r is not None]
+        if not rows:
+            return table.slice(0, 0)
+        return pa.Table.from_pylist(rows)
+
+    def process_row(self, record: dict) -> Optional[dict]:
+        if self.row_fn is not None:
+            return self.row_fn(record)
+        out = self.batch_fn(pa.Table.from_pylist([record]))
+        lst = out.to_pylist()
+        return lst[0] if lst else None
