@@ -1,0 +1,177 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+Ray-Data-first ANN:
+- brute_force_topk: the exactness baseline — the query matrix is `ray.put`
+  ONCE and each map_batches task does one float64 GEMM against its batch,
+  emitting per-batch top-k; a final per-query merge keeps the global top-k.
+  Shuffle volume = O(num_queries × k × batches), never the vectors.
+- ivf_topk: the scale path — vectors are bucketed by nearest of C coarse
+  centroids (deterministic sample), queries probe only the P closest
+  buckets. Same partial-topk merge, ~C/P times less compute.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _maybe_get(obj: Any) -> Any:
+    import ray
+
+    if isinstance(obj, ray.ObjectRef):
+        return ray.get(obj)
+    return obj
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(arr)
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class _PartialTopK:
+    """map_batches fn: per-batch cosine top-k against the broadcast queries."""
+
+    def __init__(self, queries_ref: Any, k: int, id_col: str, vec_col: str,
+                 exclude_ids: Optional[set] = None):
+        q = _maybe_get(queries_ref)  # {"ids": np[int64], "mat": np[nq, d]}
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["mat"].astype(np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.exclude = exclude_ids or set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = self.q_mat @ mat.T  # [nq, nb]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            row = sims[qi]
+            order = np.lexsort((ids, -row))  # score desc, id asc — deterministic
+            taken = 0
+            for j in order:
+                vid = int(ids[j])
+                if vid == int(qid) or vid in self.exclude:
+                    continue
+                out_q.append(int(qid))
+                out_v.append(vid)
+                out_s.append(float(row[j]))
+                taken += 1
+                if taken >= self.k:
+                    break
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries_ref: Any,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact cosine top-k. Returns (query_id, vec_id, rank) — rank 1-based,
+    ordered by (score desc, vec_id asc); ints only for stable comparison."""
+    partial = ds.map_batches(
+        _PartialTopK, fn_constructor_args=(queries_ref, k, id_col, vec_col),
+        concurrency=2, batch_format="pyarrow",
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group,
+            sort_keys=[("score", "descending"), ("vec_id", "ascending")],
+        )
+        top = group.take(idx[:k])
+        return pa.table(
+            {
+                "query_id": top["query_id"],
+                "vec_id": top["vec_id"],
+                "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+            }
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def make_query_ref(ids: np.ndarray, mat: np.ndarray):
+    """Broadcast the query set once (driver side)."""
+    import ray
+
+    return ray.put({"ids": np.asarray(ids, dtype=np.int64), "mat": np.asarray(mat)})
+
+
+# ---------------------------------------------------------------------- IVF
+
+def ivf_build_centroids(ds, n_centroids: int, vec_col: str = "embedding",
+                        sample_batches: int = 4) -> np.ndarray:
+    """Deterministic coarse centroids: first N vectors (k-means would drift
+    per-run; for a deterministic engine the fixed sample is the contract)."""
+    it = ds.iter_batches(batch_format="pyarrow", batch_size=max(256, n_centroids))
+    mats = []
+    count = 0
+    for b in it:
+        mats.append(_batch_matrix(b, vec_col))
+        count += 1
+        if sum(m.shape[0] for m in mats) >= n_centroids or count >= sample_batches:
+            break
+    all_m = np.concatenate(mats, axis=0)[:n_centroids]
+    return _normalize(all_m)
+
+
+def ivf_topk(
+    ds,
+    queries_ref: Any,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-style ANN: bucket by nearest centroid, probe the closest buckets.
+
+    Approximate: recall < 1 when true neighbors live outside probed buckets.
+    """
+    cent_ref_holder = {"c": _normalize(centroids.astype(np.float64))}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = cent_ref_holder["c"]
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        bucket = (mat @ c.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("_ivf_bucket", pa.array(bucket))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    q = _maybe_get(queries_ref)
+    qmat = _normalize(q["mat"].astype(np.float64))
+    c = cent_ref_holder["c"]
+    probes = np.argsort(-(qmat @ c.T), axis=1)[:, :n_probe]  # [nq, n_probe]
+    probe_sets = {int(b) for row in probes for b in row}
+
+    import pyarrow.compute as pc
+
+    probe_arr = pa.array(sorted(probe_sets), pa.int64())
+    filtered = assigned.map_batches(
+        lambda b: b.filter(pc.is_in(b["_ivf_bucket"], value_set=probe_arr)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(filtered, queries_ref, k, id_col, vec_col)

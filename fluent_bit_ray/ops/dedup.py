@@ -1,0 +1,243 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (it has no dedup, SURVEY §2.6) — these are the
+web-corpus operators a 100 TB pipeline needs, each designed Ray-Data-first:
+
+- exact_dedup: hash-partitioned groupby + per-group first. The shuffle key is
+  a 64-bit content hash (computed vectorized in map_batches), NOT the raw
+  text, so the exchange moves 8-byte keys + ids, never documents.
+- minhash_lsh_dedup: shingle → minhash signature → banded LSH buckets →
+  per-bucket representative election. One groupby on (band, bucket-hash)
+  whose keys are uniform 64-bit hashes (no skew), one groupby on doc id.
+- simhash_dedup: 64-bit simhash; exact-simhash collision grouping.
+- ngram_jaccard_pairs: candidate pairs from LSH buckets verified with exact
+  n-gram Jaccard — the verification joins only WITHIN buckets.
+
+All hashing is blake2b-derived and deterministic (no process salt).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash64(s: str, seed: int = 0) -> int:
+    h = hashlib.blake2b(s.encode(), digest_size=8, salt=seed.to_bytes(8, "little"))
+    return struct.unpack("<Q", h.digest())[0]
+
+
+def _hash_column(texts: Iterable[Optional[str]], seed: int = 0) -> list[Optional[int]]:
+    return [None if t is None else _hash64(t, seed) & 0x7FFFFFFFFFFFFFFF for t in texts]
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text", out: str = "text_hash") -> pa.Table:
+    return batch.append_column(
+        out, pa.array(_hash_column(batch[text_col].to_pylist()), pa.int64())
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the first (min id) document per exact text.
+
+    Dataset-level: hash in map_batches -> groupby(hash).map_groups(first).
+    The rare hash collision is handled inside the group by sub-grouping on
+    the actual text (only collided groups ever look at full text).
+    """
+    ds = ds.map_batches(
+        lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
+    )
+
+    def first_per_text(group: pa.Table) -> pa.Table:
+        t = group.group_by([text_col]).aggregate([(id_col, "min")])
+        t = t.rename_columns(
+            [id_col if c == f"{id_col}_min" else c for c in t.column_names]
+        )
+        return t.select([id_col, text_col])
+
+    return ds.groupby("text_hash").map_groups(first_per_text, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ minhash
+
+def _shingles(tokens: list[str], k: int) -> set:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+
+
+class MinHasher:
+    """Vectorized minhash: signature[i] = min over shingles of (a_i*h+b_i mod p)."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text.split(), self.k)
+        if not sh:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        hv = np.array([_hash64(s) for s in sh], dtype=np.uint64).astype(object)
+        # (a*h + b) mod p, per permutation — outer product over shingles
+        m = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE
+        return m.min(axis=1).astype(np.uint64)
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+):
+    """LSH near-dup clustering: returns (doc_id, rep_id) — rep_id is the
+    elected representative (min doc id over all shared buckets, one
+    propagation round). rep_id == doc_id means "keep".
+
+    Pipeline: map_batches(signatures) -> flat rows (band, bucket_hash, id)
+    -> groupby bucket -> (id, min id in bucket) -> groupby id -> min rep.
+    Both shuffles move fixed-width rows only.
+    """
+    rows_per_band = num_perm // bands
+    hasher_holder: dict = {}
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        h = hasher_holder.get("h")
+        if h is None:
+            h = MinHasher(num_perm, shingle_k)
+            hasher_holder["h"] = h
+        ids, bandl, buckl = [], [], []
+        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = h.signature(text or "")
+            for b in range(bands):
+                seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                bh = _hash64(",".join(map(str, seg)), seed=b) & 0x7FFFFFFFFFFFFFFF
+                ids.append(did)
+                bandl.append(b)
+                buckl.append(bh)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "band": pa.array(bandl, pa.int32()),
+                "bucket": pa.array(buckl, pa.int64()),
+            }
+        )
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def bucket_rep(group: pa.Table) -> pa.Table:
+        ids = group[id_col]
+        rep = pc.min(ids).as_py()
+        return pa.table(
+            {
+                id_col: ids,
+                "rep_id": pa.array([rep] * group.num_rows, pa.int64()),
+            }
+        )
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(
+        bucket_rep, batch_format="pyarrow"
+    )
+    reps = cand.groupby(id_col).min("rep_id")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["rep_id" if c == "min(rep_id)" else c for c in b.column_names]
+        )
+
+    return reps.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> int:
+    tokens = text.split()
+    if not tokens:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = _hash64(tok)
+        bits = np.unpackbits(np.frombuffer(struct.pack(">Q", h), dtype=np.uint8))
+        v += np.where(bits == 1, 1, -1)
+    out = 0
+    for i, x in enumerate(v):
+        if x > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-simhash dedup: (doc_id, simhash, rep_id=min id per simhash)."""
+
+    def add_sim(batch: pa.Table) -> pa.Table:
+        sims = [
+            simhash64(t or "") & 0x7FFFFFFFFFFFFFFF
+            for t in batch[text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "simhash": pa.array(sims, pa.int64()),
+            }
+        )
+
+    simmed = ds.map_batches(add_sim, batch_format="pyarrow")
+
+    def rep(group: pa.Table) -> pa.Table:
+        m = pc.min(group[id_col]).as_py()
+        return group.append_column("rep_id", pa.array([m] * group.num_rows, pa.int64()))
+
+    return simmed.groupby("simhash").map_groups(rep, batch_format="pyarrow")
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = _shingles(a.split(), n), _shingles(b.split(), n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
+
+
+def verify_pairs_jaccard(
+    ds_pairs, docs_by_id: dict, threshold: float = 0.8, n: int = 3,
+    id_col: str = "doc_id",
+):
+    """Verify LSH candidate pairs with exact n-gram Jaccard.
+
+    docs_by_id is a broadcast dict (ray.put at the driver) — candidate pairs
+    after LSH are tiny relative to the corpus, and verification happens
+    within map_batches against the broadcast store.
+    """
+    import ray
+
+    def verify(batch: pa.Table) -> pa.Table:
+        docs = ray.get(docs_by_id) if isinstance(docs_by_id, ray.ObjectRef) else docs_by_id
+        keep_a, keep_b, score = [], [], []
+        for ia, ib in zip(batch[id_col].to_pylist(), batch["rep_id"].to_pylist()):
+            if ia == ib:
+                continue
+            j = ngram_jaccard(docs.get(ia, ""), docs.get(ib, ""), n)
+            if j >= threshold:
+                keep_a.append(ia)
+                keep_b.append(ib)
+                score.append(round(j, 6))
+        return pa.table(
+            {
+                id_col: pa.array(keep_a, pa.int64()),
+                "dup_of": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(score, pa.float64()),
+            }
+        )
+
+    return ds_pairs.map_batches(verify, batch_format="pyarrow")

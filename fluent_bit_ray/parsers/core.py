@@ -230,7 +230,16 @@ class Parser:
         out: dict[str, Any] = {"_time": ts, "_parse_ok": ok}
         for f, col in cols.items():
             if f in self.types:
-                out[f] = cast_column(pa.array(col, pa.string()), self.types[f])
+                # Types cast applies to STRING values only (reference
+                # flb_parser_typecast packs non-str values untouched); json
+                # can deliver already-typed values, even mixed with strings.
+                if all(v is None or isinstance(v, str) for v in col):
+                    out[f] = cast_column(pa.array(col, pa.string()), self.types[f])
+                else:
+                    out[f] = [
+                        typecast_value(v, self.types[f]) if isinstance(v, str) else v
+                        for v in col
+                    ]
             else:
                 out[f] = col
         return out

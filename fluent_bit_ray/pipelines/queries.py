@@ -1,0 +1,462 @@
+"""Driver-facing operator queries + matching DuckDB oracle SQL.
+
+One entry per implemented operator/pipeline (SURVEY §2 checklist). Each
+callable takes `sf_dir` and returns a Dataset / pyarrow Table; `ORACLE_SQL`
+holds the equivalent ANSI SQL for the driver's side-by-side check (column
+names match exactly — the driver hashes values after sorting columns by
+name). Ops with no SQL equivalent (pages-table pipelines, LSH/simhash,
+fingerprints) have no oracle entry → driver records a rows-only check; their
+exact equality is covered by pytest against the pure-Python oracle instead.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..parsers import Parser
+from ..router import Route, Router
+from ..stages import (
+    GrepFilter,
+    ModifyFilter,
+    ParserFilter,
+    RecordModifierFilter,
+    ThrottleFilter,
+)
+from ..ops import ann, dedup, text as text_ops
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+# --------------------------------------------------------------- filters
+
+def q_grep(sf_dir: str):
+    """filter_grep: Regex keep + Exclude drop over documents."""
+    f = GrepFilter([("regex", "text", "merge"), ("exclude", "lang", "^zh$")])
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        f.process_batch, batch_format="pyarrow"
+    )
+
+
+def q_record_modifier(sf_dir: str):
+    """filter_record_modifier: whitelist projection + literal Record."""
+    f = RecordModifierFilter(
+        whitelist_keys=["event_id", "event_type"], records=[("source", "fbr")]
+    )
+    return _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        f.process_batch, batch_format="pyarrow"
+    )
+
+
+def q_modify(sf_dir: str):
+    """filter_modify: conditional Set + soft Rename."""
+    f = ModifyFilter(
+        rules=[("set", "severity", "high"), ("rename", "value", "error_value")],
+        conditions=[("key_value_equals", "event_type", "error")],
+    )
+
+    def run(b: pa.Table) -> pa.Table:
+        out = f.process_batch(b)
+        # stable column presence for the comparison (value never fully null
+        # here, but severity/error_value exist only via the rule)
+        for c in ("value", "error_value", "severity"):
+            if c not in out.column_names:
+                out = out.append_column(c, pa.nulls(out.num_rows, pa.float64()))
+        return out.select(["event_id", "event_type", "value", "error_value", "severity"])
+
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- parsers
+
+def q_parser_json(sf_dir: str):
+    """json parser + Types cast over the events.props JSON column."""
+    p = Parser(name="props", fmt="json", fields=["k"], types={"k": "integer"})
+    f = ParserFilter("props", [p], reserve_data=True, preserve_key=False)
+
+    def run(b: pa.Table) -> pa.Table:
+        return f.process_batch(b).select(["event_id", "k"])
+
+    return _read(sf_dir, "events", ["event_id", "props"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_parser_regex(sf_dir: str):
+    """regex parser named-capture extraction over documents.text."""
+    p = Parser(name="first", fmt="regex", regex=r"^(?<first>\S+)")
+    f = ParserFilter("text", [p], reserve_data=True, preserve_key=True)
+
+    def run(b: pa.Table) -> pa.Table:
+        return f.process_batch(b).select(["doc_id", "first"])
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------- router
+
+_EVENT_ROUTES = [
+    Route("s_error", ("evt.error",)),
+    Route("s_purchase", ("evt.purch*",)),
+    Route("s_all", ("*",)),
+]
+
+
+def q_router_counts(sf_dir: str):
+    """flb_router_match routing: per-sink routed-record counts."""
+    router = Router(_EVENT_ROUTES)
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        tags = pc.binary_join_element_wise(
+            pa.scalar("evt"), b["event_type"].combine_chunks()
+            if isinstance(b["event_type"], pa.ChunkedArray) else b["event_type"],
+            ".",
+        )
+        masks = router.masks(tags)
+        return pa.table(
+            {
+                "sink": pa.array(list(masks), pa.string()),
+                "records": pa.array(
+                    [pc.sum(pc.cast(m, pa.int64())).as_py() or 0 for m in masks.values()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type"]).map_batches(
+        count_batch, batch_format="pyarrow"
+    )
+    out = ds.groupby("sink").sum("records")
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["records" if c == "sum(records)" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------ aggregates
+
+def q_flowcounter(sf_dir: str):
+    """out_flowcounter: records+bytes per (event_type, minute bucket)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b["ts"], pa.int64())
+        bucket = pc.cast(pc.floor(pc.divide(ts_us, pa.scalar(60_000_000))), pa.int64())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "bucket": bucket,
+                "records": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "bytes": pc.cast(pc.binary_length(b["props"]), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [("records", "sum"), ("bytes", "sum")]
+        )
+        return g.rename_columns(["event_type", "bucket", "records", "bytes"])
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "props"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    out = ds.groupby(["event_type", "bucket"]).sum(["records", "bytes"])
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            [c.replace("sum(", "").replace(")", "") for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_counter(sf_dir: str):
+    """out_counter: global record count."""
+    n = _read(sf_dir, "events", ["event_id"]).count()
+    return pa.table({"total": pa.array([n], pa.int64())})
+
+
+def q_tpch_pricing(sf_dir: str):
+    """groupby-aggregate breadth: TPC-H Q1-style pricing summary."""
+    import datetime
+
+    cutoff = datetime.datetime(1998, 9, 2)
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    ).map_batches(filt, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        *_tpch_aggs()
+    )
+    return out.map_batches(_tpch_finalize, batch_format="pyarrow")
+
+
+def _tpch_aggs():
+    from ray.data.aggregate import Count, Sum
+
+    return [Sum("l_quantity"), Sum("l_extendedprice"), Count()]
+
+
+def _tpch_finalize(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.round(b["sum(l_quantity)"], 2),
+            "sum_base": pc.round(b["sum(l_extendedprice)"], 2),
+            "cnt": pc.cast(b["count()"], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- enrich
+
+def q_enrich_nation(sf_dir: str):
+    """kubernetes-style broadcast lookup join: customer × nation dim."""
+    import ray
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    dim = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(dim)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        keys = b["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "n_name": pa.array([d.get(k) for k in keys], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+
+
+def q_enrich_left_miss(sf_dir: str):
+    """lookup with misses kept (enrichment-miss path): events × customer."""
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    dim = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(dim)
+
+    def enrich(b: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        keys = b["user_id"].to_pylist()
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "c_name": pa.array([d.get(k) for k in keys], pa.string()),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id"]).map_batches(
+        enrich, batch_format="pyarrow"
+    )
+
+
+# -------------------------------------------------------------- throttle
+
+def q_throttle(sf_dir: str):
+    """filter_throttle (event-time): first 5 records per minute bucket."""
+    thr = ThrottleFilter(rate=5, window=1, interval_sec=60, tiebreaker="event_id")
+
+    def add_time(b: pa.Table) -> pa.Table:
+        ns = pc.multiply(pc.cast(b["ts"], pa.int64()), pa.scalar(1000))
+        return b.append_column("_time", ns)
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"]).map_batches(
+        add_time, batch_format="pyarrow"
+    )
+    out = thr.apply_dataset(ds)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "ts"]), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------------------ ops
+
+def q_dedup_exact(sf_dir: str):
+    """exact dedup: first doc per identical text (hash-partitioned)."""
+    return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clustering (rows-only check)."""
+    return dedup.minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_simhash(sf_dir: str):
+    """SimHash dedup clusters (rows-only check)."""
+    return dedup.simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q_text_stats(sf_dir: str):
+    """token/byte counting (vectorized arrow kernels)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality(sf_dir: str):
+    """quality scoring features (rows-only; float heuristics)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """language-ID heuristic (rows-only)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.lang_id_batch, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """winnowing document fingerprint (rows-only)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    """brute-force cosine top-k over the embeddings table."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qmask = pc.less(emb["vec_id"], 3)
+    qt = emb.filter(qmask)
+    qmat = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ref = ann.make_query_ref(np.asarray(qt["vec_id"].to_pylist()), qmat)
+    return ann.brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ref, k=5
+    )
+
+
+def q_weblog_aggregate(sf_dir: str):
+    """flagship pipeline aggregate (pages synthesized per sf; rows-only —
+    exact equality vs the Python oracle is enforced in pytest)."""
+    from .weblog import aggregate_only
+
+    return aggregate_only(sf_dir)
+
+
+QUERIES: dict[str, Callable] = {
+    "grep": q_grep,
+    "record_modifier": q_record_modifier,
+    "modify": q_modify,
+    "parser_json": q_parser_json,
+    "parser_regex": q_parser_regex,
+    "router_counts": q_router_counts,
+    "flowcounter": q_flowcounter,
+    "counter": q_counter,
+    "tpch_pricing": q_tpch_pricing,
+    "enrich_nation": q_enrich_nation,
+    "enrich_left_miss": q_enrich_left_miss,
+    "throttle": q_throttle,
+    "dedup_exact": q_dedup_exact,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "weblog_aggregate": q_weblog_aggregate,
+}
+
+
+ORACLE_SQL: dict[str, str] = {
+    "grep": (
+        "SELECT doc_id, text, lang FROM documents "
+        "WHERE regexp_matches(text, 'merge') AND NOT regexp_matches(lang, '^zh$')"
+    ),
+    "record_modifier": "SELECT event_id, event_type, 'fbr' AS source FROM events",
+    "modify": (
+        "SELECT event_id, event_type, "
+        "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value, "
+        "CASE WHEN event_type = 'error' THEN value ELSE NULL END AS error_value, "
+        "CASE WHEN event_type = 'error' THEN 'high' ELSE NULL END AS severity "
+        "FROM events"
+    ),
+    "parser_json": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events"
+    ),
+    "parser_regex": (
+        "SELECT doc_id, regexp_extract(text, '^(\\S+)', 1) AS first FROM documents"
+    ),
+    "router_counts": (
+        "SELECT 's_error' AS sink, count(*) AS records FROM events WHERE event_type = 'error' "
+        "UNION ALL "
+        "SELECT 's_purchase' AS sink, count(*) AS records FROM events WHERE event_type LIKE 'purch%' "
+        "UNION ALL SELECT 's_all' AS sink, count(*) AS records FROM events"
+    ),
+    "flowcounter": (
+        "SELECT event_type, epoch_us(ts) // 60000000 AS bucket, "
+        "count(*) AS records, CAST(SUM(strlen(props)) AS BIGINT) AS bytes "
+        "FROM events GROUP BY event_type, bucket"
+    ),
+    "counter": "SELECT count(*) AS total FROM events",
+    "tpch_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base, count(*) AS cnt "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "enrich_nation": (
+        "SELECT c_custkey, c_name, n_name FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey"
+    ),
+    "enrich_left_miss": (
+        "SELECT e.event_id, e.user_id, c.c_name FROM events e "
+        "LEFT JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "throttle": (
+        "SELECT event_id, ts FROM ("
+        "SELECT event_id, ts, row_number() OVER ("
+        "PARTITION BY epoch_us(ts) // 60000000 ORDER BY ts, event_id) AS rn "
+        "FROM events) WHERE rn <= 5"
+    ),
+    "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "text_stats": (
+        "SELECT doc_id, strlen(text) AS n_bytes, "
+        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents"
+    ),
+    "ann_topk": (
+        "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+        "CAST(row_number() OVER (PARTITION BY q.vec_id "
+        "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) "
+        "AS BIGINT) AS rank "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id "
+        "QUALIFY rank <= 5"
+    ),
+    # rows-only (non-SQL-expressible): minhash_dedup, simhash, quality,
+    # lang_id, fingerprint, weblog_aggregate
+}

@@ -1,0 +1,308 @@
+"""Multi-sink routed writers — out_file formats + partitioned parquet.
+
+Reference parity (studied, not copied): plugins/out_file/file.c —
+- JSON (default): one line per record, ``{tag}: [{time:%f}, {json}]``
+  (file.c:216-222), record JSON escaped per src/flb_utils.c:491-626;
+- CSV: ``{time:%f}{d}val{d}val…`` — time then VALUES only (file.c:117-138),
+  strings printed quoted like msgpack_object_print;
+- LTSV: ``"time":{time:%f}\t"key":"val"…`` (file.c:140-168);
+- parquet: the columnar-native sink (no reference analog; the engine's
+  primary output format).
+
+Routing fan-out: a row is written to EVERY sink whose Match pattern hits its
+tag (reference flb_task_create route list, src/flb_task.c:234-278) — a row
+can appear in several sinks; rows matching no sink are dropped.
+
+Scale notes: the write stage runs inside `map_batches` — each task writes
+its own files named ``{partition}__{task-uuid}.{ext}`` (idempotent restarts
+delete partials by partition prefix, see state/checkpoint.py). Output is one
+directory per sink; never one giant file. The stage RETURNS per-batch
+partial-aggregate rows (sink × src × lang × host × minute-bucket), so the
+wide aggregation shuffles only pre-combined rows, not records
+(partial/combiner pattern, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.escape import flb_json_escape
+from ..router import Router, Route
+from ..stages.grep import GrepFilter
+
+# ---------------------------------------------------------------- formatting
+
+
+def _json_value(v) -> str:
+    """flb_msgpack_to_json-style value serialization."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, str):
+        return '"' + flb_json_escape(v) + '"'
+    if isinstance(v, bytes):
+        return '"' + flb_json_escape(v.decode("utf-8", "replace")) + '"'
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            '"' + flb_json_escape(str(k)) + '":' + _json_value(x)
+            for k, x in v.items()
+            if x is not None
+        ) + "}"
+    if isinstance(v, list):
+        if v and isinstance(v[0], tuple):  # arrow map -> object
+            return _json_value(dict(v))
+        return "[" + ",".join(_json_value(x) for x in v) + "]"
+    return '"' + flb_json_escape(str(v)) + '"'
+
+
+def record_to_json(rec: dict) -> str:
+    """Record map -> JSON object string, insertion order, nulls skipped."""
+    return "{" + ",".join(
+        '"' + flb_json_escape(k) + '":' + _json_value(v)
+        for k, v in rec.items()
+        if v is not None
+    ) + "}"
+
+
+def _print_value(v) -> str:
+    """msgpack_object_print-style scalar for csv/ltsv (strings quoted raw)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, str):
+        return '"' + v + '"'
+    return '"' + str(v) + '"'
+
+
+def _row_iter(table: pa.Table, record_cols: list[str]):
+    data = [table[c].to_pylist() for c in record_cols]
+    for i in range(table.num_rows):
+        yield {c: col[i] for c, col in zip(record_cols, data) if col[i] is not None}
+
+
+def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
+    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * table.num_rows
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        out.append(f"{tags[i]}: [{times[i]:.6f}, {record_to_json(rec)}]")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_csv(table: pa.Table, record_cols: list[str], delimiter: str = ",") -> str:
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        out.append(
+            f"{times[i]:.6f}" + delimiter
+            + delimiter.join(_print_value(v) for v in rec.values())
+        )
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_ltsv(
+    table: pa.Table, record_cols: list[str], delimiter: str = "\t", label_delimiter: str = ":"
+) -> str:
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        parts = [f'"time"{label_delimiter}{times[i]:.6f}'] + [
+            f'"{k}"{label_delimiter}{_print_value(v)}' for k, v in rec.items()
+        ]
+        out.append(delimiter.join(parts))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _times_sec(table: pa.Table) -> np.ndarray:
+    if "_time" in table.column_names:
+        t = table["_time"].to_numpy(zero_copy_only=False).astype("float64")
+        t = np.where(np.isnan(t), 0.0, t)
+        return t / 1e9
+    return np.zeros(table.num_rows)
+
+
+# ------------------------------------------------------------------- sinks
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    name: str
+    patterns: tuple[str, ...]
+    fmt: str = "parquet"  # parquet | json | csv | ltsv
+    grep: Optional[tuple[tuple[str, str, str], ...]] = None  # extra rule chain
+    columns: Optional[tuple[str, ...]] = None  # projection; None = record cols
+
+    def route(self) -> Route:
+        return Route(self.name, self.patterns)
+
+
+class SinkWriteStage:
+    """map_batches stage: route → per-sink filter → write → partial aggregates.
+
+    Emits one row per (src, sink, lang, host, bucket) partial aggregate with
+    records / bytes / parse_failures — the flowcounter analog
+    (plugins/out_flowcounter/out_flowcounter.c:36-111) computed as in-batch
+    combiners so the global groupby shuffles tiny rows.
+
+    bytes = octet length of the raw `text` payload (the reference counts the
+    msgpack record bytes; the raw line is our deterministic analog).
+    """
+
+    AGG_SCHEMA = pa.schema(
+        [
+            ("src", pa.string()),
+            ("sink", pa.string()),
+            ("lang", pa.string()),
+            ("host", pa.string()),
+            ("bucket", pa.int64()),  # minute bucket of event time
+            ("records", pa.int64()),
+            ("bytes", pa.int64()),
+            ("parse_failures", pa.int64()),
+        ]
+    )
+
+    def __init__(
+        self,
+        sinks: list[SinkSpec],
+        out_dir: Optional[str],
+        bucket_sec: int = 60,
+        bytes_col: str = "text",
+    ):
+        self.sinks = sinks
+        self.out_dir = out_dir  # None = aggregate-only (no file writes)
+        self.bucket_sec = bucket_sec
+        self.bytes_col = bytes_col
+        self.router = Router([s.route() for s in sinks])
+        self._greps = {
+            s.name: GrepFilter(list(s.grep)) if s.grep else None for s in sinks
+        }
+        if out_dir:
+            for s in sinks:
+                os.makedirs(os.path.join(out_dir, s.name), exist_ok=True)
+
+    def _record_cols(self, table: pa.Table, spec: SinkSpec) -> list[str]:
+        if spec.columns:
+            return [c for c in spec.columns if c in table.column_names]
+        return [c for c in table.column_names if not c.startswith("_")]
+
+    def __call__(self, table: pa.Table) -> pa.Table:
+        masks = self.router.masks(table["_tag"])
+        parts: list[pa.Table] = []
+        for spec in self.sinks:
+            sub = table.filter(masks[spec.name])
+            g = self._greps[spec.name]
+            if g is not None:
+                sub = g.process_batch(sub)
+            if sub.num_rows == 0:
+                continue
+            if self.out_dir:
+                self._write(sub, spec)
+            parts.append(self._partial_agg(sub, spec.name))
+        if not parts:
+            return self.AGG_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    # -------------------------------------------------------------- write
+    def _write(self, sub: pa.Table, spec: SinkSpec) -> None:
+        srcs = (
+            sub["_src"].to_pylist() if "_src" in sub.column_names else [None] * sub.num_rows
+        )
+        order = pc.sort_indices(sub, sort_keys=[("url", "ascending")]) if "url" in sub.column_names else None
+        if order is not None:
+            sub = sub.take(order)
+            srcs = [srcs[i.as_py()] for i in order]
+        by_src: dict[str, list[int]] = {}
+        for i, s in enumerate(srcs):
+            by_src.setdefault(s or "all", []).append(i)
+        rc = self._record_cols(sub, spec)
+        for src, idxs in by_src.items():
+            chunk = sub.take(pa.array(idxs, pa.int64()))
+            fname = f"{src}__{uuid.uuid4().hex[:12]}"
+            path = os.path.join(self.out_dir, spec.name, fname)
+            if spec.fmt == "parquet":
+                cols = rc + [c for c in ("_tag", "_time") if c in chunk.column_names]
+                pq.write_table(chunk.select(cols), path + ".parquet")
+            else:
+                if spec.fmt == "json":
+                    payload = format_json_lines(chunk, rc)
+                    ext = ".jsonl"
+                elif spec.fmt == "csv":
+                    payload = format_csv(chunk, rc)
+                    ext = ".csv"
+                else:
+                    payload = format_ltsv(chunk, rc)
+                    ext = ".ltsv"
+                with open(path + ext, "w") as f:
+                    f.write(payload)
+
+    # ---------------------------------------------------------- aggregate
+    def _partial_agg(self, sub: pa.Table, sink: str) -> pa.Table:
+        n = sub.num_rows
+        src = sub["_src"] if "_src" in sub.column_names else pa.nulls(n, pa.string())
+        lang = sub["lang"] if "lang" in sub.column_names else pa.nulls(n, pa.string())
+        host = sub["host"] if "host" in sub.column_names else pa.nulls(n, pa.string())
+        if "_time" in sub.column_names:
+            t = sub["_time"].to_numpy(zero_copy_only=False).astype("float64")
+            bucket = np.where(
+                np.isnan(t), -1, (t / 1e9 // self.bucket_sec).astype("int64")
+            ).astype("int64")
+        else:
+            bucket = np.full(n, -1, dtype=np.int64)
+        if self.bytes_col in sub.column_names:
+            nbytes = pc.binary_length(
+                pc.cast(sub[self.bytes_col], pa.string())
+            )
+            nbytes = pc.fill_null(pc.cast(nbytes, pa.int64()), 0)
+        else:
+            nbytes = pa.array(np.zeros(n, dtype=np.int64))
+        if "_parse_ok" in sub.column_names:
+            fail = pc.cast(pc.invert(pc.fill_null(sub["_parse_ok"], False)), pa.int64())
+        else:
+            fail = pa.array(np.zeros(n, dtype=np.int64))
+
+        grouped = (
+            pa.table(
+                {
+                    "src": pc.fill_null(pc.cast(src, pa.string()), ""),
+                    "lang": pc.fill_null(pc.cast(lang, pa.string()), ""),
+                    "host": pc.fill_null(pc.cast(host, pa.string()), ""),
+                    "bucket": pa.array(bucket),
+                    "records": pa.array(np.ones(n, dtype=np.int64)),
+                    "bytes": nbytes,
+                    "parse_failures": fail,
+                }
+            )
+            .group_by(["src", "lang", "host", "bucket"])
+            .aggregate([("records", "sum"), ("bytes", "sum"), ("parse_failures", "sum")])
+        )
+        out = pa.table(
+            {
+                "src": grouped["src"],
+                "sink": pa.array([sink] * grouped.num_rows, pa.string()),
+                "lang": grouped["lang"],
+                "host": grouped["host"],
+                "bucket": grouped["bucket"],
+                "records": grouped["records_sum"],
+                "bytes": grouped["bytes_sum"],
+                "parse_failures": grouped["parse_failures_sum"],
+            }
+        )
+        return out.cast(self.AGG_SCHEMA)

@@ -43,6 +43,31 @@ def _maybe_get(obj: Any) -> Any:
     return obj
 
 
+_WORKER_CACHE: dict = {}
+
+
+def make_enrich_fn(lookup_ref: Any, key_col: str = "host", under: str = "meta"):
+    """Task-based enrichment: broadcast ref + per-worker-process cache.
+
+    For a read-only dim dict, plain tasks beat an actor pool: `ray.put` the
+    dict once, `ray.get` it zero-copy in each worker, and cache the built
+    enricher per worker process. No pool to size, no actor startup latency.
+    Reserve the HostEnricher-as-actor-pool form for stages with genuinely
+    expensive init (model loads) where pinning state to live actors pays.
+    """
+
+    cache_key = (str(lookup_ref), key_col, under)
+
+    def enrich_fn(batch: pa.Table) -> pa.Table:
+        enr = _WORKER_CACHE.get(cache_key)
+        if enr is None:
+            enr = HostEnricher(lookup_ref, key_col=key_col, under=under)
+            _WORKER_CACHE[cache_key] = enr
+        return enr.process_batch(batch)
+
+    return enrich_fn
+
+
 class HostEnricher:
     """Callable-class stage: dict lookup -> nested `meta` struct column.
 

@@ -134,6 +134,17 @@ class ModifyFilter:
                         table, old,
                         pc.if_else(apply_m, pa.nulls(n, ocolu.type), ocolu),
                     )
+        # a column nulled on every row is an absent key everywhere: drop it so
+        # renames/removes don't leave residual columns (null == absent)
+        touched = {
+            r[1] for r in self.rules if r[0] in ("remove", "rename", "hard_rename")
+        }
+        drop = [
+            c for c in table.column_names
+            if c in touched and table[c].null_count == table.num_rows
+        ]
+        if drop:
+            table = table.drop_columns(drop)
         return table
 
     # --------------------------------------------------------------- row

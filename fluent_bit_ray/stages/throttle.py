@@ -24,9 +24,19 @@ from ..parsers.core import NAT
 
 
 class ThrottleFilter:
-    def __init__(self, rate: int, window: int = 5, interval_sec: int = 1):
+    def __init__(
+        self,
+        rate: int,
+        window: int = 5,
+        interval_sec: int = 1,
+        tiebreaker: Optional[str] = None,
+    ):
         self.cap = int(rate) * int(window)
         self.interval_ns = int(interval_sec) * 1_000_000_000
+        # deterministic ordering within a bucket: event time, then tiebreaker
+        self.sort_keys = [("_time", "ascending")] + (
+            [(tiebreaker, "ascending")] if tiebreaker else []
+        )
 
     def bucket_of(self, time_ns: int) -> int:
         if time_ns == NAT:
@@ -42,7 +52,7 @@ class ThrottleFilter:
         """map_groups fn: keep the first `cap` records by event time."""
         if group.num_rows <= self.cap:
             return group.drop_columns(["_throttle_bucket"])
-        order = pa.compute.sort_indices(group, sort_keys=[("_time", "ascending")])
+        order = pa.compute.sort_indices(group, sort_keys=self.sort_keys)
         return group.take(order[: self.cap]).drop_columns(["_throttle_bucket"])
 
     def apply_dataset(self, ds):
