@@ -171,22 +171,60 @@ def parse_time_str(value: str, tf: TimeFormat, now_year: int = 2018) -> Optional
     return tf.parse(value, now_year)
 
 
+_NAT = np.iinfo(np.int64).min
+
+# strings the pandas ISO8601 fast path is allowed to handle — anything not
+# matching falls back to the exact per-row parser, so the fast path can never
+# accept an input the reference semantics would reject
+_ISO_SAFE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?$"
+)
+
+
 def parse_time_column(
     values: Sequence[Optional[str]], tf: TimeFormat, now_year: int = 2018
 ) -> np.ndarray:
     """Parse a column of time strings -> int64 epoch-ns array (NaT = int64 min).
 
-    Vectorization note: the compiled regex is shared; per-value work is a
-    single C-level regex match + integer math. At scale this runs inside
-    `map_batches` workers, one compiled TimeFormat per actor/process.
+    Hot-path structure:
+    - ISO-8601-with-fraction formats (docker/rfc5424) go through pandas'
+      vectorized C parser, guarded by `_ISO_SAFE` so semantics stay exactly
+      the reference's; non-conforming rows fall back to the exact parser;
+    - other formats memoize per distinct string — log streams repeat the
+      same second across many records, so the compiled-regex parse runs
+      once per distinct value, not once per row.
     """
-    out = np.empty(len(values), dtype=np.int64)
-    NAT = np.iinfo(np.int64).min
+    n = len(values)
+    out = np.full(n, _NAT, dtype=np.int64)
     parse = tf.parse
-    for i, v in enumerate(values):
+
+    pending = range(n)
+    if (
+        tf.frac_secs
+        and tf.fmt.startswith("%Y-%m-%dT%H:%M:%S")
+        and tf.time_offset == 0
+    ):
+        import pandas as pd
+
+        ser = pd.Series(values, dtype="object")
+        safe = ser.str.match(_ISO_SAFE, na=False)
+        parsed = pd.to_datetime(
+            ser.where(safe), format="ISO8601", utc=True, errors="coerce"
+        )
+        ns = parsed.values.view("int64")  # NaT == int64 min == _NAT
+        out = np.where(safe.to_numpy() & (ns != _NAT), ns, _NAT)
+        pending = np.nonzero(out == _NAT)[0]
+
+    cache: dict = {}
+    missing = cache.get  # sentinel-free lookup via default object
+    sentinel = object()
+    for i in pending:
+        v = values[i]
         if v is None:
-            out[i] = NAT
             continue
-        r = parse(v, now_year)
-        out[i] = NAT if r is None else r
+        r = missing(v, sentinel)
+        if r is sentinel:
+            r = parse(v, now_year)
+            cache[v] = r
+        out[i] = _NAT if r is None else r
     return out

@@ -82,6 +82,9 @@ class _PartialTopK:
         )
 
 
+_TOPK_CACHE: dict = {}
+
+
 def brute_force_topk(
     ds,
     queries_ref: Any,
@@ -90,11 +93,21 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ):
     """Exact cosine top-k. Returns (query_id, vec_id, rank) — rank 1-based,
-    ordered by (score desc, vec_id asc); ints only for stable comparison."""
-    partial = ds.map_batches(
-        _PartialTopK, fn_constructor_args=(queries_ref, k, id_col, vec_col),
-        concurrency=2, batch_format="pyarrow",
-    )
+    ordered by (score desc, vec_id asc); ints only for stable comparison.
+
+    Task-based with a per-worker cache of the normalized query matrix (same
+    broadcast pattern as enrichment — no actor pool startup on the hot path).
+    """
+    cache_key = (str(queries_ref), k, id_col, vec_col)
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        fn = _TOPK_CACHE.get(cache_key)
+        if fn is None:
+            fn = _PartialTopK(queries_ref, k, id_col, vec_col)
+            _TOPK_CACHE[cache_key] = fn
+        return fn(batch)
+
+    partial = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
 
     def merge(group: pa.Table) -> pa.Table:
         idx = pa.compute.sort_indices(

@@ -32,7 +32,7 @@ from typing import Any, Optional, Sequence
 import numpy as np
 import pyarrow as pa
 
-from ..functions.timeparse import TimeFormat
+from ..functions.timeparse import TimeFormat, parse_time_column
 from ..functions.typecast import cast_column, typecast_value
 from .decoders import DecoderRule, apply_decoders, apply_decoders_columns
 
@@ -211,17 +211,13 @@ class Parser:
                         cols[f][i] = rec[f]
 
         # --- time lookup (columnar over the captured time strings)
-        ts = np.full(n, NAT, dtype=np.int64)
         if self._tf is not None and self.time_key in cols:
-            tcol = cols[self.time_key]
-            parse = self._tf.parse
-            for i, tv in enumerate(tcol):
-                if isinstance(tv, str):
-                    r = parse(tv, now_year)
-                    if r is not None:
-                        ts[i] = r
+            tcol = [v if isinstance(v, str) else None for v in cols[self.time_key]]
+            ts = parse_time_column(tcol, self._tf, now_year)
             if not self.time_keep:
                 del cols[self.time_key]
+        else:
+            ts = np.full(n, NAT, dtype=np.int64)
 
         # --- decoders (columnar; escaped fast path)
         if self.decoders:

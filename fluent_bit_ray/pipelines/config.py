@@ -1,0 +1,359 @@
+"""Classic-mode config front end: [SERVICE]/[INPUT]/[FILTER]/[OUTPUT]/[PARSER]
+sections → a runnable Ray Data pipeline.
+
+Reference parity (studied, not copied): the config surface of
+src/fluent-bit.c:368-540 (`flb_service_conf`) and each plugin's option names
+— a user's existing fluent-bit classic config for the supported plugins
+parses unchanged:
+
+    [INPUT]  Name tail|parquet|dummy, Path, Tag, Parser, Path_Key
+    [FILTER] Name grep|record_modifier|modify|nest|parser|throttle|stdout,
+             Match, + the plugin's own options (Regex/Exclude, Remove_key/
+             Whitelist_key/Record, Set/Add/Rename/…/Condition, Operation/
+             Wildcard/Nest_under/Nested_under, Key_Name/Parser/Reserve_Data/
+             Preserve_Key, Rate/Window/Interval)
+    [OUTPUT] Name file|parquet|null|stdout|counter|flowcounter, Match, Path,
+             Format json|csv|ltsv
+
+Execution: each input becomes a Dataset; the filter chain is ONE fused
+map_batches; outputs become SinkSpecs driven by SinkWriteStage. Timer/server
+inputs (cpu/mem/tcp/…) are host-agent concerns out of scope for a data
+engine (SURVEY §2.4) and raise a clear error naming the unsupported plugin.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..parsers.core import DEFAULT_REGISTRY, ParserRegistry
+from ..stages import (
+    FilterChain,
+    GrepFilter,
+    ModifyFilter,
+    NestFilter,
+    ParserFilter,
+    RecordModifierFilter,
+    StdoutFilter,
+    ThrottleFilter,
+)
+from ..sinks.writers import SinkSpec, SinkWriteStage
+
+
+def parse_classic(text: str) -> list[dict]:
+    """Classic-mode INI-ish parser; every key maps to a LIST of values."""
+    sections: list[dict] = []
+    cur: Optional[dict] = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            cur = {"__name__": line[1:-1].lower()}
+            sections.append(cur)
+            continue
+        if cur is None:
+            continue
+        key, _, value = line.partition(" ")
+        cur.setdefault(key.lower(), []).append(value.strip())
+    return sections
+
+
+def _one(sec: dict, key: str, default: Optional[str] = None) -> Optional[str]:
+    v = sec.get(key)
+    return v[0] if v else default
+
+
+def _on(sec: dict, key: str, default: bool = False) -> bool:
+    v = _one(sec, key)
+    return default if v is None else v.lower() in ("on", "true", "1", "yes")
+
+
+# ------------------------------------------------------------------ filters
+
+def build_filter(sec: dict, registry: ParserRegistry):
+    name = _one(sec, "name")
+    if name == "grep":
+        rules = []
+        for kind in ("regex", "exclude"):
+            for spec in sec.get(kind, []):
+                f, _, p = spec.partition(" ")
+                rules.append((kind, f, p.strip()))
+        return GrepFilter(rules)
+    if name == "record_modifier":
+        records = []
+        for spec in sec.get("record", []):
+            k, _, v = spec.partition(" ")
+            records.append((k, v.strip()))
+        return RecordModifierFilter(
+            remove_keys=sec.get("remove_key", []),
+            whitelist_keys=sec.get("whitelist_key", []),
+            records=records,
+        )
+    if name == "modify":
+        rules = []
+        conds = []
+        order = []  # preserve config order across rule kinds
+        for kind in ("set", "add", "remove", "remove_wildcard", "rename",
+                     "hard_rename", "copy", "hard_copy"):
+            for spec in sec.get(kind, []):
+                parts = spec.split(None, 1)
+                if kind in ("remove", "remove_wildcard"):
+                    rules.append((kind, parts[0]))
+                else:
+                    a, b = parts[0], parts[1] if len(parts) > 1 else ""
+                    rules.append((kind, a, b))
+        for spec in sec.get("condition", []):
+            parts = spec.split(None, 2)
+            cond = parts[0].lower()
+            conds.append(tuple([cond] + parts[1:]))
+        return ModifyFilter(rules=rules, conditions=conds)
+    if name == "nest":
+        return NestFilter(
+            operation=(_one(sec, "operation") or "").lower(),
+            wildcard=sec.get("wildcard", []),
+            nest_under=_one(sec, "nest_under"),
+            nested_under=_one(sec, "nested_under"),
+        )
+    if name == "parser":
+        parsers = [registry.get(p) for p in sec.get("parser", [])]
+        return ParserFilter(
+            key_name=_one(sec, "key_name", "log"),
+            parsers=parsers,
+            reserve_data=_on(sec, "reserve_data"),
+            preserve_key=_on(sec, "preserve_key"),
+        )
+    if name == "throttle":
+        return ThrottleFilter(
+            rate=int(_one(sec, "rate", "5")),
+            window=int(_one(sec, "window", "5")),
+            interval_sec=int(_one(sec, "interval", "1").rstrip("s") or "1"),
+        )
+    if name == "stdout":
+        return StdoutFilter()
+    raise ValueError(f"unsupported filter plugin: {name!r}")
+
+
+# ------------------------------------------------------------------- inputs
+
+def build_input(sec: dict, registry: ParserRegistry):
+    """Input section -> (Dataset, static_tag | None). Lazy Ray import."""
+    import ray.data
+
+    name = _one(sec, "name")
+    tag = _one(sec, "tag")
+    if name == "parquet":
+        path = _one(sec, "path")
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        ds = ray.data.read_parquet(files)
+        return ds, tag or "parquet"
+    if name == "tail":
+        path = _one(sec, "path")
+        parser = _one(sec, "parser")
+        path_key = _one(sec, "path_key")
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        ds = ray.data.read_text(files, include_paths=True)
+
+        parsers = [registry.get(parser)] if parser else []
+
+        def to_records(batch: pa.Table) -> pa.Table:
+            out = pa.table({"log": batch["text"]})
+            if path_key:
+                out = out.append_column(path_key, batch["path"])
+            out = out.append_column("_src_path", batch["path"])
+            if parsers:
+                pf = ParserFilter("log", parsers, reserve_data=True,
+                                  preserve_key=False)
+                parsed = pf.process_batch(out)
+                # parse-failure fallback keeps {"log": line}
+                # (plugins/in_tail/tail_file.c:240-245)
+                return parsed
+            return out
+
+        ds = ds.map_batches(to_records, batch_format="pyarrow")
+        return ds, tag or "tail.0"
+    if name == "json":
+        # in_forward/in_tcp batch analog: newline-delimited JSON objects
+        path = _one(sec, "path")
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        ds = ray.data.read_text(files)
+
+        def parse_json_lines(batch: pa.Table) -> pa.Table:
+            import json as jsonmod
+
+            rows = []
+            for line in batch["text"].to_pylist():
+                try:
+                    obj = jsonmod.loads(line)
+                except (ValueError, TypeError):
+                    continue  # invalid JSON dropped (flb_pack_json rejects)
+                if isinstance(obj, dict):
+                    rows.append(obj)
+            if not rows:
+                return pa.table({"log": pa.array([], pa.string())})
+            return pa.Table.from_pylist(rows)
+
+        return ds.map_batches(parse_json_lines, batch_format="pyarrow"), tag or "json.0"
+    if name == "stdin":
+        import sys as sysmod
+
+        lines = [l.rstrip("\n") for l in sysmod.stdin]
+        ds = ray.data.from_items([{"log": l} for l in lines])
+        return ds, tag or "stdin.0"
+    if name == "dummy":
+        import json as jsonmod
+
+        rec = jsonmod.loads(_one(sec, "dummy", '{"message":"dummy"}'))
+        n = int(_one(sec, "samples", "1"))
+        ds = ray.data.range(n).map_batches(
+            lambda b: pa.table(
+                {k: pa.array([v] * b.num_rows) for k, v in rec.items()}
+            ),
+            batch_format="pyarrow",
+        )
+        return ds, tag or "dummy.0"
+    raise ValueError(
+        f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
+        "out of scope for the batch engine; see SURVEY §2.4)"
+    )
+
+
+# ------------------------------------------------------------------ outputs
+
+_SINK_FORMATS = {"json": "json", "csv": "csv", "ltsv": "ltsv",
+                 "parquet": "parquet", "es": "es", "plot": "plot"}
+
+
+@dataclass
+class OutputSpec:
+    kind: str  # file | parquet | null | stdout | counter | flowcounter
+    match: str
+    path: Optional[str]
+    fmt: str
+    fmt_options: tuple = ()
+
+
+def build_output(sec: dict, idx: int) -> OutputSpec:
+    name = _one(sec, "name")
+    match = _one(sec, "match", "*")
+    path = _one(sec, "path")
+    fmt = (_one(sec, "format") or ("parquet" if name == "parquet" else "json")).lower()
+    if name == "es":
+        # out_es analog: daily-partitioned bulk-format json-lines sink
+        spec = OutputSpec("file", match, path, "es")
+        spec.fmt_options = (
+            ("index", _one(sec, "logstash_prefix", _one(sec, "index", "fluentbit"))),
+            ("type", _one(sec, "type", "flb_type")),
+            ("logstash", "on" if _on(sec, "logstash_format", True) else "off"),
+            ("time_key", _one(sec, "time_key", "@timestamp")),
+        )
+        return spec
+    if name == "plot":
+        spec = OutputSpec("file", match, path, "plot")
+        spec.fmt_options = (("key", _one(sec, "key", "value")),)
+        return spec
+    if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):
+        return OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
+    raise ValueError(f"unsupported output plugin: {name!r}")
+
+
+# ------------------------------------------------------------------- engine
+
+@dataclass
+class PipelineResult:
+    counts: dict = field(default_factory=dict)  # per-output routed record count
+    aggregate: Optional[pa.Table] = None  # flowcounter table if configured
+    stdout_sample: list = field(default_factory=list)
+
+
+def run_config(
+    text: str,
+    out_root: Optional[str] = None,
+    registry: Optional[ParserRegistry] = None,
+) -> PipelineResult:
+    """Parse a classic config and run the pipeline. Ray must be initialized
+    by the caller (CLI does it; library users own their session)."""
+    from .weblog import AGG_VALS, combine_partial_rows
+
+    registry = registry or DEFAULT_REGISTRY
+    sections = parse_classic(text)
+    # [PARSER] sections extend the registry
+    parser_text = "\n".join(
+        _section_to_text(s) for s in sections if s["__name__"] == "parser"
+    )
+    if parser_text:
+        registry.load_conf(parser_text)
+
+    inputs = [s for s in sections if s["__name__"] == "input"]
+    filters = [s for s in sections if s["__name__"] == "filter"]
+    outputs = [build_output(s, i) for i, s in enumerate(
+        s for s in sections if s["__name__"] == "output")]
+    if not inputs:
+        raise ValueError("config has no [INPUT] section")
+
+    chain = FilterChain(
+        [(_one(s, "match", "*"), build_filter(s, registry)) for s in filters]
+    )
+
+    sinks = []
+    out_names = []
+    for i, o in enumerate(outputs):
+        nm = f"{o.kind}_{i}"
+        out_names.append(nm)
+        if o.kind in ("file", "parquet"):
+            sinks.append(
+                SinkSpec(nm, (o.match,), o.fmt if o.kind == "file" else "parquet",
+                         fmt_options=tuple(o.fmt_options))
+            )
+        else:
+            sinks.append(SinkSpec(nm, (o.match,), "parquet"))
+    write_dir = out_root
+    writeable = {f"{o.kind}_{i}" for i, o in enumerate(outputs) if o.kind in ("file", "parquet")}
+
+    result = PipelineResult()
+    agg_tables = []
+    for sec in inputs:
+        ds, tag = build_input(sec, registry)
+
+        def add_tag(batch: pa.Table, _tag=tag) -> pa.Table:
+            if "_tag" not in batch.column_names:
+                batch = batch.append_column(
+                    "_tag", pa.array([_tag] * batch.num_rows, pa.string())
+                )
+            return chain.apply_batch(batch)
+
+        ds = ds.map_batches(add_tag, batch_format="pyarrow")
+        stage = SinkWriteStage(
+            [s for s in sinks if write_dir or s.name not in writeable],
+            write_dir,
+            bytes_col="log",
+        ) if write_dir else SinkWriteStage(sinks, None, bytes_col="log")
+        partials = ds.map_batches(stage, batch_format="pyarrow")
+        agg = combine_partial_rows(
+            partials, ["sink", "lang", "host", "bucket"], AGG_VALS
+        )
+        agg_tables.append(agg)
+
+    total = pa.concat_tables(agg_tables, promote_options="default")
+    for i, o in enumerate(outputs):
+        nm = f"{o.kind}_{i}"
+        sub = total.filter(pc.equal(total["sink"], nm))
+        result.counts[nm] = pc.sum(sub["records"]).as_py() or 0
+        if o.kind == "flowcounter":
+            result.aggregate = sub
+    return result
+
+
+def _section_to_text(sec: dict) -> str:
+    lines = [f"[{sec['__name__'].upper()}]"]
+    for k, vs in sec.items():
+        if k.startswith("__"):
+            continue
+        for v in vs:
+            lines.append(f"    {k} {v}")
+    return "\n".join(lines)

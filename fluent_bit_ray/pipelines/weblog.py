@@ -160,6 +160,9 @@ def parse_fn(batch: pa.Table) -> pa.Table:
     """Plain-function wrapper: compile the stage once per worker process."""
     global _PARSE_STAGE
     if _PARSE_STAGE is None:
+        # each worker owns ONE task slot: a private 32-thread Arrow pool per
+        # worker just oversubscribes the box (32 workers x 32 threads)
+        pa.set_cpu_count(1)
         _PARSE_STAGE = WeblogParseStage()
     return _PARSE_STAGE(batch)
 
@@ -180,6 +183,61 @@ def _rename_sums(t: pa.Table) -> pa.Table:
     return t
 
 
+def _collect_arrow(ds) -> pa.Table:
+    """Dataset -> one pyarrow Table without row-dict materialization."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return ds.schema().base_schema.empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
+    g = t.group_by(keys).aggregate([(v, "sum") for v in vals])
+    return g.rename_columns(
+        [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+    ).select(keys + vals)
+
+
+def combine_partial_rows(
+    ds,
+    keys: list[str],
+    vals: list[str],
+    driver_limit: int = 10_000_000,
+    chunk: int = 64,
+) -> pa.Table:
+    """Final merge of per-block partial aggregates.
+
+    The heavy lifting already happened inside map_batches (in-batch
+    combiners); what remains is summing partials that share a key. That
+    merge runs as a fully parallel two-stage hash reduce over the partial
+    blocks (see shuffle.hash_reduce for why raw Ray tasks beat the Dataset
+    groupby here). `driver_limit`/`chunk` retained for API compatibility.
+    """
+    from ..shuffle import hash_reduce
+
+    refs = ds.to_arrow_refs()
+    acc = hash_reduce(refs, keys, vals)
+    if acc is None:
+        return SinkWriteStage.AGG_SCHEMA.empty_table().select(
+            [k for k in keys if k in SinkWriteStage.AGG_SCHEMA.names]
+            + vals
+        )
+    return acc
+
+
+def _estimate_row_groups(files: list[str]) -> int:
+    """Total row-group count, estimated from the first file's metadata."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(files[0])
+        return max(1, md.num_row_groups) * len(files)
+    except (OSError, pa.ArrowInvalid):
+        return len(files)
+
+
 def build_wave_dataset(
     files: list[str],
     lookup_ref: Any,
@@ -196,8 +254,20 @@ def build_wave_dataset(
     """
     import ray.data
 
-    ds = ray.data.read_parquet(files, columns=READ_COLUMNS, include_paths=True)
-    ds = ds.map_batches(parse_fn, batch_format="pyarrow")
+    # batch_size=None = whole blocks: fewer, larger sink files and one
+    # vectorized pass per block instead of many 1024-row slivers.
+    # Block count: at least one per file, up to ~2 per cpu so the slowest
+    # task doesn't set the wall clock — but never finer than the input's
+    # row groups (sub-row-group splits re-read the whole group).
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    num_blocks = max(len(files), min(2 * cpus, _estimate_row_groups(files)))
+    ds = ray.data.read_parquet(
+        files,
+        columns=READ_COLUMNS,
+        include_paths=True,
+        override_num_blocks=num_blocks,
+    )
+    ds = ds.map_batches(parse_fn, batch_format="pyarrow", batch_size=None)
     if enrich_mode == "actors":
         ds = ds.map_batches(
             HostEnricher,
@@ -205,13 +275,16 @@ def build_wave_dataset(
             fn_constructor_kwargs={"key_col": "host"},
             concurrency=enrich_concurrency,
             batch_format="pyarrow",
+            batch_size=None,
         )
     else:
         ds = ds.map_batches(
-            make_enrich_fn(lookup_ref, key_col="host"), batch_format="pyarrow"
+            make_enrich_fn(lookup_ref, key_col="host"),
+            batch_format="pyarrow",
+            batch_size=None,
         )
     ds = ds.map_batches(
-        SinkWriteStage(sinks, out_dir), batch_format="pyarrow"
+        SinkWriteStage(sinks, out_dir), batch_format="pyarrow", batch_size=None
     )
     return ds
 
@@ -256,17 +329,15 @@ def run_weblog(
             break
         ds = build_wave_dataset(wave_files, lookup_ref, sinks, out_dir,
                                 enrich_concurrency)
-        per_src = ds.groupby(["src"] + AGG_KEYS).sum(AGG_VALS)
-        per_src = per_src.map_batches(_rename_sums, batch_format="pyarrow")
+        agg = combine_partial_rows(ds, ["src"] + AGG_KEYS, AGG_VALS)
         wave_dir = os.path.join(
             ckpt.agg_dir(out_dir), f"wave_{uuid.uuid4().hex[:8]}"
         )
-        per_src.write_parquet(wave_dir)
-        # wave committed: stamp it, then commit each partition's lineage
+        os.makedirs(wave_dir, exist_ok=True)
         import pyarrow.parquet as pq
 
-        agg = pq.read_table(wave_dir)
-        agg = _rename_sums(agg)
+        pq.write_table(agg, os.path.join(wave_dir, "agg.parquet"))
+        # wave committed: stamp it, then commit each partition's lineage
         with open(os.path.join(wave_dir, "_WAVE_DONE"), "w") as f:
             f.write("\n".join(ckpt.partition_id(p) for p in wave_files))
         for f_ in wave_files:
@@ -298,7 +369,7 @@ def final_aggregate(out_dir: str):
     Reads only the (pre-combined) per-src aggregate parquet, never the sink
     outputs — finished partitions are never recomputed.
     """
-    import ray.data
+    import pyarrow.parquet as pq
 
     files = [
         f
@@ -308,10 +379,13 @@ def final_aggregate(out_dir: str):
     ]
     if not files:
         return SinkWriteStage.AGG_SCHEMA.empty_table().select(AGG_KEYS + AGG_VALS)
-    ds = ray.data.read_parquet(files)
-    out = ds.groupby(AGG_KEYS).sum(AGG_VALS)
-    t = pa.Table.from_pylist(out.take_all())
-    t = _rename_sums(t)
+    # wave aggregates are already combined per wave — the driver-side merge
+    # touches only distinct-key rows (see combine_partial_rows for the
+    # distributed fallback rationale)
+    t = pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+    t = _group_sum(t, AGG_KEYS, AGG_VALS)
     return t.select(AGG_KEYS + AGG_VALS).sort_by(
         [(k, "ascending") for k in AGG_KEYS]
     )
@@ -331,9 +405,7 @@ def aggregate_only(pages_dir_or_sf: str, sinks: Optional[list[SinkSpec]] = None)
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     lookup_ref = ray.put(default_lookup())
     ds = build_wave_dataset(files, lookup_ref, sinks, out_dir=None)
-    out = ds.groupby(AGG_KEYS).sum(AGG_VALS)
-    t = pa.Table.from_pylist(out.take_all())
-    t = _rename_sums(t)
-    return t.select(AGG_KEYS + AGG_VALS).sort_by(
-        [(k, "ascending") for k in AGG_KEYS]
-    )
+    t = combine_partial_rows(ds, AGG_KEYS, AGG_VALS)
+    # unsorted by design: consumers compare order-insensitively, and a
+    # driver-side sort of the full aggregate is a serial scaling tax
+    return t.select(AGG_KEYS + AGG_VALS)

@@ -1,0 +1,98 @@
+"""Two-stage parallel hash reduce for pre-combined aggregate rows.
+
+Why raw Ray tasks here: Ray Data's sort-based groupby shuffle costs tens of
+seconds of fixed overhead on sub-10M-row inputs, and the 2.49 hash-shuffle
+strategy spins up an aggregator-actor topology that dwarfs this workload.
+Our aggregate rows are ALREADY per-block combined partials — what remains is
+exactly a static two-stage hash exchange:
+
+    split stage (1 task per partial block):
+        hash(key columns) % K  →  K sub-tables, each locally re-combined
+    reduce stage (K tasks):
+        concat its shard from every split  →  one group_by  →  distinct rows
+
+Every stage is parallel; the driver only concatenates K already-distinct
+shard results. Keys are hashed with pandas' vectorized hash (stable within a
+run; shard assignment never crosses runs, so no cross-run stability needed).
+This is the partitioning assumption documented for the flowcounter-style
+aggregates: key space is uniform after hashing, so shards balance even when
+`host` is Zipf-skewed (the skew lives WITHIN a key, and identical keys were
+already combined in the map side).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
+    g = t.group_by(keys).aggregate([(v, "sum") for v in vals])
+    return g.rename_columns(
+        [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+    ).select(keys + vals)
+
+
+def _split_chunk(keys: list[str], vals: list[str], k: int, *tables: pa.Table):
+    """Combine a chunk of partial blocks locally, then split by key hash."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return [None] * k if k > 1 else None
+    table = _group_sum(
+        pa.concat_tables(live, promote_options="default"), keys, vals
+    )
+    key_df = table.select(keys).to_pandas()
+    h = pd.util.hash_pandas_object(key_df, index=False).to_numpy() % k
+    out = [table.filter(pa.array(h == s)) for s in range(k)]
+    return out if k > 1 else out[0]
+
+
+def _reduce_shard(keys: list[str], vals: list[str], *tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return None
+    return _group_sum(
+        pa.concat_tables(live, promote_options="default"), keys, vals
+    )
+
+
+def hash_reduce(
+    block_refs: list,
+    keys: list[str],
+    vals: list[str],
+    num_shards: Optional[int] = None,
+) -> pa.Table:
+    """Parallel merge of partial-aggregate blocks -> one distinct-key Table."""
+    import ray
+
+    if not block_refs:
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        # enough shards to parallelize the reduce, few enough that the
+        # split×shard object matrix stays small
+        num_shards = max(2, min(cpus, len(block_refs) // 2, 32))
+    # ~2 split tasks per cpu so split work itself load-balances
+    n_split = max(1, min(len(block_refs), 2 * cpus))
+    chunk_sz = (len(block_refs) + n_split - 1) // n_split
+
+    split = ray.remote(num_returns=num_shards)(_split_chunk)
+    reduce_ = ray.remote(_reduce_shard)
+
+    shard_lists: list[list] = [[] for _ in range(num_shards)]
+    for i in range(0, len(block_refs), chunk_sz):
+        outs = split.remote(keys, vals, num_shards, *block_refs[i : i + chunk_sz])
+        if num_shards == 1:
+            outs = [outs]
+        for s, r in enumerate(outs):
+            shard_lists[s].append(r)
+
+    results = ray.get(
+        [reduce_.remote(keys, vals, *shard) for shard in shard_lists]
+    )
+    live = [t for t in results if t is not None and t.num_rows]
+    if not live:
+        return None
+    return pa.concat_tables(live, promote_options="default")

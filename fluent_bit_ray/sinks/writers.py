@@ -24,8 +24,9 @@ wide aggregation shuffles only pre-combined rows, not records
 
 from __future__ import annotations
 
+import hashlib
+import io
 import os
-import uuid
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -89,6 +90,8 @@ def _print_value(v) -> str:
         return repr(float(v))
     if isinstance(v, str):
         return '"' + v + '"'
+    if isinstance(v, (dict, list)):
+        return _json_value(v)  # nested maps/arrays print as JSON, not repr
     return '"' + str(v) + '"'
 
 
@@ -139,6 +142,14 @@ def _times_sec(table: pa.Table) -> np.ndarray:
     return np.zeros(table.num_rows)
 
 
+def _chunk_token(chunk: pa.Table) -> str:
+    """Deterministic content hash of a chunk (ipc-serialized)."""
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, chunk.schema) as w:
+        w.write_table(chunk)
+    return hashlib.blake2b(buf.getvalue(), digest_size=6).hexdigest()
+
+
 # ------------------------------------------------------------------- sinks
 
 
@@ -146,12 +157,58 @@ def _times_sec(table: pa.Table) -> np.ndarray:
 class SinkSpec:
     name: str
     patterns: tuple[str, ...]
-    fmt: str = "parquet"  # parquet | json | csv | ltsv
+    fmt: str = "parquet"  # parquet | json | csv | ltsv | es | plot
     grep: Optional[tuple[tuple[str, str, str], ...]] = None  # extra rule chain
     columns: Optional[tuple[str, ...]] = None  # projection; None = record cols
+    # format options: es -> (("index","fluentbit"),("type","flb_type")),
+    # plot -> (("key","<numeric field>"),)
+    fmt_options: tuple[tuple[str, str], ...] = ()
 
     def route(self) -> Route:
         return Route(self.name, self.patterns)
+
+    def opt(self, key: str, default: Optional[str] = None) -> Optional[str]:
+        for k, v in self.fmt_options:
+            if k == key:
+                return v
+        return default
+
+
+def format_es_bulk(table: pa.Table, record_cols: list[str],
+                   index_prefix: str = "fluentbit", es_type: str = "flb_type",
+                   logstash: bool = True, time_key: str = "@timestamp") -> str:
+    """out_es bulk format (plugins/out_es/es.c:185-257): per record an action
+    line `{"index":{"_index":i,"_type":t}}` then the source; Logstash_Format
+    derives a daily index `prefix-YYYY.MM.DD` from EVENT time and injects the
+    time under `Time_Key`."""
+    import datetime
+
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        dt = datetime.datetime.fromtimestamp(times[i], datetime.timezone.utc)
+        index = (
+            f"{index_prefix}-{dt.strftime('%Y.%m.%d')}" if logstash else index_prefix
+        )
+        src = dict(rec)
+        if logstash:
+            src = {time_key: dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{int((times[i]%1)*1000):03d}Z", **src}
+        out.append('{"index":{"_index":"%s","_type":"%s"}}' % (index, es_type))
+        out.append(record_to_json(src))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_plot(table: pa.Table, key: str) -> str:
+    """out_plot (plugins/out_plot/plot.c:51-123): `timestamp value` rows of
+    one numeric field, gnuplot-ready."""
+    times = _times_sec(table)
+    vals = table[key].to_pylist() if key in table.column_names else [None] * table.num_rows
+    out = []
+    for t, v in zip(times, vals):
+        if v is None:
+            continue
+        out.append(f"{t:.6f} {v}")
+    return "\n".join(out) + ("\n" if out else "")
 
 
 class SinkWriteStage:
@@ -235,7 +292,12 @@ class SinkWriteStage:
         rc = self._record_cols(sub, spec)
         for src, idxs in by_src.items():
             chunk = sub.take(pa.array(idxs, pa.int64()))
-            fname = f"{src}__{uuid.uuid4().hex[:12]}"
+            # content-addressed file name (the reference names buffer chunks
+            # SHA1(content), src/flb_task.c:299-304): Ray may RE-EXECUTE a
+            # producing task (lineage reconstruction / retries), so the write
+            # must be idempotent — same content -> same file, overwritten
+            # with identical bytes instead of duplicated
+            fname = f"{src}__{_chunk_token(chunk)}"
             path = os.path.join(self.out_dir, spec.name, fname)
             if spec.fmt == "parquet":
                 cols = rc + [c for c in ("_tag", "_time") if c in chunk.column_names]
@@ -247,6 +309,18 @@ class SinkWriteStage:
                 elif spec.fmt == "csv":
                     payload = format_csv(chunk, rc)
                     ext = ".csv"
+                elif spec.fmt == "es":
+                    payload = format_es_bulk(
+                        chunk, rc,
+                        index_prefix=spec.opt("index", "fluentbit"),
+                        es_type=spec.opt("type", "flb_type"),
+                        logstash=spec.opt("logstash", "on") == "on",
+                        time_key=spec.opt("time_key", "@timestamp"),
+                    )
+                    ext = ".bulk"
+                elif spec.fmt == "plot":
+                    payload = format_plot(chunk, spec.opt("key", "value"))
+                    ext = ".dat"
                 else:
                     payload = format_ltsv(chunk, rc)
                     ext = ".ltsv"

@@ -119,7 +119,9 @@ def pages_batch(start: int, end: int, seed: int = SEED) -> pa.Table:
     nanos = (_splitmix64(i.astype(np.uint64) ^ np.uint64(8)) % np.uint64(10**9)).astype(np.int64)
     pid = (_splitmix64(i.astype(np.uint64) ^ np.uint64(9)) % np.uint64(30000) + np.uint64(2)).astype(np.int64)
 
-    epoch = BASE_EPOCH + i  # warc_ts seconds; event times derive from it
+    # ~32 rows share each second (realistic log density; makes time-bucket
+    # aggregation actually combine — 1 row/s would defeat the combiner)
+    epoch = BASE_EPOCH + i // 32
 
     urls: list[str] = []
     texts: list[str] = []
@@ -196,7 +198,7 @@ def hostmeta_table(seed: int = SEED) -> pa.Table:
 
 
 CACHE_ROOT = os.environ.get("FBR_PAGES_CACHE", "/tmp/fbr_pages_cache")
-_GEN_VERSION = "v1"
+_GEN_VERSION = "v3"
 
 
 def pages_path(n_rows: int, seed: int = SEED, partitions: int = 16) -> str:
@@ -217,8 +219,10 @@ def pages_path(n_rows: int, seed: int = SEED, partitions: int = 16) -> str:
         if start >= end:
             break
         tbl = pages_batch(start, end, seed)
+        # small row groups so reads can split to sub-file granularity
+        # without re-reading whole groups (task balance at high cpu counts)
         pq.write_table(tbl, os.path.join(d, f"pages_{p:05d}.parquet"),
-                       row_group_size=65536)
+                       row_group_size=8192)
     with open(done, "w") as f:
         f.write(f"{n_rows} {seed} {partitions}\n")
     return d

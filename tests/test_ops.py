@@ -1,0 +1,157 @@
+"""Training-data ops tests: dedup family, ANN, text analysis."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.ops import ann, dedup
+from fluent_bit_ray.ops.text import (
+    bpe_ish_token_count,
+    fingerprint_batch,
+    lang_id_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (3, "completely different content about ray data pipelines at scale"),
+    (4, "der schnelle braune fuchs springt und ist nicht mude heute"),
+]
+
+
+def docs_ds():
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact(self):
+        out = {r["doc_id"]: r["text"] for r in dedup.exact_dedup(docs_ds()).take_all()}
+        assert set(out) == {0, 2, 3, 4}  # doc 1 deduped into 0 (min id kept)
+
+    def test_minhash_clusters_near_dups(self):
+        # near-dup pair 0/2 has 3-gram jaccard ~0.54: use 32 bands x 2 rows
+        # (threshold ~ (1/32)^(1/2) ~ 0.18) so the pair reliably buckets
+        reps = {r["doc_id"]: r["rep_id"] for r in dedup.minhash_lsh_dedup(
+            docs_ds(), shingle_k=3, bands=32).take_all()}
+        assert reps[1] == 0  # exact dup shares every band
+        assert reps[0] == 0 and reps[3] == 3
+        assert reps[2] == 0  # near dup clustered
+
+    def test_simhash_exact_match(self):
+        rows = dedup.simhash_dedup(docs_ds()).take_all()
+        sims = {r["doc_id"]: r["simhash"] for r in rows}
+        reps = {r["doc_id"]: r["rep_id"] for r in rows}
+        assert sims[0] == sims[1] and reps[1] == 0
+        assert sims[0] != sims[3]
+
+    def test_ngram_jaccard(self):
+        assert dedup.ngram_jaccard(DOCS[0][1], DOCS[1][1]) == 1.0
+        j = dedup.ngram_jaccard(DOCS[0][1], DOCS[2][1], n=3)
+        assert 0.3 < j < 1.0
+        assert dedup.ngram_jaccard(DOCS[0][1], DOCS[3][1], n=3) == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnn:
+    def test_brute_force_matches_numpy(self):
+        import ray.data
+
+        rng = np.random.RandomState(7)
+        mat = rng.randn(50, 16).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        q = ann.make_query_ref(np.array([0, 1]), mat[:2])
+        got = dedup_rows = ann.brute_force_topk(ds, q, k=3).take_all()
+        # numpy reference
+        m = mat.astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for qid in (0, 1):
+            sims = m @ m[qid]
+            order = [i for i in np.lexsort((np.arange(50), -sims)) if i != qid][:3]
+            mine = [r["vec_id"] for r in got if r["query_id"] == qid]
+            assert mine == order
+
+    def test_ivf_recall(self):
+        import ray.data
+
+        rng = np.random.RandomState(11)
+        mat = rng.randn(200, 8).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(200), pa.int64()),
+                    "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+                }
+            )
+        )
+        cents = ann.ivf_build_centroids(ds, 8)
+        q = ann.make_query_ref(np.array([5]), mat[5:6])
+        exact = [r["vec_id"] for r in ann.brute_force_topk(ds, q, k=5).take_all()]
+        approx = [r["vec_id"] for r in ann.ivf_topk(ds, q, cents, k=5, n_probe=4).take_all()]
+        # probing half the buckets should recover most true neighbors
+        assert len(set(exact) & set(approx)) >= 3
+
+
+class TestText:
+    BATCH = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["the quick brown fox", "  a  b  "], pa.string()),
+        }
+    )
+
+    def test_token_count(self):
+        out = token_count_batch(self.BATCH)
+        assert out["n_tokens"].to_pylist() == [4, 2]
+        assert out["n_bytes"].to_pylist() == [19, 8]
+
+    def test_quality(self):
+        out = quality_score_batch(self.BATCH)
+        r = out.to_pylist()[0]
+        assert r["n_chars"] == 19
+        assert r["stopword_ratio"] == 0.25  # "the"
+        assert r["mean_token_len"] == 4.0
+
+    def test_lang_id(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    ["the cat and the dog in a house", "der hund und die katze ist nicht da"],
+                    pa.string(),
+                ),
+            }
+        )
+        out = lang_id_batch(t)
+        assert out["lang_pred"].to_pylist() == ["en", "de"]
+
+    def test_fingerprint_deterministic_and_shift_invariant(self):
+        t1 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                       "text": pa.array(["a b c d e f g h i j"], pa.string())})
+        f1 = fingerprint_batch(t1)["fingerprint"].to_pylist()[0]
+        f2 = fingerprint_batch(t1)["fingerprint"].to_pylist()[0]
+        assert f1 == f2 != 0
+
+    def test_bpe_ish(self):
+        assert bpe_ish_token_count(["hello world"])[0] == 2
+        assert bpe_ish_token_count(["it's 42 tokens!"])[0] == 5

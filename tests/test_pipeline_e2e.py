@@ -66,12 +66,16 @@ class TestFlagship:
         # (2) routed-row + byte-identical extracted text, parquet sink
         files = glob.glob(os.path.join(out_dir, "sink_all", "*.parquet"))
         got = {}
+        total_rows = 0
         for f in files:
             t = pq.read_table(f, columns=["url", "extracted_text"])
+            total_rows += t.num_rows
             for r in t.to_pylist():
                 got[r["url"]] = r["extracted_text"]
         expect = dict(oracle["routed"]["sink_all"])
         assert got == expect  # same urls AND byte-identical text
+        # row COUNT equality too: re-executed tasks must not duplicate writes
+        assert total_rows == len(oracle["routed"]["sink_all"])
 
         # (3) csv error sink routed-row equality
         import csv
