@@ -141,6 +141,7 @@ def run_single(name: str, cpus: int, rows_mult: int = 1) -> dict:
 def run_all(cpus: int) -> None:
     _init_ray(cpus)
     _pages_dir()  # materialize the synth cache outside timings
+    bench_weblog_agg()  # untimed warmup: spins up the full worker pool
     queries = {}
     for name, fn in BENCHES.items():
         queries[name] = round(fn(), 3)

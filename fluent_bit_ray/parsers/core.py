@@ -73,7 +73,10 @@ class Parser:
         if self.fmt == "regex":
             if not self.regex:
                 raise ValueError("regex parser needs a pattern")
-            self._re = re.compile(_ruby_to_python_regex(self.regex))
+            # Onigmo Ruby syntax: `^`/`$` are LINE anchors (multi-line
+            # payloads still match their first line); Python needs re.M for
+            # the same semantics
+            self._re = re.compile(_ruby_to_python_regex(self.regex), re.MULTILINE)
             self.fields = [
                 g for g in self._re.groupindex
             ]

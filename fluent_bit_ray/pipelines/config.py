@@ -136,6 +136,22 @@ def build_filter(sec: dict, registry: ParserRegistry):
         )
     if name == "stdout":
         return StdoutFilter()
+    if name == "enrich":
+        # filter_kubernetes-style lookup enrichment from a json dim file:
+        #   Lookup /path/dim.json   ({key: {field: value}})
+        #   Key_Name host           (join key column)
+        #   Nest_under meta
+        import json as jsonmod
+
+        from ..stages.enrich import DictEnricher
+
+        with open(_one(sec, "lookup")) as f:
+            lookup = jsonmod.load(f)
+        return DictEnricher(
+            lookup,
+            key_col=_one(sec, "key_name", "host"),
+            under=_one(sec, "nest_under", "meta"),
+        )
     raise ValueError(f"unsupported filter plugin: {name!r}")
 
 
@@ -157,6 +173,8 @@ def build_input(sec: dict, registry: ParserRegistry):
         parser = _one(sec, "parser")
         path_key = _one(sec, "path_key")
         files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        if _on(sec, "multiline"):
+            return _tail_multiline(sec, files, registry), tag or "tail.0"
         ds = ray.data.read_text(files, include_paths=True)
 
         parsers = [registry.get(parser)] if parser else []
@@ -221,6 +239,45 @@ def build_input(sec: dict, registry: ParserRegistry):
         f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
         "out of scope for the batch engine; see SURVEY §2.4)"
     )
+
+
+def _tail_multiline(sec: dict, files: list[str], registry: ParserRegistry):
+    """in_tail multiline mode (plugins/in_tail/tail_multiline.c semantics):
+    a line matching ``Parser_Firstline`` starts a record; non-matching lines
+    append to the previous record's payload. Whole-file tasks
+    (read_binary_files) keep line order — a multiline record can never
+    straddle a block boundary."""
+    import ray.data
+
+    firstline = registry.get(_one(sec, "parser_firstline"))
+    path_key = _one(sec, "path_key")
+
+    def split(batch: pa.Table) -> pa.Table:
+        logs, paths = [], []
+        for payload, p in zip(batch["bytes"].to_pylist(), batch["path"].to_pylist()):
+            cur = None
+            for line in payload.decode("utf-8", "replace").splitlines():
+                _, parsed = firstline.parse_row(line)
+                if parsed is not None:
+                    if cur is not None:
+                        logs.append(cur)
+                        paths.append(p)
+                    cur = line
+                elif cur is not None:
+                    cur += "\n" + line
+                else:
+                    cur = line  # leading continuation: its own raw record
+            if cur is not None:
+                logs.append(cur)
+                paths.append(p)
+        out = pa.table({"log": pa.array(logs, pa.string())})
+        if path_key:
+            out = out.append_column(path_key, pa.array(paths, pa.string()))
+        pf = ParserFilter("log", [firstline], reserve_data=True, preserve_key=True)
+        return pf.process_batch(out)
+
+    ds = ray.data.read_binary_files(files, include_paths=True)
+    return ds.map_batches(split, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ outputs

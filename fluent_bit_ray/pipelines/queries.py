@@ -28,7 +28,7 @@ from ..stages import (
     RecordModifierFilter,
     ThrottleFilter,
 )
-from ..ops import ann, dedup, text as text_ops
+from ..ops import ann, dedup, skew, text as text_ops
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -357,6 +357,17 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_salted_topk(sf_dir: str):
+    """salted two-stage aggregate: top-10 users by event count (hot keys
+    spread over salt shards; result identical to an unsalted groupby)."""
+    return skew.topk_hot_keys(
+        _read(sf_dir, "events", ["event_id", "user_id"]),
+        key_col="user_id",
+        salt_col="event_id",
+        k=10,
+    )
+
+
 def q_weblog_aggregate(sf_dir: str):
     """flagship pipeline aggregate (pages synthesized per sf; rows-only —
     exact equality vs the Python oracle is enforced in pytest)."""
@@ -386,6 +397,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "salted_topk": q_salted_topk,
     "weblog_aggregate": q_weblog_aggregate,
 }
 
@@ -456,6 +468,10 @@ ORACLE_SQL: dict[str, str] = {
         "FROM embeddings q CROSS JOIN embeddings e "
         "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id "
         "QUALIFY rank <= 5"
+    ),
+    "salted_topk": (
+        "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "
+        "ORDER BY records DESC, user_id LIMIT 10"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, quality,
     # lang_id, fingerprint, weblog_aggregate

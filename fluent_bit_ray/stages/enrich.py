@@ -68,6 +68,56 @@ def make_enrich_fn(lookup_ref: Any, key_col: str = "host", under: str = "meta"):
     return enrich_fn
 
 
+class DictEnricher:
+    """Generic lookup enrichment: {key: {field: str_value}} -> nested struct.
+
+    The config-surface analog of filter_kubernetes (`[FILTER] Name enrich`):
+    fields are the union of the lookup's sub-keys (string-typed); misses get
+    a NULL struct. Key extraction from the tag (KUBE_TAG_TO_REGEX style) is
+    composed as a regex ParserFilter over `_tag` upstream of this stage.
+    """
+
+    def __init__(self, lookup: Any, key_col: str, under: str = "meta"):
+        lookup = _maybe_get(lookup)
+        self.key_col = key_col
+        self.under = under
+        fields: list[str] = []
+        for v in lookup.values():
+            for f in v:
+                if f not in fields:
+                    fields.append(f)
+        self.fields = fields
+        self._maps = {
+            f: {k: str(v[f]) for k, v in lookup.items() if f in v} for f in fields
+        }
+        self._keys = set(lookup)
+
+    def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
+        n = table.num_rows
+        if n == 0 or self.key_col not in table.column_names or not self.fields:
+            return table
+        keys = pd.Series(table[self.key_col].to_pandas())
+        children = [
+            pa.array(keys.map(self._maps[f]), pa.string()) for f in self.fields
+        ]
+        miss = pa.array([k not in self._keys for k in keys])
+        if mask is not None:
+            miss = pc.or_(miss, pc.invert(mask))
+        struct = pa.StructArray.from_arrays(children, names=self.fields, mask=miss)
+        return table.append_column(self.under, struct)
+
+    def process_row(self, record: dict) -> Optional[dict]:
+        out = dict(record)
+        key = record.get(self.key_col)
+        if key in self._keys:
+            out[self.under] = {
+                f: self._maps[f][key] for f in self.fields if key in self._maps[f]
+            }
+        else:
+            out[self.under] = None
+        return out
+
+
 class HostEnricher:
     """Callable-class stage: dict lookup -> nested `meta` struct column.
 

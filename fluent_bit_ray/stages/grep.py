@@ -28,7 +28,8 @@ class GrepFilter:
             if kind not in ("regex", "exclude"):
                 raise ValueError(f"grep rule kind {kind!r}")
         self.rules = rules
-        self._compiled = [(k, f, re.compile(p)) for k, f, p in rules]
+        # Onig Ruby semantics: ^/$ are line anchors (re.M / RE2 (?m))
+        self._compiled = [(k, f, re.compile(p, re.MULTILINE)) for k, f, p in rules]
 
     def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
         n = table.num_rows
@@ -37,7 +38,9 @@ class GrepFilter:
             if field in table.column_names:
                 col = table[field]
                 if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-                    hit = pc.fill_null(pc.match_substring_regex(col, pattern), False)
+                    hit = pc.fill_null(
+                        pc.match_substring_regex(col, "(?m)" + pattern), False
+                    )
                     rule_keep = hit if kind == "regex" else pc.invert(hit)
                 else:
                     # non-string value: regex rule drops, exclude keeps

@@ -92,3 +92,71 @@ class TestRunConfig:
     def test_unsupported_plugin_clear_error(self):
         with pytest.raises(ValueError, match="unsupported input plugin"):
             run_config("[INPUT]\n    Name cpu\n[OUTPUT]\n    Name null\n")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMultilineAndEnrich:
+    def test_multiline_tail(self, tmp_path):
+        log = tmp_path / "stack.log"
+        log.write_text(
+            "2018-02-21 ERROR boom\n"
+            "  at foo()\n"
+            "  at bar()\n"
+            "2018-02-21 INFO ok\n"
+        )
+        conf = f"""
+[PARSER]
+    Name   lvl
+    Format regex
+    Regex  ^(?<date>\\d{{4}}-\\d{{2}}-\\d{{2}}) (?<level>[A-Z]+) (?<message>.*)$
+
+[INPUT]
+    Name             tail
+    Path             {log}
+    Multiline        On
+    Parser_Firstline lvl
+    Tag              ml.x
+
+[OUTPUT]
+    Name  counter
+    Match *
+"""
+        from fluent_bit_ray.pipelines.config import run_config
+
+        res = run_config(conf)
+        # 4 physical lines -> 2 logical records
+        assert res.counts == {"counter_0": 2}
+
+    def test_enrich_filter_from_json_dim(self, tmp_path):
+        import json
+
+        dim = tmp_path / "dim.json"
+        dim.write_text(json.dumps({"u1": {"geo": "us", "tier": "gold"}}))
+        out = tmp_path / "out"
+        conf = f"""
+[INPUT]
+    Name    dummy
+    Dummy   {{"user": "u1", "log": "x"}}
+    Samples 3
+    Tag     t.e
+
+[FILTER]
+    Name       enrich
+    Match      *
+    Lookup     {dim}
+    Key_Name   user
+    Nest_under usermeta
+
+[OUTPUT]
+    Name   file
+    Match  *
+    Format json
+"""
+        from fluent_bit_ray.pipelines.config import run_config
+
+        res = run_config(conf, out_root=str(out))
+        assert res.counts["file_0"] == 3
+        import glob as g
+
+        content = open(g.glob(str(out / "file_0" / "*.jsonl"))[0]).read()
+        assert '"usermeta":{"geo":"us","tier":"gold"}' in content

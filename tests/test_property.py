@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) — beyond the reference's test strategy
+(SURVEY §5: it has none): escape-kernel invariants and batch-vs-row-oracle
+equivalence of every filter on arbitrary record tables.
+"""
+
+import string
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fluent_bit_ray.functions import (
+    flb_json_escape,
+    unescape_string,
+    unescape_string_utf8,
+)
+from fluent_bit_ray.router import match_to_regex, router_match
+from fluent_bit_ray.stages import (
+    GrepFilter,
+    ModifyFilter,
+    NestFilter,
+    RecordModifierFilter,
+)
+
+# ---------------------------------------------------------------- kernels
+
+text_st = st.text(max_size=80)
+
+
+class TestEscapeProperties:
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_escape_output_is_ascii_json_safe(self, s):
+        out = flb_json_escape(s)
+        assert '"' not in out.replace('\\"', "")
+        assert all(ord(c) < 128 for c in out)
+        assert "\n" not in out and "\t" not in out
+
+    @given(text_st)
+    @settings(max_examples=200, deadline=None)
+    def test_unescape_never_raises_and_is_idempotent_without_backslash(self, s):
+        out = unescape_string(s)
+        if "\\" not in s:
+            assert out == s
+        # result never contains an escape that unescape would change again
+        assert isinstance(unescape_string_utf8(s), str)
+
+    @given(st.text(alphabet=string.printable, max_size=60))
+    @settings(max_examples=200, deadline=None)
+    def test_escape_then_unescape_roundtrip_for_escapable_chars(self, s):
+        # the reference's `escaped` decoder inverts its encoder only for the
+        # short escapes and quotes; backslash itself does NOT roundtrip
+        # (\\ -> \\\\ -> unescape drops-then-reparses -> "") and \uXXXX forms
+        # are not decoded — both faithful quirks, so restrict the domain
+        escaped = flb_json_escape(s)
+        if all(ord(c) < 127 and c not in "\a\v\\" for c in s):
+            assert unescape_string(escaped) == s
+
+
+class TestRouterProperties:
+    @given(st.text(alphabet="abc.*", max_size=12), st.text(alphabet="abc.", max_size=12))
+    @settings(max_examples=300, deadline=None)
+    def test_match_equals_glob_semantics(self, pattern, tag):
+        """anchored-regex implementation == naive recursive glob."""
+
+        def naive(t, p):
+            if not p:
+                return not t
+            if p[0] == "*":
+                return any(naive(t[i:], p[1:]) for i in range(len(t) + 1))
+            return bool(t) and t[0] == p[0] and naive(t[1:], p[1:])
+
+        assert router_match(tag, pattern) == naive(tag, pattern)
+
+
+# ------------------------------------------------------ filter equivalence
+
+record_st = st.dictionaries(
+    keys=st.sampled_from(["log", "level", "code", "kube_a", "kube_b", "msg"]),
+    values=st.one_of(st.none(), st.text(max_size=12)),
+    max_size=5,
+)
+
+
+def table_from_records(records):
+    keys = ["log", "level", "code", "kube_a", "kube_b", "msg"]
+    return pa.table(
+        {k: pa.array([r.get(k) for r in records], pa.string()) for k in keys}
+    )
+
+
+def to_recs(table):
+    return [
+        {k: v for k, v in row.items() if v is not None}
+        for row in table.to_pylist()
+    ]
+
+
+def clean_nested(r):
+    return {
+        k: ({kk: vv for kk, vv in v.items() if vv is not None} if isinstance(v, dict) else v)
+        for k, v in r.items()
+        if v is not None
+    }
+
+
+FILTERS = [
+    GrepFilter([("regex", "log", "a"), ("exclude", "level", "^x")]),
+    RecordModifierFilter(remove_keys=["kube_*"], records=[("site", "s")]),
+    ModifyFilter(
+        rules=[("set", "level", "L"), ("rename", "msg", "message"),
+               ("copy", "log", "log2"), ("remove_wildcard", "kube_")],
+        conditions=[("key_exists", "log")],
+    ),
+    NestFilter("nest", wildcard=["kube_*"], nest_under="k8s"),
+]
+
+
+class TestFilterOracleEquivalence:
+    @given(st.lists(record_st, min_size=0, max_size=8))
+    @settings(max_examples=120, deadline=None)
+    def test_batch_equals_row_oracle(self, records):
+        table = table_from_records(records)
+        for f in FILTERS:
+            batch_out = [clean_nested(r) for r in to_recs(f.process_batch(table))]
+            oracle_out = []
+            for rec in to_recs(table):
+                r = f.process_row(rec)
+                if r is not None:
+                    oracle_out.append(clean_nested(r))
+            assert batch_out == oracle_out, type(f).__name__
