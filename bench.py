@@ -261,15 +261,46 @@ def run_scaling(rows_mult: int = 4) -> None:
     )
 
 
+def run_stats(cpus: int) -> None:
+    """Print per-stage Ray Data stats for the flagship pipeline (wall-time
+    attribution: map vs reduce vs read — the `ds.stats()` feedback loop)."""
+    import glob
+
+    import ray
+
+    from fluent_bit_ray.pipelines.weblog import (
+        AGG_KEYS,
+        AGG_VALS,
+        DEFAULT_SINKS,
+        build_wave_dataset,
+        combine_partial_rows,
+        default_lookup,
+    )
+
+    _init_ray(cpus)
+    files = sorted(glob.glob(os.path.join(_pages_dir(), "*.parquet")))
+    ref = ray.put(default_lookup())
+    ds = build_wave_dataset(files, ref, DEFAULT_SINKS, None)
+    t0 = time.time()
+    combine_partial_rows(ds, AGG_KEYS, AGG_VALS)
+    print(f"# wall {time.time()-t0:.2f}s\n{ds.stats()}")
+    ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true")
     ap.add_argument("--one", choices=sorted(BENCHES))
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--rows-mult", type=int, default=1)
     args = ap.parse_args()
+    if args.cpus is not None and args.cpus < 1:
+        ap.error("--cpus must be >= 1 (ray.init(num_cpus=0) hangs)")
     if args.scaling:
         run_scaling()
+    elif args.stats:
+        run_stats(args.cpus)
     elif args.one:
         print(json.dumps(run_single(args.one, args.cpus, args.rows_mult)))
     else:

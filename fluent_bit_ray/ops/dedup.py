@@ -209,6 +209,54 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
 
 
+def embedding_neardup_pairs(
+    ds,
+    queries_ref,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with id_a < id_b
+    and cosine >= threshold.
+
+    The full (normalized) matrix is broadcast once; each batch does one
+    GEMM against it and emits only the above-threshold pairs — at corpus
+    scale, replace the broadcast side with IVF buckets (ops/ann.ivf_topk)
+    so candidates are bucket-local.
+    """
+    import numpy as np
+    import ray
+
+    from .ann import _batch_matrix, _normalize, _maybe_get
+
+    cache: dict = {}
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        q = cache.get("q")
+        if q is None:
+            q = _maybe_get(queries_ref)
+            q = {"ids": q["ids"], "mat": _normalize(q["mat"].astype(np.float64))}
+            cache["q"] = q
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        sims = mat @ q["mat"].T  # [nb, nq]
+        a_out, b_out = [], []
+        rows, cols = np.nonzero(sims >= threshold)
+        for r, c in zip(rows, cols):
+            ia, ib = int(ids[r]), int(q["ids"][c])
+            if ia < ib:
+                a_out.append(ia)
+                b_out.append(ib)
+        return pa.table(
+            {
+                "id_a": pa.array(a_out, pa.int64()),
+                "id_b": pa.array(b_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
 def verify_pairs_jaccard(
     ds_pairs, docs_by_id: dict, threshold: float = 0.8, n: int = 3,
     id_col: str = "doc_id",

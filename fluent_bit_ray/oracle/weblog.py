@@ -39,7 +39,7 @@ def run_oracle(pages_dir: str, sinks, bucket_sec: int = 60) -> dict:
     )
     pf_log = ParserFilter(
         "log", [reg.get("apache")], reserve_data=True, preserve_key=True,
-        now_year=NOW_YEAR,
+        now_year=NOW_YEAR, set_time=False,
     )
     rename = ModifyFilter(rules=[("hard_rename", "host", "client_host")])
     router = Router([s.route() for s in sinks])

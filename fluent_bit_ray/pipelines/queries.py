@@ -357,6 +357,20 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_embedding_neardup(sf_dir: str):
+    """embedding-cosine near-dup pairs (threshold 0.45, id_a < id_b).
+
+    0.45 sits >5e-4 from the nearest pair similarity at sf0.01, far above
+    the float32-vs-float64 computation difference vs the DuckDB oracle.
+    """
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ref = ann.make_query_ref(np.asarray(emb["vec_id"].to_pylist()), mat)
+    return dedup.embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ref, threshold=0.45
+    )
+
+
 def q_salted_topk(sf_dir: str):
     """salted two-stage aggregate: top-10 users by event count (hot keys
     spread over salt shards; result identical to an unsalted groupby)."""
@@ -397,6 +411,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
     "salted_topk": q_salted_topk,
     "weblog_aggregate": q_weblog_aggregate,
 }
@@ -468,6 +483,11 @@ ORACLE_SQL: dict[str, str] = {
         "FROM embeddings q CROSS JOIN embeddings e "
         "WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id "
         "QUALIFY rank <= 5"
+    ),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
+        "CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
     ),
     "salted_topk": (
         "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "

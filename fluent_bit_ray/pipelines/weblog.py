@@ -84,6 +84,8 @@ class WeblogParseStage:
             reserve_data=True,
             preserve_key=True,
             now_year=now_year,
+            set_time=False,  # docker ns time is authoritative over the
+            # inner apache seconds (merge_log merges fields only)
         )
         # parsed `host` capture is the client address; the routing/enrichment
         # host comes from the url

@@ -40,7 +40,11 @@ class ParserFilter:
         reserve_data: bool = False,
         preserve_key: bool = False,
         now_year: int = 2018,
+        set_time: bool = True,
     ):
+        """set_time=False: parsed fields merge but the record keeps its
+        existing event time (Merge_Log-style secondary parses must not
+        downgrade an ns-precision time with a seconds-precision one)."""
         if not parsers:
             raise ValueError("ParserFilter needs at least one parser")
         self.key_name = key_name
@@ -48,6 +52,7 @@ class ParserFilter:
         self.reserve_data = reserve_data
         self.preserve_key = preserve_key
         self.now_year = now_year
+        self.set_time = set_time
         # stable union of output fields in parser order
         fields: list[str] = []
         for p in parsers:
@@ -126,6 +131,8 @@ class ParserFilter:
 
         # event time: parsed time when valid, else previous _time (null = none)
         ts_arr = pa.array(ts, mask=(ts == NAT))
+        if not self.set_time:
+            ts_arr = pa.nulls(n, pa.int64())
         use_parsed = pc.and_(ok_arr, pc.is_valid(ts_arr))
         if "_time" in table.column_names:
             prev = table["_time"]
@@ -166,7 +173,7 @@ class ParserFilter:
             for k, v in keep.items():
                 if k not in parsed:
                     out[k] = v
-            if ts is not None:
+            if ts is not None and self.set_time:
                 out["_time"] = ts
             out["_parse_ok"] = True
             return out

@@ -1,0 +1,138 @@
+"""FIXTURES.md F5: hand-written golden micro-corpus with hand-computed
+expectations — checked-in literals, independent of both the engine and the
+Python oracle (guards against engine+oracle co-drift). Modeled on the
+reference's golden corpus (tests/runtime/data/kubernetes/*.out).
+"""
+
+import datetime
+
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.pipelines.weblog import DEFAULT_SINKS, WeblogParseStage
+from fluent_bit_ray.router import Router
+from fluent_bit_ray.sinks.writers import SinkWriteStage
+
+E = 1519234013 * 10**9  # 2018-02-21T17:26:53Z
+
+ROWS = [
+    # (url, warc_epoch_s, text, lang)
+    ("https://ga.example.com/a", 1519234013,
+     '9.8.7.6 - frank [21/Feb/2018:17:26:53 +0000] "GET /a HTTP/1.0" 200 100', "en"),
+    ("https://gb.example.org/b", 1519234013,
+     '1.2.3.4 - - [21/Feb/2018:22:56:53 +0530] "POST /b HTTP/1.0" 503 7', "de"),
+    ("https://gc.example.net/c", 1519234013,
+     '5.5.5.5 - - [21/Feb/2018:11:26:53 -0600] "PUT /c HTTP/1.0" 404 0 "http://r" "ua"', "xx"),
+    ("https://gd.example.com/d", 1519234013,
+     '{"log":"2.2.2.2 - - [21/Feb/2018:17:26:53 +0000] \\"GET /d HTTP/1.0\\" 500 9\\n",'
+     '"stream":"stdout","time":"2018-02-21T17:26:53.123456789Z"}', "en"),
+    ("https://ge.example.io/e", 1519234014,
+     '{"log":"plain message","stream":"stderr","time":"2018-02-21T17:26:54.5Z"}', "fr"),
+    ("https://gf.example.com/f", 1519234015,
+     '{"log":"say \\"hi\\"\\n","stream":"stdout","time":"2018-02-21T17:26:55.000000001Z"}', "ja"),
+    ("https://gg.example.org/g", 1519234013,
+     "<13>Feb 21 17:26:53 hostx app[1]: m1", "en"),
+    ("https://gh.example.net/h", 1519234013,
+     "<5>Feb  5 01:02:03 hosty daemon: hello", "es"),
+    ("https://gi.example.com/i", 1519234013,
+     "<99>Feb 21 17:26:53 hostz x[2]: ", "xx"),
+    ("https://gj.example.com/j", 1519234013,
+     "this is not any known format", "en"),
+    ("https://gk.example.org/k", 1519234013, '{"log": truncated', "de"),
+    ("https://gl.example.io/l", 1519234013, "<abc>Feb 21 bad syslog", "de"),
+]
+
+# hand-computed per-row expectations (None = key absent)
+EXPECT = [
+    dict(ok=True, time=E, client_host="9.8.7.6", user="frank", method="GET",
+         code="200", size="100", extracted=ROWS[0][2], sinks={"sink_en", "sink_all"}),
+    dict(ok=True, time=E, client_host="1.2.3.4", method="POST", code="503",
+         size="7", extracted=ROWS[1][2],
+         sinks={"sink_intl", "sink_all", "sink_errors"}),
+    dict(ok=True, time=E, client_host="5.5.5.5", method="PUT", code="404",
+         size="0", referer="http://r", agent="ua", extracted=ROWS[2][2],
+         sinks={"sink_all"}),
+    dict(ok=True, time=E + 123456789, client_host="2.2.2.2", method="GET",
+         code="500", size="9\n", stream="stdout",
+         extracted='2.2.2.2 - - [21/Feb/2018:17:26:53 +0000] "GET /d HTTP/1.0" 500 9\n',
+         sinks={"sink_en", "sink_all", "sink_errors"}),
+    dict(ok=True, time=(1519234014 * 10**9) + 500_000_000, stream="stderr",
+         client_host=None, code=None, extracted="plain message",
+         sinks={"sink_intl", "sink_all"}),
+    dict(ok=True, time=(1519234015 * 10**9) + 1, stream="stdout",
+         extracted='say "hi"\n', sinks={"sink_intl", "sink_all"}),
+    dict(ok=True, time=E, client_host="hostx", pri="13", ident="app", pid="1",
+         message="m1", extracted=ROWS[6][2], sinks={"sink_en", "sink_all"}),
+    dict(ok=True, time=1517792523 * 10**9, client_host="hosty", pri="5",
+         ident="daemon", pid=None, message="hello", extracted=ROWS[7][2],
+         sinks={"sink_intl", "sink_all"}),
+    dict(ok=True, time=E, client_host="hostz", pri="99", ident="x", pid="2",
+         message="", extracted=ROWS[8][2], sinks={"sink_all"}),
+    dict(ok=False, time=E, code=None, extracted=ROWS[9][2],
+         sinks={"sink_en", "sink_all"}),
+    dict(ok=False, time=E, extracted=ROWS[10][2], sinks={"sink_intl", "sink_all"}),
+    dict(ok=False, time=E, extracted=ROWS[11][2], sinks={"sink_intl", "sink_all"}),
+]
+
+
+def golden_batch() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in ROWS]),
+            "warc_ts": pa.array(
+                [datetime.datetime.fromtimestamp(r[1], datetime.timezone.utc) for r in ROWS],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "text": pa.array([r[2] for r in ROWS]),
+            "lang": pa.array([r[3] for r in ROWS]),
+        }
+    )
+
+
+class TestGoldenCorpus:
+    def test_hand_computed_expectations(self):
+        out = WeblogParseStage()(golden_batch())
+        rows = out.to_pylist()
+        router = Router([s.route() for s in DEFAULT_SINKS])
+        from fluent_bit_ray.stages.grep import GrepFilter
+
+        greps = {
+            s.name: GrepFilter(list(s.grep)) if s.grep else None for s in DEFAULT_SINKS
+        }
+        assert len(rows) == len(EXPECT)
+        for i, (row, exp) in enumerate(zip(rows, EXPECT)):
+            assert row["_parse_ok"] == exp["ok"], f"row {i} parse_ok"
+            assert row["_time"] == exp["time"], f"row {i} time"
+            assert row["extracted_text"] == exp["extracted"], f"row {i} extracted"
+            for field in ("client_host", "user", "method", "code", "size",
+                          "referer", "agent", "stream", "pri", "ident", "pid",
+                          "message"):
+                if field in exp:
+                    assert row.get(field) == exp[field], f"row {i} {field}"
+            sinks = set()
+            for s in router.route_row(row["_tag"]):
+                g = greps[s]
+                if g is not None:
+                    rec = {k: v for k, v in row.items() if v is not None}
+                    if g.process_row(rec) is None:
+                        continue
+                sinks.add(s)
+            assert sinks == exp["sinks"], f"row {i} sinks"
+
+    def test_golden_aggregate_counts(self):
+        stage = SinkWriteStage(DEFAULT_SINKS, None)
+        batch = WeblogParseStage()(golden_batch())
+        agg = stage(batch)
+        totals = {}
+        for r in agg.to_pylist():
+            t = totals.setdefault(r["sink"], [0, 0, 0])
+            t[0] += r["records"]
+            t[1] += r["bytes"]
+            t[2] += r["parse_failures"]
+        # hand-counted: en rows {0,3,6,9}; intl {1,4,5,7,10,11}; errors {1,3}
+        assert totals["sink_en"][0] == 4
+        assert totals["sink_intl"][0] == 6
+        assert totals["sink_all"][0] == 12
+        assert totals["sink_errors"][0] == 2
+        assert totals["sink_all"][2] == 3  # rows 9, 10, 11 fail parse
+        assert totals["sink_all"][1] == sum(len(r[2].encode()) for r in ROWS)
