@@ -67,11 +67,16 @@ def bench_weblog_agg() -> float:
     return time.time() - t0
 
 
+def _consume(result) -> None:
+    if hasattr(result, "materialize"):
+        result.materialize()
+
+
 def bench_dedup_exact() -> float:
     from fluent_bit_ray.pipelines.queries import q_dedup_exact
 
     t0 = time.time()
-    q_dedup_exact(SF_DIR).materialize()
+    _consume(q_dedup_exact(SF_DIR))
     return time.time() - t0
 
 
@@ -79,7 +84,7 @@ def bench_minhash() -> float:
     from fluent_bit_ray.pipelines.queries import q_minhash_dedup
 
     t0 = time.time()
-    q_minhash_dedup(SF_DIR).materialize()
+    _consume(q_minhash_dedup(SF_DIR))
     return time.time() - t0
 
 

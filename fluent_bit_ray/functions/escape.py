@@ -48,6 +48,12 @@ _UNESCAPE_MAP = {
 }
 
 
+import re
+
+# anything needing escaping: quote, backslash, C0 controls, DEL, non-ASCII
+_NEEDS_ESCAPE = re.compile(r'["\\\x00-\x1f\x7f-\U0010FFFF]')
+
+
 def flb_json_escape(s: str) -> str:
     """Escape a string exactly like the reference JSON encoder.
 
@@ -58,22 +64,32 @@ def flb_json_escape(s: str) -> str:
     - U+0080..U+FFFF -> ``\\uXXXX`` (lowercase hex)
     - > U+FFFF -> ``\\uXXXXX…`` — the RAW codepoint in hex, NOT a surrogate
       pair (snprintf "%04x" on a >16-bit value); nonstandard but reproduced.
+
+    Hot path: one C-level regex scan decides whether any escaping is needed
+    (most log fields escape to themselves); escaping itself is a single
+    C-level ``str.translate`` over a memoizing table.
     """
-    out: list[str] = []
-    append = out.append
-    for ch in s:
-        c = ord(ch)
-        if ch == "\\" or ch == '"':
-            append("\\" + ch)
-        elif 0x07 <= c <= 0x0D:
-            append(_SHORT_ESCAPES[c])
-        elif c < 32 or c == 0x7F:
-            append("\\u%04x" % c)
-        elif c >= 0x80:
-            append("\\u%04x" % c)
-        else:
-            append(ch)
-    return "".join(out)
+    if _NEEDS_ESCAPE.search(s) is None:
+        return s
+    return s.translate(_ESC_TABLE)
+
+
+class _EscapeTable(dict):
+    """codepoint -> replacement, lazily memoized for non-ASCII."""
+
+    def __missing__(self, cp: int) -> str:
+        v = "\\u%04x" % cp if cp >= 0x80 else chr(cp)
+        self[cp] = v
+        return v
+
+
+_ESC_TABLE = _EscapeTable()
+_ESC_TABLE[ord("\\")] = "\\\\"
+_ESC_TABLE[ord('"')] = '\\"'
+for _c, _e in _SHORT_ESCAPES.items():
+    _ESC_TABLE[_c] = _e
+for _c in list(range(0x07)) + list(range(0x0E, 0x20)) + [0x7F]:
+    _ESC_TABLE[_c] = "\\u%04x" % _c
 
 
 def unescape_string(s: str) -> str:

@@ -44,25 +44,32 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out: str = "text_hash
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Keep the first (min id) document per exact text.
 
-    Dataset-level: hash in map_batches -> groupby(hash).map_groups(first).
-    The rare hash collision is handled inside the group by sub-grouping on
-    the actual text (only collided groups ever look at full text).
+    Hash in map_batches -> hash_exchange on the 8-byte content hash (the
+    exchange moves hash+id+text rows, co-locating candidates) -> per-shard
+    group by the actual text (collisions resolved inside the shard).
     """
+    from ..shuffle import hash_exchange
+
     ds = ds.map_batches(
-        lambda b: add_text_hash(b, text_col), batch_format="pyarrow"
+        lambda b: add_text_hash(b, text_col), batch_format="pyarrow",
+        batch_size=None,
     )
 
-    def first_per_text(group: pa.Table) -> pa.Table:
-        t = group.group_by([text_col]).aggregate([(id_col, "min")])
-        t = t.rename_columns(
-            [id_col if c == f"{id_col}_min" else c for c in t.column_names]
+    def first_per_text(t: pa.Table) -> pa.Table:
+        g = t.group_by([text_col]).aggregate([(id_col, "min")])
+        g = g.rename_columns(
+            [id_col if c == f"{id_col}_min" else c for c in g.column_names]
         )
-        return t.select([id_col, text_col])
+        return g.select([id_col, text_col])
 
-    return ds.groupby("text_hash").map_groups(first_per_text, batch_format="pyarrow")
+    out = hash_exchange(ds.to_arrow_refs(), ["text_hash"], first_per_text)
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         text_col: pa.array([], pa.string())})
+    return out
 
 
 # ------------------------------------------------------------------ minhash
@@ -74,12 +81,18 @@ def _shingles(tokens: list[str], k: int) -> set:
 
 
 class MinHasher:
-    """Vectorized minhash: signature[i] = min over shingles of (a_i*h+b_i mod p)."""
+    """Vectorized minhash with multiply-shift permutations.
+
+    signature[i] = min over shingles of ((a_i * h + b_i) mod 2^64) — the
+    multiply-add family over the full 64-bit ring (numpy wraparound IS the
+    modulus), avoiding object-dtype bignum math. a_i odd for invertibility.
+    """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        a = rng.randint(1, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.a = (a * np.uint64(2) + np.uint64(1))  # odd multipliers
+        self.b = rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
 
@@ -87,10 +100,10 @@ class MinHasher:
         sh = _shingles(text.split(), self.k)
         if not sh:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        hv = np.array([_hash64(s) for s in sh], dtype=np.uint64).astype(object)
-        # (a*h + b) mod p, per permutation — outer product over shingles
-        m = (np.outer(self.a, hv) + self.b[:, None]) % _MERSENNE
-        return m.min(axis=1).astype(np.uint64)
+        hv = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = np.outer(self.a, hv) + self.b[:, None]
+        return m.min(axis=1)
 
 
 def minhash_lsh_dedup(
@@ -134,29 +147,31 @@ def minhash_lsh_dedup(
             }
         )
 
-    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    import ray
 
-    def bucket_rep(group: pa.Table) -> pa.Table:
-        ids = group[id_col]
-        rep = pc.min(ids).as_py()
-        return pa.table(
-            {
-                id_col: ids,
-                "rep_id": pa.array([rep] * group.num_rows, pa.int64()),
-            }
+    from ..shuffle import hash_exchange
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
+
+    def bucket_reps(t: pa.Table) -> pa.Table:
+        # all rows of a (band,bucket) land in this shard: shard-local
+        # rep election via a vectorized grouped-min transform
+        df = t.to_pandas()
+        df["rep_id"] = df.groupby(["band", "bucket"])[id_col].transform("min")
+        return pa.Table.from_pandas(
+            df[[id_col, "rep_id"]], preserve_index=False
         )
 
-    cand = buckets.groupby(["band", "bucket"]).map_groups(
-        bucket_rep, batch_format="pyarrow"
-    )
-    reps = cand.groupby(id_col).min("rep_id")
+    cand = hash_exchange(buckets.to_arrow_refs(), ["band", "bucket"], bucket_reps)
+    if cand is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.int64())})
 
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(
-            ["rep_id" if c == "min(rep_id)" else c for c in b.column_names]
-        )
+    def min_rep(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col]).aggregate([("rep_id", "min")])
+        return g.rename_columns([id_col, "rep_id"])
 
-    return reps.map_batches(rename, batch_format="pyarrow")
+    return hash_exchange([ray.put(cand)], [id_col], min_rep, combine_fn=min_rep)
 
 
 # ------------------------------------------------------------------ simhash
@@ -192,13 +207,21 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    simmed = ds.map_batches(add_sim, batch_format="pyarrow")
+    from ..shuffle import hash_exchange
 
-    def rep(group: pa.Table) -> pa.Table:
-        m = pc.min(group[id_col]).as_py()
-        return group.append_column("rep_id", pa.array([m] * group.num_rows, pa.int64()))
+    simmed = ds.map_batches(add_sim, batch_format="pyarrow", batch_size=None)
 
-    return simmed.groupby("simhash").map_groups(rep, batch_format="pyarrow")
+    def reps(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["rep_id"] = df.groupby("simhash")[id_col].transform("min")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = hash_exchange(simmed.to_arrow_refs(), ["simhash"], reps)
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "simhash": pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.int64())})
+    return out
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:

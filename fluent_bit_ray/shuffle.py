@@ -35,36 +35,42 @@ def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
     ).select(keys + vals)
 
 
-def _split_chunk(keys: list[str], vals: list[str], k: int, *tables: pa.Table):
-    """Combine a chunk of partial blocks locally, then split by key hash."""
+def _split_chunk(keys: list[str], combine_fn, k: int, *tables: pa.Table):
+    """Locally combine a chunk of blocks, then split by key hash."""
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
         return [None] * k if k > 1 else None
-    table = _group_sum(
-        pa.concat_tables(live, promote_options="default"), keys, vals
-    )
+    table = pa.concat_tables(live, promote_options="default")
+    if combine_fn is not None:
+        table = combine_fn(table)
     key_df = table.select(keys).to_pandas()
     h = pd.util.hash_pandas_object(key_df, index=False).to_numpy() % k
     out = [table.filter(pa.array(h == s)) for s in range(k)]
     return out if k > 1 else out[0]
 
 
-def _reduce_shard(keys: list[str], vals: list[str], *tables: pa.Table) -> pa.Table:
+def _reduce_shard(finish_fn, *tables: pa.Table) -> pa.Table:
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
         return None
-    return _group_sum(
-        pa.concat_tables(live, promote_options="default"), keys, vals
-    )
+    return finish_fn(pa.concat_tables(live, promote_options="default"))
 
 
-def hash_reduce(
+def hash_exchange(
     block_refs: list,
     keys: list[str],
-    vals: list[str],
+    finish_fn,
+    combine_fn=None,
     num_shards: Optional[int] = None,
-) -> pa.Table:
-    """Parallel merge of partial-aggregate blocks -> one distinct-key Table."""
+) -> Optional[pa.Table]:
+    """Generic two-stage hash exchange over Arrow block refs.
+
+    Rows sharing `keys` values are guaranteed co-located in one reduce
+    shard, where `finish_fn(table) -> table` runs (group-aggregate, group
+    rep-election, shard-local join — anything that needs the whole key
+    group). `combine_fn` optionally pre-combines each split chunk (map-side
+    combiner). Returns the concatenation of all shard results.
+    """
     import ray
 
     if not block_refs:
@@ -73,7 +79,7 @@ def hash_reduce(
     if num_shards is None:
         # enough shards to parallelize the reduce, few enough that the
         # split×shard object matrix stays small
-        num_shards = max(2, min(cpus, len(block_refs) // 2, 32))
+        num_shards = max(2, min(cpus, max(1, len(block_refs) // 2), 32))
     # ~2 split tasks per cpu so split work itself load-balances
     n_split = max(1, min(len(block_refs), 2 * cpus))
     chunk_sz = (len(block_refs) + n_split - 1) // n_split
@@ -83,16 +89,35 @@ def hash_reduce(
 
     shard_lists: list[list] = [[] for _ in range(num_shards)]
     for i in range(0, len(block_refs), chunk_sz):
-        outs = split.remote(keys, vals, num_shards, *block_refs[i : i + chunk_sz])
+        outs = split.remote(keys, combine_fn, num_shards, *block_refs[i : i + chunk_sz])
         if num_shards == 1:
             outs = [outs]
         for s, r in enumerate(outs):
             shard_lists[s].append(r)
 
     results = ray.get(
-        [reduce_.remote(keys, vals, *shard) for shard in shard_lists]
+        [reduce_.remote(finish_fn, *shard) for shard in shard_lists]
     )
     live = [t for t in results if t is not None and t.num_rows]
     if not live:
         return None
     return pa.concat_tables(live, promote_options="default")
+
+
+def hash_reduce(
+    block_refs: list,
+    keys: list[str],
+    vals: list[str],
+    num_shards: Optional[int] = None,
+) -> pa.Table:
+    """Parallel sum-merge of partial-aggregate blocks (hash_exchange with a
+    group-sum combiner on both sides)."""
+    from functools import partial
+
+    gs = partial(_group_sum_named, keys=keys, vals=vals)
+    return hash_exchange(block_refs, keys, gs, combine_fn=gs,
+                         num_shards=num_shards)
+
+
+def _group_sum_named(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
+    return _group_sum(t, keys, vals)

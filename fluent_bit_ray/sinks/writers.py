@@ -102,11 +102,24 @@ def _row_iter(table: pa.Table, record_cols: list[str]):
 
 
 def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
-    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * table.num_rows
+    """Columnar assembly: serialize each column once (key fragment + values),
+    then join per row skipping absent keys — no per-row dict churn."""
+    n = table.num_rows
+    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
     times = _times_sec(table)
+    cols = []
+    for c in record_cols:
+        frag = '"' + flb_json_escape(c) + '":'
+        vals = table[c].to_pylist()
+        cols.append(
+            (frag, [None if v is None else _json_value(v) for v in vals])
+        )
     out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        out.append(f"{tags[i]}: [{times[i]:.6f}, {record_to_json(rec)}]")
+    for i in range(n):
+        body = ",".join(
+            frag + sv for frag, col in cols if (sv := col[i]) is not None
+        )
+        out.append(f"{tags[i]}: [{times[i]:.6f}, {{{body}}}]")
     return "\n".join(out) + ("\n" if out else "")
 
 

@@ -36,25 +36,34 @@ def docs_ds():
     )
 
 
+def rows(result):
+    """Dataset or pyarrow Table -> list of row dicts."""
+    import pyarrow as _pa
+
+    if isinstance(result, _pa.Table):
+        return result.to_pylist()
+    return result.take_all()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestDedup:
     def test_exact(self):
-        out = {r["doc_id"]: r["text"] for r in dedup.exact_dedup(docs_ds()).take_all()}
+        out = {r["doc_id"]: r["text"] for r in rows(dedup.exact_dedup(docs_ds()))}
         assert set(out) == {0, 2, 3, 4}  # doc 1 deduped into 0 (min id kept)
 
     def test_minhash_clusters_near_dups(self):
         # near-dup pair 0/2 has 3-gram jaccard ~0.54: use 32 bands x 2 rows
         # (threshold ~ (1/32)^(1/2) ~ 0.18) so the pair reliably buckets
-        reps = {r["doc_id"]: r["rep_id"] for r in dedup.minhash_lsh_dedup(
-            docs_ds(), shingle_k=3, bands=32).take_all()}
+        reps = {r["doc_id"]: r["rep_id"] for r in rows(dedup.minhash_lsh_dedup(
+            docs_ds(), shingle_k=3, bands=32))}
         assert reps[1] == 0  # exact dup shares every band
         assert reps[0] == 0 and reps[3] == 3
         assert reps[2] == 0  # near dup clustered
 
     def test_simhash_exact_match(self):
-        rows = dedup.simhash_dedup(docs_ds()).take_all()
-        sims = {r["doc_id"]: r["simhash"] for r in rows}
-        reps = {r["doc_id"]: r["rep_id"] for r in rows}
+        rows_list = rows(dedup.simhash_dedup(docs_ds()))
+        sims = {r["doc_id"]: r["simhash"] for r in rows_list}
+        reps = {r["doc_id"]: r["rep_id"] for r in rows_list}
         assert sims[0] == sims[1] and reps[1] == 0
         assert sims[0] != sims[3]
 
