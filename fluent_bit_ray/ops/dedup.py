@@ -3,9 +3,10 @@
 Beyond the reference's scope (it has no dedup, SURVEY §2.6) — these are the
 web-corpus operators a 100 TB pipeline needs, each designed Ray-Data-first:
 
-- exact_dedup: hash-partitioned groupby + per-group first. The shuffle key is
-  a 64-bit content hash (computed vectorized in map_batches), NOT the raw
-  text, so the exchange moves 8-byte keys + ids, never documents.
+- exact_dedup: hash-partitioned first-per-text. The exchange is keyed on a
+  64-bit content hash and ships (hash, id, text) rows so collisions resolve
+  exactly inside the shard; at corpus scale pass `shard_output_dir` so shard
+  results stream to parquet instead of materializing on the driver.
 - minhash_lsh_dedup: shingle → minhash signature → banded LSH buckets →
   per-bucket representative election. One groupby on (band, bucket-hash)
   whose keys are uniform 64-bit hashes (no skew), one groupby on doc id.
@@ -44,12 +45,20 @@ def add_text_hash(batch: pa.Table, text_col: str = "text", out: str = "text_hash
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
     """Keep the first (min id) document per exact text.
 
     Hash in map_batches -> hash_exchange on the 8-byte content hash (the
     exchange moves hash+id+text rows, co-locating candidates) -> per-shard
     group by the actual text (collisions resolved inside the shard).
+
+    Returns a driver-side Table by default; pass `shard_output_dir` at
+    corpus scale and each shard writes parquet instead (returns None).
     """
     from ..shuffle import hash_exchange
 
@@ -65,7 +74,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
         )
         return g.select([id_col, text_col])
 
-    out = hash_exchange(ds.to_arrow_refs(), ["text_hash"], first_per_text)
+    out = hash_exchange(ds.to_arrow_refs(), ["text_hash"], first_per_text,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          text_col: pa.array([], pa.string())})
@@ -147,31 +159,33 @@ def minhash_lsh_dedup(
             }
         )
 
-    import ray
-
     from ..shuffle import hash_exchange
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow", batch_size=None)
 
     def bucket_reps(t: pa.Table) -> pa.Table:
-        # all rows of a (band,bucket) land in this shard: shard-local
-        # rep election via a vectorized grouped-min transform
+        # all rows of a (band,bucket) land in this shard: shard-local rep
+        # election (grouped-min transform), then per-doc min across the
+        # shard's buckets — the map-side combine for the final per-doc min
         df = t.to_pandas()
         df["rep_id"] = df.groupby(["band", "bucket"])[id_col].transform("min")
-        return pa.Table.from_pandas(
-            df[[id_col, "rep_id"]], preserve_index=False
-        )
+        out = df.groupby(id_col, as_index=False)["rep_id"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     cand = hash_exchange(buckets.to_arrow_refs(), ["band", "bucket"], bucket_reps)
     if cand is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "rep_id": pa.array([], pa.int64())})
 
-    def min_rep(t: pa.Table) -> pa.Table:
-        g = t.group_by([id_col]).aggregate([("rep_id", "min")])
-        return g.rename_columns([id_col, "rep_id"])
-
-    return hash_exchange([ray.put(cand)], [id_col], min_rep, combine_fn=min_rep)
+    # final per-doc min over shard partials: cand holds at most
+    # (num_shards × docs) pre-combined rows — one driver-side group_by
+    # (name-based rename: pyarrow's aggregate column ORDER is not stable
+    # across versions, only the `<col>_min` naming is)
+    g = cand.group_by([id_col]).aggregate([("rep_id", "min")])
+    g = g.rename_columns(
+        ["rep_id" if c == "rep_id_min" else c for c in g.column_names]
+    )
+    return g.select([id_col, "rep_id"])
 
 
 # ------------------------------------------------------------------ simhash

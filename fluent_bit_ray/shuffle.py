@@ -49,11 +49,17 @@ def _split_chunk(keys: list[str], combine_fn, k: int, *tables: pa.Table):
     return out if k > 1 else out[0]
 
 
-def _reduce_shard(finish_fn, *tables: pa.Table) -> pa.Table:
+def _reduce_shard(finish_fn, shard_path, *tables: pa.Table):
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
         return None
-    return finish_fn(pa.concat_tables(live, promote_options="default"))
+    out = finish_fn(pa.concat_tables(live, promote_options="default"))
+    if shard_path is not None and out is not None and out.num_rows:
+        import pyarrow.parquet as pq
+
+        pq.write_table(out, shard_path)
+        return None  # result lives on disk, not in the driver
+    return out
 
 
 def hash_exchange(
@@ -62,6 +68,7 @@ def hash_exchange(
     finish_fn,
     combine_fn=None,
     num_shards: Optional[int] = None,
+    shard_output_dir: Optional[str] = None,
 ) -> Optional[pa.Table]:
     """Generic two-stage hash exchange over Arrow block refs.
 
@@ -69,8 +76,16 @@ def hash_exchange(
     shard, where `finish_fn(table) -> table` runs (group-aggregate, group
     rep-election, shard-local join — anything that needs the whole key
     group). `combine_fn` optionally pre-combines each split chunk (map-side
-    combiner). Returns the concatenation of all shard results.
+    combiner).
+
+    Result delivery: by default the shard results are concatenated into one
+    driver-side Table — fine when the distinct-key output fits a driver
+    heap. When it doesn't (corpus-scale dedup), pass `shard_output_dir`:
+    each reduce shard writes its own parquet file there and nothing is
+    materialized on the driver (the function returns None).
     """
+    import os
+
     import ray
 
     if not block_refs:
@@ -79,7 +94,7 @@ def hash_exchange(
     if num_shards is None:
         # enough shards to parallelize the reduce, few enough that the
         # split×shard object matrix stays small
-        num_shards = max(2, min(cpus, max(1, len(block_refs) // 2), 32))
+        num_shards = max(2, min(cpus, len(block_refs), 32))
     # ~2 split tasks per cpu so split work itself load-balances
     n_split = max(1, min(len(block_refs), 2 * cpus))
     chunk_sz = (len(block_refs) + n_split - 1) // n_split
@@ -95,9 +110,22 @@ def hash_exchange(
         for s, r in enumerate(outs):
             shard_lists[s].append(r)
 
+    if shard_output_dir is not None:
+        os.makedirs(shard_output_dir, exist_ok=True)
     results = ray.get(
-        [reduce_.remote(finish_fn, *shard) for shard in shard_lists]
+        [
+            reduce_.remote(
+                finish_fn,
+                None
+                if shard_output_dir is None
+                else os.path.join(shard_output_dir, f"shard_{s:05d}.parquet"),
+                *shard,
+            )
+            for s, shard in enumerate(shard_lists)
+        ]
     )
+    if shard_output_dir is not None:
+        return None
     live = [t for t in results if t is not None and t.num_rows]
     if not live:
         return None
@@ -114,10 +142,6 @@ def hash_reduce(
     group-sum combiner on both sides)."""
     from functools import partial
 
-    gs = partial(_group_sum_named, keys=keys, vals=vals)
+    gs = partial(_group_sum, keys=keys, vals=vals)
     return hash_exchange(block_refs, keys, gs, combine_fn=gs,
                          num_shards=num_shards)
-
-
-def _group_sum_named(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
-    return _group_sum(t, keys, vals)

@@ -164,3 +164,19 @@ class TestText:
     def test_bpe_ish(self):
         assert bpe_ish_token_count(["hello world"])[0] == 2
         assert bpe_ish_token_count(["it's 42 tokens!"])[0] == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardOutput:
+    def test_exact_dedup_shard_parquet(self, tmp_path):
+        import glob
+        import pyarrow.parquet as pq
+
+        out = dedup.exact_dedup(docs_ds(), shard_output_dir=str(tmp_path / "sh"))
+        assert out is None  # nothing materialized on the driver
+        files = glob.glob(str(tmp_path / "sh" / "shard_*.parquet"))
+        assert files
+        ids = set()
+        for f in files:
+            ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        assert ids == {0, 2, 3, 4}
