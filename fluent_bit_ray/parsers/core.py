@@ -174,7 +174,12 @@ class Parser:
                 for f, val in m.groupdict().items():
                     cols[f][i] = val
         elif self.fmt == "json":
-            fields = self.fields or []
+            if self.fields is None:
+                raise ValueError(
+                    f"parser {self.name!r} (json) needs `fields` for batch "
+                    "mode — without them every data column would be dropped"
+                )
+            fields = self.fields
             cols = {f: [None] * n for f in fields}
             loads = json.loads
             for i, v in enumerate(values):
@@ -191,7 +196,11 @@ class Parser:
                     if f in obj:
                         cols[f][i] = obj[f]
         else:  # ltsv
-            fields = self.fields or []
+            if self.fields is None:
+                raise ValueError(
+                    f"parser {self.name!r} (ltsv) needs `fields` for batch mode"
+                )
+            fields = self.fields
             cols = {f: [None] * n for f in fields}
             for i, v in enumerate(values):
                 if v is None:

@@ -146,6 +146,8 @@ def apply_decoders_columns(rules: list[DecoderRule], columns: dict[str, list]) -
         return columns
 
     # general path: assemble rows for fields under decode, then re-split
+    if not columns:
+        return columns
     n = max(len(c) for c in columns.values())
     keys = list(columns)
     rows = [

@@ -45,8 +45,19 @@ from ..stages import (
 from ..sinks.writers import SinkSpec, SinkWriteStage
 
 
+import re as _re
+
+_KEYVAL_RE = _re.compile(r"^(\S+)(?:\s+(.*))?$")
+
+
 def parse_classic(text: str) -> list[dict]:
-    """Classic-mode INI-ish parser; every key maps to a LIST of values."""
+    """Classic-mode INI-ish parser.
+
+    Every key maps to a LIST of values; ``__lines__`` additionally records
+    the (key, value) pairs in file order — rule-bearing filters (modify)
+    apply their rules in CONFIG order across kinds, which the per-key lists
+    can't express. Key/value separate on any whitespace run (fluent-bit
+    accepts tabs)."""
     sections: list[dict] = []
     cur: Optional[dict] = None
     for raw in text.splitlines():
@@ -54,13 +65,16 @@ def parse_classic(text: str) -> list[dict]:
         if not line or line.startswith("#"):
             continue
         if line.startswith("[") and line.endswith("]"):
-            cur = {"__name__": line[1:-1].lower()}
+            cur = {"__name__": line[1:-1].lower(), "__lines__": []}
             sections.append(cur)
             continue
         if cur is None:
             continue
-        key, _, value = line.partition(" ")
-        cur.setdefault(key.lower(), []).append(value.strip())
+        m = _KEYVAL_RE.match(line)
+        key = m.group(1).lower()
+        value = (m.group(2) or "").strip()
+        cur.setdefault(key, []).append(value)
+        cur["__lines__"].append((key, value))
     return sections
 
 
@@ -96,22 +110,24 @@ def build_filter(sec: dict, registry: ParserRegistry):
             records=records,
         )
     if name == "modify":
+        # rules apply in CONFIG order across kinds (a Rename before a Set of
+        # the same key behaves differently than the reverse) — walk the
+        # ordered line record, not the per-key lists
+        kinds = {"set", "add", "remove", "remove_wildcard", "rename",
+                 "hard_rename", "copy", "hard_copy"}
         rules = []
         conds = []
-        order = []  # preserve config order across rule kinds
-        for kind in ("set", "add", "remove", "remove_wildcard", "rename",
-                     "hard_rename", "copy", "hard_copy"):
-            for spec in sec.get(kind, []):
+        for key, spec in sec.get("__lines__", []):
+            if key in kinds:
                 parts = spec.split(None, 1)
-                if kind in ("remove", "remove_wildcard"):
-                    rules.append((kind, parts[0]))
+                if key in ("remove", "remove_wildcard"):
+                    rules.append((key, parts[0]))
                 else:
                     a, b = parts[0], parts[1] if len(parts) > 1 else ""
-                    rules.append((kind, a, b))
-        for spec in sec.get("condition", []):
-            parts = spec.split(None, 2)
-            cond = parts[0].lower()
-            conds.append(tuple([cond] + parts[1:]))
+                    rules.append((key, a, b))
+            elif key == "condition":
+                parts = spec.split(None, 2)
+                conds.append(tuple([parts[0].lower()] + parts[1:]))
         return ModifyFilter(rules=rules, conditions=conds)
     if name == "nest":
         return NestFilter(
@@ -306,7 +322,8 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
         spec.fmt_options = (
             ("index", _one(sec, "logstash_prefix", _one(sec, "index", "fluentbit"))),
             ("type", _one(sec, "type", "flb_type")),
-            ("logstash", "on" if _on(sec, "logstash_format", True) else "off"),
+            # reference default: Logstash_Format Off (plugins/out_es)
+            ("logstash", "on" if _on(sec, "logstash_format", False) else "off"),
             ("time_key", _one(sec, "time_key", "@timestamp")),
         )
         return spec
@@ -353,9 +370,24 @@ def run_config(
     if not inputs:
         raise ValueError("config has no [INPUT] section")
 
-    chain = FilterChain(
-        [(_one(s, "match", "*"), build_filter(s, registry)) for s in filters]
-    )
+    # the filter chain segments at throttle filters: throttle needs the
+    # per-bucket GLOBAL view (a dataset-level groupby), so it can't live
+    # inside a per-batch chain — chain segments run as fused map_batches,
+    # throttles run between them
+    parts: list = []
+    current: list = []
+    for s in filters:
+        pat = _one(s, "match", "*")
+        f = build_filter(s, registry)
+        if isinstance(f, ThrottleFilter):
+            if current:
+                parts.append(("chain", FilterChain(current)))
+                current = []
+            parts.append(("throttle", pat, f))
+        else:
+            current.append((pat, f))
+    if current:
+        parts.append(("chain", FilterChain(current)))
 
     sinks = []
     out_names = []
@@ -368,9 +400,11 @@ def run_config(
                          fmt_options=tuple(o.fmt_options))
             )
         else:
-            sinks.append(SinkSpec(nm, (o.match,), "parquet"))
+            # null/stdout/counter/flowcounter: route + aggregate, no files
+            sinks.append(SinkSpec(nm, (o.match,), "parquet", writes=False))
     write_dir = out_root
-    writeable = {f"{o.kind}_{i}" for i, o in enumerate(outputs) if o.kind in ("file", "parquet")}
+
+    from ..router import match_to_regex
 
     result = PipelineResult()
     agg_tables = []
@@ -382,14 +416,37 @@ def run_config(
                 batch = batch.append_column(
                     "_tag", pa.array([_tag] * batch.num_rows, pa.string())
                 )
-            return chain.apply_batch(batch)
+            return batch
 
         ds = ds.map_batches(add_tag, batch_format="pyarrow")
-        stage = SinkWriteStage(
-            [s for s in sinks if write_dir or s.name not in writeable],
-            write_dir,
-            bytes_col="log",
-        ) if write_dir else SinkWriteStage(sinks, None, bytes_col="log")
+        for part in parts:
+            if part[0] == "chain":
+                ds = ds.map_batches(
+                    lambda b, _c=part[1]: _c.apply_batch(b),
+                    batch_format="pyarrow",
+                )
+            else:  # dataset-level throttle, honoring its Match pattern
+                _, pat, thr = part
+                if pat == "*":
+                    ds = thr.apply_dataset(ds)
+                else:
+                    rx = match_to_regex(pat)
+
+                    def tag_mask(b: pa.Table, _r=rx):
+                        return pc.fill_null(
+                            pc.match_substring_regex(b["_tag"], _r), False
+                        )
+
+                    matched = ds.map_batches(
+                        lambda b, _f=tag_mask: b.filter(_f(b)),
+                        batch_format="pyarrow",
+                    )
+                    other = ds.map_batches(
+                        lambda b, _f=tag_mask: b.filter(pc.invert(_f(b))),
+                        batch_format="pyarrow",
+                    )
+                    ds = thr.apply_dataset(matched).union(other)
+        stage = SinkWriteStage(sinks, write_dir, bytes_col="log")
         partials = ds.map_batches(stage, batch_format="pyarrow")
         agg = combine_partial_rows(
             partials, ["sink", "lang", "host", "bucket"], AGG_VALS

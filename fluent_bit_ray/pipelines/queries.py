@@ -68,11 +68,14 @@ def q_modify(sf_dir: str):
 
     def run(b: pa.Table) -> pa.Table:
         out = f.process_batch(b)
-        # stable column presence for the comparison (value never fully null
-        # here, but severity/error_value exist only via the rule)
-        for c in ("value", "error_value", "severity"):
+        # stable column presence AND type across blocks: a block with no
+        # condition-matching row never grows these columns, so pad with the
+        # same types the rule produces (severity is a string literal)
+        pad_types = {"value": pa.float64(), "error_value": pa.float64(),
+                     "severity": pa.string()}
+        for c, t in pad_types.items():
             if c not in out.column_names:
-                out = out.append_column(c, pa.nulls(out.num_rows, pa.float64()))
+                out = out.append_column(c, pa.nulls(out.num_rows, t))
         return out.select(["event_id", "event_type", "value", "error_value", "severity"])
 
     return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(

@@ -177,22 +177,6 @@ def default_lookup() -> dict:
     }
 
 
-def _rename_sums(t: pa.Table) -> pa.Table:
-    for v in AGG_VALS:
-        old = f"sum({v})"
-        if old in t.column_names:
-            t = t.rename_columns([v if c == old else c for c in t.column_names])
-    return t
-
-
-def _collect_arrow(ds) -> pa.Table:
-    """Dataset -> one pyarrow Table without row-dict materialization."""
-    import ray
-
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
-    if not tables:
-        return ds.schema().base_schema.empty_table()
-    return pa.concat_tables(tables, promote_options="default")
 
 
 def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
@@ -314,11 +298,16 @@ def run_weblog(
         for entry in glob.glob(os.path.join(out_dir, "*")):
             shutil.rmtree(entry, ignore_errors=True)
 
-    # startup scan (buffer-chunk resume analog): drop un-committed wave aggs
-    # and stale sink partials of unfinished partitions
+    # startup scan (buffer-chunk resume analog): drop un-committed wave aggs;
+    # roll FORWARD committed waves whose per-partition lineage writes were
+    # interrupted (the _WAVE_DONE stamp is the commit point — everything
+    # after it is recoverable from the wave's own agg parquet, so a crash in
+    # that window can neither double-count nor lose partitions)
     for wd in glob.glob(os.path.join(ckpt.agg_dir(out_dir), "wave_*")):
         if not os.path.exists(os.path.join(wd, "_WAVE_DONE")):
             shutil.rmtree(wd, ignore_errors=True)
+        else:
+            _recover_wave_lineage(out_dir, wd, sinks)
     pending = ckpt.pending_partitions(files, out_dir)
     pending_pids = [ckpt.partition_id(f) for f in pending]
     ckpt.clean_partial_outputs(out_dir, pending_pids, [s.name for s in sinks])
@@ -339,22 +328,17 @@ def run_weblog(
         import pyarrow.parquet as pq
 
         pq.write_table(agg, os.path.join(wave_dir, "agg.parquet"))
-        # wave committed: stamp it, then commit each partition's lineage
+        # commit point: the stamp records the wave's partitions + index;
+        # per-partition lineage after it is recoverable (see startup scan)
+        import json as jsonmod
+
         with open(os.path.join(wave_dir, "_WAVE_DONE"), "w") as f:
-            f.write("\n".join(ckpt.partition_id(p) for p in wave_files))
-        for f_ in wave_files:
-            pid = ckpt.partition_id(f_)
-            sub = agg.filter(pc.equal(agg["src"], pid))
-            metrics = {
-                s.name: {
-                    v: pc.sum(
-                        sub.filter(pc.equal(sub["sink"], s.name))[v]
-                    ).as_py() or 0
-                    for v in AGG_VALS
-                }
-                for s in sinks
-            }
-            ckpt.write_lineage(out_dir, pid, metrics, wave_i)
+            jsonmod.dump(
+                {"wave": wave_i,
+                 "partitions": [ckpt.partition_id(p) for p in wave_files]},
+                f,
+            )
+        _write_wave_lineage(out_dir, wave_dir, sinks)
         processed += len(wave_files)
 
     return {
@@ -363,6 +347,43 @@ def run_weblog(
         "partitions_skipped": len(files) - len(pending),
         "aggregate": final_aggregate(out_dir),
     }
+
+
+def _write_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
+    """Derive + commit per-partition lineage from a committed wave dir."""
+    import json as jsonmod
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(wave_dir, "_WAVE_DONE")) as f:
+        stamp = jsonmod.load(f)
+    agg = pq.read_table(os.path.join(wave_dir, "agg.parquet"))
+    for pid in stamp["partitions"]:
+        sub = agg.filter(pc.equal(agg["src"], pid))
+        metrics = {
+            s.name: {
+                v: pc.sum(
+                    sub.filter(pc.equal(sub["sink"], s.name))[v]
+                ).as_py() or 0
+                for v in AGG_VALS
+            }
+            for s in sinks
+        }
+        ckpt.write_lineage(out_dir, pid, metrics, stamp["wave"])
+
+
+def _recover_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
+    """Roll-forward: re-derive lineage records a crash left unwritten."""
+    import json as jsonmod
+
+    try:
+        with open(os.path.join(wave_dir, "_WAVE_DONE")) as f:
+            stamp = jsonmod.load(f)
+    except (ValueError, OSError):
+        return  # pre-json stamp or unreadable: nothing to recover
+    if all(ckpt.is_done(out_dir, pid) for pid in stamp.get("partitions", [])):
+        return
+    _write_wave_lineage(out_dir, wave_dir, sinks)
 
 
 def final_aggregate(out_dir: str):
@@ -405,6 +426,8 @@ def aggregate_only(pages_dir_or_sf: str, sinks: Optional[list[SinkSpec]] = None)
     else:
         pages_dir = pages_path(pages_rows_for_sf(pages_dir_or_sf))
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {pages_dir}")
     lookup_ref = ray.put(default_lookup())
     ds = build_wave_dataset(files, lookup_ref, sinks, out_dir=None)
     t = combine_partial_rows(ds, AGG_KEYS, AGG_VALS)

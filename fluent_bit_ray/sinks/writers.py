@@ -176,6 +176,9 @@ class SinkSpec:
     # format options: es -> (("index","fluentbit"),("type","flb_type")),
     # plot -> (("key","<numeric field>"),)
     fmt_options: tuple[tuple[str, str], ...] = ()
+    # aggregate-only sinks (counter/flowcounter/null/stdout analogs) route
+    # and count but never write files
+    writes: bool = True
 
     def route(self) -> Route:
         return Route(self.name, self.patterns)
@@ -266,7 +269,8 @@ class SinkWriteStage:
         }
         if out_dir:
             for s in sinks:
-                os.makedirs(os.path.join(out_dir, s.name), exist_ok=True)
+                if s.writes:
+                    os.makedirs(os.path.join(out_dir, s.name), exist_ok=True)
 
     def _record_cols(self, table: pa.Table, spec: SinkSpec) -> list[str]:
         if spec.columns:
@@ -283,7 +287,7 @@ class SinkWriteStage:
                 sub = g.process_batch(sub)
             if sub.num_rows == 0:
                 continue
-            if self.out_dir:
+            if self.out_dir and spec.writes:
                 self._write(sub, spec)
             parts.append(self._partial_agg(sub, spec.name))
         if not parts:

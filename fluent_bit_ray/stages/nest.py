@@ -49,6 +49,9 @@ class NestFilter:
         return key in self._exact or any(key.startswith(p) for p in self._prefix)
 
     def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
+        """Tag mask: the column SET changes batch-wide (columns can't vary
+        per row), but VALUES move only for masked rows — unmasked rows keep
+        their keys at top level (nest) / their submap intact (lift)."""
         n = table.num_rows
         if self.operation == "nest":
             matched = [
@@ -58,17 +61,35 @@ class NestFilter:
             ]
             if not matched:
                 return table
-            children = [
-                table[c].combine_chunks() if isinstance(table[c], pa.ChunkedArray) else table[c]
-                for c in matched
-            ]
+            children = []
+            for c in matched:
+                ch = table[c]
+                if isinstance(ch, pa.ChunkedArray):
+                    ch = ch.combine_chunks()
+                if mask is not None:  # only masked rows donate their value
+                    ch = pc.if_else(mask, ch, pa.nulls(n, ch.type))
+                children.append(ch)
             all_null = np.ones(n, dtype=bool)
             for ch in children:
                 all_null &= np.asarray(pc.is_null(ch))
             struct = pa.StructArray.from_arrays(
                 children, names=matched, mask=pa.array(all_null)
             )
-            out = table.select([c for c in table.column_names if c not in matched])
+            if mask is None:
+                out = table.select(
+                    [c for c in table.column_names if c not in matched]
+                )
+            else:  # unmasked rows keep their top-level values
+                out = table
+                for c in matched:
+                    col = out[c]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    kept = pc.if_else(mask, pa.nulls(n, col.type), col)
+                    if kept.null_count == n:
+                        out = out.drop_columns([c])
+                    else:
+                        out = set_col(out, c, kept)
             return out.append_column(self.nest_under, struct)
 
         # lift
@@ -79,16 +100,24 @@ class NestFilter:
             col = col.combine_chunks()
         if not pa.types.is_struct(col.type):
             return table
-        out = table.select(
-            [c for c in table.column_names if c != self.nested_under]
-        )
-        parent_null = pc.is_null(col)
+        lift_m = pc.is_valid(col)
+        if mask is not None:
+            lift_m = pc.and_(lift_m, mask)
         for field in col.type:
             child = pc.struct_field(col, field.name)
-            # absent submap -> absent lifted keys
-            child = pc.if_else(parent_null, pa.nulls(table.num_rows, field.type), child)
-            out = set_col(out, field.name, child)
-        return out
+            child = pc.if_else(lift_m, child, pa.nulls(n, field.type))
+            if field.name in table.column_names:
+                prev = table[field.name]
+                if isinstance(prev, pa.ChunkedArray):
+                    prev = prev.combine_chunks()
+                child = pc.if_else(lift_m, child, prev)
+            table = set_col(table, field.name, child)
+        remaining = pc.if_else(
+            lift_m, pa.nulls(n, col.type), col
+        )
+        if remaining.null_count == n:
+            return table.drop_columns([self.nested_under])
+        return set_col(table, self.nested_under, remaining)
 
     def process_row(self, record: dict) -> Optional[dict]:
         if self.operation == "nest":

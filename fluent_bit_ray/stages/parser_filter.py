@@ -143,7 +143,16 @@ class ParserFilter:
             table = set_col(
                 table, "_time", pc.if_else(use_parsed, ts_arr, pa.nulls(n, pa.int64()))
             )
-        table = set_col(table, "_parse_ok", ok_arr)
+        # rows outside the tag mask are "untouched": they keep their prior
+        # _parse_ok instead of being clobbered to this stage's False
+        if mask is not None and "_parse_ok" in table.column_names:
+            prev_ok = table["_parse_ok"]
+            if isinstance(prev_ok, pa.ChunkedArray):
+                prev_ok = prev_ok.combine_chunks()
+            ok_out = pc.if_else(mask, ok_arr, prev_ok)
+        else:
+            ok_out = ok_arr
+        table = set_col(table, "_parse_ok", ok_out)
         return table
 
     def process_row(self, record: dict) -> Optional[dict]:

@@ -38,13 +38,23 @@ class ThrottleFilter:
             [(tiebreaker, "ascending")] if tiebreaker else []
         )
 
-    def bucket_of(self, time_ns: int) -> int:
-        if time_ns == NAT:
-            return -1
+    def bucket_of(self, time_ns) -> int:
+        if time_ns is None or time_ns == NAT:
+            return -1  # no event time -> one shared "timeless" bucket
         return time_ns // self.interval_ns
 
     def add_bucket_column(self, table: pa.Table) -> pa.Table:
-        ts = np.asarray(table["_time"].combine_chunks() if isinstance(table["_time"], pa.ChunkedArray) else table["_time"])
+        if "_time" not in table.column_names:
+            # no event time in the stream at all: single shared bucket
+            return table.append_column(
+                "_throttle_bucket",
+                pa.array(np.full(table.num_rows, -1, dtype=np.int64)),
+            )
+        col = table["_time"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # _time may carry real nulls (ParserFilter) or the NAT sentinel
+        ts = np.asarray(col.fill_null(NAT))
         bucket = np.where(ts == NAT, -1, ts // self.interval_ns)
         return table.append_column("_throttle_bucket", pa.array(bucket, pa.int64()))
 
@@ -52,7 +62,10 @@ class ThrottleFilter:
         """map_groups fn: keep the first `cap` records by event time."""
         if group.num_rows <= self.cap:
             return group.drop_columns(["_throttle_bucket"])
-        order = pa.compute.sort_indices(group, sort_keys=self.sort_keys)
+        keys = [k for k in self.sort_keys if k[0] in group.column_names]
+        if not keys:  # timeless stream: cap in arrival order
+            return group.slice(0, self.cap).drop_columns(["_throttle_bucket"])
+        order = pa.compute.sort_indices(group, sort_keys=keys)
         return group.take(order[: self.cap]).drop_columns(["_throttle_bucket"])
 
     def apply_dataset(self, ds):
@@ -112,8 +125,19 @@ class UdfFilter:
 
     def process_batch(self, table: pa.Table, mask: Optional[pa.Array] = None) -> pa.Table:
         if self.batch_fn is not None:
+            # columnar UDFs see the whole batch; per-row tag masking is the
+            # row_fn path's job (documented, like the reference's chunk-level
+            # filter application)
             return self.batch_fn(table)
-        rows = [r for r in (self.row_fn(r) for r in table.to_pylist()) if r is not None]
+        m = mask.to_pylist() if mask is not None else None
+        rows = []
+        for i, rec in enumerate(table.to_pylist()):
+            if m is not None and not m[i]:
+                rows.append(rec)  # tag not matched: record untouched
+                continue
+            out = self.row_fn(rec)
+            if out is not None:
+                rows.append(out)
         if not rows:
             return table.slice(0, 0)
         return pa.Table.from_pylist(rows)

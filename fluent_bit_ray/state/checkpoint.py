@@ -61,17 +61,14 @@ def pending_partitions(input_files: list[str], out_dir: str) -> list[str]:
 
 
 def clean_partial_outputs(out_dir: str, pids: list[str], sinks: list[str]) -> int:
-    """Remove stale outputs of unfinished partitions (idempotent restart)."""
+    """Remove stale sink outputs of unfinished partitions (idempotent
+    restart; wave agg dirs are cleaned separately by the startup scan)."""
     removed = 0
     for sink in sinks:
         for pid in pids:
             for f in glob.glob(os.path.join(out_dir, sink, f"{pid}__*")):
                 os.remove(f)
                 removed += 1
-    for pid in pids:
-        for f in glob.glob(os.path.join(agg_dir(out_dir), f"{pid}.parquet")):
-            os.remove(f)
-            removed += 1
     return removed
 
 

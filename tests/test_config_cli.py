@@ -160,3 +160,118 @@ class TestMultilineAndEnrich:
 
         content = open(g.glob(str(out / "file_0" / "*.jsonl"))[0]).read()
         assert '"usermeta":{"geo":"us","tier":"gold"}' in content
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewFixes:
+    def test_modify_rules_apply_in_config_order(self):
+        # Rename a->b BEFORE Set a x: fluent-bit yields b=<old a>, a=x
+        conf = """
+[INPUT]
+    Name    dummy
+    Dummy   {"a": "orig"}
+    Samples 1
+    Tag     t
+
+[FILTER]
+    Name   modify
+    Match  *
+    Rename a b
+    Set    a x
+
+[OUTPUT]
+    Name  counter
+    Match *
+"""
+        from fluent_bit_ray.pipelines.config import parse_classic, build_filter
+        from fluent_bit_ray.parsers.core import DEFAULT_REGISTRY
+
+        sec = [s for s in parse_classic(conf) if s["__name__"] == "filter"][0]
+        f = build_filter(sec, DEFAULT_REGISTRY)
+        assert f.rules == [("rename", "a", "b"), ("set", "a", "x")]
+        out = f.process_row({"a": "orig"})
+        assert out == {"b": "orig", "a": "x"}
+
+    def test_throttle_filter_in_config(self):
+        conf = """
+[INPUT]
+    Name    dummy
+    Dummy   {"m": "x"}
+    Samples 50
+    Tag     t
+
+[FILTER]
+    Name     throttle
+    Match    *
+    Rate     3
+    Window   1
+    Interval 60
+
+[OUTPUT]
+    Name  counter
+    Match *
+"""
+        from fluent_bit_ray.pipelines.config import run_config
+
+        res = run_config(conf)
+        # dummy records have no _time -> one shared bucket capped at 3
+        assert res.counts == {"counter_0": 3}
+
+    def test_null_output_writes_no_files(self, tmp_path):
+        conf = """
+[INPUT]
+    Name    dummy
+    Dummy   {"m": "x"}
+    Samples 2
+    Tag     t
+
+[OUTPUT]
+    Name  null
+    Match *
+"""
+        from fluent_bit_ray.pipelines.config import run_config
+        import os
+
+        res = run_config(conf, out_root=str(tmp_path / "o"))
+        assert res.counts == {"null_0": 2}
+        assert not os.path.exists(tmp_path / "o" / "null_0")
+
+    def test_tab_separated_config(self):
+        from fluent_bit_ray.pipelines.config import parse_classic
+
+        secs = parse_classic("[INPUT]\n\tName\tdummy\n\tTag\tt.x\n")
+        assert secs[0]["name"] == ["dummy"] and secs[0]["tag"] == ["t.x"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWaveRecovery:
+    def test_crash_between_stamp_and_lineage_rolls_forward(self, tmp_path):
+        import glob as g
+        import json
+        import os
+
+        from fluent_bit_ray.pipelines.weblog import run_weblog
+        from fluent_bit_ray.state import checkpoint as ckpt
+        from fluent_bit_ray.synth import pages_path
+
+        pages = pages_path(600, partitions=4)
+        out = str(tmp_path / "o")
+        r1 = run_weblog(pages, out, wave_size=2, resume=False)
+        baseline = {
+            (x["sink"], x["lang"], x["host"], x["bucket"]): x["records"]
+            for x in r1["aggregate"].to_pylist()
+        }
+        # simulate the crash window: delete the lineage records of one
+        # committed wave (stamp + agg parquet remain)
+        wave_dirs = g.glob(os.path.join(ckpt.agg_dir(out), "wave_*"))
+        stamp = json.load(open(os.path.join(wave_dirs[0], "_WAVE_DONE")))
+        for pid in stamp["partitions"]:
+            os.remove(ckpt.lineage_path(out, pid))
+        r2 = run_weblog(pages, out, wave_size=2, resume=True)
+        # roll-forward: no partition reprocessed, aggregates unchanged
+        assert r2["partitions_processed"] == 0
+        got = {
+            (x["sink"], x["lang"], x["host"], x["bucket"]): x["records"]
+            for x in r2["aggregate"].to_pylist()
+        }
+        assert got == baseline
