@@ -129,7 +129,13 @@ class TimeFormat:
         if m is None:
             return None
         g = m.groupdict()
-        year = int(g["Y"]) if g.get("Y") else (2000 + int(g["y"]) if g.get("y") else 1970)
+        if g.get("Y"):
+            year = int(g["Y"])
+        elif g.get("y"):
+            yy = int(g["y"])  # POSIX strptime: 69-99 -> 1900s, 00-68 -> 2000s
+            year = 1900 + yy if yy >= 69 else 2000 + yy
+        else:
+            year = 1970
         if g.get("b"):
             month = _MONTHS.get(g["b"][:3].lower())
             if month is None:
@@ -175,9 +181,13 @@ _NAT = np.iinfo(np.int64).min
 
 # strings the pandas ISO8601 fast path is allowed to handle — anything not
 # matching falls back to the exact per-row parser, so the fast path can never
-# accept an input the reference semantics would reject
+# diverge from the reference semantics. A timezone is only allowed AFTER a
+# fraction: the reference's cut-at-%L parser IGNORES a bare tz suffix
+# (flb_parser.c frac branch requires '.'), while pandas would honor it; a
+# trailing bare 'Z' is equivalent to the ignored-tz default offset 0 and
+# stays allowed.
 _ISO_SAFE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:?\d{2})?$"
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9}(Z|[+-]\d{2}:?\d{2})?|Z)?$"
 )
 
 

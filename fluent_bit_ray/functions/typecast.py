@@ -31,19 +31,27 @@ _INT_RE2 = r"^\s*(?P<v>[+-]?[0-9]+)"
 _FLOAT_RE2 = r"^\s*(?P<v>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
 
 
+_I64_MIN, _I64_MAX = -(2**63), 2**63 - 1
+_U64_MAX = 2**64 - 1
+
+
 def typecast_value(val: Optional[str], type_name: str) -> Any:
-    """Row-at-a-time cast (oracle twin of `cast_column`)."""
+    """Row-at-a-time cast (oracle twin of `cast_column`).
+
+    Out-of-range integers SATURATE at the int64/uint64 bounds (like glibc
+    strtoll/strtoull with ERANGE) so values always fit the Arrow column.
+    """
     if val is None:
         return None
     if type_name == "integer":
         m = _INT_RE.match(val)
-        return int(m.group(1)) if m else 0
+        return min(max(int(m.group(1)), _I64_MIN), _I64_MAX) if m else 0
     if type_name == "float":
         m = _FLOAT_RE.match(val)
         return float(m.group(1)) if m else 0.0
     if type_name == "hex":
         m = _HEX_RE.match(val)
-        return int(m.group(1), 16) if m else 0
+        return min(int(m.group(1), 16), _U64_MAX) if m else 0
     if type_name == "bool":
         low = val[:5].lower()
         if low.startswith("true"):
@@ -69,7 +77,15 @@ def cast_column(arr: pa.Array, type_name: str) -> pa.Array:
     if type_name == "integer":
         ex = pc.extract_regex(arr, _INT_RE2)
         v = pc.struct_field(ex, "v")
-        out = pc.cast(v, pa.int64())
+        try:
+            out = pc.cast(v, pa.int64())
+        except pa.ArrowInvalid:
+            # a digit string beyond int64: fall back to the saturating
+            # row cast (strtoll-style) instead of killing the batch
+            return pa.array(
+                [typecast_value(x, "integer") for x in arr.to_pylist()],
+                pa.int64(),
+            )
         # garbage -> 0 (atoll), but real nulls stay null
         return pc.if_else(pc.and_(pc.is_null(out), pc.is_valid(arr)),
                           pa.scalar(0, pa.int64()), out)

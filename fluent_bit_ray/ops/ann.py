@@ -97,12 +97,24 @@ def brute_force_topk(
 
     Task-based with a per-worker cache of the normalized query matrix (same
     broadcast pattern as enrichment — no actor pool startup on the hot path).
+    The cache keys on the ObjectRef hex (globally unique); plain-dict query
+    sets are rebuilt per batch — a repr-based key could collide between
+    different matrices. The cache keeps only the latest few entries.
     """
-    cache_key = (str(queries_ref), k, id_col, vec_col)
+    import ray
+
+    cacheable = isinstance(queries_ref, ray.ObjectRef)
+    cache_key = (
+        (queries_ref.hex(), k, id_col, vec_col) if cacheable else None
+    )
 
     def partial_fn(batch: pa.Table) -> pa.Table:
+        if cache_key is None:
+            return _PartialTopK(queries_ref, k, id_col, vec_col)(batch)
         fn = _TOPK_CACHE.get(cache_key)
         if fn is None:
+            while len(_TOPK_CACHE) >= 4:  # bound worker memory
+                _TOPK_CACHE.pop(next(iter(_TOPK_CACHE)))
             fn = _PartialTopK(queries_ref, k, id_col, vec_col)
             _TOPK_CACHE[cache_key] = fn
         return fn(batch)

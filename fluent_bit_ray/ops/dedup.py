@@ -134,6 +134,11 @@ def minhash_lsh_dedup(
     -> groupby bucket -> (id, min id in bucket) -> groupby id -> min rep.
     Both shuffles move fixed-width rows only.
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}) — "
+            "trailing permutations would be silently discarded"
+        )
     rows_per_band = num_perm // bands
     hasher_holder: dict = {}
 

@@ -74,7 +74,26 @@ class ImageDecodeStage:
 
     def _decode(self, payload: bytes) -> dict:
         if self._pil:
-            raise NotImplementedError("PIL path not wired in this container")
+            try:
+                import io
+
+                import PIL.Image
+
+                img = PIL.Image.open(io.BytesIO(payload))
+                gray = img.convert("L")
+                import numpy as _np
+
+                luma = float(_np.asarray(gray).mean()) / 255.0
+                return {
+                    "width": img.width,
+                    "height": img.height,
+                    "mode": img.mode,
+                    "mean_luma": round(luma, 6),
+                }
+            except Exception:  # noqa: BLE001 — undecodable payload
+                if self.strict:
+                    raise
+                # fall through to the deterministic fake
         if self.strict:
             raise NotImplementedError(
                 "image decode requires a codec library absent from this "

@@ -64,8 +64,13 @@ def salted_count(
             aggs.append((weight_col, "sum"))
         t = pa.table(cols)
         g = t.group_by([key_col, "_salt"]).aggregate(aggs)
-        names = [key_col, "_salt", "records"] + ([weight_col] if weight_col else [])
-        return g.rename_columns(names)
+        # name-based rename: pyarrow's aggregate column ORDER is not stable
+        # across versions, only the `<col>_sum` naming is
+        g = g.rename_columns(
+            [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+        )
+        return g.select([key_col, "_salt", "records"]
+                        + ([weight_col] if weight_col else []))
 
     vals = ["records"] + ([weight_col] if weight_col else [])
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -73,7 +78,10 @@ def salted_count(
     salted = hash_reduce_dataset_refs(partials, [key_col, "_salt"], vals)
     # stage 2: collapse the salts — at most num_salts rows per key
     g = salted.group_by([key_col]).aggregate([(v, "sum") for v in vals])
-    return g.rename_columns([key_col] + vals)
+    g = g.rename_columns(
+        [c[: -len("_sum")] if c.endswith("_sum") else c for c in g.column_names]
+    )
+    return g.select([key_col] + vals)
 
 
 def hash_reduce_dataset_refs(ds, keys, vals):

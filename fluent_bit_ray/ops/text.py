@@ -26,11 +26,17 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     text = batch[text_col]
     trimmed = pc.utf8_trim_whitespace(text)
     tokens = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    # split('') yields [''], not []: empty/whitespace-only text has 0 tokens
+    counts = pc.if_else(
+        pc.equal(trimmed, ""),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.list_value_length(tokens), pa.int64()),
+    )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_bytes": pc.cast(pc.binary_length(text), pa.int64()),
-            "n_tokens": pc.cast(pc.list_value_length(tokens), pa.int64()),
+            "n_tokens": counts,
         }
     )
 

@@ -39,6 +39,10 @@ class Route:
     patterns: tuple[str, ...]  # a sink may have several Match patterns (OR)
 
     def regex(self) -> str:
+        if not self.patterns:
+            # no Match rule -> routes NOTHING (flb_router); empty char class
+            # matches nothing and is valid in both re and RE2
+            return r"[^\s\S]"
         return "|".join(match_to_regex(p) for p in self.patterns)
 
 

@@ -55,8 +55,14 @@ def _reduce_shard(finish_fn, shard_path, *tables: pa.Table):
         return None
     out = finish_fn(pa.concat_tables(live, promote_options="default"))
     if shard_path is not None and out is not None and out.num_rows:
+        import os
+
         import pyarrow.parquet as pq
 
+        # runs on whichever node hosts this reduce task: the directory must
+        # be shared storage (NFS/object store mount) on a multi-node
+        # cluster — create it here, not on the driver
+        os.makedirs(os.path.dirname(shard_path), exist_ok=True)
         pq.write_table(out, shard_path)
         return None  # result lives on disk, not in the driver
     return out
