@@ -129,3 +129,27 @@ class TestFilterOracleEquivalence:
                 if r is not None:
                     oracle_out.append(clean_nested(r))
             assert batch_out == oracle_out, type(f).__name__
+
+
+class TestDualRegexEngines:
+    """Every pattern that runs on BOTH engines (Python re in oracles, RE2 in
+    pc.match_substring_regex) must agree — named-group syntax, (?m) anchors,
+    and lookahead support have all differed (session findings)."""
+
+    @given(
+        st.sampled_from(["^err", "err$", "a.c", "x+", "[0-9]{2}", "^$", "a|b"]),
+        st.lists(st.text(alphabet="aberx0123\n.", max_size=10), max_size=6),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_match_substring_regex_agrees_with_re_multiline(self, pattern, values):
+        import re as _re
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        creg = _re.compile(pattern, _re.MULTILINE)
+        py = [creg.search(v) is not None for v in values]
+        rx = _pc.match_substring_regex(
+            _pa.array(values, _pa.string()), "(?m)" + pattern
+        ).to_pylist()
+        assert rx == py
