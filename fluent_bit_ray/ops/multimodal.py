@@ -37,6 +37,34 @@ def html_extract_text(batch: pa.Table, html_col: str = "html") -> pa.Table:
     return batch.append_column("html_text", pa.array(out, pa.string()))
 
 
+_BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S | re.I)
+
+
+def html_body_text(batch: pa.Table, html_col: str = "html",
+                   out_col: str = "text") -> pa.Table:
+    """Extract the BODY payload span byte-exactly (WARC-extraction analog).
+
+    Unlike tag-stripping (`html_extract_text`), the span between
+    `<body>`/`</body>` is returned verbatim — embedded content that merely
+    LOOKS like markup (`<13>` syslog priorities) survives byte-identically.
+    Pages without a body element yield the stripped fallback.
+    """
+    out = []
+    for payload in batch[html_col].to_pylist():
+        if payload is None:
+            out.append(None)
+            continue
+        m = _BODY_RE.search(payload)
+        if m:
+            out.append(m.group(1).decode("utf-8", "replace"))
+        else:
+            stripped = _TAG_RE.sub(b" ", payload)
+            out.append(_WS_RE.sub(b" ", stripped).strip().decode("utf-8", "replace"))
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
 IMAGE_META_SCHEMA = pa.schema(
     [
         ("width", pa.int32()),

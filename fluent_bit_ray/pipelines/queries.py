@@ -393,6 +393,33 @@ def q_weblog_aggregate(sf_dir: str):
     return aggregate_only(sf_dir)
 
 
+def q_weblog_from_html(sf_dir: str):
+    """flagship over the RAW html binary column (byte-exact body-span
+    extraction instead of the pre-extracted text column); pytest asserts
+    the two paths' aggregates are identical."""
+    import glob as g
+
+    import ray
+
+    from ..synth import pages_path, pages_rows_for_sf
+    from .weblog import (
+        AGG_KEYS,
+        AGG_VALS,
+        DEFAULT_SINKS,
+        build_wave_dataset,
+        combine_partial_rows,
+        default_lookup,
+    )
+
+    pages = pages_path(pages_rows_for_sf(sf_dir))
+    files = sorted(g.glob(os.path.join(pages, "*.parquet")))
+    ref = ray.put(default_lookup())
+    ds = build_wave_dataset(files, ref, DEFAULT_SINKS, None, from_html=True)
+    return combine_partial_rows(ds, AGG_KEYS, AGG_VALS).select(
+        AGG_KEYS + AGG_VALS
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -417,6 +444,7 @@ QUERIES: dict[str, Callable] = {
     "embedding_neardup": q_embedding_neardup,
     "salted_topk": q_salted_topk,
     "weblog_aggregate": q_weblog_aggregate,
+    "weblog_from_html": q_weblog_from_html,
 }
 
 

@@ -231,12 +231,19 @@ def build_wave_dataset(
     out_dir: Optional[str],
     enrich_concurrency: int = 4,
     enrich_mode: str = "tasks",
+    from_html: bool = False,
 ):
     """One wave's streaming Dataset: files -> per-src partial aggregate rows.
 
     enrich_mode="tasks" (default): broadcast-dict lookup as plain tasks with
     a per-worker cache — no pool to size, no actor startup. "actors": the
     actor-pool form (use when enrichment init is genuinely expensive).
+
+    from_html=True: derive the log-line text from the raw `html` binary
+    column (byte-exact body-span extraction, ops/multimodal.html_body_text)
+    instead of reading the pre-extracted `text` column — the WARC-style
+    pipeline shape. Costs reading the wide binary column; results are
+    byte-identical to the text-column path.
     """
     import ray.data
 
@@ -247,12 +254,25 @@ def build_wave_dataset(
     # row groups (sub-row-group splits re-read the whole group).
     cpus = int(ray.cluster_resources().get("CPU", 8))
     num_blocks = max(len(files), min(2 * cpus, _estimate_row_groups(files)))
-    ds = ray.data.read_parquet(
-        files,
-        columns=READ_COLUMNS,
-        include_paths=True,
-        override_num_blocks=num_blocks,
-    )
+    if from_html:
+        from ..ops.multimodal import html_body_text
+
+        read_cols = ["url", "warc_ts", "html", "lang"]
+        ds = ray.data.read_parquet(
+            files, columns=read_cols, include_paths=True,
+            override_num_blocks=num_blocks,
+        )
+        ds = ds.map_batches(
+            lambda b: html_body_text(b).drop_columns(["html"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+    else:
+        ds = ray.data.read_parquet(
+            files,
+            columns=READ_COLUMNS,
+            include_paths=True,
+            override_num_blocks=num_blocks,
+        )
     ds = ds.map_batches(parse_fn, batch_format="pyarrow", batch_size=None)
     if enrich_mode == "actors":
         ds = ds.map_batches(

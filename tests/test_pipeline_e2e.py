@@ -135,3 +135,31 @@ class TestFlagship:
         assert not os.path.exists(stale)
         assert not os.path.exists(dirty_wave)
         assert res["partitions_processed"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFromHtml:
+    def test_html_path_matches_text_path_byte_identically(self, pages_dir):
+        """North-star invariant: parsing from the raw html binary column
+        yields the same aggregates (and therefore the same extracted text /
+        routed rows) as the pre-extracted text column."""
+        import glob as g
+        import ray
+
+        from fluent_bit_ray.pipelines.weblog import (
+            build_wave_dataset,
+            combine_partial_rows,
+            default_lookup,
+        )
+
+        files = sorted(g.glob(os.path.join(pages_dir, "*.parquet")))
+        ref = ray.put(default_lookup())
+        a = combine_partial_rows(
+            build_wave_dataset(files, ref, DEFAULT_SINKS, None),
+            AGG_KEYS, AGG_VALS,
+        )
+        b = combine_partial_rows(
+            build_wave_dataset(files, ref, DEFAULT_SINKS, None, from_html=True),
+            AGG_KEYS, AGG_VALS,
+        )
+        assert agg_to_dict(a) == agg_to_dict(b)
