@@ -163,6 +163,10 @@ class Parser:
         if self.fmt == "regex":
             fields = list(self._re.groupindex)
             cols: dict[str, list] = {f: [None] * n for f in fields}
+            # index-addressed group extraction: no per-row dict allocation
+            field_cols = [
+                (self._re.groupindex[f], cols[f]) for f in fields
+            ]
             search = self._re.search
             for i, v in enumerate(values):
                 if v is None:
@@ -171,8 +175,9 @@ class Parser:
                 if m is None:
                     continue
                 ok[i] = True
-                for f, val in m.groupdict().items():
-                    cols[f][i] = val
+                g = m.group
+                for gi, col in field_cols:
+                    col[i] = g(gi)
         elif self.fmt == "json":
             if self.fields is None:
                 raise ValueError(
