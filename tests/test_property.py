@@ -153,3 +153,25 @@ class TestDualRegexEngines:
             _pa.array(values, _pa.string()), "(?m)" + pattern
         ).to_pylist()
         assert rx == py
+
+
+class TestStrptimeCrossValidation:
+    """TimeFormat.parse vs C strptime (time.strptime) on full-match inputs —
+    the reference's parser is strptime-based, so agreement on valid inputs
+    is the parity bar (formats without %L/%z quirks)."""
+
+    @given(
+        st.sampled_from(["%Y-%m-%d %H:%M:%S", "%d/%b/%Y:%H:%M:%S", "%y-%m-%d %H:%M:%S"]),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_agrees_with_c_strptime(self, fmt, epoch):
+        import calendar
+        import time as _time
+
+        from fluent_bit_ray.functions.timeparse import TimeFormat
+
+        s = _time.strftime(fmt, _time.gmtime(epoch))
+        expected = calendar.timegm(_time.strptime(s, fmt))
+        got = TimeFormat(fmt).parse(s, 1970)
+        assert got == expected * 10**9
