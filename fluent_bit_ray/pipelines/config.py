@@ -239,6 +239,39 @@ def build_input(sec: dict, registry: ParserRegistry):
         lines = [l.rstrip("\n") for l in sysmod.stdin]
         ds = ray.data.from_items([{"log": l} for l in lines])
         return ds, tag or "stdin.0"
+    if name == "random":
+        # in_random analog: N samples of a deterministic u64 (seeded — the
+        # reference reads /dev/urandom; a batch engine needs reproducibility)
+        n = int(_one(sec, "samples", "1"))
+        seed = int(_one(sec, "seed", "42"))
+
+        def gen_random(batch: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            idx = batch["id"].to_numpy(zero_copy_only=False).astype(_np.uint64)
+            with _np.errstate(over="ignore"):
+                x = (idx + _np.uint64(seed)) * _np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> _np.uint64(29)
+            return pa.table({"rand_value": pa.array(x.astype(_np.int64))})
+
+        ds = ray.data.range(n).map_batches(gen_random, batch_format="pyarrow")
+        return ds, tag or "random.0"
+    if name == "head":
+        # in_head analog: first Lines lines (or Buf_Size bytes) of the file
+        path = _one(sec, "file") or _one(sec, "path")
+        lines_opt = _one(sec, "lines")
+        buf_size = int(_one(sec, "buf_size", "256"))
+        with open(path, "rb") as fh:
+            payload = fh.read()
+        if lines_opt:
+            rows = [
+                {"head": ln}
+                for ln in payload.decode("utf-8", "replace").splitlines()[: int(lines_opt)]
+            ]
+        else:
+            rows = [{"head": payload[:buf_size].decode("utf-8", "replace")}]
+        ds = ray.data.from_items(rows)
+        return ds, tag or "head.0"
     if name == "dummy":
         import json as jsonmod
 
@@ -332,7 +365,14 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
         spec.fmt_options = (("key", _one(sec, "key", "value")),)
         return spec
     if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):
-        return OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
+        spec = OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
+        opts = []
+        if _one(sec, "delimiter"):
+            opts.append(("delimiter", _one(sec, "delimiter")))
+        if _one(sec, "label_delimiter"):
+            opts.append(("label_delimiter", _one(sec, "label_delimiter")))
+        spec.fmt_options = tuple(opts)
+        return spec
     raise ValueError(f"unsupported output plugin: {name!r}")
 
 

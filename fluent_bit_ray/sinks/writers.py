@@ -324,7 +324,8 @@ class SinkWriteStage:
                     payload = format_json_lines(chunk, rc)
                     ext = ".jsonl"
                 elif spec.fmt == "csv":
-                    payload = format_csv(chunk, rc)
+                    payload = format_csv(chunk, rc,
+                                         delimiter=spec.opt("delimiter", ","))
                     ext = ".csv"
                 elif spec.fmt == "es":
                     payload = format_es_bulk(
@@ -339,7 +340,11 @@ class SinkWriteStage:
                     payload = format_plot(chunk, spec.opt("key", "value"))
                     ext = ".dat"
                 else:
-                    payload = format_ltsv(chunk, rc)
+                    payload = format_ltsv(
+                        chunk, rc,
+                        delimiter=spec.opt("delimiter", "\t"),
+                        label_delimiter=spec.opt("label_delimiter", ":"),
+                    )
                     ext = ".ltsv"
                 with open(path + ext, "w") as f:
                     f.write(payload)

@@ -275,3 +275,62 @@ class TestWaveRecovery:
             for x in r2["aggregate"].to_pylist()
         }
         assert got == baseline
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRandomHeadDelimiter:
+    def test_random_input(self):
+        from fluent_bit_ray.pipelines.config import run_config
+
+        conf = """
+[INPUT]
+    Name    random
+    Samples 7
+    Seed    1
+
+[OUTPUT]
+    Name  counter
+    Match *
+"""
+        r1 = run_config(conf)
+        r2 = run_config(conf)
+        assert r1.counts == r2.counts == {"counter_0": 7}  # deterministic
+
+    def test_head_input_lines(self, tmp_path):
+        from fluent_bit_ray.pipelines.config import run_config
+
+        f = tmp_path / "h.txt"
+        f.write_text("l1\nl2\nl3\nl4\n")
+        res = run_config(f"""
+[INPUT]
+    Name  head
+    File  {f}
+    Lines 2
+
+[OUTPUT]
+    Name  counter
+    Match *
+""")
+        assert res.counts == {"counter_0": 2}
+
+    def test_csv_custom_delimiter(self, tmp_path):
+        from fluent_bit_ray.pipelines.config import run_config
+
+        out = tmp_path / "o"
+        run_config(f"""
+[INPUT]
+    Name    dummy
+    Dummy   {{"a": "1", "b": "2"}}
+    Samples 1
+    Tag     t
+
+[OUTPUT]
+    Name      file
+    Match     *
+    Format    csv
+    Delimiter ;
+""", out_root=str(out))
+        import glob as g
+
+        content = open(g.glob(str(out / "file_0" / "*.csv"))[0]).read()
+        assert ';"1";"2"' in content
