@@ -41,11 +41,15 @@ _TOKENS = {
     "%H": r"(?P<H>\d{1,2})",
     "%M": r"(?P<M>\d{1,2})",
     "%S": r"(?P<S>\d{1,2})",
-    "%z": r"(?P<z>Z|[+-]\d{2}:?\d{2})",
+    # minutes restricted to 00-59: the reference rejects offsets like +00:90
+    # (tests/internal/parser.c tz_entries_error)
+    "%z": r"(?P<z>Z|[+-]\d{2}:?[0-5]\d)",
     "%%": "%",
 }
 
-_TZ_RE = re.compile(r"^(Z|[+-]\d{2}:?\d{2})")
+# fractional-seconds tail: optional space before the tz, like the
+# reference's frac_tzone handling of "…:58.1234 -0600"
+_TZ_RE = re.compile(r"^\s*(Z|[+-]\d{2}:?[0-5]\d)")
 
 
 def _days_from_civil(y: int, m: int, d: int) -> int:
