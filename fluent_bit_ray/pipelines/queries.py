@@ -385,6 +385,28 @@ def q_salted_topk(sf_dir: str):
     )
 
 
+def q_sliding_window(sf_dir: str):
+    """sliding event-time window: per event, count of the same user's
+    events within the preceding 5 minutes (inclusive)."""
+    from ..ops.windows import sliding_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = sliding_count(ds, "user_id", "ts", 300)
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "window_count"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_session_windows(sf_dir: str):
+    """session windows: same-user events within a 10-minute gap."""
+    from ..ops.windows import session_windows
+
+    return session_windows(
+        _read(sf_dir, "events", ["user_id", "ts"]), "user_id", "ts", 600
+    )
+
+
 def q_weblog_aggregate(sf_dir: str):
     """flagship pipeline aggregate (pages synthesized per sf; rows-only —
     exact equality vs the Python oracle is enforced in pytest)."""
@@ -443,6 +465,8 @@ QUERIES: dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "salted_topk": q_salted_topk,
+    "sliding_window": q_sliding_window,
+    "session_windows": q_session_windows,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
 }
@@ -524,6 +548,24 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "
         "ORDER BY records DESC, user_id LIMIT 10"
     ),
+    "sliding_window": (
+        "SELECT event_id, user_id, count(*) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+        ") AS window_count FROM events"
+    ),
+    "session_windows": (
+        "WITH marked AS ("
+        "  SELECT user_id, epoch_ns(ts) AS ns, CASE WHEN epoch_ns(ts) - "
+        "    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+        "    > 600000000000 OR lag(epoch_ns(ts)) OVER ("
+        "    PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk"
+        "  FROM events), sess AS ("
+        "  SELECT user_id, ns, sum(brk) OVER ("
+        "    PARTITION BY user_id ORDER BY ns) AS sid FROM marked) "
+        "SELECT user_id, min(ns) AS session_start, "
+        "count(*) AS events FROM sess GROUP BY user_id, sid"
+    ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, quality,
-    # lang_id, fingerprint, weblog_aggregate
+    # lang_id, fingerprint, weblog_aggregate, weblog_from_html
 }

@@ -180,3 +180,59 @@ class TestShardOutput:
         for f in files:
             ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
         assert ids == {0, 2, 3, 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWindows:
+    def events_ds(self):
+        import datetime
+
+        import ray.data
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = [
+            # user 1: 0s, 100s, 200s, 700s (gap>600 starts a new session)
+            {"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": base + datetime.timedelta(seconds=100)},
+            {"user_id": 1, "ts": base + datetime.timedelta(seconds=200)},
+            {"user_id": 1, "ts": base + datetime.timedelta(seconds=900)},
+            {"user_id": 2, "ts": base + datetime.timedelta(seconds=50)},
+        ]
+        for i, r in enumerate(rows):
+            r["event_id"] = i
+        return ray.data.from_items(rows)
+
+    def test_sliding_count(self):
+        from fluent_bit_ray.ops.windows import sliding_count
+
+        out = {
+            r["event_id"]: r["window_count"]
+            for r in sliding_count(self.events_ds(), "user_id", "ts", 150).take_all()
+        }
+        # window [t-150, t]: ev0->1, ev1->2 (0s,100s), ev2->2 (100s,200s),
+        # ev3->1, user2 ev4->1
+        assert out == {0: 1, 1: 2, 2: 2, 3: 1, 4: 1}
+
+    def test_session_windows(self):
+        from fluent_bit_ray.ops.windows import session_windows
+
+        rows = session_windows(self.events_ds(), "user_id", "ts", 600).take_all()
+        per_user = {}
+        for r in rows:
+            per_user.setdefault(r["user_id"], []).append(r["events"])
+        assert sorted(per_user[1]) == [1, 3]  # 3-event session + the 900s one
+        assert per_user[2] == [1]
+
+    def test_tumbling_agg(self):
+        from fluent_bit_ray.ops.windows import tumbling_agg
+
+        import ray.data
+
+        rows = tumbling_agg(
+            self.events_ds(), "user_id", "ts", 300, "event_id"
+        ).take_all()
+        u1 = sorted(
+            (r["bucket"], r["records"]) for r in rows if r["user_id"] == 1
+        )
+        # buckets of 300s: events at 0,100,200 -> one bucket of 3; 900 -> 1
+        assert [c for _, c in u1] == [3, 1]
