@@ -150,6 +150,13 @@ class TimeFormat:
         hh = int(g["H"]) if g.get("H") else 0
         mm = int(g["M"]) if g.get("M") else 0
         ss = int(g["S"]) if g.get("S") else 0
+        # range checks mirroring glibc strptime (which rejects out-of-range
+        # components; the tokens above are \d{1,2} so e.g. %H=99 would
+        # otherwise normalize into a garbage epoch). %S allows 60 (leap
+        # second), like strptime's 0-60.
+        if not (1 <= month <= 12 and 1 <= day <= 31 and hh <= 23
+                and mm <= 59 and ss <= 60):
+            return None
 
         ns = 0
         gmtoff: Optional[int] = _parse_tz(g["z"]) if g.get("z") else None

@@ -11,6 +11,7 @@ the group is established by the sort inside `fn`, so input order is free.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 
@@ -36,12 +37,15 @@ def sliding_count(
 
     def per_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(ts_col).reset_index(drop=True)
-        counts = (
-            df.rolling(f"{window_sec}s", on=ts_col, closed="both")[key_col]
-            .count()
-            .astype("int64")
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        w = window_sec * 10**9
+        # searchsorted, not pandas rolling: rolling counts only rows UP TO the
+        # current positional row, while RANGE ... CURRENT ROW includes ALL
+        # peer rows with an equal timestamp (ties -> 2,2 not 1,2)
+        counts = np.searchsorted(ns, ns, side="right") - np.searchsorted(
+            ns, ns - w, side="left"
         )
-        df[out_col] = counts
+        df[out_col] = counts.astype("int64")
         return df
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

@@ -125,8 +125,20 @@ class Parser:
             tv = rec[self.time_key]
             if isinstance(tv, str):
                 ts = self._tf.parse(tv, now_year)
-                if not self.time_keep:
-                    rec = {k: v for k, v in rec.items() if k != self.time_key}
+                if self.fmt == "regex":
+                    # cb_results (flb_parser_regex.c:66-83) never packs the
+                    # time capture once lookup ran: dropped on FAILURE
+                    # (early return, even with Time_Keep On) and on success
+                    # unless Time_Keep
+                    if ts is None or not self.time_keep:
+                        rec = {k: v for k, v in rec.items() if k != self.time_key}
+                else:
+                    # json (flb_parser_json.c:146-158): the record is returned
+                    # UNCHANGED (time key KEPT) when lookup fails; the key is
+                    # removed only on success with Time_Keep Off
+                    if ts is not None and not self.time_keep:
+                        rec = {k: v for k, v in rec.items() if k != self.time_key}
+            # non-string time values: no lookup runs, key kept as-is
         if self.types:
             rec = {
                 k: (typecast_value(v, self.types[k]) if k in self.types and isinstance(v, str) else v)
@@ -144,7 +156,15 @@ class Parser:
                 f"parser {self.name!r} ({self.fmt}) needs `fields` for batch mode"
             )
         fields = list(self.fields)
-        if self._tf is not None and not self.time_keep and self.time_key in fields:
+        # only the regex parser removes the time key unconditionally; for
+        # json/ltsv the key can survive (kept for rows whose lookup failed
+        # or whose value was non-string), so it stays a declared field
+        if (
+            self.fmt == "regex"
+            and self._tf is not None
+            and not self.time_keep
+            and self.time_key in fields
+        ):
             fields.remove(self.time_key)
         # decoders can only add keys for json-explode rules; callers relying
         # on exploded keys must declare them via `fields`.
@@ -229,10 +249,28 @@ class Parser:
 
         # --- time lookup (columnar over the captured time strings)
         if self._tf is not None and self.time_key in cols:
-            tcol = [v if isinstance(v, str) else None for v in cols[self.time_key]]
+            raw = cols[self.time_key]
+            tcol = [v if isinstance(v, str) else None for v in raw]
             ts = parse_time_column(tcol, self._tf, now_year)
-            if not self.time_keep:
-                del cols[self.time_key]
+            failed = ts == NAT  # lookup failed OR value was non-string/None
+            if self.fmt == "regex":
+                if self.time_keep:
+                    # reference drops the capture on failed lookup even with
+                    # Time_Keep On (cb_results early return)
+                    if failed.any():
+                        cols[self.time_key] = [
+                            None if failed[i] else raw[i] for i in range(n)
+                        ]
+                else:
+                    del cols[self.time_key]
+            elif not self.time_keep:
+                # json/ltsv: keep the original value for rows whose lookup
+                # failed or whose value was non-string; drop it (None) only
+                # where lookup succeeded (mirrors the row path above)
+                cols[self.time_key] = [
+                    raw[i] if (failed[i] and raw[i] is not None) else None
+                    for i in range(n)
+                ]
         else:
             ts = np.full(n, NAT, dtype=np.int64)
 

@@ -147,10 +147,15 @@ def format_ltsv(
     return "\n".join(out) + ("\n" if out else "")
 
 
+_NAT_F = float(np.iinfo(np.int64).min)  # parsers emit int64-min as NaT sentinel
+
+
 def _times_sec(table: pa.Table) -> np.ndarray:
     if "_time" in table.column_names:
         t = table["_time"].to_numpy(zero_copy_only=False).astype("float64")
-        t = np.where(np.isnan(t), 0.0, t)
+        # missing time arrives as a real null (NaN after the float cast) OR
+        # as the NAT sentinel (int64 min) — treat both as "no time"
+        t = np.where(np.isnan(t) | (t == _NAT_F), 0.0, t)
         return t / 1e9
     return np.zeros(table.num_rows)
 
@@ -358,7 +363,9 @@ class SinkWriteStage:
         if "_time" in sub.column_names:
             t = sub["_time"].to_numpy(zero_copy_only=False).astype("float64")
             bucket = np.where(
-                np.isnan(t), -1, (t / 1e9 // self.bucket_sec).astype("int64")
+                np.isnan(t) | (t == _NAT_F),
+                -1,
+                (t / 1e9 // self.bucket_sec).astype("int64"),
             ).astype("int64")
         else:
             bucket = np.full(n, -1, dtype=np.int64)

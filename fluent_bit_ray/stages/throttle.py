@@ -23,6 +23,13 @@ import pyarrow as pa
 from ..parsers.core import NAT
 
 
+# "no event time" bucket sentinel: int64 min is unreachable by floor division
+# (|ts//interval_ns| <= 2^63/1e9 ~ 9.3e9 for interval_sec >= 1), so genuine
+# pre-epoch timestamps in [-interval, 0) keep their own bucket -1 instead of
+# being merged with timeless records under one shared cap
+TIMELESS_BUCKET = int(np.iinfo(np.int64).min)
+
+
 class ThrottleFilter:
     def __init__(
         self,
@@ -40,7 +47,7 @@ class ThrottleFilter:
 
     def bucket_of(self, time_ns) -> int:
         if time_ns is None or time_ns == NAT:
-            return -1  # no event time -> one shared "timeless" bucket
+            return TIMELESS_BUCKET
         return time_ns // self.interval_ns
 
     def add_bucket_column(self, table: pa.Table) -> pa.Table:
@@ -48,15 +55,42 @@ class ThrottleFilter:
             # no event time in the stream at all: single shared bucket
             return table.append_column(
                 "_throttle_bucket",
-                pa.array(np.full(table.num_rows, -1, dtype=np.int64)),
+                pa.array(np.full(table.num_rows, TIMELESS_BUCKET, dtype=np.int64)),
             )
         col = table["_time"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         # _time may carry real nulls (ParserFilter) or the NAT sentinel
         ts = np.asarray(col.fill_null(NAT))
-        bucket = np.where(ts == NAT, -1, ts // self.interval_ns)
+        bucket = np.where(ts == NAT, TIMELESS_BUCKET, ts // self.interval_ns)
         return table.append_column("_throttle_bucket", pa.array(bucket, pa.int64()))
+
+    def precap_batch(self, table: pa.Table) -> pa.Table:
+        """In-batch combiner: keep at most `cap` rows per bucket (partial
+        top-k by the same sort order the global cap uses) BEFORE the shuffle.
+
+        This bounds the skewed groups — in particular the timeless bucket,
+        which would otherwise collect the entire no-event-time stream on one
+        reducer — to cap x num_batches rows, without changing the result:
+        the global first-`cap` of a bucket is contained in the union of the
+        per-batch first-`cap`s under the same ordering.
+        """
+        n = table.num_rows
+        if n <= self.cap:
+            return table
+        keys = [("_throttle_bucket", "ascending")] + [
+            k for k in self.sort_keys if k[0] in table.column_names
+        ]
+        order = pa.compute.sort_indices(table, sort_keys=keys)
+        t = table.take(order)
+        b = np.asarray(t["_throttle_bucket"].combine_chunks())
+        idx = np.arange(n, dtype=np.int64)
+        is_start = np.r_[True, b[1:] != b[:-1]]
+        run_first = np.maximum.accumulate(np.where(is_start, idx, 0))
+        keep = (idx - run_first) < self.cap
+        if keep.all():
+            return table  # original order preserved when nothing drops
+        return t.filter(pa.array(keep))
 
     def cap_group(self, group: pa.Table) -> pa.Table:
         """map_groups fn: keep the first `cap` records by event time."""
@@ -71,6 +105,7 @@ class ThrottleFilter:
     def apply_dataset(self, ds):
         """Dataset-level application (needs the per-bucket global view)."""
         ds = ds.map_batches(self.add_bucket_column, batch_format="pyarrow")
+        ds = ds.map_batches(self.precap_batch, batch_format="pyarrow")
         return ds.groupby("_throttle_bucket").map_groups(
             self.cap_group, batch_format="pyarrow"
         )
