@@ -40,9 +40,13 @@ def _hash_column(texts: Iterable[Optional[str]], seed: int = 0) -> list[Optional
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", out: str = "text_hash") -> pa.Table:
-    return batch.append_column(
-        out, pa.array(_hash_column(batch[text_col].to_pylist()), pa.int64())
-    )
+    """Partitioning hash per text, vectorized (nulls hash like "" — they
+    only share a shard; exactness is resolved by the in-shard group-by)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = _hash_string_array(pc.fill_null(col, "")) & _U64(0x7FFFFFFFFFFFFFFF)
+    return batch.append_column(out, pa.array(h.astype(np.int64)))
 
 
 def exact_dedup(
@@ -86,19 +90,162 @@ def exact_dedup(
 
 # ------------------------------------------------------------------ minhash
 
-def _shingles(tokens: list[str], k: int) -> set:
-    if len(tokens) < k:
-        return {" ".join(tokens)} if tokens else set()
-    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+_U64 = np.uint64
+# odd multiplier for the polynomial shingle combine (invertible mod 2^64)
+_POLY_C = _U64(0x9E3779B97F4A7C15 | 1)
+_POLY_C_INV = _U64(pow(int(_POLY_C), -1, 1 << 64))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: mixes the weak polynomial combine into a
+    well-distributed 64-bit hash (public-domain constants)."""
+    with np.errstate(over="ignore"):
+        x = (x + _U64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
+
+
+def _hash_string_array(sarr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit hash of every string in an Arrow string array.
+
+    Rolling polynomial over (byte+1) values using the global-prefix trick
+    (see _shingle_hashes), splitmix64-finalized and xor'd with the length —
+    zero per-string Python. Collision quality is adequate for LSH/dedup
+    partitioning (a 64-bit mixed polynomial), and the hash is a documented
+    engine contract, not a crypto primitive.
+    """
+    if isinstance(sarr, pa.ChunkedArray):
+        sarr = sarr.combine_chunks()
+    n = len(sarr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = sarr.buffers()
+    odt = np.int64 if pa.types.is_large_string(sarr.type) else np.int32
+    off = np.frombuffer(bufs[1], odt)[sarr.offset : sarr.offset + n + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2] or b"", np.uint8)[off[0] : off[-1]]
+    off = off - off[0]
+    lens = (off[1:] - off[:-1]).astype(np.uint64)
+    m = len(data)
+    with np.errstate(over="ignore"):
+        h = data.astype(np.uint64) + _U64(1)
+        ipw = np.empty(m + 1, dtype=np.uint64)
+        pw = np.empty(m + 1, dtype=np.uint64)
+        pw[0] = ipw[0] = 1
+        if m:
+            np.cumprod(np.full(m, _POLY_C, dtype=np.uint64), out=pw[1:])
+            np.cumprod(np.full(m, _POLY_C_INV, dtype=np.uint64), out=ipw[1:])
+            pref = np.concatenate(
+                ([_U64(0)], np.cumsum(h * ipw[:m], dtype=np.uint64))
+            )
+        else:
+            pref = np.zeros(1, dtype=np.uint64)
+        s, e = off[:-1], off[1:]
+        out = (pref[e] - pref[s]) * pw[np.maximum(e, 1) - 1]
+        return _splitmix64(out ^ (lens * _U64(0x9E3779B97F4A7C15)))
+
+
+def _token_arrays(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Tokenize a batch -> (flat token-hash array, per-doc token counts).
+
+    Accepts a Python list of strings OR an Arrow string array. The whole
+    path is C/numpy: Arrow whitespace split, empty-token filtering (for
+    str.split() parity), dictionary encode (each DISTINCT token hashed
+    once), and the vectorized polynomial string hash — no per-token or
+    per-doc Python.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(
+            [t if isinstance(t, str) else "" for t in texts], pa.string()
+        )
+    arr = pc.fill_null(arr, "")
+    lists = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(lists)
+    raw_counts = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+    empty = np.asarray(pc.equal(flat, ""))
+    counts = raw_counts
+    if empty.any():
+        # Arrow's split keeps ''-tokens at runs/edges where str.split()
+        # drops them: subtract per-doc empty counts and filter them out
+        cs = np.concatenate(([0], np.cumsum(empty, dtype=np.int64)))
+        bounds = np.concatenate(([0], np.cumsum(raw_counts)))
+        counts = raw_counts - (cs[bounds[1:]] - cs[bounds[:-1]])
+        flat = flat.filter(pa.array(~empty))
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    enc = pc.dictionary_encode(flat)
+    codes = np.asarray(enc.indices).astype(np.int64)
+    uh = _hash_string_array(enc.dictionary)
+    return uh[codes], counts
+
+
+def _shingle_hashes(
+    flat_h: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial k-shingle hashes over per-doc token-hash runs.
+
+    Returns (shingle hash array, per-doc shingle counts). Docs shorter than
+    k tokens contribute ONE shingle over all their tokens (the old
+    " ".join(tokens) semantics); empty docs contribute none.
+
+    Window hash over flat positions [i, j):
+        H = (P[j] - P[i]) * c^(j-1)   where P[j] = sum_{t<j} h[t] * c^(-t)
+    — all arithmetic wraps mod 2^64 (numpy uint64), c odd so c^(-1) exists.
+    The global prefix telescopes, so windows never mix doc boundaries as
+    long as [i, j) stays within one doc. splitmix64 finalizes each hash.
+    """
+    n_tok = len(flat_h)
+    w = np.minimum(counts, k)  # per-doc window size
+    sh_counts = np.where(counts > 0, np.maximum(counts - k + 1, 1), 0)
+    total = int(sh_counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), sh_counts
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    with np.errstate(over="ignore"):
+        # c^t and c^(-t) power ladders over flat positions
+        pw = np.empty(n_tok, dtype=np.uint64)
+        ipw = np.empty(n_tok, dtype=np.uint64)
+        pw[0] = ipw[0] = 1
+        if n_tok > 1:
+            np.cumprod(np.full(n_tok - 1, _POLY_C, dtype=np.uint64), out=pw[1:])
+            np.cumprod(np.full(n_tok - 1, _POLY_C_INV, dtype=np.uint64), out=ipw[1:])
+        pref = np.concatenate(
+            ([_U64(0)], np.cumsum(flat_h * ipw, dtype=np.uint64))
+        )
+
+        # window starts: per-doc arange, fully vectorized
+        doc_of = np.repeat(np.arange(len(counts)), sh_counts)
+        sh_off = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(sh_off, sh_counts)
+        starts = np.repeat(offsets, sh_counts) + within
+        ends = starts + np.repeat(w, sh_counts)
+
+        h = (pref[ends] - pref[starts]) * pw[ends - 1]
+        return _splitmix64(h), sh_counts
 
 
 class MinHasher:
-    """Vectorized minhash with multiply-shift permutations.
+    """Batch-vectorized minhash with multiply-shift permutations.
 
     signature[i] = min over shingles of ((a_i * h + b_i) mod 2^64) — the
     multiply-add family over the full 64-bit ring (numpy wraparound IS the
-    modulus), avoiding object-dtype bignum math. a_i odd for invertibility.
+    modulus), a_i odd. The whole batch is one numpy pipeline: unique-token
+    blake2b (once per distinct token), rolling polynomial shingle combine,
+    one outer product per shingle chunk, and np.minimum.reduceat over doc
+    boundaries — no per-doc or per-shingle Python loop.
     """
+
+    # shingle tile sized so num_perm x tile stays cache-resident (~4 MB):
+    # streaming the full [num_perm, n_shingles] intermediate through DRAM
+    # measured ~200x slower on low-memory-bandwidth hosts
+    _TILE = 8192
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 42):
         rng = np.random.RandomState(seed)
@@ -108,14 +255,40 @@ class MinHasher:
         self.num_perm = num_perm
         self.k = shingle_k
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text.split(), self.k)
-        if not sh:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        hv = np.array([_hash64(s) for s in sh], dtype=np.uint64)
+    def signature_batch(self, texts: list) -> np.ndarray:
+        """Signatures for a batch -> uint64 [n_docs, num_perm]."""
+        n_docs = len(texts)
+        out = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        flat_h, counts = _token_arrays(texts)
+        sh, sh_counts = _shingle_hashes(flat_h, counts, self.k)
+        if len(sh) == 0:
+            return out  # all docs empty -> zero signatures (old semantics)
+        nonempty = sh_counts > 0
+        starts = np.concatenate(([0], np.cumsum(sh_counts[nonempty])[:-1]))
+
+        sigs = np.full(
+            (self.num_perm, len(starts)), np.iinfo(np.uint64).max,
+            dtype=np.uint64,
+        )
+        a, b = self.a, self.b
+        buf = np.empty((self.num_perm, self._TILE), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            m = np.outer(self.a, hv) + self.b[:, None]
-        return m.min(axis=1)
+            for lo in range(0, len(sh), self._TILE):
+                hi = min(lo + self._TILE, len(sh))
+                w = hi - lo
+                np.multiply(a[:, None], sh[None, lo:hi], out=buf[:, :w])
+                np.add(buf[:, :w], b[:, None], out=buf[:, :w])
+                # docs overlapping this tile: partial minima, merged into sigs
+                d0 = int(np.searchsorted(starts, lo, "right")) - 1
+                d1 = int(np.searchsorted(starts, hi, "left"))
+                idx = np.clip(starts[d0:d1], lo, hi) - lo
+                part = np.minimum.reduceat(buf[:, :w], idx, axis=1)
+                np.minimum(sigs[:, d0:d1], part, out=sigs[:, d0:d1])
+        out[nonempty] = sigs.T
+        return out
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signature_batch([text])[0]
 
 
 def minhash_lsh_dedup(
@@ -147,20 +320,28 @@ def minhash_lsh_dedup(
         if h is None:
             h = MinHasher(num_perm, shingle_k)
             hasher_holder["h"] = h
-        ids, bandl, buckl = [], [], []
-        for did, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = h.signature(text or "")
-            for b in range(bands):
-                seg = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                bh = _hash64(",".join(map(str, seg)), seed=b) & 0x7FFFFFFFFFFFFFFF
-                ids.append(did)
-                bandl.append(b)
-                buckl.append(bh)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sigs = h.signature_batch(batch[text_col])  # [n, num_perm]
+        n = len(ids)
+        # band bucket hash: polynomial combine of the band's segment values
+        # + the band index as seed, splitmix-finalized — vectorized over
+        # the whole [n, bands] grid at once
+        seg = sigs.reshape(n, bands, rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = np.zeros((n, bands), dtype=np.uint64)
+            for r in range(rows_per_band):  # rows_per_band is small (2-8)
+                bh = bh * _POLY_C + seg[:, :, r]
+            bh = _splitmix64(
+                bh ^ (np.arange(bands, dtype=np.uint64) * _U64(0xABCD1234))
+            )
+        bucket = (bh & _U64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(ids, pa.int64()),
-                "band": pa.array(bandl, pa.int32()),
-                "bucket": pa.array(buckl, pa.int64()),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(bucket.reshape(-1)),
             }
         )
 
@@ -195,34 +376,58 @@ def minhash_lsh_dedup(
 
 # ------------------------------------------------------------------ simhash
 
-def simhash64(text: str) -> int:
-    tokens = text.split()
-    if not tokens:
-        return 0
-    v = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = _hash64(tok)
-        bits = np.unpackbits(np.frombuffer(struct.pack(">Q", h), dtype=np.uint8))
-        v += np.where(bits == 1, 1, -1)
-    out = 0
-    for i, x in enumerate(v):
-        if x > 0:
-            out |= 1 << (63 - i)
+def simhash_batch(texts: list) -> np.ndarray:
+    """64-bit simhash per doc -> uint64 [n_docs], fully vectorized.
+
+    bit i (MSB-first) is set when the +1/-1 vote over that bit of every
+    token hash is positive. Tokens hash once per DISTINCT token (see
+    _token_arrays); the vote is one reduceat over a [tokens, 64] bit
+    matrix — no per-token Python loop.
+    """
+    n_docs = len(texts)
+    flat_h, counts = _token_arrays(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    n_tok = len(flat_h)
+    if n_tok == 0:
+        return out
+    nonempty = counts > 0
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    starts = offsets[nonempty]
+    ones = np.zeros((len(starts), 64), dtype=np.int64)
+    # token-axis tiles keep the unpacked [tile, 64] bit matrix cache-resident
+    # (the full matrix is 64x the token stream — DRAM-bandwidth-bound)
+    TILE = 16384
+    for lo in range(0, n_tok, TILE):
+        hi = min(lo + TILE, n_tok)
+        # [w, 8] big-endian bytes -> [w, 64] bits, MSB-first
+        bits = np.unpackbits(
+            flat_h[lo:hi, None].astype(">u8").view(np.uint8), axis=1
+        ).astype(np.int32)
+        d0 = int(np.searchsorted(starts, lo, "right")) - 1
+        d1 = int(np.searchsorted(starts, hi, "left"))
+        idx = np.clip(starts[d0:d1], lo, hi) - lo
+        ones[d0:d1] += np.add.reduceat(bits, idx, axis=0)
+    votes = 2 * ones - counts[nonempty, None]  # (+1 per set bit, -1 else)
+    packed = np.packbits(votes > 0, axis=1)  # MSB-first, 8 bytes per doc
+    out[nonempty] = packed.view(">u8").reshape(-1)
     return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash_batch([text])[0])
 
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact-simhash dedup: (doc_id, simhash, rep_id=min id per simhash)."""
 
     def add_sim(batch: pa.Table) -> pa.Table:
-        sims = [
-            simhash64(t or "") & 0x7FFFFFFFFFFFFFFF
-            for t in batch[text_col].to_pylist()
-        ]
+        sims = (
+            simhash_batch(batch[text_col]) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "simhash": pa.array(sims, pa.int64()),
+                "simhash": pa.array(sims),
             }
         )
 
@@ -241,6 +446,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "simhash": pa.array([], pa.int64()),
                          "rep_id": pa.array([], pa.int64())})
     return out
+
+
+def _shingles(tokens: list[str], k: int) -> set:
+    if len(tokens) < k:
+        return {" ".join(tokens)} if tokens else set()
+    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:

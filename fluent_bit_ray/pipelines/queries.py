@@ -320,6 +320,75 @@ def q_simhash(sf_dir: str):
     return dedup.simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+# the base documents tables have almost no exact duplicates, which would
+# make the co-clustering invariant vacuous — so the invariant queries run
+# over an AUGMENTED corpus: every doc_id < 100 is cloned as doc_id+1000000
+# (same augmentation expressed in the oracle SQL)
+_AUG_CLONE_BELOW = 100
+_AUG_SHIFT = 1_000_000
+
+
+def _augmented_docs_ds(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def clones(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.less(b["doc_id"], _AUG_CLONE_BELOW))
+        return pa.table(
+            {
+                "doc_id": pc.add(sub["doc_id"], pa.scalar(_AUG_SHIFT, pa.int64())),
+                "text": sub["text"],
+            }
+        )
+
+    return ds.union(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            clones, batch_format="pyarrow"
+        )
+    )
+
+
+def _exact_group_invariant(sf_dir: str, rep_table: pa.Table, val_col: str):
+    """Shared helper: for every text appearing >1 times in the augmented
+    corpus, count the distinct `val_col` values its docs were assigned — a
+    correct near-dup clustering assigns exact duplicates identically, so
+    the oracle side is the constant 1 per group."""
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    clones = docs[docs["doc_id"] < _AUG_CLONE_BELOW].assign(
+        doc_id=lambda d: d["doc_id"] + _AUG_SHIFT
+    )
+    import pandas as pd
+
+    aug = pd.concat([docs, clones], ignore_index=True)
+    merged = aug.merge(rep_table.to_pandas(), on="doc_id")
+    g = merged.groupby("text").agg(
+        doc_id=("doc_id", "min"), distinct=(val_col, "nunique"),
+        n=("doc_id", "size"),
+    )
+    g = g[g["n"] > 1].reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(g["doc_id"], pa.int64()),
+            "distinct_assignments": pa.array(g["distinct"], pa.int64()),
+        }
+    )
+
+
+def q_minhash_invariant(sf_dir: str):
+    """minhash exact-dup co-clustering: identical texts share identical
+    signatures, hence identical buckets and rep — distinct_assignments
+    must be 1 for every exact-duplicate group."""
+    reps = dedup.minhash_lsh_dedup(_augmented_docs_ds(sf_dir))
+    return _exact_group_invariant(sf_dir, reps, "rep_id")
+
+
+def q_simhash_invariant(sf_dir: str):
+    """simhash exact-dup co-clustering (same contract as minhash_invariant)."""
+    reps = dedup.simhash_dedup(_augmented_docs_ds(sf_dir))
+    return _exact_group_invariant(sf_dir, reps, "simhash")
+
+
 def q_text_stats(sf_dir: str):
     """token/byte counting (vectorized arrow kernels)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -458,6 +527,8 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
+    "minhash_invariant": q_minhash_invariant,
+    "simhash_invariant": q_simhash_invariant,
     "text_stats": q_text_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -526,6 +597,22 @@ ORACLE_SQL: dict[str, str] = {
         "FROM events) WHERE rn <= 5"
     ),
     "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    # exact-dup groups must receive ONE cluster assignment (minhash: same
+    # text -> same signature -> same buckets -> same rep; simhash: same
+    # text -> same hash). The oracle states the invariant; the Ray side
+    # measures the actual distinct-assignment count per group.
+    "minhash_invariant": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
+        "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
+        "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
+    "simhash_invariant": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
+        "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
+        "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
     "text_stats": (
         "SELECT doc_id, strlen(text) AS n_bytes, "
         "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents"
