@@ -33,6 +33,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from fluent_bit_ray.pipelines.queries import ORACLE_SQL
+    from fluent_bit_ray.pipelines.queries import oracle_sql_full
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_full()

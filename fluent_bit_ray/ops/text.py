@@ -56,52 +56,105 @@ def bpe_ish_token_count(texts: list[str]) -> list[int]:
     return [len(_BPE_ISH.findall(t or "")) for t in texts]
 
 
+def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Shared tokenizer: (flat token array, per-doc flat bounds, n_tokens).
+
+    Matches str.split() for the ASCII-whitespace case via trim +
+    `\\s+`-split (the same split token_count_batch and the SQL oracles
+    use); empty/whitespace-only docs count 0 tokens but still contribute
+    one '' entry to the flat array (harmless: '' has length 0 and is
+    never a stopword).
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(text_col, ""))
+    lists = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+    n_tokens = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
+    bounds = np.concatenate(([0], np.cumsum(raw)))
+    return pc.list_flatten(lists), bounds, n_tokens
+
+
+def _per_doc_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    cs = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    return cs[bounds[1:]] - cs[bounds[:-1]]
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features: length, punct ratio, stopword ratio,
-    mean token length — the C4/Gopher-style cheap filters."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    n_chars = np.zeros(n, dtype=np.int64)
-    punct_ratio = np.zeros(n)
-    stop_ratio = np.zeros(n)
-    mean_tok = np.zeros(n)
-    stops = _LANG_PROFILES["en"]
-    for i, t in enumerate(texts):
-        t = t or ""
-        n_chars[i] = len(t)
-        if not t:
-            continue
-        punct_ratio[i] = sum(1 for c in t if not c.isalnum() and not c.isspace()) / len(t)
-        toks = t.split()
-        if toks:
-            stop_ratio[i] = sum(1 for x in toks if x.lower() in stops) / len(toks)
-            mean_tok[i] = sum(len(x) for x in toks) / len(toks)
+    mean token length — the C4/Gopher-style cheap filters, all Arrow/numpy
+    kernels (no Python row loop). "Punctuation" is spec'd as the regex
+    class [^A-Za-z0-9\\s] so the engine and the SQL oracle agree exactly.
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    filled = pc.fill_null(text, "")
+    n_chars = np.asarray(pc.utf8_length(filled)).astype(np.int64)
+    punct = np.asarray(
+        pc.count_substring_regex(filled, r"[^A-Za-z0-9\s]")
+    ).astype(np.int64)
+    flat, bounds, n_tokens = _doc_tokens(text)
+    tok_len = np.asarray(pc.utf8_length(flat)).astype(np.int64)
+    sum_len = _per_doc_sum(tok_len, bounds)
+    is_stop = np.asarray(
+        pc.is_in(
+            pc.utf8_lower(flat),
+            value_set=pa.array(sorted(_LANG_PROFILES["en"])),
+        )
+    ).astype(np.int64)
+    stop_cnt = _per_doc_sum(is_stop, bounds)
+    nc = np.maximum(n_chars, 1)
+    nt = np.maximum(n_tokens, 1)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "n_chars": pa.array(n_chars),
-            "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-            "stopword_ratio": pa.array(np.round(stop_ratio, 6)),
-            "mean_token_len": pa.array(np.round(mean_tok, 6)),
+            "punct_ratio": pa.array(
+                np.where(n_chars > 0, punct / nc, 0.0)
+            ),
+            "stopword_ratio": pa.array(
+                np.where(n_tokens > 0, stop_cnt / nt, 0.0)
+            ),
+            "mean_token_len": pa.array(
+                np.where(n_tokens > 0, sum_len / nt, 0.0)
+            ),
         }
     )
 
 
+# stable global stopword index across all profiles (for the one-pass
+# membership scatter in lang_id_batch)
+_ALL_STOPS = sorted(set().union(*_LANG_PROFILES.values()))
+_STOP_IDX = {w: i for i, w in enumerate(_ALL_STOPS)}
+
+
 def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-profile language ID (deterministic heuristic)."""
-    texts = batch[text_col].to_pylist()
-    preds = []
-    for t in texts:
-        toks = [x.lower() for x in (t or "").split()]
-        tokset = set(toks)
-        best, best_score = "und", 0
-        for lang, profile in _LANG_PROFILES.items():
-            score = len(tokset & profile)
-            if score > best_score:
-                best, best_score = lang, score
-        preds.append(best)
+    """Stopword-profile language ID (deterministic heuristic), vectorized:
+    one is_in/index_in pass over the flat token stream, a boolean
+    (doc x stopword) presence scatter, and per-language column sums.
+    Ties resolve to the first language in profile order (en, de, fr, es);
+    zero matches -> 'und' — same contract as the SQL oracle's CASE.
+    """
+    flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+    n_docs = len(n_tokens)
+    low = pc.utf8_lower(flat)
+    codes = pc.index_in(low, value_set=pa.array(_ALL_STOPS))
+    codes = np.asarray(pc.fill_null(codes, -1)).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(bounds))
+    hit = codes >= 0
+    present = np.zeros((n_docs, len(_ALL_STOPS)), dtype=bool)
+    present[doc_idx[hit], codes[hit]] = True  # DISTINCT (doc, word) pairs
+    langs = list(_LANG_PROFILES)
+    scores = np.zeros((n_docs, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        cols = [_STOP_IDX[w] for w in _LANG_PROFILES[lang]]
+        scores[:, j] = present[:, cols].sum(axis=1)
+    best = scores.argmax(axis=1)  # argmax -> FIRST max (profile order wins)
+    pred = np.asarray(langs, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = "und"
     return pa.table(
-        {"doc_id": batch["doc_id"], "lang_pred": pa.array(preds, pa.string())}
+        {"doc_id": batch["doc_id"], "lang_pred": pa.array(pred, pa.string())}
     )
 
 

@@ -1,0 +1,106 @@
+"""DuckDB SQL oracle for the flagship weblog pipeline.
+
+Reproduces parse -> route -> flowcounter (pipelines/weblog.py aggregate_only)
+as one ANSI-ish SQL statement over the synthesized pages parquet, so the
+driver's side-by-side harness can hash-compare the headline pipeline:
+
+- the 3-parser fallback chain becomes a CASE over (apache regex | JSON
+  object | syslog regex) in the engine's order (stages/parser_filter.py);
+- event time per kind mirrors functions/timeparse.py: apache `%d/%b/%Y:
+  %H:%M:%S %z`, docker ISO-8601 (sub-minute precision is irrelevant to the
+  minute bucket, so DuckDB's us truncation of 9-digit fractions is safe),
+  syslog with the injected deterministic year 2018; parse failures fall
+  back to warc_ts (weblog.py event-time fallback);
+- routing fan-out is a UNION ALL of the four DEFAULT_SINKS with their
+  Match conditions (tag = web.{lang}.{host}, router.py), sink_errors with
+  its grep on code ~ ^5\\d\\d$ (missing code drops, stages/grep.py);
+- `(?m)` on every pattern: the engine compiles Onigmo-style line anchors
+  (re.MULTILINE), RE2 needs the explicit flag (the docker inner log line
+  ends with a real newline).
+
+Regex/format sources: parsers/core.py _STOCK_CONF (apache, syslog-rfc3164),
+reference conf/parsers.conf.
+"""
+
+from __future__ import annotations
+
+# stock apache pattern with numbered groups (group 6 = code)
+_APACHE_RE = (
+    r'(?m)^([^ ]*) [^ ]* ([^ ]*) \[([^\]]*)\] '
+    r'"(\S+)(?: +([^"]*?)(?: +\S*)?)?" ([^ ]*) ([^ ]*)'
+    r'(?: "([^"]*)" "([^"]*)")?$'
+)
+_SYSLOG_RE = (
+    r"(?m)^\<([0-9]+)\>([^ ]* {1,2}[^ ]* [^ ]*) ([^ ]*) "
+    r"([a-zA-Z0-9_\/\.\-]*)(?:\[([0-9]+)\])?(?:[^\:]*\:)? *(.*)$"
+)
+
+
+def weblog_aggregate_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """The flagship oracle over `pages_glob` (a parquet glob path)."""
+    return f"""
+WITH pages AS (
+  SELECT url, warc_ts, text, lang
+  FROM read_parquet('{pages_glob}')
+),
+parsed AS (
+  SELECT
+    lang,
+    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+    CAST(strlen(text) AS BIGINT) AS nbytes,
+    CASE
+      WHEN regexp_matches(text, '{_APACHE_RE}') THEN 'apache'
+      WHEN json_type(TRY_CAST(text AS JSON)) = 'OBJECT' THEN 'docker'
+      WHEN regexp_matches(text, '{_SYSLOG_RE}') THEN 'syslog'
+      ELSE 'fail'
+    END AS kind,
+    text, warc_ts
+  FROM pages
+),
+timed AS (
+  SELECT
+    lang, host, nbytes, kind,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '{_APACHE_RE}', 6)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '{_APACHE_RE}', 6)
+      ELSE NULL
+    END AS code,
+    COALESCE(
+      CASE kind
+        WHEN 'apache' THEN epoch_ns(try_strptime(
+          regexp_extract(text, '\\[([^\\]]*)\\]', 1),
+          '%d/%b/%Y:%H:%M:%S %z'))
+        WHEN 'docker' THEN epoch_ns(TRY_CAST(
+          json_extract_string(text, '$.time') AS TIMESTAMP_NS))
+        WHEN 'syslog' THEN epoch_ns(try_strptime(
+          '{now_year} ' || regexp_replace(
+            regexp_extract(text, '^\\<[0-9]+\\>([^ ]* {{1,2}}[^ ]* [^ ]*) ', 1),
+            ' +', ' ', 'g'),
+          '%Y %b %d %H:%M:%S'))
+        ELSE NULL
+      END,
+      epoch_ns(warc_ts)
+    ) AS event_ns
+  FROM parsed
+),
+routed AS (
+  SELECT 'sink_en' AS sink, * FROM timed WHERE lang = 'en'
+  UNION ALL
+  SELECT 'sink_intl', * FROM timed WHERE lang IN ('de', 'fr', 'es', 'ja')
+  UNION ALL
+  SELECT 'sink_all', * FROM timed
+  UNION ALL
+  SELECT 'sink_errors', * FROM timed
+  WHERE code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')
+)
+SELECT
+  sink, lang, host,
+  event_ns // 60000000000 AS bucket,
+  CAST(count(*) AS BIGINT) AS records,
+  CAST(sum(nbytes) AS BIGINT) AS bytes,
+  CAST(sum(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END) AS BIGINT)
+    AS parse_failures
+FROM routed
+GROUP BY sink, lang, host, bucket
+"""

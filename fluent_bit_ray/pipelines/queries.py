@@ -617,6 +617,45 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, strlen(text) AS n_bytes, "
         "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents"
     ),
+    "quality": (
+        "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents) "
+        "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+        "CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END "
+        "  AS punct_ratio, "
+        "CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> lower(x) IN "
+        "('the','and','of','to','a','in','is','that','it','for')"
+        "))::DOUBLE / len(t) ELSE 0 END AS stopword_ratio, "
+        "CASE WHEN len(t) > 0 THEN "
+        "list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) "
+        "ELSE 0 END AS mean_token_len FROM toks"
+    ),
+    "lang_id": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE list_distinct(list_transform(string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+        "x -> lower(x))) END AS dt FROM documents), "
+        "scored AS (SELECT doc_id, "
+        "len(list_intersect(dt, ['the','and','of','to','a','in','is',"
+        "'that','it','for'])) AS s_en, "
+        "len(list_intersect(dt, ['der','die','das','und','ist','nicht',"
+        "'ein','mit','zu'])) AS s_de, "
+        "len(list_intersect(dt, ['le','la','les','et','est','un','une',"
+        "'des','du','que'])) AS s_fr, "
+        "len(list_intersect(dt, ['el','la','los','y','es','un','una',"
+        "'de','que','en'])) AS s_es FROM toks) "
+        "SELECT doc_id, CASE "
+        "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+        "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+        "WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de' "
+        "WHEN s_fr = greatest(s_fr, s_es) THEN 'fr' "
+        "ELSE 'es' END AS lang_pred FROM scored"
+    ),
     "ann_topk": (
         "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
         "CAST(row_number() OVER (PARTITION BY q.vec_id "
@@ -653,6 +692,29 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, min(ns) AS session_start, "
         "count(*) AS events FROM sess GROUP BY user_id, sid"
     ),
-    # rows-only (non-SQL-expressible): minhash_dedup, simhash, quality,
-    # lang_id, fingerprint, weblog_aggregate, weblog_from_html
+    # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
+    # (their invariants are oracle-checked via *_invariant above)
 }
+
+
+def oracle_sql_full() -> dict[str, str]:
+    """ORACLE_SQL plus the dynamically-built flagship oracles.
+
+    The weblog oracle reads the synthesized pages parquet directly (the
+    pages table is not one of the driver's registered views), so its SQL
+    embeds the cache path for the driver's correctness scale (sf0.01 ->
+    60000 rows; override with FBR_ORACLE_PAGES_ROWS when checking other
+    scales locally). Calling this synthesizes the table if missing so the
+    SQL is runnable regardless of query/oracle execution order. The
+    from_html path is byte-identical to the text path by construction, so
+    both queries share one oracle.
+    """
+    from ..oracle.weblog_sql import weblog_aggregate_sql
+    from ..synth import pages_path
+
+    out = dict(ORACLE_SQL)
+    rows = int(os.environ.get("FBR_ORACLE_PAGES_ROWS", "60000"))
+    sql = weblog_aggregate_sql(pages_path(rows) + "/*.parquet")
+    out["weblog_aggregate"] = sql
+    out["weblog_from_html"] = sql
+    return out
