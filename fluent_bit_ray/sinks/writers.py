@@ -361,12 +361,26 @@ class SinkWriteStage:
         lang = sub["lang"] if "lang" in sub.column_names else pa.nulls(n, pa.string())
         host = sub["host"] if "host" in sub.column_names else pa.nulls(n, pa.string())
         if "_time" in sub.column_names:
-            t = sub["_time"].to_numpy(zero_copy_only=False).astype("float64")
-            bucket = np.where(
-                np.isnan(t) | (t == _NAT_F),
-                -1,
-                (t / 1e9 // self.bucket_sec).astype("int64"),
-            ).astype("int64")
+            col = sub["_time"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_integer(col.type):
+                # exact int64 ns arithmetic: float rounding near a minute
+                # boundary could otherwise move a record one bucket off the
+                # SQL oracle's integer division
+                ts = np.asarray(col.fill_null(np.iinfo(np.int64).min))
+                bucket = np.where(
+                    ts == np.iinfo(np.int64).min,
+                    -1,
+                    ts // (self.bucket_sec * 10**9),
+                ).astype("int64")
+            else:
+                t = col.to_numpy(zero_copy_only=False).astype("float64")
+                bucket = np.where(
+                    np.isnan(t) | (t == _NAT_F),
+                    -1,
+                    (t / 1e9 // self.bucket_sec).astype("int64"),
+                ).astype("int64")
         else:
             bucket = np.full(n, -1, dtype=np.int64)
         if self.bytes_col in sub.column_names:
