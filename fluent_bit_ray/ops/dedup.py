@@ -462,52 +462,122 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter) if (sa or sb) else 0.0
 
 
-def embedding_neardup_pairs(
+def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {"id_a": pa.array(lo, type=pa.int64()), "id_b": pa.array(hi, pa.int64())}
+    )
+
+
+def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None):
+    from .ann import _batch_matrix, _normalize
+
+    ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ma = _normalize(_batch_matrix(ta, vec_col))
+    if tb is None:
+        sims = ma @ ma.T
+        r, c = np.nonzero(np.triu(sims >= threshold, 1))
+        return _pair_table(ids_a[r], ids_a[c])
+    ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mb = _normalize(_batch_matrix(tb, vec_col))
+    r, c = np.nonzero(ma @ mb.T >= threshold)
+    return _pair_table(ids_a[r], ids_b[c])
+
+
+def embedding_neardup_pairs_blocked(
     ds,
-    queries_ref,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-):
-    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with id_a < id_b
-    and cosine >= threshold.
+) -> pa.Table:
+    """EXACT embedding-cosine near-dup pairs without a whole-corpus
+    broadcast: a blocked pair-join over the Dataset's Arrow blocks.
 
-    The full (normalized) matrix is broadcast once; each batch does one
-    GEMM against it and emits only the above-threshold pairs — at corpus
-    scale, replace the broadcast side with IVF buckets (ops/ann.ivf_topk)
-    so candidates are bucket-local.
+    Each of the B(B+1)/2 tasks reads TWO blocks from the object store and
+    emits only its above-threshold pairs — per-task memory is O(block²)
+    sims and no task (and not the driver) ever holds the full matrix.
+    All-pairs at a loose threshold is inherently O(N²) compute; for the
+    near-identical regime use the IVF bucketed path below, which trades
+    exactness at loose thresholds for bucket-local compute.
     """
-    import numpy as np
     import ray
 
-    from .ann import _batch_matrix, _normalize, _maybe_get
+    refs = ds.to_arrow_refs()
+    task = ray.remote(_block_pairs_task)
+    futs = []
+    for i in range(len(refs)):
+        futs.append(task.remote(threshold, id_col, vec_col, refs[i]))
+        for j in range(i + 1, len(refs)):
+            futs.append(task.remote(threshold, id_col, vec_col, refs[i], refs[j]))
+    parts = [t for t in ray.get(futs) if t.num_rows]
+    if not parts:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
 
-    cache: dict = {}
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        q = cache.get("q")
-        if q is None:
-            q = _maybe_get(queries_ref)
-            q = {"ids": q["ids"], "mat": _normalize(q["mat"].astype(np.float64))}
-            cache["q"] = q
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+def embedding_neardup_pairs_ivf(
+    ds,
+    threshold: float = 0.98,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF-bucketed near-dup pairs — the 100-TB-scale path.
+
+    Every vector is assigned to its `n_probe` nearest coarse centroids
+    (deterministic sample, ops/ann.ivf_build_centroids), the exchange
+    co-locates buckets, and pair GEMMs run bucket-locally; a final
+    group-by dedups pairs found in several buckets. APPROXIMATE for
+    loosely-similar pairs (a qualifying pair in disjoint probe sets is
+    missed); EXACT for identical/near-identical vectors, which share
+    probe sets by construction — the regime this path is for.
+    """
+    from .ann import _batch_matrix, _normalize, ivf_build_centroids
+    from ..shuffle import hash_exchange
+
+    cents = ivf_build_centroids(ds, n_centroids, vec_col)
+    holder = {"c": cents}
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = holder["c"]
         mat = _normalize(_batch_matrix(batch, vec_col))
-        sims = mat @ q["mat"].T  # [nb, nq]
-        a_out, b_out = [], []
-        rows, cols = np.nonzero(sims >= threshold)
-        for r, c in zip(rows, cols):
-            ia, ib = int(ids[r]), int(q["ids"][c])
-            if ia < ib:
-                a_out.append(ia)
-                b_out.append(ib)
-        return pa.table(
-            {
-                "id_a": pa.array(a_out, pa.int64()),
-                "id_b": pa.array(b_out, pa.int64()),
-            }
+        probes = np.argsort(-(mat @ c.T), kind="stable", axis=1)[:, :n_probe]
+        n = batch.num_rows
+        rep = batch.select([id_col, vec_col]).take(
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), n_probe))
+        )
+        return rep.append_column(
+            "_bucket", pa.array(probes.reshape(-1).astype(np.int64))
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def shard_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("_bucket", "ascending")])
+        b = np.asarray(t["_bucket"].combine_chunks())
+        starts = np.r_[0, np.nonzero(np.diff(b))[0] + 1, len(b)]
+        parts = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            parts.append(
+                _block_pairs_task(threshold, id_col, vec_col, t.slice(s, e - s))
+            )
+        if not parts:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        merged = pa.concat_tables(parts)
+        return merged.group_by(["id_a", "id_b"]).aggregate([])  # shard dedup
+
+    out = hash_exchange(assigned.to_arrow_refs(), ["_bucket"], shard_pairs)
+    if out is None:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    # cross-shard dedup (a pair can surface in buckets on two shards);
+    # the pair list is tiny relative to the corpus
+    return out.group_by(["id_a", "id_b"]).aggregate([])
 
 
 def verify_pairs_jaccard(

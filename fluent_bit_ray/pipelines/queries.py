@@ -430,16 +430,41 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    """embedding-cosine near-dup pairs (threshold 0.45, id_a < id_b).
+    """embedding-cosine near-dup pairs (threshold 0.45, id_a < id_b),
+    via the blocked pair-join — EXACT, with no whole-corpus broadcast
+    (each task reads two Arrow blocks from the object store).
 
     0.45 sits >5e-4 from the nearest pair similarity at sf0.01, far above
     the float32-vs-float64 computation difference vs the DuckDB oracle.
     """
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
-    ref = ann.make_query_ref(np.asarray(emb["vec_id"].to_pylist()), mat)
-    return dedup.embedding_neardup_pairs(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ref, threshold=0.45
+    return dedup.embedding_neardup_pairs_blocked(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45
+    )
+
+
+def q_embedding_neardup_ivf(sf_dir: str):
+    """IVF-bucketed near-dup pairs — the scale path, oracle-checked in the
+    regime where bucketing IS exact: the corpus is augmented with exact
+    clones (vec_id < 50 -> vec_id+100000) and the threshold (0.98) only
+    admits clone pairs, which share probe sets by construction."""
+    base = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def clones(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.less(b["vec_id"], 50))
+        return pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], pa.scalar(100_000, pa.int64())),
+                "embedding": sub["embedding"],
+            }
+        )
+
+    aug = base.union(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            clones, batch_format="pyarrow"
+        )
+    )
+    return dedup.embedding_neardup_pairs_ivf(
+        aug, threshold=0.98, n_centroids=8, n_probe=2
     )
 
 
@@ -535,6 +560,7 @@ QUERIES: dict[str, Callable] = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_ivf": q_embedding_neardup_ivf,
     "salted_topk": q_salted_topk,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
@@ -669,6 +695,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a "
         "CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"
+    ),
+    "embedding_neardup_ivf": (
+        "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM aug a "
+        "CROSS JOIN aug b WHERE a.vec_id < b.vec_id "
+        "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
     ),
     "salted_topk": (
         "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "

@@ -236,3 +236,44 @@ class TestWindows:
         )
         # buckets of 300s: events at 0,100,200 -> one bucket of 3; 900 -> 1
         assert [c for _, c in u1] == [3, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingNearDup:
+    def _ds(self, n=60, dim=8, clones=5):
+        import ray.data
+
+        rng = np.random.RandomState(3)
+        mat = rng.randn(n, dim).astype(np.float32)
+        mat[:clones] += 10  # make clone base vectors distinctive
+        ids = list(range(n)) + [i + 1000 for i in range(clones)]
+        vecs = mat.tolist() + mat[:clones].tolist()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                }
+            )
+        ), mat, clones
+
+    def test_blocked_matches_numpy_exact(self):
+        ds, mat, clones = self._ds()
+        got = dedup.embedding_neardup_pairs_blocked(ds, threshold=0.9)
+        pairs = {(a, b) for a, b in zip(got["id_a"].to_pylist(), got["id_b"].to_pylist())}
+        m = np.vstack([mat, mat[:clones]]).astype(np.float64)
+        ids = np.array(list(range(len(mat))) + [i + 1000 for i in range(clones)])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        want = set()
+        for i, j in np.argwhere(np.triu(sims >= 0.9, 1)):
+            want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        assert pairs == want
+
+    def test_ivf_finds_exact_clones(self):
+        ds, mat, clones = self._ds()
+        got = dedup.embedding_neardup_pairs_ivf(
+            ds, threshold=0.9999, n_centroids=4, n_probe=2
+        )
+        pairs = {(a, b) for a, b in zip(got["id_a"].to_pylist(), got["id_b"].to_pylist())}
+        assert {(i, i + 1000) for i in range(clones)} <= pairs
