@@ -284,6 +284,16 @@ def build_input(sec: dict, registry: ParserRegistry):
             batch_format="pyarrow",
         )
         return ds, tag or "dummy.0"
+    if name in ("forward", "forward_file"):
+        # in_forward's batch analog: msgpack forward-protocol dump files
+        # ([tag, [[time, record], ...]] frames, EventTime fixext8 —
+        # sources/msgpack_io.py). Tags come from the frames themselves, so
+        # a static Tag option is ignored like fluentd's in_forward.
+        from ..sources.msgpack_io import forward_file_dataset
+
+        path = _one(sec, "path")
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        return forward_file_dataset(files), tag or "forward.0"
     raise ValueError(
         f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
         "out of scope for the batch engine; see SURVEY §2.4)"

@@ -468,6 +468,82 @@ def q_embedding_neardup_ivf(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------- forward
+
+def _forward_fixture(sf_dir: str, n_files: int = 4) -> str:
+    """Deterministic forward-protocol dump of the events table (cached).
+
+    Frames cycle Forward / PackedForward / Message modes with EventTime
+    fixext8 timestamps, so the reader's three mode paths all run.
+    """
+    import hashlib
+
+    from ..sources.msgpack_io import write_forward_file
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "ts"],
+    ).sort_by([("event_id", "ascending")])
+    key = hashlib.blake2b(
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+    ).hexdigest()
+    d = os.path.join("/tmp/fbr_forward_cache", key)
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        users = t["user_id"].to_pylist()
+        ts_ns = [v * 1000 for v in pc.cast(t["ts"], pa.int64()).to_pylist()]
+        modes = ["forward", "packed", "message"]
+        per_frame = 100
+        frames_per_file: list[list] = [[] for _ in range(n_files)]
+        for fi, start in enumerate(range(0, len(ids), per_frame)):
+            end = min(start + per_frame, len(ids))
+            entries = [
+                (
+                    ts_ns[i],
+                    {
+                        "event_id": ids[i],
+                        "event_type": types[i],
+                        "user_id": users[i],
+                    },
+                )
+                for i in range(start, end)
+            ]
+            frames_per_file[fi % n_files].append(
+                (f"evt.fw{fi % 3}", entries, modes[fi % 3])
+            )
+        for fi, frames in enumerate(frames_per_file):
+            write_forward_file(os.path.join(d, f"fw_{fi:03d}.msgpack"), frames)
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def q_forward_events(sf_dir: str):
+    """in_forward: decode msgpack forward frames (all three wire modes +
+    EventTime fixext8) back into records; the oracle derives the same rows
+    straight from the events table."""
+    import glob as g
+
+    from ..sources.msgpack_io import forward_file_dataset
+
+    d = _forward_fixture(sf_dir)
+    ds = forward_file_dataset(sorted(g.glob(os.path.join(d, "*.msgpack"))))
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "time_ns": b["_time"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_salted_topk(sf_dir: str):
     """salted two-stage aggregate: top-10 users by event count (hot keys
     spread over salt shards; result identical to an unsalted groupby)."""
@@ -561,6 +637,7 @@ QUERIES: dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_ivf": q_embedding_neardup_ivf,
+    "forward_events": q_forward_events,
     "salted_topk": q_salted_topk,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
@@ -702,6 +779,10 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM aug a "
         "CROSS JOIN aug b WHERE a.vec_id < b.vec_id "
         "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.98"
+    ),
+    "forward_events": (
+        "SELECT event_id, event_type, user_id, epoch_ns(ts) AS time_ns "
+        "FROM events"
     ),
     "salted_topk": (
         "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "
