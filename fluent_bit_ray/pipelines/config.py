@@ -284,6 +284,30 @@ def build_input(sec: dict, registry: ParserRegistry):
             batch_format="pyarrow",
         )
         return ds, tag or "dummy.0"
+    if name == "syslog":
+        # in_syslog batch analog (plugins/in_syslog/syslog_prot.c:42-96):
+        # one record per line via the configured parser; lines the parser
+        # rejects are DROPPED (the reference logs and skips them). Default
+        # parser mirrors syslog_conf.c:123-132 (rfc5424 for stream mode).
+        path = _one(sec, "path")
+        parser_name = _one(sec, "parser", "syslog-rfc5424")
+        parser = registry.get(parser_name)
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        ds = ray.data.read_text(files)
+
+        def parse_lines(batch: pa.Table, _p=parser) -> pa.Table:
+            out = _p.parse_batch(batch["text"].to_pylist())
+            ok = pa.array(out.pop("_parse_ok"))
+            ts = out.pop("_time")
+            import numpy as _np
+
+            cols = {}
+            for k, v in out.items():
+                cols[k] = v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v)
+            cols["_time"] = pa.array(ts, mask=(ts == _np.iinfo(_np.int64).min))
+            return pa.table(cols).filter(ok)
+
+        return ds.map_batches(parse_lines, batch_format="pyarrow"), tag or "syslog.0"
     if name in ("forward", "forward_file"):
         # in_forward's batch analog: msgpack forward-protocol dump files
         # ([tag, [[time, record], ...]] frames, EventTime fixext8 —

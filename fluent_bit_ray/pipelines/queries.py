@@ -468,6 +468,78 @@ def q_embedding_neardup_ivf(sf_dir: str):
     )
 
 
+# ----------------------------------------------------------------- syslog
+
+def _syslog_fixture(sf_dir: str, n_files: int = 4) -> str:
+    """Deterministic rfc3164 syslog dump of the events table (cached),
+    with an unparseable junk line interleaved every 97 records to exercise
+    the input's drop-on-parse-failure path."""
+    import hashlib
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id", "ts"],
+    ).sort_by([("event_id", "ascending")])
+    key = hashlib.blake2b(
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:syslog-v1".encode(),
+        digest_size=8,
+    ).hexdigest()
+    d = os.path.join("/tmp/fbr_syslog_cache", key)
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        users = t["user_id"].to_pylist()
+        stamps = [
+            v.strftime("%b %d %H:%M:%S") for v in t["ts"].to_pylist()
+        ]
+        files = [open(os.path.join(d, f"sys_{i:03d}.log"), "w") for i in range(n_files)]
+        for i in range(len(ids)):
+            line = (
+                f"<{ids[i] % 192}>{stamps[i]} h{users[i]} app{ids[i] % 7}"
+                f"[{ids[i] % 30000 + 2}]: {types[i]} event {ids[i]}"
+            )
+            f = files[i % n_files]
+            f.write(line + "\n")
+            if i % 97 == 0:
+                f.write("*** not a syslog line ***\n")
+        for f in files:
+            f.close()
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def q_syslog_events(sf_dir: str):
+    """[INPUT] Name syslog: rfc3164 lines -> parsed records (failures
+    dropped); the oracle derives the identical fields straight from the
+    events columns, including the year-2018-injected event time."""
+    from .config import build_input
+    from ..parsers import DEFAULT_REGISTRY
+
+    d = _syslog_fixture(sf_dir)
+    ds, _tag = build_input(
+        {"name": ["syslog"], "path": [os.path.join(d, "*.log")],
+         "parser": ["syslog-rfc3164"]},
+        DEFAULT_REGISTRY,
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pri": b["pri"],
+                "host": b["host"],
+                "ident": b["ident"],
+                "pid": b["pid"],
+                "message": b["message"],
+                "time_ns": b["_time"],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- forward
 
 def _forward_fixture(sf_dir: str, n_files: int = 4) -> str:
@@ -637,6 +709,7 @@ QUERIES: dict[str, Callable] = {
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_ivf": q_embedding_neardup_ivf,
+    "syslog_events": q_syslog_events,
     "forward_events": q_forward_events,
     "salted_topk": q_salted_topk,
     "sliding_window": q_sliding_window,
@@ -782,6 +855,16 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "forward_events": (
         "SELECT event_id, event_type, user_id, epoch_ns(ts) AS time_ns "
+        "FROM events"
+    ),
+    "syslog_events": (
+        "SELECT CAST(event_id % 192 AS VARCHAR) AS pri, "
+        "'h' || CAST(user_id AS VARCHAR) AS host, "
+        "'app' || CAST(event_id % 7 AS VARCHAR) AS ident, "
+        "CAST(event_id % 30000 + 2 AS VARCHAR) AS pid, "
+        "event_type || ' event ' || CAST(event_id AS VARCHAR) AS message, "
+        "epoch_ns(make_timestamp(2018, month(ts), day(ts), hour(ts), "
+        "minute(ts), CAST(date_part('second', ts) AS DOUBLE))) AS time_ns "
         "FROM events"
     ),
     "salted_topk": (

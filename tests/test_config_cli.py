@@ -334,3 +334,30 @@ class TestRandomHeadDelimiter:
 
         content = open(g.glob(str(out / "file_0" / "*.csv"))[0]).read()
         assert ';"1";"2"' in content
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSyslogInput:
+    def test_name_syslog_parses_and_drops_failures(self, tmp_path):
+        p = tmp_path / "a.log"
+        p.write_text(
+            "<13>Feb 21 17:26:53 myhost app1[77]: hello world\n"
+            "*** junk that no parser accepts ***\n"
+            "<9>Feb 21 17:26:54 other app2: second line\n"
+        )
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        ds, tag = build_input(
+            {"name": ["syslog"], "path": [str(p)], "parser": ["syslog-rfc3164"]},
+            DEFAULT_REGISTRY,
+        )
+        rows = sorted(ds.take_all(), key=lambda r: r["time"])
+        assert tag == "syslog.0"
+        assert len(rows) == 2  # junk line dropped (syslog_prot.c skip path)
+        assert rows[0]["host"] == "myhost" and rows[0]["pid"] == "77"
+        assert rows[0]["message"] == "hello world"
+        assert rows[1]["ident"] == "app2" and rows[1]["pid"] is None
+        # year injection: 2018 epoch for Feb 21 17:26:53/54 UTC
+        assert rows[0]["_time"] == 1519234013 * 10**9
+        assert rows[1]["_time"] == 1519234014 * 10**9
