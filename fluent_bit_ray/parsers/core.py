@@ -101,7 +101,10 @@ class Parser:
             m = self._re.search(text)
             if m is None:
                 return None, None
-            rec = {k: v for k, v in m.groupdict().items() if v is not None}
+            # non-participating captures emit EMPTY strings: onig_foreach_name
+            # invokes the callback for every named group, and an unmatched
+            # group's region is length 0 (src/flb_regex.c:29-58)
+            rec = {k: (v if v is not None else "") for k, v in m.groupdict().items()}
         elif self.fmt == "json":
             try:
                 obj = json.loads(text)
@@ -197,7 +200,9 @@ class Parser:
                 ok[i] = True
                 g = m.group
                 for gi, col in field_cols:
-                    col[i] = g(gi)
+                    v = g(gi)
+                    # unmatched groups -> "" (onig cb semantics, see parse_row)
+                    col[i] = v if v is not None else ""
         elif self.fmt == "json":
             if self.fields is None:
                 raise ValueError(

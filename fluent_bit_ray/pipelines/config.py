@@ -152,6 +152,37 @@ def build_filter(sec: dict, registry: ParserRegistry):
         )
     if name == "stdout":
         return StdoutFilter()
+    if name == "kubernetes":
+        # the faithful filter_kubernetes analog (stages/kubernetes.py):
+        #   Meta_Dir  /path/with/*.meta   (pod JSON files keyed by metadata.name
+        #                                  — the API-server analog)
+        #   Merge_Log On|Off, K8S-Logging.Parser On|Off, Annotations On|Off,
+        #   Regex_Parser <named regex parser for tag->meta extraction>
+        import glob as _glob
+        import json as jsonmod
+
+        from ..parsers.core import _ruby_to_python_regex
+        from ..stages.kubernetes import TAG_TO_META_REGEX, KubernetesFilter
+
+        metas = {}
+        meta_dir = _one(sec, "meta_dir")
+        if meta_dir:
+            for f in sorted(_glob.glob(os.path.join(meta_dir, "*.meta"))):
+                with open(f) as fh:
+                    pod = jsonmod.load(fh)
+                metas[pod["metadata"]["name"]] = pod
+        tag_regex = TAG_TO_META_REGEX
+        rp = _one(sec, "regex_parser")
+        if rp:
+            tag_regex = _ruby_to_python_regex(registry.get(rp).regex)
+        return KubernetesFilter(
+            metas,
+            registry=registry,
+            tag_regex=tag_regex,
+            merge_log=_on(sec, "merge_log", True),
+            k8s_logging_parser=_on(sec, "k8s-logging.parser", True),
+            annotations=_on(sec, "annotations", True),
+        )
     if name == "enrich":
         # filter_kubernetes-style lookup enrichment from a json dim file:
         #   Lookup /path/dim.json   ({key: {field: value}})

@@ -357,7 +357,7 @@ class TestSyslogInput:
         assert len(rows) == 2  # junk line dropped (syslog_prot.c skip path)
         assert rows[0]["host"] == "myhost" and rows[0]["pid"] == "77"
         assert rows[0]["message"] == "hello world"
-        assert rows[1]["ident"] == "app2" and rows[1]["pid"] is None
+        assert rows[1]["ident"] == "app2" and rows[1]["pid"] == ""
         # year injection: 2018 epoch for Feb 21 17:26:53/54 UTC
         assert rows[0]["_time"] == 1519234013 * 10**9
         assert rows[1]["_time"] == 1519234014 * 10**9

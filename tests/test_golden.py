@@ -64,7 +64,7 @@ EXPECT = [
     dict(ok=True, time=E, client_host="hostx", pri="13", ident="app", pid="1",
          message="m1", extracted=ROWS[6][2], sinks={"sink_en", "sink_all"}),
     dict(ok=True, time=1517792523 * 10**9, client_host="hosty", pri="5",
-         ident="daemon", pid=None, message="hello", extracted=ROWS[7][2],
+         ident="daemon", pid="", message="hello", extracted=ROWS[7][2],
          sinks={"sink_intl", "sink_all"}),
     dict(ok=True, time=E, client_host="hostz", pri="99", ident="x", pid="2",
          message="", extracted=ROWS[8][2], sinks={"sink_all"}),

@@ -46,9 +46,12 @@ class TestApacheParser:
             "path": "/index.html",
             "code": "200",
             "size": "3477",
+            "referer": "",
+            "agent": "",
         }
-        # time dropped (Time_Keep default Off), absent optional keys omitted
-        assert "time" not in rec and "referer" not in rec
+        # time dropped (Time_Keep default Off); non-participating optional
+        # captures emit EMPTY strings (onig cb semantics, flb_regex.c:29-58)
+        assert "time" not in rec
 
     def test_full_with_referer(self):
         ts, rec = self.p.parse_row(APACHE_LINE_FULL)
@@ -67,7 +70,7 @@ class TestApacheParser:
         assert out["_time"][0] == 1519234013 * 10**9
         assert out["_time"][2] == NAT
         assert out["host"] == ["192.168.1.1", "10.0.0.9", None, None]
-        assert out["referer"] == [None, "http://ref.example", None, None]
+        assert out["referer"] == ["", "http://ref.example", None, None]
         assert "time" not in out
 
 
