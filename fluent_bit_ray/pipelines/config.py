@@ -429,6 +429,23 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
         spec = OutputSpec("file", match, path, "plot")
         spec.fmt_options = (("key", _one(sec, "key", "value")),)
         return spec
+    if name == "influxdb":
+        # out_influxdb analog: line-protocol files (transport out of scope)
+        spec = OutputSpec("file", match, path, "influxdb")
+        opts = [("sequence_tag", _one(sec, "sequence_tag", "_seq"))]
+        if _on(sec, "auto_tags", False):
+            opts.append(("auto_tags", "on"))
+        if _one(sec, "tag_keys"):
+            opts.append(("tag_keys", _one(sec, "tag_keys")))
+        spec.fmt_options = tuple(opts)
+        return spec
+    if name == "kafka":
+        # out_kafka analog: json message bodies, one per line
+        spec = OutputSpec("file", match, path, "kafka")
+        spec.fmt_options = (
+            ("timestamp_key", _one(sec, "timestamp_key", "@timestamp")),
+        )
+        return spec
     if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):
         spec = OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
         opts = []

@@ -175,7 +175,7 @@ def _chunk_token(chunk: pa.Table) -> str:
 class SinkSpec:
     name: str
     patterns: tuple[str, ...]
-    fmt: str = "parquet"  # parquet | json | csv | ltsv | es | plot
+    fmt: str = "parquet"  # parquet | json | csv | ltsv | es | plot | influxdb | kafka
     grep: Optional[tuple[tuple[str, str, str], ...]] = None  # extra rule chain
     columns: Optional[tuple[str, ...]] = None  # projection; None = record cols
     # format options: es -> (("index","fluentbit"),("type","flb_type")),
@@ -216,6 +216,83 @@ def format_es_bulk(table: pa.Table, record_cols: list[str],
             src = {time_key: dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{int((times[i]%1)*1000):03d}Z", **src}
         out.append('{"index":{"_index":"%s","_type":"%s"}}' % (index, es_type))
         out.append(record_to_json(src))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_influxdb(
+    table: pa.Table,
+    record_cols: list[str],
+    seq_name: str = "_seq",
+    seq_start: int = 0,
+    auto_tags: bool = False,
+    tag_keys: Optional[tuple[str, ...]] = None,
+) -> str:
+    """out_influxdb line protocol (plugins/out_influxdb/influxdb.c:48-317 +
+    influxdb_bulk.c — studied, not copied): per record
+    `{tag},{seq_name}={n}[,tagkey="val"...] key=val,... {timestamp_ns}`;
+    bools print TRUE/FALSE, floats %f, strings quoted with the flb
+    escaping; nil and nested values are skipped; a record whose fields are
+    all tagged is dropped (the reference logs an error). The sequence
+    counter restarts per formatted chunk (the reference's is per-process —
+    a documented divergence of the stateless batch engine), wrapping to 1
+    at 100000 like the reference.
+    """
+    n = table.num_rows
+    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
+    times = table["_time"].to_pylist() if "_time" in table.column_names else [None] * n
+    tag_key_set = set(tag_keys or ())
+    out = []
+    seq = seq_start
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        head = [f"{tags[i]},{seq_name}={seq}"]
+        if seq + 1 >= 100000:
+            seq = 1
+        else:
+            seq += 1
+        body = []
+        for k, v in rec.items():
+            quote = False
+            if isinstance(v, bool):
+                sval = "TRUE" if v else "FALSE"
+            elif isinstance(v, (int, np.integer)):
+                sval = str(int(v))
+            elif isinstance(v, (float, np.floating)):
+                sval = f"{float(v):f}"
+            elif isinstance(v, str):
+                quote = True
+                sval = '"' + flb_json_escape(v) + '"'
+            elif isinstance(v, bytes):
+                quote = True
+                sval = '"' + flb_json_escape(v.decode("utf-8", "replace")) + '"'
+            else:
+                continue  # nil / nested values are skipped
+            tagged = (quote and auto_tags) or k in tag_key_set
+            (head if tagged else body).append(f"{k}={sval}")
+        if not body:
+            continue  # all fields tagged: record dropped (influxdb.c:269-272)
+        t = times[i]
+        ts_ns = 0 if t is None or t == int(_NAT_F) else int(t)
+        out.append(",".join(head) + " " + ",".join(body) + f" {ts_ns}")
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def format_kafka_json(
+    table: pa.Table, record_cols: list[str], timestamp_key: str = "@timestamp"
+) -> str:
+    """out_kafka json message bodies (plugins/out_kafka/kafka.c:68-125):
+    per record one JSON object with `{timestamp_key: <double time>}`
+    prepended, serialized in flb_msgpack_to_json shape (functions/mp_json).
+    One message per line (the transport is out of scope; the body format
+    is the portable part). A record key equal to timestamp_key overwrites
+    the injected one (msgpack maps would carry both — documented)."""
+    from ..functions.mp_json import mp_json_value
+
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        body = {timestamp_key: float(times[i])}
+        body.update(rec)
+        out.append(mp_json_value(body))
     return "\n".join(out) + ("\n" if out else "")
 
 
@@ -341,6 +418,21 @@ class SinkWriteStage:
                         time_key=spec.opt("time_key", "@timestamp"),
                     )
                     ext = ".bulk"
+                elif spec.fmt == "influxdb":
+                    tk = spec.opt("tag_keys")
+                    payload = format_influxdb(
+                        chunk, rc,
+                        seq_name=spec.opt("sequence_tag", "_seq"),
+                        auto_tags=spec.opt("auto_tags", "off") == "on",
+                        tag_keys=tuple(tk.split()) if tk else None,
+                    )
+                    ext = ".influx"
+                elif spec.fmt == "kafka":
+                    payload = format_kafka_json(
+                        chunk, rc,
+                        timestamp_key=spec.opt("timestamp_key", "@timestamp"),
+                    )
+                    ext = ".ndjson"
                 elif spec.fmt == "plot":
                     payload = format_plot(chunk, spec.opt("key", "value"))
                     ext = ".dat"

@@ -136,3 +136,67 @@ class TestGoldenCorpus:
         assert totals["sink_errors"][0] == 2
         assert totals["sink_all"][2] == 3  # rows 9, 10, 11 fail parse
         assert totals["sink_all"][1] == sum(len(r[2].encode()) for r in ROWS)
+
+
+class TestInfluxKafkaFormats:
+    """Formatter goldens mirroring the C emitters (influxdb.c, kafka.c)."""
+
+    def _table(self):
+        import numpy as np
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "_tag": pa.array(["cpu.0", "cpu.0"]),
+                "_time": pa.array(
+                    [1519234013 * 10**9 + 500, 1519234014 * 10**9], pa.int64()
+                ),
+                "host": pa.array(["serverA", "serverB"]),
+                "usage": pa.array([0.5, None], pa.float64()),
+                "count": pa.array([3, 4], pa.int64()),
+                "up": pa.array([True, False]),
+            }
+        )
+
+    def test_influxdb_lines(self):
+        from fluent_bit_ray.sinks.writers import format_influxdb
+
+        out = format_influxdb(self._table(), ["host", "usage", "count", "up"])
+        assert out == (
+            'cpu.0,_seq=0 host="serverA",usage=0.500000,count=3,up=TRUE'
+            " 1519234013000000500\n"
+            'cpu.0,_seq=1 host="serverB",count=4,up=FALSE'
+            " 1519234014000000000\n"
+        )
+
+    def test_influxdb_tag_keys_move_to_head(self):
+        from fluent_bit_ray.sinks.writers import format_influxdb
+
+        out = format_influxdb(
+            self._table(), ["host", "count"], tag_keys=("host",)
+        )
+        assert out.splitlines()[0] == (
+            'cpu.0,_seq=0,host="serverA" count=3 1519234013000000500'
+        )
+
+    def test_influxdb_all_tagged_dropped(self):
+        from fluent_bit_ray.sinks.writers import format_influxdb
+
+        out = format_influxdb(
+            self._table(), ["host"], auto_tags=True
+        )
+        assert out == ""  # every field tagged -> record dropped
+
+    def test_kafka_json_bodies(self):
+        from fluent_bit_ray.sinks.writers import format_kafka_json
+
+        out = format_kafka_json(self._table(), ["host", "count", "up"])
+        lines = out.splitlines()
+        assert lines[0] == (
+            '{"@timestamp":1519234013.000000, "host":"serverA", '
+            '"count":3, "up":true}'
+        )
+        assert lines[1] == (
+            '{"@timestamp":1519234014.000000, "host":"serverB", '
+            '"count":4, "up":false}'
+        )
