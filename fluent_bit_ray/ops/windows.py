@@ -3,16 +3,21 @@
 The reference has only wall-clock sliding caps (filter_throttle) and
 tumbling buckets (out_flowcounter); Ray Data has no watermarks. Per the
 batch re-expression (SURVEY §2.6): treat the input as an ordered partitioned
-log — `groupby(key).map_groups(fn)` hands each key's rows to a pandas body
-that sorts by ts and windows locally. Ordering assumption: all rows of one
-key fit one group (Ray groupby guarantees key co-location); ts order within
-the group is established by the sort inside `fn`, so input order is free.
+log. Keys are HASH-SHARDED and each shard's many keys are processed by ONE
+pandas body (sort by key+ts, then vectorized run/group math) — a
+`groupby(key).map_groups` would pay a Python call and a pandas frame per
+key, which at 10^8 users becomes the stage cost. The shuffle moves each row
+once, keyed by a uniform hash, so Zipf-skewed keys spread evenly (skew
+lives WITHIN a key; a single key's rows still co-locate, which is the
+correctness requirement).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+
+DEFAULT_SHARDS = 64
 
 
 def _epoch_ns(series: pd.Series) -> pd.Series:
@@ -23,32 +28,65 @@ def _epoch_ns(series: pd.Series) -> pd.Series:
     return series.astype("datetime64[ns]").astype("int64")
 
 
+def _with_shard(ds, key_col: str, num_shards: int):
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
+        df["_shard"] = (h % num_shards).astype("int64")
+        return df
+
+    return ds.map_batches(add_shard, batch_format="pandas")
+
+
+def _finish(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop(columns=["_shard"])
+
+
 def sliding_count(
     ds,
     key_col: str,
     ts_col: str,
     window_sec: int,
     out_col: str = "window_count",
+    num_shards: int = DEFAULT_SHARDS,
 ):
     """Per row: count of same-key rows with ts in [t - window, t] (inclusive
     both ends — SQL `RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`).
     Returns a Dataset of (key, id columns..., out_col).
     """
+    w = window_sec * 10**9
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col).reset_index(drop=True)
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
         ns = _epoch_ns(df[ts_col]).to_numpy()
-        w = window_sec * 10**9
-        # searchsorted, not pandas rolling: rolling counts only rows UP TO the
-        # current positional row, while RANGE ... CURRENT ROW includes ALL
-        # peer rows with an equal timestamp (ties -> 2,2 not 1,2)
-        counts = np.searchsorted(ns, ns, side="right") - np.searchsorted(
-            ns, ns - w, side="left"
-        )
+        if len(ns) == 0:
+            df[out_col] = np.array([], dtype="int64")
+            return _finish(df)
+        # composite-space searchsorted: place each key's run in its own
+        # disjoint block so ONE pair of searchsorted calls serves every key
+        # in the shard (peers with equal ts included on both ends)
+        codes = pd.factorize(df[key_col])[0].astype(np.int64)
+        base = ns - ns.min()
+        span = int(base.max()) + w + 2
+        n_keys = int(codes.max()) + 1
+        if span > 0 and n_keys <= (2**62) // span:
+            comp = codes * span + base
+            counts = np.searchsorted(comp, comp, side="right") - np.searchsorted(
+                comp, comp - w, side="left"
+            )
+        else:  # composite space would overflow: per-run fallback
+            counts = np.empty(len(ns), dtype=np.int64)
+            starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1, len(codes)]
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg = ns[s:e]
+                counts[s:e] = np.searchsorted(seg, seg, side="right") - (
+                    np.searchsorted(seg, seg - w, side="left")
+                )
         df[out_col] = counts.astype("int64")
-        return df
+        return _finish(df)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
 
 
 def tumbling_agg(
@@ -57,19 +95,24 @@ def tumbling_agg(
     ts_col: str,
     window_sec: int,
     value_col: str,
+    num_shards: int = DEFAULT_SHARDS,
 ):
     """Per (key, tumbling window): count + sum — the flowcounter shape
-    expressed through the generic window path (groupby + in-group pandas)."""
+    expressed through the generic window path (one C-level pandas groupby
+    per shard, all the shard's keys at once)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         bucket = (_epoch_ns(df[ts_col]) // (window_sec * 10**9)).astype("int64")
-        g = df.assign(bucket=bucket).groupby("bucket", as_index=False).agg(
-            records=(value_col, "size"), total=(value_col, "sum")
+        g = (
+            df.assign(bucket=bucket)
+            .groupby([key_col, "bucket"], as_index=False, sort=False)
+            .agg(records=(value_col, "size"), total=(value_col, "sum"))
         )
-        g[key_col] = df[key_col].iloc[0]
         return g[[key_col, "bucket", "records", "total"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
 
 
 def session_windows(
@@ -77,18 +120,21 @@ def session_windows(
     key_col: str,
     ts_col: str,
     gap_sec: int,
+    num_shards: int = DEFAULT_SHARDS,
 ):
     """Session windows: consecutive same-key events within `gap_sec` belong
     to one session. Returns (key, session_start ns, events) per session."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col).reset_index(drop=True)
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
         ns = _epoch_ns(df[ts_col])
-        new_session = (ns.diff() > gap_sec * 10**9).fillna(True)
+        key_change = df[key_col].ne(df[key_col].shift())
+        new_session = (ns.diff() > gap_sec * 10**9) | key_change
         sid = new_session.cumsum()
-        g = df.assign(_sid=sid, _ns=ns).groupby("_sid")
-        out = g.agg(session_start=("_ns", "min"), events=("_ns", "size")).reset_index(drop=True)
-        out[key_col] = df[key_col].iloc[0]
-        return out[[key_col, "session_start", "events"]]
+        g = df.assign(_sid=sid, _ns=ns).groupby([key_col, "_sid"], sort=False)
+        out = g.agg(session_start=("_ns", "min"), events=("_ns", "size"))
+        return out.reset_index()[[key_col, "session_start", "events"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -249,16 +249,14 @@ def build_input(sec: dict, registry: ParserRegistry):
         ds = ray.data.read_text(files)
 
         def parse_json_lines(batch: pa.Table) -> pa.Table:
-            import json as jsonmod
+            from ..parsers.multidoc import concat_json_records
 
             rows = []
             for line in batch["text"].to_pylist():
-                try:
-                    obj = jsonmod.loads(line)
-                except (ValueError, TypeError):
-                    continue  # invalid JSON dropped (flb_pack_json rejects)
-                if isinstance(obj, dict):
-                    rows.append(obj)
+                # incremental multi-doc tokenizer (flb_pack_json_state
+                # analog): a line may carry several concatenated maps;
+                # invalid/non-map content is dropped (flb_pack_json rejects)
+                rows.extend(concat_json_records(line or ""))
             if not rows:
                 return pa.table({"log": pa.array([], pa.string())})
             return pa.Table.from_pylist(rows)

@@ -176,3 +176,35 @@ class TestConfLoader:
         )
         _, rec = reg.get("mini").parse_row("x 5")
         assert rec == {"k": "x", "v": 5}
+
+
+class TestMultiDocJson:
+    """flb_pack_json_state analog: concatenated-JSON tokenizing."""
+
+    def test_multiple_docs_one_buffer(self):
+        from fluent_bit_ray.parsers.multidoc import consume_json_stream
+
+        docs, used = consume_json_stream('{"a":1}{"b":2} {"c":3}')
+        assert docs == [{"a": 1}, {"b": 2}, {"c": 3}]
+        assert used == len('{"a":1}{"b":2} {"c":3}')
+
+    def test_partial_tail_unconsumed(self):
+        from fluent_bit_ray.parsers.multidoc import consume_json_stream
+
+        buf = '{"a":1}{"b":'
+        docs, used = consume_json_stream(buf)
+        assert docs == [{"a": 1}]
+        assert buf[used:] == '{"b":'  # pending tail kept for the next read
+
+    def test_non_map_docs_filtered(self):
+        from fluent_bit_ray.parsers.multidoc import concat_json_records
+
+        assert concat_json_records('3 {"a":1} [1,2] {"b":2}') == [
+            {"a": 1}, {"b": 2}
+        ]
+
+    def test_whitespace_and_empty(self):
+        from fluent_bit_ray.parsers.multidoc import consume_json_stream
+
+        assert consume_json_stream("  \n\t ") == ([], 5)
+        assert consume_json_stream("") == ([], 0)
