@@ -340,11 +340,17 @@ class SinkWriteStage:
         out_dir: Optional[str],
         bucket_sec: int = 60,
         bytes_col: str = "text",
+        retry=None,
     ):
+        from .retry import RetryPolicy
+
         self.sinks = sinks
         self.out_dir = out_dir  # None = aggregate-only (no file writes)
         self.bucket_sec = bucket_sec
         self.bytes_col = bytes_col
+        # bounded in-task retry for transient sink I/O errors; exhaustion
+        # re-raises and Ray task retry takes over (sinks/retry.py design)
+        self.retry = retry if retry is not None else RetryPolicy()
         self.router = Router([s.route() for s in sinks])
         self._greps = {
             s.name: GrepFilter(list(s.grep)) if s.grep else None for s in sinks
@@ -400,7 +406,10 @@ class SinkWriteStage:
             path = os.path.join(self.out_dir, spec.name, fname)
             if spec.fmt == "parquet":
                 cols = rc + [c for c in ("_tag", "_time") if c in chunk.column_names]
-                pq.write_table(chunk.select(cols), path + ".parquet")
+                self.retry.run(
+                    lambda: pq.write_table(chunk.select(cols), path + ".parquet"),
+                    token=fname,
+                )
             else:
                 if spec.fmt == "json":
                     payload = format_json_lines(chunk, rc)
@@ -443,8 +452,11 @@ class SinkWriteStage:
                         label_delimiter=spec.opt("label_delimiter", ":"),
                     )
                     ext = ".ltsv"
-                with open(path + ext, "w") as f:
-                    f.write(payload)
+                def _write_text(p=path + ext, body=payload):
+                    with open(p, "w") as f:
+                        f.write(body)
+
+                self.retry.run(_write_text, token=fname)
 
     # ---------------------------------------------------------- aggregate
     def _partial_agg(self, sub: pa.Table, sink: str) -> pa.Table:

@@ -144,3 +144,41 @@ class TestThrottleSentinel:
         # by (bucket, _time, id)
         assert capped.num_rows == 4
         assert sorted(capped["id"].to_pylist()) == [0, 1, 10, 11]
+
+
+class TestSinkRetry:
+    def test_transient_errors_retried_then_succeed(self):
+        from fluent_bit_ray.sinks.retry import RetryPolicy
+
+        calls = {"n": 0}
+        waits = []
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise OSError("transient")
+            return "ok"
+
+        p = RetryPolicy(retry_limit=3)
+        assert p.run(flaky, token="t", sleep=waits.append) == "ok"
+        assert calls["n"] == 3 and len(waits) == 2
+        assert all(0 <= w <= 2.0 for w in waits)
+
+    def test_exhaustion_reraises(self):
+        import pytest as _pytest
+
+        from fluent_bit_ray.sinks.retry import RetryPolicy
+
+        def always():
+            raise OSError("down")
+
+        with _pytest.raises(OSError):
+            RetryPolicy(retry_limit=2).run(always, sleep=lambda s: None)
+
+    def test_backoff_deterministic_and_capped(self):
+        from fluent_bit_ray.sinks.retry import backoff_full_jitter
+
+        a = [backoff_full_jitter(n, "tok") for n in range(8)]
+        b = [backoff_full_jitter(n, "tok") for n in range(8)]
+        assert a == b  # deterministic across runs
+        assert all(0 <= x <= 2.0 for x in a)  # capped
