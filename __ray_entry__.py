@@ -9,9 +9,13 @@ here (or in fluent_bit_ray) calls ray.init()/ray.shutdown().
   bytes, parse_failures).
 - queries(): one entry per implemented operator from SURVEY.md §2 plus the
   training-data ops (dedup/ANN/text); see fluent_bit_ray/pipelines/queries.py.
-- oracle_sql(): DuckDB equivalents with matching column names; ops without
-  an entry get the driver's rows-only check (their exact equality is
-  asserted in pytest against the pure-Python oracle instead).
+- oracle_sql(): DuckDB equivalents with matching column names, including
+  dynamically-built oracles for the flagship weblog pipeline (the pages
+  parquet is synthesized on call so the SQL is runnable in any order).
+  Rows-only (no SQL equivalent): minhash_dedup / simhash cluster tables and
+  fingerprint — their exact-dup co-cluster invariants ARE oracle-checked
+  via minhash_invariant / simhash_invariant, and exact equality vs the
+  pure-Python oracle is asserted in pytest.
 """
 
 from __future__ import annotations
