@@ -123,14 +123,38 @@ def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
     return "\n".join(out) + ("\n" if out else "")
 
 
+def _print_columns(table: pa.Table, record_cols: list[str]) -> list[list]:
+    """Serialize each column ONCE with a per-column type dispatch (the
+    csv/ltsv hot path): string/int columns take a comprehension fast path
+    (no per-cell isinstance), everything else falls back to _print_value.
+    None stays None (absent key)."""
+    out = []
+    for c in record_cols:
+        col = table[c]
+        vals = col.to_pylist()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            out.append([None if v is None else f'"{v}"' for v in vals])
+        elif pa.types.is_integer(t):
+            out.append([None if v is None else str(v) for v in vals])
+        elif pa.types.is_boolean(t):
+            out.append(
+                [None if v is None else ("true" if v else "false") for v in vals]
+            )
+        elif pa.types.is_floating(t):
+            out.append([None if v is None else repr(v) for v in vals])
+        else:
+            out.append([None if v is None else _print_value(v) for v in vals])
+    return out
+
+
 def format_csv(table: pa.Table, record_cols: list[str], delimiter: str = ",") -> str:
     times = _times_sec(table)
+    cols = _print_columns(table, record_cols)
     out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        out.append(
-            f"{times[i]:.6f}" + delimiter
-            + delimiter.join(_print_value(v) for v in rec.values())
-        )
+    for i in range(table.num_rows):
+        vals = [sv for col in cols if (sv := col[i]) is not None]
+        out.append(f"{times[i]:.6f}" + delimiter + delimiter.join(vals))
     return "\n".join(out) + ("\n" if out else "")
 
 
@@ -138,10 +162,12 @@ def format_ltsv(
     table: pa.Table, record_cols: list[str], delimiter: str = "\t", label_delimiter: str = ":"
 ) -> str:
     times = _times_sec(table)
+    cols = _print_columns(table, record_cols)
+    frags = [f'"{c}"{label_delimiter}' for c in record_cols]
     out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
+    for i in range(table.num_rows):
         parts = [f'"time"{label_delimiter}{times[i]:.6f}'] + [
-            f'"{k}"{label_delimiter}{_print_value(v)}' for k, v in rec.items()
+            frag + sv for frag, col in zip(frags, cols) if (sv := col[i]) is not None
         ]
         out.append(delimiter.join(parts))
     return "\n".join(out) + ("\n" if out else "")
