@@ -313,6 +313,37 @@ def build_input(sec: dict, registry: ParserRegistry):
             batch_format="pyarrow",
         )
         return ds, tag or "dummy.0"
+    if name == "exec":
+        # in_exec batch analog (plugins/in_exec/in_exec.c:37-110): run the
+        # command ONCE (the reference re-runs per Interval — a batch engine
+        # makes one deterministic invocation, documented divergence), one
+        # record per stdout line; with Parser, failed lines are DROPPED,
+        # without it each line packs as {"exec": line}.
+        import subprocess as sp
+
+        cmd = _one(sec, "command")
+        if not cmd:
+            raise ValueError("[INPUT] Name exec needs Command")
+        parser_name = _one(sec, "parser")
+        proc = sp.run(cmd, shell=True, capture_output=True, text=True,
+                      timeout=int(_one(sec, "timeout", "60")))
+        lines = proc.stdout.splitlines()
+        if parser_name:
+            parser = registry.get(parser_name)
+            out = parser.parse_batch(lines)
+            ok = pa.array(out.pop("_parse_ok"))
+            ts = out.pop("_time")
+            import numpy as _np
+
+            cols = {
+                k: (v if isinstance(v, (pa.Array, pa.ChunkedArray)) else pa.array(v))
+                for k, v in out.items()
+            }
+            cols["_time"] = pa.array(ts, mask=(ts == _np.iinfo(_np.int64).min))
+            table = pa.table(cols).filter(ok)
+        else:
+            table = pa.table({"exec": pa.array(lines, pa.string())})
+        return ray.data.from_arrow(table), tag or "exec.0"
     if name == "syslog":
         # in_syslog batch analog (plugins/in_syslog/syslog_prot.c:42-96):
         # one record per line via the configured parser; lines the parser

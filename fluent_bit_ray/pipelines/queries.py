@@ -649,6 +649,38 @@ def q_session_windows(sf_dir: str):
     )
 
 
+def q_tumbling_window(sf_dir: str):
+    """tumbling event-time windows: per (user, 10-minute bucket) count+sum."""
+    from ..ops.windows import tumbling_agg
+
+    return tumbling_agg(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        "user_id", "ts", 600, "value",
+    )
+
+
+def q_udf_filter(sf_dir: str):
+    """filter_lua analog (UdfFilter): a columnar UDF that drops error rows
+    and derives a doubled value — semantics simple enough for a SQL twin."""
+    from ..stages.throttle import UdfFilter
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["event_type"], pa.scalar("error"))
+        sub = t.filter(keep)
+        return pa.table(
+            {
+                "event_id": sub["event_id"],
+                "event_type": sub["event_type"],
+                "double_value": pc.multiply(sub["value"], pa.scalar(2.0)),
+            }
+        )
+
+    f = UdfFilter(batch_fn=batch_fn)
+    return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        f.process_batch, batch_format="pyarrow"
+    )
+
+
 def q_weblog_aggregate(sf_dir: str):
     """flagship pipeline aggregate (pages synthesized per sf; rows-only —
     exact equality vs the Python oracle is enforced in pytest)."""
@@ -714,6 +746,8 @@ QUERIES: dict[str, Callable] = {
     "salted_topk": q_salted_topk,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
+    "tumbling_window": q_tumbling_window,
+    "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
 }
@@ -888,6 +922,15 @@ ORACLE_SQL: dict[str, str] = {
         "    PARTITION BY user_id ORDER BY ns) AS sid FROM marked) "
         "SELECT user_id, min(ns) AS session_start, "
         "count(*) AS events FROM sess GROUP BY user_id, sid"
+    ),
+    "tumbling_window": (
+        "SELECT user_id, epoch_ns(ts) // 600000000000 AS bucket, "
+        "CAST(count(*) AS BIGINT) AS records, SUM(value) AS total "
+        "FROM events GROUP BY user_id, bucket"
+    ),
+    "udf_filter": (
+        "SELECT event_id, event_type, value * 2.0 AS double_value "
+        "FROM events WHERE event_type <> 'error'"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

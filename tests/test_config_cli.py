@@ -361,3 +361,83 @@ class TestSyslogInput:
         # year injection: 2018 epoch for Feb 21 17:26:53/54 UTC
         assert rows[0]["_time"] == 1519234013 * 10**9
         assert rows[1]["_time"] == 1519234014 * 10**9
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExecInput:
+    def test_exec_plain_lines(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        ds, tag = build_input(
+            {"name": ["exec"], "command": ["printf 'one\\ntwo\\n'"]},
+            DEFAULT_REGISTRY,
+        )
+        assert tag == "exec.0"
+        assert [r["exec"] for r in ds.take_all()] == ["one", "two"]
+
+    def test_exec_with_parser_drops_failures(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        cmd = (
+            "printf '<13>Feb 21 17:26:53 hostx app[9]: ok\\nnot syslog\\n'"
+        )
+        ds, _ = build_input(
+            {"name": ["exec"], "command": [cmd], "parser": ["syslog-rfc3164"]},
+            DEFAULT_REGISTRY,
+        )
+        rows = ds.take_all()
+        assert len(rows) == 1
+        assert rows[0]["host"] == "hostx" and rows[0]["message"] == "ok"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestForwardToNewSinksE2E:
+    def test_forward_grep_influxdb_kafka(self, tmp_path):
+        from fluent_bit_ray.sources.msgpack_io import write_forward_file
+        from fluent_bit_ray.pipelines.config import run_config
+
+        dump = str(tmp_path / "in.msgpack")
+        entries = [
+            (10**9, {"svc": "api", "code": "500", "n": 1}),
+            (2 * 10**9, {"svc": "web", "code": "200", "n": 2}),
+            (3 * 10**9, {"svc": "api", "code": "503", "n": 3}),
+        ]
+        write_forward_file(dump, [("app.metrics", entries, "forward")])
+        out = tmp_path / "out"
+        res = run_config(
+            f"""
+[INPUT]
+    Name forward
+    Path {dump}
+
+[FILTER]
+    Name grep
+    Match app.*
+    Regex code ^5\\d\\d$
+
+[OUTPUT]
+    Name influxdb
+    Match app.*
+    Path sink
+
+[OUTPUT]
+    Name kafka
+    Match app.*
+""",
+            out_root=str(out),
+        )
+        assert res.counts["file_0"] == 2  # 200 row dropped by grep
+        import glob as g
+
+        files = g.glob(str(out / "file_0" / "*.influx"))
+        assert len(files) == 1
+        body = open(files[0]).read()
+        lines = body.strip().splitlines()
+        assert lines[0] == (
+            'app.metrics,_seq=0 svc="api",code="500",n=1 1000000000'
+        )
+        assert lines[1] == (
+            'app.metrics,_seq=1 svc="api",code="503",n=3 3000000000'
+        )
