@@ -475,6 +475,15 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
             ("timestamp_key", _one(sec, "timestamp_key", "@timestamp")),
         )
         return spec
+    if name == "http":
+        # out_http analog: json / json_stream / json_lines bodies
+        spec = OutputSpec("file", match, path, "http")
+        spec.fmt_options = (
+            ("json_date_key", _one(sec, "json_date_key", "date")),
+            ("json_date_format", _one(sec, "json_date_format", "double")),
+            ("http_format", _one(sec, "format", "json")),
+        )
+        return spec
     if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):
         spec = OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
         opts = []

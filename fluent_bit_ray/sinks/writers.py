@@ -322,6 +322,63 @@ def format_kafka_json(
     return "\n".join(out) + ("\n" if out else "")
 
 
+def format_http(
+    table: pa.Table,
+    record_cols: list[str],
+    date_key: str = "date",
+    date_format: str = "double",  # double | iso8601
+    out_format: str = "json",  # json | json_stream | json_lines
+) -> str:
+    """out_http body format (plugins/out_http/http.c:38-160 — studied, not
+    copied): a JSON ARRAY of records with `{date_key: <double | iso8601
+    us-precision UTC>}` injected first, serialized in flb_msgpack_to_json
+    shape; json_stream/json_lines apply the reference's in-place character
+    transform (top-level brackets blanked to spaces, top-level commas to
+    the separator) — reproduced verbatim for byte parity, quirks included.
+    """
+    import datetime
+
+    from ..functions.mp_json import mp_json_value
+
+    times = _times_sec(table)
+    bodies = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        if date_format == "iso8601":
+            t = times[i]
+            dt = datetime.datetime.fromtimestamp(int(t), datetime.timezone.utc)
+            us = int(round((t - int(t)) * 1e9)) // 1000
+            date_val = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{us:06d}Z"
+        else:
+            date_val = float(times[i])
+        body = {date_key: date_val}
+        body.update(rec)
+        bodies.append(mp_json_value(body))
+    out = "[" + ", ".join(bodies) + "]"
+    if out_format in ("json_stream", "json_lines"):
+        sep = "\n" if out_format == "json_lines" else " "
+        chars = list(out)
+        level = 0
+        in_string = in_escape = False
+        for j, ch in enumerate(chars):
+            if in_escape:
+                in_escape = False
+            elif ch == "\\":
+                in_escape = True
+            elif ch == '"':
+                in_string = not in_string
+            elif not in_string:
+                if ch == "{":
+                    level += 1
+                elif ch == "}":
+                    level -= 1
+                elif ch in "[]" and level == 0:
+                    chars[j] = " "
+                elif ch == "," and level == 0:
+                    chars[j] = sep
+        out = "".join(chars)
+    return out
+
+
 def format_plot(table: pa.Table, key: str) -> str:
     """out_plot (plugins/out_plot/plot.c:51-123): `timestamp value` rows of
     one numeric field, gnuplot-ready."""
@@ -468,6 +525,14 @@ class SinkWriteStage:
                         timestamp_key=spec.opt("timestamp_key", "@timestamp"),
                     )
                     ext = ".ndjson"
+                elif spec.fmt == "http":
+                    payload = format_http(
+                        chunk, rc,
+                        date_key=spec.opt("json_date_key", "date"),
+                        date_format=spec.opt("json_date_format", "double"),
+                        out_format=spec.opt("http_format", "json"),
+                    )
+                    ext = ".json"
                 elif spec.fmt == "plot":
                     payload = format_plot(chunk, spec.opt("key", "value"))
                     ext = ".dat"

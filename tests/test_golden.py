@@ -200,3 +200,48 @@ class TestInfluxKafkaFormats:
             '{"@timestamp":1519234014.000000, "host":"serverB", '
             '"count":4, "up":false}'
         )
+
+
+class TestHttpFormat:
+    """out_http body goldens (http.c:38-160): date injection + the
+    json_stream/json_lines top-level character transform."""
+
+    def _table(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "_time": pa.array(
+                    [1519234013 * 10**9 + 360920913, 1519234014 * 10**9],
+                    pa.int64(),
+                ),
+                "msg": pa.array(["a[1],b", "two"]),
+                "n": pa.array([1, 2], pa.int64()),
+            }
+        )
+
+    def test_json_array_double_date(self):
+        from fluent_bit_ray.sinks.writers import format_http
+
+        out = format_http(self._table(), ["msg", "n"])
+        assert out == (
+            '[{"date":1519234013.360921, "msg":"a[1],b", "n":1}, '
+            '{"date":1519234014.000000, "msg":"two", "n":2}]'
+        )
+
+    def test_iso8601_date(self):
+        from fluent_bit_ray.sinks.writers import format_http
+
+        out = format_http(self._table(), ["n"], date_format="iso8601")
+        assert out.startswith('[{"date":"2018-02-21T17:26:53.360920Z", "n":1}')
+
+    def test_json_lines_transform(self):
+        from fluent_bit_ray.sinks.writers import format_http
+
+        out = format_http(self._table(), ["msg", "n"], out_format="json_lines")
+        # top-level brackets blanked, top-level comma -> newline; string
+        # content (including brackets/commas inside values) untouched
+        assert out == (
+            ' {"date":1519234013.360921, "msg":"a[1],b", "n":1}\n'
+            ' {"date":1519234014.000000, "msg":"two", "n":2} '
+        )
