@@ -104,13 +104,42 @@ def bench_ann() -> float:
     return time.time() - t0
 
 
+def bench_simhash() -> float:
+    from fluent_bit_ray.pipelines.queries import q_simhash
+
+    t0 = time.time()
+    _consume(q_simhash(SF_DIR))
+    return time.time() - t0
+
+
+def bench_sliding_window() -> float:
+    from fluent_bit_ray.pipelines.queries import q_sliding_window
+
+    t0 = time.time()
+    q_sliding_window(SF_DIR).materialize()
+    return time.time() - t0
+
+
+def bench_forward_decode() -> float:
+    """msgpack forward ingestion throughput (fixture pre-built untimed)."""
+    from fluent_bit_ray.pipelines.queries import _forward_fixture, q_forward_events
+
+    _forward_fixture(SF_DIR)
+    t0 = time.time()
+    q_forward_events(SF_DIR).materialize()
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
     "dedup_exact": bench_dedup_exact,
     "minhash_dedup": bench_minhash,
+    "simhash": bench_simhash,
     "flowcounter": bench_flowcounter,
     "ann_topk": bench_ann,
+    "sliding_window": bench_sliding_window,
+    "forward_decode": bench_forward_decode,
 }
 
 

@@ -75,3 +75,50 @@ def test_golden_out_contained(target):
         f"{target}: .out not found in output.\nexpected[:300]: "
         f"{expected[:300]}\ngot[:300]: {stream[:300]}"
     )
+
+
+class TestKubeProperties:
+    """kube_property semantics not exercised by the golden corpus."""
+
+    TAG = (
+        "kube.var.log.containers.kubernetes.mypod_default_app-"
+        + "a" * 64 + ".log"
+    )
+
+    def _filter(self, ann):
+        from fluent_bit_ray.stages.kubernetes import KubernetesFilter
+
+        meta = {"mypod": {"metadata": {"name": "mypod", "uid": "u1",
+                                       "annotations": ann},
+                          "spec": {"nodeName": "n1"}}}
+        return KubernetesFilter(meta, registry=None)
+
+    def test_exclude_drops_record(self):
+        f = self._filter({"fluentbit.io/exclude": "true"})
+        assert f.process_row({"log": "x\n"}, self.TAG) is None
+
+    def test_exclude_false_keeps(self):
+        f = self._filter({"fluentbit.io/exclude": "false"})
+        out = f.process_row({"log": "x\n"}, self.TAG)
+        assert out is not None and out["log"] == "x"
+
+    def test_parser_annotation_disabled_by_option(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.stages.kubernetes import KubernetesFilter
+
+        meta = {"mypod": {"metadata": {"name": "mypod",
+                                       "annotations": {"fluentbit.io/parser": "apache"}},
+                          "spec": {}}}
+        line = '1.2.3.4 - - [21/Feb/2018:17:26:53 +0000] "GET /x HTTP/1.0" 200 5\n'
+        on = KubernetesFilter(meta, registry=DEFAULT_REGISTRY)
+        off = KubernetesFilter(meta, registry=DEFAULT_REGISTRY,
+                               k8s_logging_parser=False)
+        assert on.process_row({"log": line}, self.TAG).get("code") == "200"
+        # with K8S-Logging.Parser Off the annotation is ignored; the log is
+        # not JSON so no fields merge
+        assert "code" not in off.process_row({"log": line}, self.TAG)
+
+    def test_unmatched_tag_passthrough(self):
+        f = self._filter(None)
+        rec = {"log": "x\n"}
+        assert f.process_row(rec, "other.tag") == rec

@@ -277,3 +277,18 @@ class TestEmbeddingNearDup:
         )
         pairs = {(a, b) for a, b in zip(got["id_a"].to_pylist(), got["id_b"].to_pylist())}
         assert {(i, i + 1000) for i in range(clones)} <= pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupShardOutput:
+    def test_exact_dedup_streams_to_disk(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = dedup.exact_dedup(docs_ds(), shard_output_dir=str(tmp_path / "s"))
+        assert out is None  # nothing materialized on the driver
+        files = glob.glob(str(tmp_path / "s" / "*.parquet"))
+        assert files
+        got = {r["doc_id"] for f in files for r in pq.read_table(f).to_pylist()}
+        assert got == {0, 2, 3, 4}
