@@ -213,7 +213,15 @@ class Parser:
             cols = {f: [None] * n for f in fields}
             loads = json.loads
             for i, v in enumerate(values):
-                if v is None:
+                if not v:
+                    continue
+                # a JSON OBJECT must start with optional whitespace + '{':
+                # skip the (costly) loads attempt for everything else —
+                # same accept set, since non-objects are rejected below
+                c = v[0]
+                if c != "{" and not (
+                    c in " \t\r\n" and v.lstrip().startswith("{")
+                ):
                     continue
                 try:
                     obj = loads(v)

@@ -72,7 +72,11 @@ class ParserFilter:
 
         ok = np.zeros(n, dtype=bool)
         ts = np.full(n, NAT, dtype=np.int64)
-        merged: dict[str, list] = {f: [None] * n for f in self.out_fields}
+        # object ndarrays so the per-parser merge is one fancy-index scatter
+        # instead of a Python loop per field
+        merged: dict[str, np.ndarray] = {
+            f: np.full(n, None, dtype=object) for f in self.out_fields
+        }
 
         pending = np.arange(n)
         if mask is not None:
@@ -91,10 +95,9 @@ class ParserFilter:
                 if col is None:
                     continue
                 vals = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else col
-                tgt = merged[f]
-                for j, i in enumerate(pending):
-                    if sub_ok[j]:
-                        tgt[i] = vals[j]
+                varr = np.empty(len(vals), dtype=object)
+                varr[:] = vals
+                merged[f][hit] = varr[sub_ok]
             pending = pending[~sub_ok]
 
         ok_arr = pa.array(ok)
