@@ -101,19 +101,34 @@ def _row_iter(table: pa.Table, record_cols: list[str]):
         yield {c: col[i] for c, col in zip(record_cols, data) if col[i] is not None}
 
 
+def _json_column(col) -> list:
+    """Serialize one column's values with a single type dispatch (the json
+    sink hot path); None stays None (absent key)."""
+    vals = col.to_pylist()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        esc = flb_json_escape
+        return [None if v is None else f'"{esc(v)}"' for v in vals]
+    if pa.types.is_integer(t):
+        return [None if v is None else str(v) for v in vals]
+    if pa.types.is_boolean(t):
+        return [None if v is None else ("true" if v else "false") for v in vals]
+    if pa.types.is_floating(t):
+        return [None if v is None else repr(v) for v in vals]
+    return [None if v is None else _json_value(v) for v in vals]
+
+
 def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
-    """Columnar assembly: serialize each column once (key fragment + values),
-    then join per row skipping absent keys — no per-row dict churn."""
+    """Columnar assembly: serialize each column once (key fragment + values,
+    per-column type dispatch), then join per row skipping absent keys — no
+    per-row dict churn."""
     n = table.num_rows
     tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
     times = _times_sec(table)
     cols = []
     for c in record_cols:
         frag = '"' + flb_json_escape(c) + '":'
-        vals = table[c].to_pylist()
-        cols.append(
-            (frag, [None if v is None else _json_value(v) for v in vals])
-        )
+        cols.append((frag, _json_column(table[c])))
     out = []
     for i in range(n):
         body = ",".join(
