@@ -115,6 +115,20 @@ def _json_column(col) -> list:
         return [None if v is None else ("true" if v else "false") for v in vals]
     if pa.types.is_floating(t):
         return [None if v is None else repr(v) for v in vals]
+    if (
+        pa.types.is_map(t)
+        and pa.types.is_string(t.key_type)
+        and pa.types.is_string(t.item_type)
+    ):
+        # string->string maps (labels-style): direct pair assembly, no
+        # per-cell generic dispatch or dict conversion
+        esc = flb_json_escape
+        return [
+            None
+            if v is None
+            else "{" + ",".join(f'"{esc(k)}":"{esc(x)}"' for k, x in v if x is not None) + "}"
+            for v in vals
+        ]
     return [None if v is None else _json_value(v) for v in vals]
 
 
