@@ -175,3 +175,83 @@ class TestStrptimeCrossValidation:
         expected = calendar.timegm(_time.strptime(s, fmt))
         got = TimeFormat(fmt).parse(s, 1970)
         assert got == expected * 10**9
+
+
+class TestDedupKernelProperties:
+    """Property tests: the vectorized dedup kernels vs naive per-doc
+    reference implementations (guards the prefix-product/tiling math)."""
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                max_size=40,
+            ),
+            max_size=12,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_hash_string_array_matches_per_string(self, texts):
+        import numpy as np
+        import pyarrow as pa
+
+        from fluent_bit_ray.ops import dedup
+
+        arr = pa.array(texts, pa.string())
+        got = dedup._hash_string_array(arr)
+        # independent scalar recomputation via the same contract
+        def one(s):
+            b = s.encode()
+            h = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for ch in b:
+                    h = h * dedup._POLY_C + np.uint64(ch + 1)
+                return int(
+                    dedup._splitmix64(
+                        np.array(
+                            [h ^ (np.uint64(len(b)) * np.uint64(0x9E3779B97F4A7C15))],
+                            dtype=np.uint64,
+                        )
+                    )[0]
+                )
+        assert [int(x) for x in got] == [one(t) for t in texts]
+        # equal strings hash equal; sanity on distinctness
+        if len(set(texts)) == len(texts) and len(texts) > 1:
+            assert len(set(int(x) for x in got)) == len(texts)
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("abcdefgh"), max_size=30).map(" ".join),
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_minhash_batch_matches_per_doc(self, texts, k):
+        import numpy as np
+
+        from fluent_bit_ray.ops.dedup import MinHasher, _token_arrays, _shingle_hashes
+
+        mh = MinHasher(16, k)
+        batch = mh.signature_batch(texts)
+        for i, t in enumerate(texts):
+            # per-doc recomputation through the same pipeline, one doc at
+            # a time (exercises boundary/offset handling in the batch path)
+            single = mh.signature_batch([t])[0]
+            assert (batch[i] == single).all()
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=20).map(" ".join),
+            max_size=8,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_simhash_batch_matches_singletons(self, texts):
+        from fluent_bit_ray.ops.dedup import simhash_batch
+
+        batch = simhash_batch(texts)
+        for i, t in enumerate(texts):
+            assert int(batch[i]) == int(simhash_batch([t])[0])
