@@ -152,6 +152,31 @@ def build_filter(sec: dict, registry: ParserRegistry):
         )
     if name == "stdout":
         return StdoutFilter()
+    if name in ("lua", "udf"):
+        # filter_lua analog (plugins/filter_lua/lua.c:292-411): a
+        # user-supplied script transforms records one at a time —
+        #   Script /path/to/script.py
+        #   Call   process            (function name; record dict -> dict,
+        #                              None = drop, like lua's 2-return drop)
+        # The script is PYTHON, not lua (the engine's UDF language —
+        # documented divergence); it is loaded once per worker via
+        # UdfFilter's row path. A `Call *_batch` naming convention selects
+        # the columnar batch path (pa.Table -> pa.Table).
+        import importlib.util
+
+        script = _one(sec, "script")
+        call = _one(sec, "call", "process")
+        if not script:
+            raise ValueError("[FILTER] Name lua needs Script")
+        spec = importlib.util.spec_from_file_location("fbr_udf_script", script)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn = getattr(mod, call)
+        from ..stages.throttle import UdfFilter
+
+        if call.endswith("_batch"):
+            return UdfFilter(batch_fn=fn)
+        return UdfFilter(row_fn=fn)
     if name == "kubernetes":
         # the faithful filter_kubernetes analog (stages/kubernetes.py):
         #   Meta_Dir  /path/with/*.meta   (pod JSON files keyed by metadata.name

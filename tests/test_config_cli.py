@@ -441,3 +441,42 @@ class TestForwardToNewSinksE2E:
         assert lines[1] == (
             'app.metrics,_seq=1 svc="api",code="503",n=3 3000000000'
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLuaScriptFilter:
+    def test_python_script_udf(self, tmp_path):
+        script = tmp_path / "udf.py"
+        script.write_text(
+            "def process(record):\n"
+            "    if record.get('drop') == 'yes':\n"
+            "        return None\n"
+            "    record['tagged'] = True\n"
+            "    return record\n"
+        )
+        from fluent_bit_ray.pipelines.config import run_config
+
+        res = run_config(
+            f"""
+[INPUT]
+    Name dummy
+    Dummy {{"msg":"keep","drop":"no"}}
+    Samples 3
+
+[INPUT]
+    Name dummy
+    Dummy {{"msg":"gone","drop":"yes"}}
+    Samples 2
+
+[FILTER]
+    Name lua
+    Match *
+    Script {script}
+    Call process
+
+[OUTPUT]
+    Name counter
+    Match *
+"""
+        )
+        assert res.counts["counter_0"] == 3  # the 2 drop=yes records dropped
