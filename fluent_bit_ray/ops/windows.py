@@ -63,8 +63,12 @@ def sliding_count(
             return _finish(df)
         # composite-space searchsorted: place each key's run in its own
         # disjoint block so ONE pair of searchsorted calls serves every key
-        # in the shard (peers with equal ts included on both ends)
-        codes = pd.factorize(df[key_col])[0].astype(np.int64)
+        # in the shard (peers with equal ts included on both ends).
+        # use_na_sentinel=False: null keys get a REAL code (sort_values
+        # places them last, factorize assigns codes in first-appearance
+        # order, so codes stay non-decreasing — the sentinel -1 would make
+        # the composite array unsorted and corrupt the binary search)
+        codes = pd.factorize(df[key_col], use_na_sentinel=False)[0].astype(np.int64)
         base = ns - ns.min()
         span = int(base.max()) + w + 2
         n_keys = int(codes.max()) + 1
@@ -105,7 +109,10 @@ def tumbling_agg(
         bucket = (_epoch_ns(df[ts_col]) // (window_sec * 10**9)).astype("int64")
         g = (
             df.assign(bucket=bucket)
-            .groupby([key_col, "bucket"], as_index=False, sort=False)
+            # dropna=False: null keys form their own group (the previous
+            # per-key map_groups path emitted one, and silently losing
+            # rows is never acceptable in an aggregate)
+            .groupby([key_col, "bucket"], as_index=False, sort=False, dropna=False)
             .agg(records=(value_col, "size"), total=(value_col, "sum"))
         )
         return g[[key_col, "bucket", "records", "total"]]
@@ -128,10 +135,15 @@ def session_windows(
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
         ns = _epoch_ns(df[ts_col])
-        key_change = df[key_col].ne(df[key_col].shift())
+        # null-safe key-change detection (NaN != NaN would split every
+        # null-key row into its own session): factorize codes compare equal
+        codes = pd.factorize(df[key_col], use_na_sentinel=False)[0]
+        key_change = pd.Series(np.r_[True, codes[1:] != codes[:-1]])
         new_session = (ns.diff() > gap_sec * 10**9) | key_change
         sid = new_session.cumsum()
-        g = df.assign(_sid=sid, _ns=ns).groupby([key_col, "_sid"], sort=False)
+        g = df.assign(_sid=sid, _ns=ns).groupby(
+            [key_col, "_sid"], sort=False, dropna=False
+        )
         out = g.agg(session_start=("_ns", "min"), events=("_ns", "size"))
         return out.reset_index()[[key_col, "session_start", "events"]]
 

@@ -284,7 +284,11 @@ def build_input(sec: dict, registry: ParserRegistry):
                 rows.extend(concat_json_records(line or ""))
             if not rows:
                 return pa.table({"log": pa.array([], pa.string())})
-            return pa.Table.from_pylist(rows)
+            from ..functions.records import records_to_table
+
+            # key-union assembly (from_pylist uses only the first record's
+            # keys, dropping later-only fields)
+            return records_to_table(rows)
 
         return ds.map_batches(parse_json_lines, batch_format="pyarrow"), tag or "json.0"
     if name == "stdin":

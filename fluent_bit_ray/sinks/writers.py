@@ -205,6 +205,22 @@ def format_ltsv(
 _NAT_F = float(np.iinfo(np.int64).min)  # parsers emit int64-min as NaT sentinel
 
 
+def _times_ns(table: pa.Table) -> np.ndarray:
+    """Integer epoch-ns per row (0 where missing) — for formatters that
+    need exact second/fraction splits without float rounding."""
+    if "_time" not in table.column_names:
+        return np.zeros(table.num_rows, dtype=np.int64)
+    col = table["_time"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        ts = np.asarray(col.fill_null(0))
+        return np.where(ts == np.iinfo(np.int64).min, 0, ts)
+    t = col.to_numpy(zero_copy_only=False).astype("float64")
+    t = np.where(np.isnan(t) | (t == _NAT_F), 0.0, t)
+    return t.astype(np.int64)
+
+
 def _times_sec(table: pa.Table) -> np.ndarray:
     if "_time" in table.column_names:
         t = table["_time"].to_numpy(zero_copy_only=False).astype("float64")
@@ -370,13 +386,15 @@ def format_http(
     from ..functions.mp_json import mp_json_value
 
     times = _times_sec(table)
+    times_ns = _times_ns(table)
     bodies = []
     for i, rec in enumerate(_row_iter(table, record_cols)):
         if date_format == "iso8601":
-            t = times[i]
-            dt = datetime.datetime.fromtimestamp(int(t), datetime.timezone.utc)
-            us = int(round((t - int(t)) * 1e9)) // 1000
-            date_val = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{us:06d}Z"
+            # exact integer split: float math could round the fraction to
+            # 1000000 us (7-digit field) or go negative for pre-epoch times
+            sec, rem = divmod(int(times_ns[i]), 1_000_000_000)
+            dt = datetime.datetime.fromtimestamp(sec, datetime.timezone.utc)
+            date_val = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{rem // 1000:06d}Z"
         else:
             date_val = float(times[i])
         body = {date_key: date_val}

@@ -42,7 +42,9 @@ def msgpack_unpack(buf: bytes, off: int = 0) -> tuple[Any, int]:
     """Decode ONE msgpack object at `off`. Returns (obj, next_offset).
 
     Map keys are decoded like values (str keys arrive as str). Strings are
-    UTF-8 with replacement (the reference treats str bytes opaquely).
+    UTF-8 with surrogateescape — LOSSLESS for arbitrary bytes (the
+    reference treats str bytes opaquely; PackedForward payloads may arrive
+    str-framed and must round-trip back to their exact bytes).
     """
     b = buf[off]
     off += 1
@@ -56,7 +58,7 @@ def msgpack_unpack(buf: bytes, off: int = 0) -> tuple[Any, int]:
         return _unpack_array(buf, off, b & 0x0F)
     if 0xA0 <= b <= 0xBF:  # fixstr
         n = b & 0x1F
-        return buf[off : off + n].decode("utf-8", "replace"), off + n
+        return buf[off : off + n].decode("utf-8", "surrogateescape"), off + n
     if b == 0xC0:
         return None, off
     if b == 0xC2:
@@ -94,7 +96,7 @@ def msgpack_unpack(buf: bytes, off: int = 0) -> tuple[Any, int]:
         w = 1 << (b - 0xD9)
         n = int.from_bytes(buf[off : off + w], "big")
         off += w
-        return buf[off : off + n].decode("utf-8", "replace"), off + n
+        return buf[off : off + n].decode("utf-8", "surrogateescape"), off + n
     if b == 0xDC or b == 0xDD:  # array 16/32
         w = 2 << (b - 0xDC)
         n = int.from_bytes(buf[off : off + w], "big")
@@ -164,23 +166,29 @@ def _pack_into(out: bytearray, obj: Any) -> None:
         out.append(0xCB)
         out += struct.pack(">d", obj)
     elif isinstance(obj, str):
-        data = obj.encode()
+        data = obj.encode("utf-8", "surrogateescape")
         n = len(data)
         if n <= 0x1F:
             out.append(0xA0 | n)
         elif n <= 0xFF:
             out += bytes((0xD9, n))
-        else:
+        elif n <= 0xFFFF:
             out.append(0xDA)
             out += n.to_bytes(2, "big")
+        else:
+            out.append(0xDB)
+            out += n.to_bytes(4, "big")
         out += data
     elif isinstance(obj, bytes):
         n = len(obj)
         if n <= 0xFF:
             out += bytes((0xC4, n))
-        else:
+        elif n <= 0xFFFF:
             out.append(0xC5)
             out += n.to_bytes(2, "big")
+        else:
+            out.append(0xC6)
+            out += n.to_bytes(4, "big")
         out += obj
     elif isinstance(obj, ExtType):
         n = len(obj.data)
@@ -195,18 +203,24 @@ def _pack_into(out: bytearray, obj: Any) -> None:
         n = len(obj)
         if n <= 0x0F:
             out.append(0x90 | n)
-        else:
+        elif n <= 0xFFFF:
             out.append(0xDC)
             out += n.to_bytes(2, "big")
+        else:
+            out.append(0xDD)
+            out += n.to_bytes(4, "big")
         for v in obj:
             _pack_into(out, v)
     elif isinstance(obj, dict):
         n = len(obj)
         if n <= 0x0F:
             out.append(0x80 | n)
-        else:
+        elif n <= 0xFFFF:
             out.append(0xDE)
             out += n.to_bytes(2, "big")
+        else:
+            out.append(0xDF)
+            out += n.to_bytes(4, "big")
         for k, v in obj.items():
             _pack_into(out, k)
             _pack_into(out, v)
@@ -300,16 +314,9 @@ def frames_to_table(buf: bytes) -> pa.Table:
     if not recs:
         return pa.table({"_tag": pa.array([], pa.string()),
                          "_time": pa.array([], pa.int64())})
-    # explicit key union in first-seen order: Table.from_pylist derives the
-    # schema from the first record only, silently dropping later-only keys
-    fields: list[str] = []
-    seen = set()
-    for r in recs:
-        for k in r:
-            if k not in seen:
-                seen.add(k)
-                fields.append(str(k))
-    t = pa.table({f: pa.array([r.get(f) for r in recs]) for f in fields})
+    from ..functions.records import records_to_table
+
+    t = records_to_table(recs)
     return (
         t.append_column("_tag", pa.array(tags, pa.string()))
         .append_column("_time", pa.array(times, pa.int64()))

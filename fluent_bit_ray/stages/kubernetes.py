@@ -202,4 +202,9 @@ class KubernetesFilter:
             rows.append(out)
         if not rows:
             return table.slice(0, 0)
-        return pa.Table.from_pylist(rows)
+        from ..functions.records import records_to_table
+
+        # key-union assembly: from_pylist would derive the schema from the
+        # FIRST row and silently drop the kubernetes map / merged keys
+        # whenever row 0 didn't match the tag regex
+        return records_to_table(rows)

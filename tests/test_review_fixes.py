@@ -1,0 +1,146 @@
+"""Regression tests for the round-2 self-review findings (heterogeneous
+record assembly, null window keys, msgpack str-mode/32-bit widths,
+iso8601 fraction edges)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.functions.records import records_to_table
+from fluent_bit_ray.sources.msgpack_io import (
+    iter_forward_frames,
+    msgpack_pack,
+    msgpack_unpack,
+    pack_event_time,
+)
+
+
+class TestRecordsToTable:
+    def test_later_only_keys_survive(self):
+        t = records_to_table([{"a": 1}, {"a": 2, "b": "x"}])
+        assert t.column_names == ["a", "b"]
+        assert t["b"].to_pylist() == [None, "x"]
+
+    def test_non_string_keys_normalized(self):
+        t = records_to_table([{1: "x", "s": 2}])
+        assert t.column_names == ["1", "s"]
+        assert t["1"].to_pylist() == ["x"]
+
+
+class TestKubernetesBatchSchema:
+    def test_first_row_unmatched_keeps_kubernetes_column(self):
+        from fluent_bit_ray.stages.kubernetes import KubernetesFilter
+
+        tag = ("kube.var.log.containers.kubernetes.mypod_default_app-"
+               + "a" * 64 + ".log")
+        meta = {"mypod": {"metadata": {"name": "mypod", "uid": "u1"},
+                          "spec": {"nodeName": "n1"}}}
+        f = KubernetesFilter(meta, registry=None)
+        t = pa.table(
+            {
+                "log": pa.array(['{"k":1}\n', '{"k":2}\n']),
+                "_tag": pa.array(["nomatch.tag", tag]),
+            }
+        )
+        out = f.process_batch(t)
+        assert "kubernetes" in out.column_names
+        rows = out.to_pylist()
+        assert rows[0]["kubernetes"] is None  # unmatched: untouched
+        assert rows[1]["kubernetes"]["pod_id"] == "u1"
+        assert rows[1]["k"] == 2  # Merge_Log keys survive too
+
+
+class TestWindowNullKeys:
+    def _ds(self, ray_session=None):
+        import ray.data
+
+        df = pd.DataFrame(
+            {
+                "user_id": pd.array([1, 1, None, None, 2], dtype="Int64"),
+                "ts": pd.to_datetime(
+                    ["2020-01-01 00:00:00", "2020-01-01 00:01:00",
+                     "2020-01-01 00:00:30", "2020-01-01 00:01:30",
+                     "2020-01-01 00:00:00"]
+                ),
+                "event_id": [1, 2, 3, 4, 5],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        return ray.data.from_pandas(df)
+
+    def test_sliding_count_null_keys(self, ray_session):
+        from fluent_bit_ray.ops.windows import sliding_count
+
+        out = (
+            sliding_count(self._ds(), "user_id", "ts", 300)
+            .to_pandas().sort_values("event_id")
+        )
+        # all 5 rows survive; null-key rows window together
+        assert out["window_count"].tolist() == [1, 2, 1, 2, 1]
+
+    def test_tumbling_null_keys_not_dropped(self, ray_session):
+        from fluent_bit_ray.ops.windows import tumbling_agg
+
+        out = tumbling_agg(self._ds(), "user_id", "ts", 600, "value").to_pandas()
+        assert int(out["records"].sum()) == 5  # nothing silently dropped
+
+    def test_session_null_keys_one_session(self, ray_session):
+        from fluent_bit_ray.ops.windows import session_windows
+
+        out = session_windows(self._ds(), "user_id", "ts", 600).to_pandas()
+        assert int(out["events"].sum()) == 5
+        null_rows = out[out["user_id"].isna()]
+        assert len(null_rows) == 1 and null_rows["events"].iloc[0] == 2
+
+
+class TestMsgpackEdges:
+    def test_str_framed_packed_forward_roundtrips(self):
+        # PackedForward payload framed as msgpack STR (fluentd allows str
+        # or bin): inner bytes are not valid UTF-8 and must survive
+        entries = b"".join(
+            msgpack_pack([pack_event_time(i * 10**9), {"n": i}])
+            for i in (1, 2)
+        )
+        payload = entries.decode("utf-8", "surrogateescape")
+        frame = msgpack_pack(["t.pk", payload])
+        got = list(iter_forward_frames(frame))
+        assert got == [("t.pk", [(10**9, {"n": 1}), (2 * 10**9, {"n": 2})])]
+
+    def test_32bit_widths_roundtrip(self):
+        big_str = "x" * 70000
+        big_bytes = b"y" * 70000
+        big_list = list(range(70000))
+        big_map = {f"k{i}": i for i in range(70000)}
+        for v in (big_str, big_bytes, big_list, big_map):
+            enc = msgpack_pack(v)
+            out, used = msgpack_unpack(enc)
+            assert used == len(enc) and out == v
+
+    def test_invalid_utf8_str_lossless(self):
+        raw = b"\xa3\x92\xd7\x00"  # fixstr(3) of invalid-utf8 bytes
+        s, _ = msgpack_unpack(raw)
+        assert s.encode("utf-8", "surrogateescape") == b"\x92\xd7\x00"
+
+
+class TestHttpIsoEdges:
+    def test_fraction_never_overflows_to_seven_digits(self):
+        from fluent_bit_ray.sinks.writers import format_http
+
+        # ns value whose float-seconds representation rounds up to the
+        # next whole second
+        ns = 2_300_000 * 10**9 + 999_999_999
+        t = pa.table({"_time": pa.array([ns], pa.int64()),
+                      "n": pa.array([1], pa.int64())})
+        out = format_http(t, ["n"], date_format="iso8601")
+        assert '.999999Z' in out and '.1000000Z' not in out
+
+    def test_pre_epoch_time_valid(self):
+        from fluent_bit_ray.sinks.writers import format_http
+
+        t = pa.table({"_time": pa.array([-500_000_000], pa.int64()),
+                      "n": pa.array([1], pa.int64())})
+        out = format_http(t, ["n"], date_format="iso8601")
+        assert '"date":"1969-12-31T23:59:59.500000Z"' in out
