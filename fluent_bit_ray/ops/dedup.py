@@ -298,14 +298,19 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    shard_output_dir: Optional[str] = None,
 ):
     """LSH near-dup clustering: returns (doc_id, rep_id) — rep_id is the
     elected representative (min doc id over all shared buckets, one
     propagation round). rep_id == doc_id means "keep".
 
     Pipeline: map_batches(signatures) -> flat rows (band, bucket_hash, id)
-    -> groupby bucket -> (id, min id in bucket) -> groupby id -> min rep.
-    Both shuffles move fixed-width rows only.
+    -> bucket exchange (shard-local rep election + per-doc combine) ->
+    doc-id exchange (global per-doc min). Both shuffles move fixed-width
+    rows only and CHAIN through the object store (return_refs) — the
+    driver never holds the O(docs) rep table; at corpus scale pass
+    `shard_output_dir` and the final shards stream to parquet instead
+    (returns None).
     """
     if num_perm % bands:
         raise ValueError(
@@ -358,20 +363,29 @@ def minhash_lsh_dedup(
         out = df.groupby(id_col, as_index=False)["rep_id"].min()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    cand = hash_exchange(buckets.to_arrow_refs(), ["band", "bucket"], bucket_reps)
-    if cand is None:
+    def doc_min(t: pa.Table) -> pa.Table:
+        # (name-based rename: pyarrow's aggregate column ORDER is not
+        # stable across versions, only the `<col>_min` naming is)
+        g = t.group_by([id_col]).aggregate([("rep_id", "min")])
+        g = g.rename_columns(
+            ["rep_id" if c == "rep_id_min" else c for c in g.column_names]
+        )
+        return g.select([id_col, "rep_id"])
+
+    cand_refs = hash_exchange(
+        buckets.to_arrow_refs(), ["band", "bucket"], bucket_reps,
+        return_refs=True,
+    )
+    out = hash_exchange(
+        cand_refs, [id_col], doc_min, combine_fn=doc_min,
+        shard_output_dir=shard_output_dir,
+    )
+    if shard_output_dir is not None:
+        return None
+    if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "rep_id": pa.array([], pa.int64())})
-
-    # final per-doc min over shard partials: cand holds at most
-    # (num_shards × docs) pre-combined rows — one driver-side group_by
-    # (name-based rename: pyarrow's aggregate column ORDER is not stable
-    # across versions, only the `<col>_min` naming is)
-    g = cand.group_by([id_col]).aggregate([("rep_id", "min")])
-    g = g.rename_columns(
-        ["rep_id" if c == "rep_id_min" else c for c in g.column_names]
-    )
-    return g.select([id_col, "rep_id"])
+    return out
 
 
 # ------------------------------------------------------------------ simhash
@@ -417,8 +431,11 @@ def simhash64(text: str) -> int:
     return int(simhash_batch([text])[0])
 
 
-def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Exact-simhash dedup: (doc_id, simhash, rep_id=min id per simhash)."""
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  shard_output_dir: Optional[str] = None):
+    """Exact-simhash dedup: (doc_id, simhash, rep_id=min id per simhash).
+    Pass `shard_output_dir` at corpus scale: reduce shards stream to
+    parquet instead of concatenating on the driver (returns None)."""
 
     def add_sim(batch: pa.Table) -> pa.Table:
         sims = (
@@ -440,7 +457,10 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         df["rep_id"] = df.groupby("simhash")[id_col].transform("min")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = hash_exchange(simmed.to_arrow_refs(), ["simhash"], reps)
+    out = hash_exchange(simmed.to_arrow_refs(), ["simhash"], reps,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "simhash": pa.array([], pa.int64()),

@@ -75,6 +75,7 @@ def hash_exchange(
     combine_fn=None,
     num_shards: Optional[int] = None,
     shard_output_dir: Optional[str] = None,
+    return_refs: bool = False,
 ) -> Optional[pa.Table]:
     """Generic two-stage hash exchange over Arrow block refs.
 
@@ -86,16 +87,17 @@ def hash_exchange(
 
     Result delivery: by default the shard results are concatenated into one
     driver-side Table — fine when the distinct-key output fits a driver
-    heap. When it doesn't (corpus-scale dedup), pass `shard_output_dir`:
-    each reduce shard writes its own parquet file there and nothing is
-    materialized on the driver (the function returns None).
+    heap. When it doesn't (corpus-scale dedup), pass `shard_output_dir`
+    (each reduce shard writes its own parquet file, returns None) or
+    `return_refs=True` (returns the per-shard ObjectRefs WITHOUT driver
+    materialization, so exchanges chain object-store-to-object-store).
     """
     import os
 
     import ray
 
     if not block_refs:
-        return None
+        return [] if return_refs else None
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_shards is None:
         # enough shards to parallelize the reduce, few enough that the
@@ -118,18 +120,19 @@ def hash_exchange(
 
     if shard_output_dir is not None:
         os.makedirs(shard_output_dir, exist_ok=True)
-    results = ray.get(
-        [
-            reduce_.remote(
-                finish_fn,
-                None
-                if shard_output_dir is None
-                else os.path.join(shard_output_dir, f"shard_{s:05d}.parquet"),
-                *shard,
-            )
-            for s, shard in enumerate(shard_lists)
-        ]
-    )
+    result_refs = [
+        reduce_.remote(
+            finish_fn,
+            None
+            if shard_output_dir is None
+            else os.path.join(shard_output_dir, f"shard_{s:05d}.parquet"),
+            *shard,
+        )
+        for s, shard in enumerate(shard_lists)
+    ]
+    if return_refs:
+        return result_refs
+    results = ray.get(result_refs)
     if shard_output_dir is not None:
         return None
     live = [t for t in results if t is not None and t.num_rows]

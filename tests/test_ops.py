@@ -292,3 +292,28 @@ class TestDedupShardOutput:
         assert files
         got = {r["doc_id"] for f in files for r in pq.read_table(f).to_pylist()}
         assert got == {0, 2, 3, 4}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinhashScalePath:
+    def test_chained_exchange_same_result(self):
+        reps = {r["doc_id"]: r["rep_id"] for r in rows(dedup.minhash_lsh_dedup(
+            docs_ds(), shingle_k=3, bands=32))}
+        assert reps[1] == 0 and reps[2] == 0 and reps[3] == 3
+
+    def test_shard_output_dir_streams(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        out = dedup.minhash_lsh_dedup(
+            docs_ds(), shingle_k=3, bands=32,
+            shard_output_dir=str(tmp_path / "mh"),
+        )
+        assert out is None
+        rows_disk = [
+            r for f in glob.glob(str(tmp_path / "mh" / "*.parquet"))
+            for r in pq.read_table(f).to_pylist()
+        ]
+        reps = {r["doc_id"]: r["rep_id"] for r in rows_disk}
+        assert reps[1] == 0 and len(reps) == 5
