@@ -169,6 +169,12 @@ def build_filter(sec: dict, registry: ParserRegistry):
         if not script:
             raise ValueError("[FILTER] Name lua needs Script")
         spec = importlib.util.spec_from_file_location("fbr_udf_script", script)
+        if spec is None or spec.loader is None:
+            raise ValueError(
+                f"[FILTER] Name lua: Script {script!r} is not loadable as "
+                "Python — this engine's UDF language is Python, not lua "
+                "(documented divergence); point Script at a .py file"
+            )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         fn = getattr(mod, call)

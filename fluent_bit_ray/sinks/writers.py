@@ -385,11 +385,12 @@ def format_http(
 
     from ..functions.mp_json import mp_json_value
 
-    times = _times_sec(table)
-    times_ns = _times_ns(table)
+    iso = date_format == "iso8601"
+    times = None if iso else _times_sec(table)
+    times_ns = _times_ns(table) if iso else None
     bodies = []
     for i, rec in enumerate(_row_iter(table, record_cols)):
-        if date_format == "iso8601":
+        if iso:
             # exact integer split: float math could round the fraction to
             # 1000000 us (7-digit field) or go negative for pre-epoch times
             sec, rem = divmod(int(times_ns[i]), 1_000_000_000)

@@ -195,8 +195,14 @@ def _pack_into(out: bytearray, obj: Any) -> None:
         fix = {1: 0xD4, 2: 0xD5, 4: 0xD6, 8: 0xD7, 16: 0xD8}.get(n)
         if fix is not None:
             out.append(fix)
-        else:
+        elif n <= 0xFF:
             out += bytes((0xC7, n))
+        elif n <= 0xFFFF:
+            out.append(0xC8)
+            out += n.to_bytes(2, "big")
+        else:
+            out.append(0xC9)
+            out += n.to_bytes(4, "big")
         out += struct.pack("b", obj.code)
         out += obj.data
     elif isinstance(obj, (list, tuple)):
@@ -301,16 +307,37 @@ def iter_forward_frames(buf: bytes) -> Iterator[tuple[str, list[tuple[int, dict]
             raise ValueError(f"invalid forward entry type {type(entry).__name__}")
 
 
+def _arrow_safe(v):
+    """Scrub surrogateescape artifacts before Arrow assembly: Arrow strings
+    must be valid UTF-8, so lossless surrogates (kept for the PackedForward
+    byte round-trip) degrade to U+FFFD at the table boundary — the same
+    lossy-but-working behavior a plain 'replace' decode would give."""
+    if isinstance(v, str):
+        if v.isascii():
+            return v
+        try:
+            v.encode("utf-8")
+            return v
+        except UnicodeEncodeError:
+            return v.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+    if isinstance(v, dict):
+        return {_arrow_safe(k): _arrow_safe(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_arrow_safe(x) for x in v]
+    return v
+
+
 def frames_to_table(buf: bytes) -> pa.Table:
     """One file's frames -> Arrow table (_tag, _time, record columns)."""
     tags: list[str] = []
     times: list[int] = []
     recs: list[dict] = []
     for tag, entries in iter_forward_frames(buf):
+        tag = _arrow_safe(tag)
         for tns, rec in entries:
             tags.append(tag)
             times.append(tns)
-            recs.append(rec)
+            recs.append(_arrow_safe(rec))
     if not recs:
         return pa.table({"_tag": pa.array([], pa.string()),
                          "_time": pa.array([], pa.int64())})

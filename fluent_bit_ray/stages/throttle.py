@@ -175,11 +175,17 @@ class UdfFilter:
                 rows.append(out)
         if not rows:
             return table.slice(0, 0)
-        return pa.Table.from_pylist(rows)
+        from ..functions.records import records_to_table
+
+        # key-union assembly: UDFs add keys, and from_pylist would drop
+        # any key absent from the batch's first (possibly unmatched) row
+        return records_to_table(rows)
 
     def process_row(self, record: dict) -> Optional[dict]:
         if self.row_fn is not None:
             return self.row_fn(record)
-        out = self.batch_fn(pa.Table.from_pylist([record]))
+        from ..functions.records import records_to_table
+
+        out = self.batch_fn(records_to_table([record]))
         lst = out.to_pylist()
         return lst[0] if lst else None

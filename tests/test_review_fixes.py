@@ -144,3 +144,58 @@ class TestHttpIsoEdges:
                       "n": pa.array([1], pa.int64())})
         out = format_http(t, ["n"], date_format="iso8601")
         assert '"date":"1969-12-31T23:59:59.500000Z"' in out
+
+
+class TestSecondReviewFixes:
+    def test_invalid_utf8_record_values_reach_arrow_lossily(self):
+        from fluent_bit_ray.sources.msgpack_io import frames_to_table, msgpack_pack
+
+        # fixstr of invalid-utf8 bytes inside a record value AND the tag
+        bad = b"\xa3\x92\xd7\x00"
+        frame = (
+            b"\x92" + bad + b"\x91\x92\x01\x81\xa3log" + bad
+        )  # [tag, [[1, {"log": <bad>}]]]
+        t = frames_to_table(frame)
+        assert t.num_rows == 1  # no crash; surrogates degraded to U+FFFD
+        assert "�" in t["log"].to_pylist()[0]
+        assert "�" in t["_tag"].to_pylist()[0]
+
+    def test_udf_filter_batch_key_union(self):
+        import pyarrow as pa
+
+        from fluent_bit_ray.stages.throttle import UdfFilter
+
+        def add_key(rec):
+            rec["tagged"] = True
+            return rec
+
+        f = UdfFilter(row_fn=add_key)
+        t = pa.table({"msg": pa.array(["a", "b"])})
+        mask = pa.array([False, True])  # first row untouched
+        out = f.process_batch(t, mask=mask)
+        assert out["tagged"].to_pylist() == [None, True]
+
+    def test_lua_script_bad_suffix_clear_error(self, tmp_path):
+        import pytest as _pytest
+
+        from fluent_bit_ray.pipelines.config import build_filter
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+
+        script = tmp_path / "functions.lua"
+        script.write_text("function process(r) return r end")
+        with _pytest.raises(ValueError, match="Python"):
+            build_filter(
+                {"name": ["lua"], "script": [str(script)], "call": ["process"]},
+                DEFAULT_REGISTRY,
+            )
+
+    def test_ext16_ext32_roundtrip(self):
+        from fluent_bit_ray.sources.msgpack_io import (
+            ExtType, msgpack_pack, msgpack_unpack,
+        )
+
+        for n in (300, 70000):
+            e = ExtType(5, b"z" * n)
+            enc = msgpack_pack(e)
+            out, used = msgpack_unpack(enc)
+            assert used == len(enc) and out == e
