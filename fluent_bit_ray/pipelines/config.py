@@ -413,6 +413,36 @@ def build_input(sec: dict, registry: ParserRegistry):
         path = _one(sec, "path")
         files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
         return forward_file_dataset(files), tag or "forward.0"
+    if name in ("cpu", "mem", "disk", "netif", "proc", "health"):
+        # host samplers (sources/host_metrics.py): ONE sample per run —
+        # the batch analog of the reference's per-Interval collectors
+        from ..sources import host_metrics as hm
+
+        interval = float(_one(sec, "interval_sec", "0.5"))
+        if name == "cpu":
+            rec = hm.cpu_sample(interval)
+        elif name == "mem":
+            rec = hm.mem_sample()
+        elif name == "disk":
+            rec = hm.disk_sample(interval, _one(sec, "dev_name"))
+        elif name == "netif":
+            iface = _one(sec, "interface")
+            if not iface:
+                raise ValueError("[INPUT] Name netif needs Interface")
+            rec = hm.netif_sample(iface, interval, _on(sec, "verbose"))
+        elif name == "proc":
+            pname = _one(sec, "proc_name")
+            if not pname:
+                raise ValueError("[INPUT] Name proc needs Proc_Name")
+            rec = hm.proc_sample(pname, mem=_on(sec, "mem", True),
+                                 fd=_on(sec, "fd", True))
+        else:  # health
+            rec = hm.health_sample(
+                _one(sec, "host", "127.0.0.1"), int(_one(sec, "port", "80")),
+            )
+        from ..functions.records import records_to_table
+
+        return ray.data.from_arrow(records_to_table([rec])), tag or f"{name}.0"
     raise ValueError(
         f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
         "out of scope for the batch engine; see SURVEY §2.4)"

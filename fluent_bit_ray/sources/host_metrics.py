@@ -1,0 +1,198 @@
+"""Host-sampler inputs — batch analogs of in_cpu/mem/disk/netif/proc/health.
+
+Reference parity (studied, not copied): the reference samples these every
+`Interval_Sec` from a daemon event loop; a batch engine takes ONE sample
+per run (delta-based metrics take two snapshots `interval_sec` apart
+inside the call). Field names and math mirror the C collectors:
+
+- in_cpu (plugins/in_cpu/in_cpu.c:320-360, in_cpu.h:97-127): cpu_p /
+  user_p / system_p overall (delta/ticks/n_cpus/interval) + per-core
+  cpuN.p_cpu / cpuN.p_user / cpuN.p_system;
+- in_mem (plugins/in_mem/mem.c:90-230): Mem.total/used/free,
+  Swap.total/used/free in KB;
+- in_disk (plugins/in_disk/in_disk.c:29-190): read_size / write_size —
+  byte deltas summed over devices (512-byte sectors);
+- in_netif (plugins/in_netif/in_netif.c:30-250): <iface>.rx.bytes etc —
+  the non-verbose entry set unless verbose;
+- in_proc (plugins/in_proc/in_proc.c:100-310): alive, proc_name, pid,
+  mem.VmPeak..mem.VmSwap (KB), fd count;
+- in_health (plugins/in_health): alive = TCP connect success.
+
+Values are inherently host-dependent (not deterministic); tests assert
+schema and sanity, not values.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from typing import Optional
+
+
+def _read_proc_stat() -> dict[str, tuple[int, int, int]]:
+    """{'cpu'|'cpuN': (user+nice, system, total-of-first-7-fields)}."""
+    out = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if not line.startswith("cpu"):
+                break
+            parts = line.split()
+            vals = [int(x) for x in parts[1:8]]
+            user, nice, system = vals[0], vals[1], vals[2]
+            out[parts[0]] = (user + nice, system, user + nice + system)
+    return out
+
+
+def cpu_sample(interval_sec: float = 0.5) -> dict:
+    ticks = os.sysconf("SC_CLK_TCK")
+    a = _read_proc_stat()
+    time.sleep(interval_sec)
+    b = _read_proc_stat()
+    n_cpus = max(1, len(a) - 1)
+
+    def pct(pre: int, now: int, per_core: bool) -> float:
+        if pre == now:
+            return 0.0
+        diff = abs(now - pre)
+        if per_core:
+            return ((diff * 100) / ticks) / interval_sec
+        return (((diff / ticks) * 100) / n_cpus) / interval_sec
+
+    rec: dict = {
+        "cpu_p": pct(a["cpu"][0] + a["cpu"][1], b["cpu"][0] + b["cpu"][1], False),
+        "user_p": pct(a["cpu"][0], b["cpu"][0], False),
+        "system_p": pct(a["cpu"][1], b["cpu"][1], False),
+    }
+    for i in range(n_cpus):
+        k = f"cpu{i}"
+        if k not in a or k not in b:
+            continue
+        rec[f"{k}.p_cpu"] = pct(a[k][0] + a[k][1], b[k][0] + b[k][1], True)
+        rec[f"{k}.p_user"] = pct(a[k][0], b[k][0], True)
+        rec[f"{k}.p_system"] = pct(a[k][1], b[k][1], True)
+    return rec
+
+
+def mem_sample() -> dict:
+    info = {}
+    with open("/proc/meminfo") as f:
+        for line in f:
+            k, _, v = line.partition(":")
+            info[k.strip()] = int(v.split()[0])  # already KB
+    mem_total = info.get("MemTotal", 0)
+    mem_free = info.get("MemFree", 0)
+    swap_total = info.get("SwapTotal", 0)
+    swap_free = info.get("SwapFree", 0)
+    return {
+        "Mem.total": mem_total,
+        "Mem.used": mem_total - mem_free,
+        "Mem.free": mem_free,
+        "Swap.total": swap_total,
+        "Swap.used": swap_total - swap_free,
+        "Swap.free": swap_free,
+    }
+
+
+def _diskstats(dev_name: Optional[str]) -> tuple[int, int]:
+    read_sectors = write_sectors = 0
+    with open("/proc/diskstats") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 10:
+                continue
+            name = parts[2]
+            if dev_name is not None and dev_name not in name:
+                continue
+            read_sectors += int(parts[5])
+            write_sectors += int(parts[9])
+    return read_sectors * 512, write_sectors * 512
+
+
+def disk_sample(interval_sec: float = 0.5, dev_name: Optional[str] = None) -> dict:
+    r0, w0 = _diskstats(dev_name)
+    time.sleep(interval_sec)
+    r1, w1 = _diskstats(dev_name)
+    return {"read_size": r1 - r0, "write_size": w1 - w0}
+
+
+_NETIF_ENTRIES = [
+    ("rx.bytes", True), ("rx.packets", True), ("rx.errors", True),
+    ("rx.drop", False), ("rx.fifo", False), ("rx.frame", False),
+    ("rx.compressed", False), ("rx.multicast", False),
+    ("tx.bytes", True), ("tx.packets", True), ("tx.errors", True),
+    ("tx.drop", False), ("tx.fifo", False), ("tx.collisions", False),
+    ("tx.carrier", False), ("tx.compressepd", False),  # sic, reference typo
+]
+
+
+def _netdev(interface: str) -> Optional[list[int]]:
+    with open("/proc/net/dev") as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            name, _, rest = line.partition(":")
+            if name.strip() == interface:
+                return [int(x) for x in rest.split()[:16]]
+    return None
+
+
+def netif_sample(
+    interface: str, interval_sec: float = 0.5, verbose: bool = False
+) -> dict:
+    a = _netdev(interface)
+    time.sleep(interval_sec)
+    b = _netdev(interface)
+    if a is None or b is None:
+        raise ValueError(f"in_netif: interface {interface!r} not found")
+    rec = {}
+    for i, (key, default_on) in enumerate(_NETIF_ENTRIES):
+        if verbose or default_on:
+            rec[f"{interface}.{key}"] = b[i] - a[i]
+    return rec
+
+
+def proc_sample(proc_name: str, mem: bool = True, fd: bool = True) -> dict:
+    pid = None
+    for comm in glob.glob("/proc/[0-9]*/comm"):
+        try:
+            with open(comm) as f:
+                if f.read().strip() == proc_name:
+                    pid = int(comm.split("/")[2])
+                    break
+        except OSError:
+            continue
+    rec: dict = {"alive": pid is not None, "proc_name": proc_name,
+                 "pid": pid if pid is not None else -1}
+    if pid is None:
+        return rec
+    if mem:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                status = {
+                    k.strip(): v for k, _, v in
+                    (line.partition(":") for line in f)
+                }
+            for key in ("VmPeak", "VmSize", "VmLck", "VmHWM", "VmRSS",
+                        "VmData", "VmStk", "VmExe", "VmLib", "VmPTE",
+                        "VmSwap"):
+                if key in status:
+                    rec[f"mem.{key}"] = int(status[key].split()[0])
+        except OSError:
+            pass
+    if fd:
+        try:
+            rec["fd"] = len(os.listdir(f"/proc/{pid}/fd"))
+        except OSError:
+            pass
+    return rec
+
+
+def health_sample(host: str, port: int, timeout_sec: float = 2.0) -> dict:
+    import socket
+
+    try:
+        with socket.create_connection((host, port), timeout=timeout_sec):
+            return {"alive": True}
+    except OSError:
+        return {"alive": False}

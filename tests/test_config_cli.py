@@ -90,8 +90,9 @@ class TestRunConfig:
         assert content.startswith("files.demo: [")
 
     def test_unsupported_plugin_clear_error(self):
+        # cpu/mem/etc are now host-sampler analogs; mqtt stays a transport
         with pytest.raises(ValueError, match="unsupported input plugin"):
-            run_config("[INPUT]\n    Name cpu\n[OUTPUT]\n    Name null\n")
+            run_config("[INPUT]\n    Name mqtt\n[OUTPUT]\n    Name null\n")
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -480,3 +481,69 @@ class TestLuaScriptFilter:
 """
         )
         assert res.counts["counter_0"] == 3  # the 2 drop=yes records dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHostSamplerInputs:
+    def test_cpu_mem_disk_shapes(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        ds, tag = build_input(
+            {"name": ["cpu"], "interval_sec": ["0.05"]}, DEFAULT_REGISTRY
+        )
+        row = ds.take_all()[0]
+        assert tag == "cpu.0"
+        assert {"cpu_p", "user_p", "system_p"} <= set(row)
+        assert "cpu0.p_cpu" in row and row["cpu_p"] >= 0.0
+
+        ds, _ = build_input({"name": ["mem"]}, DEFAULT_REGISTRY)
+        row = ds.take_all()[0]
+        assert row["Mem.total"] > 0
+        assert row["Mem.used"] + row["Mem.free"] == row["Mem.total"]
+        assert {"Swap.total", "Swap.used", "Swap.free"} <= set(row)
+
+        ds, _ = build_input(
+            {"name": ["disk"], "interval_sec": ["0.05"]}, DEFAULT_REGISTRY
+        )
+        row = ds.take_all()[0]
+        assert set(row) >= {"read_size", "write_size"}
+
+    def test_proc_and_health(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        # our own python process is definitely alive
+        ds, _ = build_input(
+            {"name": ["proc"], "proc_name": ["python"]}, DEFAULT_REGISTRY
+        )
+        row = ds.take_all()[0]
+        assert row["proc_name"] == "python"
+        if row["alive"]:
+            assert row["pid"] > 0 and row.get("mem.VmRSS", 0) > 0
+
+        ds, _ = build_input(
+            {"name": ["health"], "host": ["127.0.0.1"], "port": ["1"]},
+            DEFAULT_REGISTRY,
+        )
+        assert ds.take_all()[0]["alive"] in (False, True)
+
+    def test_netif_loopback(self):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        import os
+        if not os.path.exists("/proc/net/dev"):
+            pytest.skip("no /proc/net/dev")
+        with open("/proc/net/dev") as f:
+            ifaces = [l.partition(":")[0].strip() for l in f if ":" in l]
+        if not ifaces:
+            pytest.skip("no interfaces")
+        ds, _ = build_input(
+            {"name": ["netif"], "interface": [ifaces[0]],
+             "interval_sec": ["0.05"]},
+            DEFAULT_REGISTRY,
+        )
+        row = ds.take_all()[0]
+        assert f"{ifaces[0]}.rx.bytes" in row
+        assert f"{ifaces[0]}.tx.packets" in row
