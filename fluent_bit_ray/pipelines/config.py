@@ -443,6 +443,18 @@ def build_input(sec: dict, registry: ParserRegistry):
         from ..functions.records import records_to_table
 
         return ray.data.from_arrow(records_to_table([rec])), tag or f"{name}.0"
+    if name == "kmsg":
+        from ..functions.records import records_to_table
+        from ..sources.host_metrics import kmsg_drain
+
+        try:
+            recs = kmsg_drain(int(_one(sec, "max_records", "10000")))
+        except OSError as e:
+            raise ValueError(
+                f"[INPUT] Name kmsg: /dev/kmsg unreadable here ({e}); the "
+                "kernel ring requires privileges this environment lacks"
+            ) from e
+        return ray.data.from_arrow(records_to_table(recs)), tag or "kmsg.0"
     raise ValueError(
         f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
         "out of scope for the batch engine; see SURVEY §2.4)"

@@ -188,6 +188,51 @@ def proc_sample(proc_name: str, mem: bool = True, fd: bool = True) -> dict:
     return rec
 
 
+def kmsg_drain(max_records: int = 10000) -> list[dict]:
+    """in_kmsg analog (plugins/in_kmsg/in_kmsg.c:100-210): drain the
+    buffered kernel ring once (non-blocking /dev/kmsg) into records of
+    priority (pri & 7), sequence, sec/usec (monotonic), msg.
+
+    The reference tails /proc/kmsg forever; one buffered drain is the
+    batch analog. Raises OSError where the device is unreadable
+    (unprivileged containers) — callers surface a clear input error."""
+    out: list[dict] = []
+    fd = os.open("/dev/kmsg", os.O_RDONLY | os.O_NONBLOCK)
+    try:
+        while len(out) < max_records:
+            try:
+                raw = os.read(fd, 8192)
+            except BlockingIOError:
+                break
+            except OSError:
+                continue  # EPIPE: ring overwritten under us; next record
+            if not raw:
+                break
+            line = raw.decode("utf-8", "replace")
+            head, _, msg = line.partition(";")
+            fields = head.split(",")
+            if len(fields) < 3:
+                continue
+            try:
+                prival = int(fields[0])
+                seq = int(fields[1])
+                usec_total = int(fields[2])
+            except ValueError:
+                continue
+            out.append(
+                {
+                    "priority": prival & 7,  # FLB_KLOG_PRI
+                    "sequence": seq,
+                    "sec": usec_total // 1_000_000,
+                    "usec": usec_total % 1_000_000,
+                    "msg": msg.rstrip("\n"),
+                }
+            )
+    finally:
+        os.close(fd)
+    return out
+
+
 def health_sample(host: str, port: int, timeout_sec: float = 2.0) -> dict:
     import socket
 

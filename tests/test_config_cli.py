@@ -547,3 +547,24 @@ class TestHostSamplerInputs:
         row = ds.take_all()[0]
         assert f"{ifaces[0]}.rx.bytes" in row
         assert f"{ifaces[0]}.tx.packets" in row
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKmsgInput:
+    def test_kmsg_drain(self):
+        import os
+
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        if not os.access("/dev/kmsg", os.R_OK):
+            pytest.skip("/dev/kmsg unreadable")
+        ds, tag = build_input(
+            {"name": ["kmsg"], "max_records": ["50"]}, DEFAULT_REGISTRY
+        )
+        rows = ds.take_all()
+        assert tag == "kmsg.0"
+        assert rows, "kernel ring should have boot messages"
+        r = rows[0]
+        assert set(r) >= {"priority", "sequence", "sec", "usec", "msg"}
+        assert 0 <= r["priority"] <= 7 and r["msg"]
