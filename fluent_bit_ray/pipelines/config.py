@@ -552,6 +552,10 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
             ("timestamp_key", _one(sec, "timestamp_key", "@timestamp")),
         )
         return spec
+    if name == "forward":
+        # out_forward analog: msgpack forward-frame dump files that
+        # round-trip through [INPUT] Name forward (transport out of scope)
+        return OutputSpec("file", match, path, "forward")
     if name == "http":
         # out_http analog: json / json_stream / json_lines bodies
         spec = OutputSpec("file", match, path, "http")

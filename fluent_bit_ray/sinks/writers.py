@@ -427,6 +427,27 @@ def format_http(
     return out
 
 
+def format_forward(table: pa.Table, record_cols: list[str]) -> bytes:
+    """out_forward wire payload (plugins/out_forward/forward.c flush path):
+    one Forward-mode frame per tag — `[tag, [[EventTime, record], ...]]`
+    with fixext8 EventTime — msgpack-encoded. The transport is out of
+    scope; the dump round-trips through `[INPUT] Name forward`."""
+    from ..sources.msgpack_io import msgpack_pack, pack_event_time
+
+    n = table.num_rows
+    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
+    times_ns = _times_ns(table)
+    by_tag: dict[str, list] = {}
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        by_tag.setdefault(tags[i], []).append(
+            [pack_event_time(int(times_ns[i])), rec]
+        )
+    out = bytearray()
+    for tag, entries in by_tag.items():
+        out += msgpack_pack([tag, entries])
+    return bytes(out)
+
+
 def format_plot(table: pa.Table, key: str) -> str:
     """out_plot (plugins/out_plot/plot.c:51-123): `timestamp value` rows of
     one numeric field, gnuplot-ready."""
@@ -581,6 +602,9 @@ class SinkWriteStage:
                         out_format=spec.opt("http_format", "json"),
                     )
                     ext = ".json"
+                elif spec.fmt == "forward":
+                    payload = format_forward(chunk, rc)
+                    ext = ".msgpack"
                 elif spec.fmt == "plot":
                     payload = format_plot(chunk, spec.opt("key", "value"))
                     ext = ".dat"
@@ -592,7 +616,8 @@ class SinkWriteStage:
                     )
                     ext = ".ltsv"
                 def _write_text(p=path + ext, body=payload):
-                    with open(p, "w") as f:
+                    mode = "wb" if isinstance(body, bytes) else "w"
+                    with open(p, mode) as f:
                         f.write(body)
 
                 self.retry.run(_write_text, token=fname)

@@ -148,3 +148,39 @@ class TestForwardDataset:
 """
         )
         assert res.counts["counter_0"] == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestForwardSinkRoundTrip:
+    def test_output_forward_reads_back(self, tmp_path):
+        import glob
+
+        from fluent_bit_ray.pipelines.config import run_config
+        from fluent_bit_ray.sources.msgpack_io import (
+            forward_file_dataset,
+            write_forward_file,
+        )
+
+        # in: a forward dump; out: [OUTPUT] Name forward re-emits frames
+        dump = str(tmp_path / "in.msgpack")
+        entries = [(10**9, {"svc": "api", "n": 1}), (2 * 10**9, {"svc": "web", "n": 2})]
+        write_forward_file(dump, [("app.a", entries, "forward")])
+        out = tmp_path / "out"
+        res = run_config(
+            f"""
+[INPUT]
+    Name forward
+    Path {dump}
+
+[OUTPUT]
+    Name forward
+    Match app.*
+""",
+            out_root=str(out),
+        )
+        assert res.counts["file_0"] == 2
+        files = glob.glob(str(out / "file_0" / "*.msgpack"))
+        assert files
+        rows = forward_file_dataset(files).take_all()
+        got = sorted((r["_tag"], r["_time"], r["svc"], r["n"]) for r in rows)
+        assert got == [("app.a", 10**9, "api", 1), ("app.a", 2 * 10**9, "web", 2)]
