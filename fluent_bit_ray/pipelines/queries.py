@@ -389,6 +389,21 @@ def q_simhash_invariant(sf_dir: str):
     return _exact_group_invariant(sf_dir, reps, "simhash")
 
 
+def q_fingerprint_invariant(sf_dir: str):
+    """winnowing fingerprints are content-determined: identical texts must
+    fingerprint identically (clone-augmented corpus, same contract as the
+    other *_invariant queries)."""
+    import ray
+
+    fp = _augmented_docs_ds(sf_dir).map_batches(
+        text_ops.fingerprint_batch, batch_format="pyarrow"
+    )
+    table = pa.concat_tables(
+        [t for t in ray.get(fp.to_arrow_refs()) if t.num_rows]
+    )
+    return _exact_group_invariant(sf_dir, table, "fingerprint")
+
+
 def q_text_stats(sf_dir: str):
     """token/byte counting (vectorized arrow kernels)."""
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -734,6 +749,7 @@ QUERIES: dict[str, Callable] = {
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
     "simhash_invariant": q_simhash_invariant,
+    "fingerprint_invariant": q_fingerprint_invariant,
     "text_stats": q_text_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -818,6 +834,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM aug GROUP BY text HAVING count(*) > 1"
     ),
     "simhash_invariant": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
+        "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
+        "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
+    "fingerprint_invariant": (
         "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
         "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
         "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
