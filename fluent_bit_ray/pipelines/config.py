@@ -443,6 +443,37 @@ def build_input(sec: dict, registry: ParserRegistry):
         from ..functions.records import records_to_table
 
         return ray.data.from_arrow(records_to_table([rec])), tag or f"{name}.0"
+    if name == "systemd":
+        # in_systemd batch analog: journald EXPORT-format dump files
+        # (`journalctl -o export`) instead of the live journal socket.
+        # Tag may carry `*` for the reference's dynamic unit expansion.
+        from ..functions.records import records_to_table
+        from ..sources.host_metrics import journal_export_records
+
+        path = _one(sec, "path")
+        if not path:
+            raise ValueError(
+                "[INPUT] Name systemd needs Path (a journal export dump; "
+                "the live journal socket is out of batch scope)"
+            )
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        tag_pattern = tag or "systemd.0"
+        recs = []
+        for f in files:
+            with open(f, "rb") as fh:
+                recs.extend(journal_export_records(fh.read(), tag_pattern))
+        rows = []
+        for rtag, ts, rec in recs:
+            row = dict(rec)
+            row["_tag"] = rtag
+            row["_time"] = ts
+            rows.append(row)
+        if not rows:
+            return ray.data.from_arrow(
+                pa.table({"_tag": pa.array([], pa.string()),
+                          "_time": pa.array([], pa.int64())})
+            ), tag_pattern
+        return ray.data.from_arrow(records_to_table(rows)), tag_pattern
     if name == "kmsg":
         from ..functions.records import records_to_table
         from ..sources.host_metrics import kmsg_drain

@@ -233,6 +233,71 @@ def kmsg_drain(max_records: int = 10000) -> list[dict]:
     return out
 
 
+def iter_journal_export(data: bytes):
+    """Parse the systemd Journal Export Format (public spec,
+    systemd.io/JOURNAL_EXPORT_FORMATS): entries separated by an empty
+    line; `FIELD=value` text lines; binary fields as `FIELD\\n` + 64-bit
+    LE length + payload + `\\n`. Yields one {field: str} dict per entry.
+    """
+    pos = 0
+    n = len(data)
+    fields: dict = {}
+    while pos < n:
+        nl = data.find(b"\n", pos)
+        if nl == -1:
+            nl = n
+        line = data[pos:nl]
+        if not line:
+            if fields:
+                yield fields
+                fields = {}
+            pos = nl + 1
+            continue
+        eq = line.find(b"=")
+        if eq >= 0:
+            fields[line[:eq].decode("utf-8", "replace")] = line[eq + 1 :].decode(
+                "utf-8", "replace"
+            )
+            pos = nl + 1
+        else:
+            # binary field: name, newline, LE u64 size, payload, newline
+            name = line.decode("utf-8", "replace")
+            size = int.from_bytes(data[nl + 1 : nl + 9], "little")
+            payload = data[nl + 9 : nl + 9 + size]
+            fields[name] = payload.decode("utf-8", "replace")
+            pos = nl + 9 + size + 1
+    if fields:
+        yield fields
+
+
+def journal_export_records(
+    data: bytes, tag_pattern: str = "systemd.0"
+) -> list[tuple[str, Optional[int], dict]]:
+    """Export entries -> (tag, time_ns | None, record) per the reference's
+    in_systemd composition (plugins/in_systemd/systemd.c:100-190):
+    time from __REALTIME_TIMESTAMP (usec); a `*` in the Tag expands to the
+    _SYSTEMD_UNIT (or 'unknown', tag_compose:28-57); the record keeps the
+    journal fields minus the synthetic double-underscore address fields.
+    """
+    out = []
+    for fields in iter_journal_export(data):
+        ts = None
+        rt = fields.get("__REALTIME_TIMESTAMP")
+        if rt is not None:
+            try:
+                ts = int(rt) * 1000
+            except ValueError:
+                ts = None
+        if "*" in tag_pattern:
+            unit = fields.get("_SYSTEMD_UNIT", "unknown")
+            tag = tag_pattern.replace("*", unit, 1)
+        else:
+            tag = tag_pattern
+        rec = {k: v for k, v in fields.items() if not k.startswith("__")}
+        out.append((tag, ts, rec))
+    return out
+
+
 def health_sample(host: str, port: int, timeout_sec: float = 2.0) -> dict:
     import socket
 

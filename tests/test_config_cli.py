@@ -568,3 +568,46 @@ class TestKmsgInput:
         r = rows[0]
         assert set(r) >= {"priority", "sequence", "sec", "usec", "msg"}
         assert 0 <= r["priority"] <= 7 and r["msg"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSystemdExportInput:
+    def _dump(self, tmp_path):
+        # journal export format: text fields, one BINARY field (embedded
+        # newline), double-underscore synthetic fields, two entries
+        msg2 = b"line one\nline two"
+        data = (
+            b"__CURSOR=s=abc\n"
+            b"__REALTIME_TIMESTAMP=1519234013000001\n"
+            b"_SYSTEMD_UNIT=nginx.service\n"
+            b"PRIORITY=6\n"
+            b"MESSAGE=hello world\n"
+            b"\n"
+            b"__REALTIME_TIMESTAMP=1519234014000000\n"
+            b"PRIORITY=3\n"
+            b"MESSAGE\n" + len(msg2).to_bytes(8, "little") + msg2 + b"\n"
+            b"\n"
+        )
+        p = tmp_path / "dump.export"
+        p.write_bytes(data)
+        return str(p)
+
+    def test_export_parse_and_dynamic_tag(self, tmp_path):
+        from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.pipelines.config import build_input
+
+        ds, _ = build_input(
+            {"name": ["systemd"], "path": [self._dump(tmp_path)],
+             "tag": ["journal.*"]},
+            DEFAULT_REGISTRY,
+        )
+        rows = sorted(ds.take_all(), key=lambda r: r["_time"])
+        assert len(rows) == 2
+        assert rows[0]["_tag"] == "journal.nginx.service"
+        assert rows[0]["MESSAGE"] == "hello world"
+        assert rows[0]["_time"] == 1519234013000001 * 1000
+        assert rows[0]["PRIORITY"] == "6"
+        assert "__CURSOR" not in rows[0]  # synthetic fields excluded
+        # second entry: no unit -> 'unknown'; binary field decoded
+        assert rows[1]["_tag"] == "journal.unknown"
+        assert rows[1]["MESSAGE"] == "line one\nline two"
