@@ -447,8 +447,7 @@ def build_input(sec: dict, registry: ParserRegistry):
         # in_systemd batch analog: journald EXPORT-format dump files
         # (`journalctl -o export`) instead of the live journal socket.
         # Tag may carry `*` for the reference's dynamic unit expansion.
-        from ..functions.records import records_to_table
-        from ..sources.host_metrics import journal_export_records
+        from ..sources.host_metrics import journal_export_dataset
 
         path = _one(sec, "path")
         if not path:
@@ -458,22 +457,7 @@ def build_input(sec: dict, registry: ParserRegistry):
             )
         files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
         tag_pattern = tag or "systemd.0"
-        recs = []
-        for f in files:
-            with open(f, "rb") as fh:
-                recs.extend(journal_export_records(fh.read(), tag_pattern))
-        rows = []
-        for rtag, ts, rec in recs:
-            row = dict(rec)
-            row["_tag"] = rtag
-            row["_time"] = ts
-            rows.append(row)
-        if not rows:
-            return ray.data.from_arrow(
-                pa.table({"_tag": pa.array([], pa.string()),
-                          "_time": pa.array([], pa.int64())})
-            ), tag_pattern
-        return ray.data.from_arrow(records_to_table(rows)), tag_pattern
+        return journal_export_dataset(files, tag_pattern), tag_pattern
     if name == "kmsg":
         from ..functions.records import records_to_table
         from ..sources.host_metrics import kmsg_drain
@@ -487,8 +471,9 @@ def build_input(sec: dict, registry: ParserRegistry):
             ) from e
         return ray.data.from_arrow(records_to_table(recs)), tag or "kmsg.0"
     raise ValueError(
-        f"unsupported input plugin: {name!r} (host-agent/transport inputs are "
-        "out of scope for the batch engine; see SURVEY §2.4)"
+        f"unsupported input plugin: {name!r} (device/server-transport inputs "
+        "— serial, mqtt, http — are out of scope for the batch engine; see "
+        "SURVEY §2.4 and COVERAGE.md for the supported set)"
     )
 
 

@@ -393,15 +393,10 @@ def q_fingerprint_invariant(sf_dir: str):
     """winnowing fingerprints are content-determined: identical texts must
     fingerprint identically (clone-augmented corpus, same contract as the
     other *_invariant queries)."""
-    import ray
-
     fp = _augmented_docs_ds(sf_dir).map_batches(
         text_ops.fingerprint_batch, batch_format="pyarrow"
     )
-    table = pa.concat_tables(
-        [t for t in ray.get(fp.to_arrow_refs()) if t.num_rows]
-    )
-    return _exact_group_invariant(sf_dir, table, "fingerprint")
+    return _exact_group_invariant(sf_dir, fp, "fingerprint")
 
 
 def q_text_stats(sf_dir: str):

@@ -437,8 +437,18 @@ def format_forward(table: pa.Table, record_cols: list[str]) -> bytes:
     n = table.num_rows
     tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
     times_ns = _times_ns(table)
+    # Arrow map columns surface as list-of-tuples in to_pylist; the wire
+    # format (and the reference emitter) needs msgpack MAPS
+    map_cols = [
+        c for c in record_cols
+        if pa.types.is_map(table.schema.field(c).type)
+    ]
     by_tag: dict[str, list] = {}
     for i, rec in enumerate(_row_iter(table, record_cols)):
+        for c in map_cols:
+            v = rec.get(c)
+            if isinstance(v, list):
+                rec[c] = dict(v)
         by_tag.setdefault(tags[i], []).append(
             [pack_event_time(int(times_ns[i])), rec]
         )
@@ -515,7 +525,9 @@ class SinkWriteStage:
     def _record_cols(self, table: pa.Table, spec: SinkSpec) -> list[str]:
         if spec.columns:
             return [c for c in spec.columns if c in table.column_names]
-        return [c for c in table.column_names if not c.startswith("_")]
+        from ..stages.base import ENGINE_COLS
+
+        return [c for c in table.column_names if c not in ENGINE_COLS]
 
     def __call__(self, table: pa.Table) -> pa.Table:
         masks = self.router.masks(table["_tag"])

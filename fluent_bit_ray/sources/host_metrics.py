@@ -30,21 +30,30 @@ import time
 from typing import Optional
 
 
-def _read_proc_stat() -> dict[str, tuple[int, int, int]]:
-    """{'cpu'|'cpuN': (user+nice, system, total-of-first-7-fields)}."""
+def _read_proc_stat() -> dict[str, tuple[int, int]]:
+    """{'cpu'|'cpuN': (user+nice ticks, system ticks)} — the two counters
+    the reference's percent math consumes (in_cpu.c snapshots)."""
     out = {}
     with open("/proc/stat") as f:
         for line in f:
             if not line.startswith("cpu"):
                 break
             parts = line.split()
-            vals = [int(x) for x in parts[1:8]]
-            user, nice, system = vals[0], vals[1], vals[2]
-            out[parts[0]] = (user + nice, system, user + nice + system)
+            user, nice, system = (int(x) for x in parts[1:4])
+            out[parts[0]] = (user + nice, system)
     return out
 
 
+def _check_interval(interval_sec: float) -> float:
+    if not interval_sec > 0:
+        raise ValueError(
+            f"Interval_Sec must be positive, got {interval_sec!r}"
+        )
+    return interval_sec
+
+
 def cpu_sample(interval_sec: float = 0.5) -> dict:
+    _check_interval(interval_sec)
     ticks = os.sysconf("SC_CLK_TCK")
     a = _read_proc_stat()
     time.sleep(interval_sec)
@@ -110,6 +119,7 @@ def _diskstats(dev_name: Optional[str]) -> tuple[int, int]:
 
 
 def disk_sample(interval_sec: float = 0.5, dev_name: Optional[str] = None) -> dict:
+    _check_interval(interval_sec)
     r0, w0 = _diskstats(dev_name)
     time.sleep(interval_sec)
     r1, w1 = _diskstats(dev_name)
@@ -140,6 +150,7 @@ def _netdev(interface: str) -> Optional[list[int]]:
 def netif_sample(
     interface: str, interval_sec: float = 0.5, verbose: bool = False
 ) -> dict:
+    _check_interval(interval_sec)
     a = _netdev(interface)
     time.sleep(interval_sec)
     b = _netdev(interface)
@@ -201,11 +212,15 @@ def kmsg_drain(max_records: int = 10000) -> list[dict]:
     try:
         while len(out) < max_records:
             try:
-                raw = os.read(fd, 8192)
+                raw = os.read(fd, 65536)
             except BlockingIOError:
                 break
-            except OSError:
-                continue  # EPIPE: ring overwritten under us; next record
+            except OSError as e:
+                import errno as _errno
+
+                if e.errno == _errno.EPIPE:
+                    continue  # ring overwritten under us; next record
+                break  # any persistent errno would loop forever
             if not raw:
                 break
             line = raw.decode("utf-8", "replace")
@@ -296,6 +311,32 @@ def journal_export_records(
         rec = {k: v for k, v in fields.items() if not k.startswith("__")}
         out.append((tag, ts, rec))
     return out
+
+
+def journal_export_dataset(files: list, tag_pattern: str = "systemd.0"):
+    """Journal export dumps -> Ray Dataset: one read task per file, decode
+    inside map_batches (no driver-side materialization of the dumps)."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..functions.records import records_to_table
+
+    ds = ray.data.read_binary_files(files)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rows = []
+        for bts in batch["bytes"]:
+            for rtag, ts, rec in journal_export_records(bts.as_py(), tag_pattern):
+                row = dict(rec)
+                row["_tag"] = rtag
+                row["_time"] = ts
+                rows.append(row)
+        if not rows:
+            return pa.table({"_tag": pa.array([], pa.string()),
+                             "_time": pa.array([], pa.int64())})
+        return records_to_table(rows)
+
+    return ds.map_batches(decode, batch_format="pyarrow")
 
 
 def health_sample(host: str, port: int, timeout_sec: float = 2.0) -> dict:

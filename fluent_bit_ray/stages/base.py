@@ -26,6 +26,15 @@ from ..router import match_to_regex
 
 INTERNAL_PREFIX = "_"
 
+# engine-internal columns: an EXPLICIT set, not the bare "_" prefix —
+# journald trusted fields (_PID, _SYSTEMD_UNIT, ...) are single-underscore
+# USER data and must reach sinks (in_systemd semantics); only these names
+# (plus transient stage columns, always dropped before the sink) are ours
+ENGINE_COLS = frozenset({
+    "_tag", "_time", "_parse_ok", "_src", "_src_path",
+    "_throttle_bucket", "_shard", "_bucket", "_ivf_bucket",
+})
+
 
 @runtime_checkable
 class Filter(Protocol):
@@ -39,7 +48,7 @@ class Filter(Protocol):
 
 
 def record_columns(table: pa.Table) -> list[str]:
-    return [c for c in table.column_names if not c.startswith(INTERNAL_PREFIX)]
+    return [c for c in table.column_names if c not in ENGINE_COLS]
 
 
 def get_col(table: pa.Table, name: str):

@@ -193,11 +193,15 @@ class KubernetesFilter:
                 rows.append(rec)
                 continue
             tag = rec.get("_tag", tags[i])
-            out = self.process_row({k: v for k, v in rec.items() if not k.startswith("_")}, tag)
+            from .base import ENGINE_COLS
+
+            out = self.process_row(
+                {k: v for k, v in rec.items() if k not in ENGINE_COLS}, tag
+            )
             if out is None:
                 continue
             for k, v in rec.items():
-                if k.startswith("_"):
+                if k in ENGINE_COLS:
                     out[k] = v
             rows.append(out)
         if not rows:

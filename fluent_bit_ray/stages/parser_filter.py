@@ -169,12 +169,14 @@ class ParserFilter:
             ts, parsed = parser.parse_row(val, self.now_year)
             if parsed is None:
                 continue
-            out = {k: v for k, v in record.items() if k.startswith("_")}
+            from .base import ENGINE_COLS
+
+            out = {k: v for k, v in record.items() if k in ENGINE_COLS}
             if self.reserve_data:
                 keep = {
                     k: v
                     for k, v in record.items()
-                    if not k.startswith("_")
+                    if k not in ENGINE_COLS
                     and (k != self.key_name or self.preserve_key)
                 }
             else:

@@ -199,3 +199,54 @@ class TestSecondReviewFixes:
             enc = msgpack_pack(e)
             out, used = msgpack_unpack(enc)
             assert used == len(enc) and out == e
+
+
+class TestThirdReviewFixes:
+    def test_journal_underscore_fields_reach_sinks(self, ray_session, tmp_path):
+        from fluent_bit_ray.sinks.writers import SinkWriteStage, SinkSpec
+        import pyarrow as pa
+
+        t = pa.table(
+            {
+                "_tag": pa.array(["journal.nginx.service"]),
+                "_time": pa.array([10**9], pa.int64()),
+                "MESSAGE": pa.array(["hi"]),
+                "_SYSTEMD_UNIT": pa.array(["nginx.service"]),
+                "_PID": pa.array(["42"]),
+            }
+        )
+        stage = SinkWriteStage([SinkSpec("s", ("*",), "json")], str(tmp_path))
+        stage(t)
+        import glob
+
+        body = open(glob.glob(str(tmp_path / "s" / "*.jsonl"))[0]).read()
+        # journald trusted metadata must reach the sink (in_systemd output)
+        assert '"_SYSTEMD_UNIT":"nginx.service"' in body
+        assert '"_PID":"42"' in body
+
+    def test_forward_sink_emits_msgpack_maps(self):
+        import pyarrow as pa
+
+        from fluent_bit_ray.sinks.writers import format_forward
+        from fluent_bit_ray.sources.msgpack_io import iter_forward_frames
+
+        t = pa.table(
+            {
+                "_tag": pa.array(["a.b"]),
+                "_time": pa.array([10**9], pa.int64()),
+                "labels": pa.array([{"k": "v"}], pa.map_(pa.string(), pa.string())),
+            }
+        )
+        payload = format_forward(t, ["labels"])
+        [(tag, entries)] = list(iter_forward_frames(payload))
+        assert entries[0][1]["labels"] == {"k": "v"}  # a MAP, not [["k","v"]]
+
+    def test_interval_validation(self):
+        import pytest as _pytest
+
+        from fluent_bit_ray.sources.host_metrics import cpu_sample, disk_sample
+
+        with _pytest.raises(ValueError, match="Interval_Sec"):
+            cpu_sample(0)
+        with _pytest.raises(ValueError, match="Interval_Sec"):
+            disk_sample(-1)
