@@ -5,15 +5,42 @@ silently dropping later-only keys — every consumer of loosely-typed
 record streams (forward frames, multi-doc JSON, the kubernetes filter)
 must build the key union explicitly. Keys are normalized to str (msgpack
 maps allow non-string keys; colliding normalizations last-win,
-documented)."""
+documented).
+
+Mixed-type columns (the same key carrying e.g. an int in one record and a
+string in the next — legal in msgpack forward frames and concatenated
+JSON, and accepted by the reference engine's schemaless msgpack core)
+cannot become a single typed Arrow column; such columns degrade to a
+string representation (JSON for nested values) instead of failing the
+whole read task."""
 
 from __future__ import annotations
+
+import json
 
 import pyarrow as pa
 
 
+def _stringify(v):
+    if v is None or isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False, default=str)
+    return str(v)
+
+
 def records_to_table(recs: list[dict]) -> pa.Table:
-    """Key-union table in first-seen key order; missing keys -> null."""
+    """Key-union table in first-seen key order; missing keys -> null.
+
+    Columns whose values mix incompatible Python types fall back to a
+    lossy-but-safe string column (ints/floats via str(), bools as
+    true/false, nested dict/list as compact JSON) rather than raising
+    ArrowInvalid and killing the task.
+    """
     if not recs:
         return pa.table({})
     fields: list[str] = []
@@ -27,4 +54,11 @@ def records_to_table(recs: list[dict]) -> pa.Table:
             if k not in seen:
                 seen.add(k)
                 fields.append(k)
-    return pa.table({f: pa.array([r.get(f) for r in norm]) for f in fields})
+    cols = {}
+    for f in fields:
+        vals = [r.get(f) for r in norm]
+        try:
+            cols[f] = pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+            cols[f] = pa.array([_stringify(v) for v in vals], type=pa.string())
+    return pa.table(cols)

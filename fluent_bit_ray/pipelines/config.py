@@ -385,6 +385,8 @@ def build_input(sec: dict, registry: ParserRegistry):
         # rejects are DROPPED (the reference logs and skips them). Default
         # parser mirrors syslog_conf.c:123-132 (rfc5424 for stream mode).
         path = _one(sec, "path")
+        if not path:
+            raise ValueError("[INPUT] Name syslog needs Path (dump file/glob)")
         parser_name = _one(sec, "parser", "syslog-rfc5424")
         parser = registry.get(parser_name)
         files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
@@ -411,6 +413,8 @@ def build_input(sec: dict, registry: ParserRegistry):
         from ..sources.msgpack_io import forward_file_dataset
 
         path = _one(sec, "path")
+        if not path:
+            raise ValueError("[INPUT] Name forward needs Path (dump file/glob)")
         files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
         return forward_file_dataset(files), tag or "forward.0"
     if name in ("cpu", "mem", "disk", "netif", "proc", "health"):

@@ -305,8 +305,10 @@ def format_influxdb(
     escaping; nil and nested values are skipped; a record whose fields are
     all tagged is dropped (the reference logs an error). The sequence
     counter restarts per formatted chunk (the reference's is per-process —
-    a documented divergence of the stateless batch engine), wrapping to 1
-    at 100000 like the reference.
+    a documented divergence of the stateless batch engine). At the wrap
+    iteration (counter + 1 >= 100000) the emitted value is 1 and the
+    counter stops incrementing, pinning every later record to 1 — the
+    exact influxdb.c:129-135 behaviour.
     """
     n = table.num_rows
     tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
@@ -315,11 +317,12 @@ def format_influxdb(
     out = []
     seq = seq_start
     for i, rec in enumerate(_row_iter(table, record_cols)):
-        head = [f"{tags[i]},{seq_name}={seq}"]
         if seq + 1 >= 100000:
-            seq = 1
+            emitted = 1  # counter frozen: all later records pin to 1
         else:
+            emitted = seq
             seq += 1
+        head = [f"{tags[i]},{seq_name}={emitted}"]
         body = []
         for k, v in rec.items():
             quote = False
