@@ -132,74 +132,262 @@ def _json_column(col) -> list:
     return [None if v is None else _json_value(v) for v in vals]
 
 
-def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
-    """Columnar assembly: serialize each column once (key fragment + values,
-    per-column type dispatch), then join per row skipping absent keys — no
-    per-row dict churn."""
-    n = table.num_rows
-    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
-    times = _times_sec(table)
-    cols = []
-    for c in record_cols:
-        frag = '"' + flb_json_escape(c) + '":'
-        cols.append((frag, _json_column(table[c])))
-    out = []
-    for i in range(n):
-        body = ",".join(
-            frag + sv for frag, col in cols if (sv := col[i]) is not None
+def _print_column(col) -> list:
+    """Per-column print-mode (csv/ltsv) Python fallback: msgpack_object_print
+    semantics. None stays None (absent key)."""
+    vals = col.to_pylist()
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return [None if v is None else f'"{v}"' for v in vals]
+    if pa.types.is_integer(t):
+        return [None if v is None else str(v) for v in vals]
+    if pa.types.is_boolean(t):
+        return [None if v is None else ("true" if v else "false") for v in vals]
+    if pa.types.is_floating(t):
+        return [None if v is None else repr(v) for v in vals]
+    return [None if v is None else _print_value(v) for v in vals]
+
+
+# ---------------------------------------------------- vectorized assembly
+#
+# The text sinks' dominant cost at scale was per-row Python string assembly.
+# Each column is serialized ONCE with Arrow kernels (escape-scan regex,
+# casts, strftime, list joins) and rows are assembled with
+# binary_join_element_wise — the only per-row Python work left is the %.6f
+# time prefix (one listcomp) and the final "\n".join. Types Arrow can't
+# render byte-identically (floats: Arrow's shortest-repr cast differs from
+# Python repr, e.g. 2.0 -> "2") fall back to the per-column Python path.
+#
+# pyarrow 16.1 gotcha: binary_join_element_wise(null_handling="skip")
+# DROPS rows whose inputs are ALL null (output is shorter, not ""), so
+# every skip-join leads with a non-null sentinel that is sliced back off
+# (or a non-null line prefix that doubles as one).
+
+_RE2_NEEDS_ESCAPE = r"[^ !#-\[\]-~]"  # outside printable ASCII minus `"` `\`
+_SENT = "\x00"
+
+
+def _combined(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.offset != 0:  # compact slices so child/offset views align
+        col = col.take(pa.array(np.arange(len(col)), pa.int64()))
+    return col
+
+
+def _escape_strings(col: pa.Array) -> pa.Array:
+    """flb_json_escape, vectorized: one C-level regex scan finds the values
+    that need escaping (rare in real logs); only those pay the Python
+    translate-table call."""
+    needs = pc.fill_null(pc.match_substring_regex(col, _RE2_NEEDS_ESCAPE), False)
+    if not pc.any(needs).as_py():
+        return col
+    idx = np.flatnonzero(needs.to_numpy(zero_copy_only=False))
+    fixed = pa.array(
+        [flb_json_escape(v) for v in col.take(pa.array(idx, pa.int64())).to_pylist()],
+        type=pa.string(),
+    )
+    return pc.replace_with_mask(col, needs, fixed)
+
+
+def _quote(col) -> pa.Array:
+    return pc.binary_join_element_wise('"', col, '"', "")
+
+
+def _skip_join(frags: list, sep: str, n: int) -> pa.Array:
+    """Join fragment columns per row with `sep`, skipping nulls; never
+    returns null (all-null rows -> "") and never drops rows (sentinel)."""
+    if not frags:
+        return pa.array([""] * n, pa.string())
+    joined = pc.binary_join_element_wise(
+        _SENT, *frags, sep, null_handling="skip"
+    )
+    return pc.utf8_slice_codeunits(joined, len(_SENT) + len(sep))
+
+
+def _ts_strings(col: pa.Array):
+    """str(datetime.datetime) parity for timestamp columns (s/ms/us unit,
+    naive or UTC): `YYYY-MM-DD HH:MM:SS[.ffffff][+00:00]`, fraction only
+    when nonzero — exactly what the per-row Python path printed via
+    to_pylist + str(). Returns None for units/zones needing the fallback."""
+    t = col.type
+    if t.unit not in ("s", "ms", "us"):
+        return None
+    if t.tz not in (None, "UTC", "utc", "+00:00"):
+        return None
+    suffix = "+00:00" if t.tz else ""
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1}[t.unit]
+    us = pc.multiply(pc.cast(col, pa.int64()), scale) if scale != 1 else pc.cast(col, pa.int64())
+    floored = pc.floor_temporal(col, unit="second")
+    sec_s = pc.cast(floored, pa.timestamp("s", tz=t.tz))
+    base = pc.strftime(sec_s, format="%Y-%m-%d %H:%M:%S")
+    frac = pc.subtract(us, pc.multiply(pc.cast(pc.cast(sec_s, pa.int64()), pa.int64()), 1_000_000))
+    has_frac = pc.fill_null(pc.not_equal(frac, 0), False)
+    if pc.any(has_frac).as_py():
+        fracstr = pc.binary_join_element_wise(
+            ".", pc.utf8_lpad(pc.cast(frac, pa.string()), 6, "0"), ""
         )
-        out.append(f"{tags[i]}: [{times[i]:.6f}, {{{body}}}]")
-    return "\n".join(out) + ("\n" if out else "")
+        mid = pc.if_else(has_frac, fracstr, "")
+        return pc.binary_join_element_wise(base, mid, suffix, "")
+    return pc.binary_join_element_wise(base, suffix, "")
 
 
-def _print_columns(table: pa.Table, record_cols: list[str]) -> list[list]:
-    """Serialize each column ONCE with a per-column type dispatch (the
-    csv/ltsv hot path): string/int columns take a comprehension fast path
-    (no per-cell isinstance), everything else falls back to _print_value.
-    None stays None (absent key)."""
+def _json_arrow(col):
+    """Vectorized flb JSON serialization of one column; None when the type
+    needs the Python `_json_column` fallback. Null in -> null out (absent)."""
+    col = _combined(col)
+    t = col.type
+    if pa.types.is_large_string(t):
+        col = pc.cast(col, pa.string())
+        t = col.type
+    if pa.types.is_string(t):
+        return _quote(_escape_strings(col))
+    if pa.types.is_boolean(t) or pa.types.is_integer(t):
+        return pc.cast(col, pa.string())
+    if pa.types.is_timestamp(t):
+        s = _ts_strings(col)
+        return None if s is None else _quote(s)  # str() form has no escapables
+    if pa.types.is_struct(t):
+        frags = []
+        for i in range(t.num_fields):
+            child = _json_arrow(col.field(i))
+            if child is None:
+                return None
+            frags.append(
+                pc.binary_join_element_wise(
+                    '"' + flb_json_escape(t.field(i).name) + '":', child, ""
+                )
+            )
+        body = _skip_join(frags, ",", len(col))
+        wrapped = pc.binary_join_element_wise("{", body, "}", "")
+        return pc.if_else(pc.is_valid(col), wrapped, pa.scalar(None, pa.string()))
+    if pa.types.is_map(t) and pa.types.is_string(t.key_type):
+        # {"k":<v>,...} per row; entries with nil value are skipped (the
+        # reference's object printer skips nil map values)
+        items_ser = _json_arrow(col.items)
+        if items_ser is None:
+            return None
+        keys_q = _quote(_escape_strings(pc.cast(_combined(col.keys), pa.string())))
+        entries = pc.binary_join_element_wise(keys_q, ":", items_ser, "")
+        entries = pc.if_else(pc.is_valid(items_ser), entries, pa.scalar(None, pa.string()))
+        valid = pc.is_valid(entries).to_numpy(zero_copy_only=False)
+        offsets = np.asarray(col.offsets)
+        new_off = np.concatenate([[0], np.cumsum(valid)])[offsets]
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), entries.filter(pa.array(valid))
+        )
+        body = pc.fill_null(pc.binary_join(lst, ","), "")
+        wrapped = pc.binary_join_element_wise("{", body, "}", "")
+        return pc.if_else(pc.is_valid(col), wrapped, pa.scalar(None, pa.string()))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        elem = _json_arrow(pc.list_flatten(col))
+        if elem is None:
+            return None
+        elem = pc.fill_null(elem, "null")  # null elements print as JSON null
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+        off = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+        lst = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), elem)
+        body = pc.fill_null(pc.binary_join(lst, ","), "")
+        wrapped = pc.binary_join_element_wise("[", body, "]", "")
+        return pc.if_else(pc.is_valid(col), wrapped, pa.scalar(None, pa.string()))
+    return None  # floats (repr mismatch) and exotic types: Python fallback
+
+
+def _print_arrow(col):
+    """Vectorized msgpack_object_print serialization (csv/ltsv): strings are
+    raw-quoted (NO escaping), nested values print as JSON."""
+    col = _combined(col)
+    t = col.type
+    if pa.types.is_large_string(t):
+        col = pc.cast(col, pa.string())
+        t = col.type
+    if pa.types.is_string(t):
+        return _quote(col)
+    if pa.types.is_boolean(t) or pa.types.is_integer(t):
+        return pc.cast(col, pa.string())
+    if pa.types.is_timestamp(t):
+        s = _ts_strings(col)
+        return None if s is None else _quote(s)
+    if pa.types.is_struct(t) or pa.types.is_map(t) or pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _json_arrow(col)  # _print_value renders nested values as JSON
+    return None
+
+
+def _serialized_columns(table: pa.Table, record_cols: list[str], json_mode: bool) -> list:
     out = []
     for c in record_cols:
         col = table[c]
-        vals = col.to_pylist()
-        t = col.type
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            out.append([None if v is None else f'"{v}"' for v in vals])
-        elif pa.types.is_integer(t):
-            out.append([None if v is None else str(v) for v in vals])
-        elif pa.types.is_boolean(t):
-            out.append(
-                [None if v is None else ("true" if v else "false") for v in vals]
-            )
-        elif pa.types.is_floating(t):
-            out.append([None if v is None else repr(v) for v in vals])
-        else:
-            out.append([None if v is None else _print_value(v) for v in vals])
+        arr = _json_arrow(col) if json_mode else _print_arrow(col)
+        if arr is None:
+            vals = _json_column(col) if json_mode else _print_column(col)
+            arr = pa.array(vals, type=pa.string())
+        out.append(arr)
     return out
 
 
+def _time_strings(times: np.ndarray) -> pa.Array:
+    # %.6f of the float seconds — must match the historical f"{t:.6f}"
+    # byte-for-byte, so this stays a (cheap) per-row format call
+    return pa.array([f"{t:.6f}" for t in times], type=pa.string())
+
+
+def _tag_strings(table: pa.Table) -> pa.Array:
+    n = table.num_rows
+    if "_tag" not in table.column_names:
+        return pa.array([""] * n, pa.string())
+    col = pc.cast(_combined(table["_tag"]), pa.string())
+    # the row path printed Python None as "None" — preserved for parity
+    return pc.fill_null(col, "None")
+
+
+def format_json_lines(table: pa.Table, record_cols: list[str]) -> str:
+    """Arrow-vectorized assembly: per-column serialization (escape-scan +
+    casts), key fragments prepended column-wise, rows joined with a single
+    null-skipping binary_join_element_wise."""
+    n = table.num_rows
+    if n == 0:
+        return ""
+    frags = [
+        pc.binary_join_element_wise('"' + flb_json_escape(c) + '":', ser, "")
+        for c, ser in zip(record_cols, _serialized_columns(table, record_cols, True))
+    ]
+    body = _skip_join(frags, ",", n)
+    lines = pc.binary_join_element_wise(
+        _tag_strings(table), ": [", _time_strings(_times_sec(table)), ", {", body, "}]", ""
+    )
+    return "\n".join(lines.to_pylist()) + "\n"
+
+
 def format_csv(table: pa.Table, record_cols: list[str], delimiter: str = ",") -> str:
-    times = _times_sec(table)
-    cols = _print_columns(table, record_cols)
-    out = []
-    for i in range(table.num_rows):
-        vals = [sv for col in cols if (sv := col[i]) is not None]
-        out.append(f"{times[i]:.6f}" + delimiter + delimiter.join(vals))
-    return "\n".join(out) + ("\n" if out else "")
+    n = table.num_rows
+    if n == 0:
+        return ""
+    body = _skip_join(_serialized_columns(table, record_cols, False), delimiter, n)
+    lines = pc.binary_join_element_wise(
+        _time_strings(_times_sec(table)), delimiter, body, ""
+    )
+    return "\n".join(lines.to_pylist()) + "\n"
 
 
 def format_ltsv(
     table: pa.Table, record_cols: list[str], delimiter: str = "\t", label_delimiter: str = ":"
 ) -> str:
+    n = table.num_rows
+    if n == 0:
+        return ""
     times = _times_sec(table)
-    cols = _print_columns(table, record_cols)
-    frags = [f'"{c}"{label_delimiter}' for c in record_cols]
-    out = []
-    for i in range(table.num_rows):
-        parts = [f'"time"{label_delimiter}{times[i]:.6f}'] + [
-            frag + sv for frag, col in zip(frags, cols) if (sv := col[i]) is not None
-        ]
-        out.append(delimiter.join(parts))
-    return "\n".join(out) + ("\n" if out else "")
+    tfrag = pa.array(
+        [f'"time"{label_delimiter}{t:.6f}' for t in times], type=pa.string()
+    )
+    frags = [
+        pc.binary_join_element_wise(f'"{c}"{label_delimiter}', ser, "")
+        for c, ser in zip(record_cols, _serialized_columns(table, record_cols, False))
+    ]
+    # tfrag is always non-null, so it doubles as the skip-join sentinel
+    lines = pc.binary_join_element_wise(
+        tfrag, *frags, delimiter, null_handling="skip"
+    )
+    return "\n".join(lines.to_pylist()) + "\n"
 
 
 _NAT_F = float(np.iinfo(np.int64).min)  # parsers emit int64-min as NaT sentinel
@@ -272,22 +460,54 @@ def format_es_bulk(table: pa.Table, record_cols: list[str],
     """out_es bulk format (plugins/out_es/es.c:185-257): per record an action
     line `{"index":{"_index":i,"_type":t}}` then the source; Logstash_Format
     derives a daily index `prefix-YYYY.MM.DD` from EVENT time and injects the
-    time under `Time_Key`."""
-    import datetime
+    time under `Time_Key`.
 
+    Vectorized like the other text sinks: the daily-index/timestamp strings
+    come from Arrow strftime over second-floored event times (seconds are
+    derived from datetime.fromtimestamp's microsecond rounding for parity
+    with the historical per-row path), the source objects from the shared
+    column serializer. A record column named `time_key` overrides the
+    injected timestamp in place (first position), matching the old dict
+    `{time_key: ..., **rec}` merge; a null override drops the key."""
+    n = table.num_rows
+    if n == 0:
+        return ""
     times = _times_sec(table)
-    out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        dt = datetime.datetime.fromtimestamp(times[i], datetime.timezone.utc)
-        index = (
-            f"{index_prefix}-{dt.strftime('%Y.%m.%d')}" if logstash else index_prefix
+    frags = [
+        pc.binary_join_element_wise('"' + flb_json_escape(c) + '":', ser, "")
+        for c, ser in zip(record_cols, _serialized_columns(table, record_cols, True))
+    ]
+    if logstash:
+        # fromtimestamp() rounds to the nearest microsecond before splitting
+        # out the displayed second — replicate, then format with Arrow
+        sec = np.floor_divide(np.round(times * 1e6).astype(np.int64), 1_000_000)
+        sec_ts = pa.array(sec, pa.timestamp("s", tz="UTC"))
+        day = pc.strftime(sec_ts, format="%Y.%m.%d")
+        action = pc.binary_join_element_wise(
+            '{"index":{"_index":"' + index_prefix + "-", day,
+            '","_type":"' + flb_json_escape(es_type) + '"}}', "",
         )
-        src = dict(rec)
-        if logstash:
-            src = {time_key: dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{int((times[i]%1)*1000):03d}Z", **src}
-        out.append('{"index":{"_index":"%s","_type":"%s"}}' % (index, es_type))
-        out.append(record_to_json(src))
-    return "\n".join(out) + ("\n" if out else "")
+        if time_key in record_cols:
+            # record override wins but keeps FIRST position (dict-merge parity)
+            i = record_cols.index(time_key)
+            frags = [frags[i]] + frags[:i] + frags[i + 1:]
+        else:
+            ms = (np.mod(times, 1.0) * 1000).astype(np.int64)
+            tsval = pc.binary_join_element_wise(
+                '"' + flb_json_escape(time_key) + '":"',
+                pc.strftime(sec_ts, format="%Y-%m-%dT%H:%M:%S."),
+                pc.utf8_lpad(pc.cast(pa.array(ms), pa.string()), 3, "0"),
+                'Z"', "",
+            )
+            frags = [tsval] + frags
+    else:
+        action = pa.array(
+            ['{"index":{"_index":"%s","_type":"%s"}}' % (index_prefix, es_type)] * n,
+            pa.string(),
+        )
+    body = _skip_join(frags, ",", n)
+    lines = pc.binary_join_element_wise(action, "\n{", body, "}", "")
+    return "\n".join(lines.to_pylist()) + "\n"
 
 
 def format_influxdb(
