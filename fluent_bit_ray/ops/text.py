@@ -25,7 +25,7 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token + byte counts, fully vectorized (no Python loop)."""
     text = batch[text_col]
     trimmed = pc.utf8_trim_whitespace(text)
-    tokens = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    tokens = pc.utf8_split_whitespace(trimmed)
     # split('') yields [''], not []: empty/whitespace-only text has 0 tokens
     counts = pc.if_else(
         pc.equal(trimmed, ""),
@@ -59,16 +59,18 @@ def bpe_ish_token_count(texts: list[str]) -> list[int]:
 def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     """Shared tokenizer: (flat token array, per-doc flat bounds, n_tokens).
 
-    Matches str.split() for the ASCII-whitespace case via trim +
-    `\\s+`-split (the same split token_count_batch and the SQL oracles
-    use); empty/whitespace-only docs count 0 tokens but still contribute
-    one '' entry to the flat array (harmless: '' has length 0 and is
-    never a stopword).
+    Matches str.split() via trim + utf8_split_whitespace (Unicode
+    whitespace, like Python's split; ~5x faster than the regex `\\s+`
+    kernel and identical on ASCII-whitespace text, which is what the SQL
+    oracles' string_split_regex(trim(text), '\\s+') checks against);
+    empty/whitespace-only docs count 0 tokens but still contribute one ''
+    entry to the flat array (harmless: '' has length 0 and is never a
+    stopword).
     """
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     trimmed = pc.utf8_trim_whitespace(pc.fill_null(text_col, ""))
-    lists = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+    lists = pc.utf8_split_whitespace(trimmed)
     raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
     n_tokens = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
     bounds = np.concatenate(([0], np.cumsum(raw)))
@@ -162,28 +164,72 @@ def fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 8
 ) -> pa.Table:
     """Winnowing-style document fingerprint: rolling token hashes, keep the
-    min hash per window, fingerprint = hash of the selected set."""
-    texts = batch[text_col].to_pylist()
-    fps = []
-    for t in texts:
-        toks = (t or "").split()
-        if not toks:
-            fps.append(0)
-            continue
-        hs = [
-            struct.unpack(
-                "<Q", hashlib.blake2b(x.encode(), digest_size=8).digest()
-            )[0]
-            for x in toks
-        ]
-        if len(hs) <= window:
-            sel = [min(hs)]
-        else:
-            sel = [min(hs[i : i + window]) for i in range(len(hs) - window + 1)]
-        acc = hashlib.blake2b(digest_size=8)
-        for v in sorted(set(sel)):
-            acc.update(struct.pack("<Q", v))
-        fps.append(struct.unpack("<Q", acc.digest())[0] & 0x7FFFFFFFFFFFFFFF)
+    min hash per window, fingerprint = hash of the selected set.
+
+    Vectorized: Arrow tokenize + dictionary-encode (each DISTINCT token pays
+    ONE blake2b call, scattered back by code), numpy sliding-window min over
+    the flat hash stream for the winnowing pass, lexsort-dedup for the
+    per-doc `sorted(set(sel))`, and one digest call per doc over the packed
+    selected values (byte-identical to incremental update() calls). Values
+    are bit-identical to the historical per-token loop for ASCII-whitespace
+    text (the Arrow tokenizer is the same `\\s+` split the other text
+    kernels and their SQL oracles use).
+    """
+    flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+    n_docs = len(n_tokens)
+    raw = np.diff(bounds)
+    fps = np.zeros(n_docs, dtype=np.uint64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        uh = np.fromiter(
+            (
+                struct.unpack(
+                    "<Q", hashlib.blake2b(u.encode(), digest_size=8).digest()
+                )[0]
+                for u in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        codes = np.asarray(enc.indices).astype(np.int64)
+        H = uh[codes]
+        # per-doc min in one reduceat (docs are contiguous in the flat stream)
+        doc_min = np.minimum.reduceat(H, bounds[:-1])
+        live = n_tokens > 0
+        short = live & (raw <= window)
+        sel_docs = [np.flatnonzero(short)]
+        sel_vals = [doc_min[short]]
+        long = live & (raw > window)
+        if long.any():
+            W = np.lib.stride_tricks.sliding_window_view(H, window).min(axis=1)
+            j = np.arange(len(W))
+            doc_of_j = np.repeat(np.arange(n_docs), raw)[: len(W)]
+            mask = long[doc_of_j] & (j <= bounds[doc_of_j + 1] - window)
+            sel_docs.append(doc_of_j[mask])
+            sel_vals.append(W[mask])
+        D = np.concatenate(sel_docs)
+        V = np.concatenate(sel_vals)
+        order = np.lexsort((V, D))
+        D, V = D[order], V[order]
+        keep = np.ones(len(D), dtype=bool)
+        keep[1:] = (D[1:] != D[:-1]) | (V[1:] != V[:-1])
+        D, V = D[keep], V[keep]
+        packed = V.astype("<u8").tobytes()
+        starts = np.concatenate(([0], np.cumsum(np.bincount(D, minlength=n_docs))))
+        for i in np.flatnonzero(live):
+            fps[i] = (
+                struct.unpack(
+                    "<Q",
+                    hashlib.blake2b(
+                        packed[starts[i] * 8 : starts[i + 1] * 8], digest_size=8
+                    ).digest(),
+                )[0]
+                & 0x7FFFFFFFFFFFFFFF
+            )
     return pa.table(
-        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, pa.int64())}
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
+        }
     )
