@@ -19,6 +19,58 @@ import subprocess
 import sys
 import time
 
+
+def _tune_malloc() -> None:
+    """Sandbox allocator tuning (no-op on healthy hosts).
+
+    This VM's anonymous-page-fault path is ~100x slower than normal
+    (on-demand paging, measured ~300 us per first-touch 4 KB page;
+    BASELINE.md §0), and freed pages are reclaimed by the host, so any
+    buffer glibc munmaps goes COLD again — a 50k-doc kernel measured 30 s
+    cold vs 0.6 s warm. Keep large allocations on the retained heap:
+    mallopt() for this process, MALLOC_* env (read at process start) for
+    the Ray workers this process spawns, and the glibc-backed Arrow pool
+    so Arrow buffers are retained too. setdefault everywhere: external
+    overrides win.
+    """
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: big chunks via heap
+        libc.mallopt(-1, -1)  # M_TRIM_THRESHOLD: never return heap to OS
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
+
+def _env_probe() -> dict:
+    """Measure THIS RUN's hardware state (BASELINE.md §0): first-touch
+    page-fault bandwidth (pathological and host-load-dependent on this
+    sandbox: 0.01-1 GB/s observed vs >5 GB/s healthy) and warm-memory
+    copy bandwidth. Recorded in the bench JSON so every BENCH file
+    carries the environment it ran under and cross-round comparisons
+    can be read against it."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.empty(256 * 1024 * 1024, dtype=np.uint8)
+    a[::4096] = 1  # first touch: one fault per 4 KB page
+    fault_gbps = 0.25 / (time.perf_counter() - t0)
+    b = a.copy()  # warm both buffers
+    t0 = time.perf_counter()
+    np.copyto(b, a)
+    warm_gbps = 2 * 0.25 / (time.perf_counter() - t0)
+    del a, b
+    return {"fault_gbps": round(fault_gbps, 3), "warm_gbps": round(warm_gbps, 2)}
+
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -197,6 +249,7 @@ def run_all(cpus: int) -> None:
                 "num_cpus": cpus,
                 "pages_rows": rows,
                 "weblog_rows_per_sec": round(rows / headline, 1),
+                "env": _env_probe(),
             }
         )
     )

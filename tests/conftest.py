@@ -5,6 +5,21 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# sandbox allocator tuning — same rationale as bench.py:_tune_malloc (this
+# VM's first-touch page faults are ~100x slow and freed pages go cold, so
+# keep big buffers on the retained heap; no-op on healthy hosts)
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+try:
+    import ctypes
+
+    _libc = ctypes.CDLL("libc.so.6")
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, -1)  # M_TRIM_THRESHOLD
+except Exception:
+    pass
+
 
 @pytest.fixture(scope="session")
 def ray_session():
