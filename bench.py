@@ -144,7 +144,7 @@ def bench_flowcounter() -> float:
     from fluent_bit_ray.pipelines.queries import q_flowcounter
 
     t0 = time.time()
-    q_flowcounter(SF_DIR).materialize()
+    _consume(q_flowcounter(SF_DIR))
     return time.time() - t0
 
 

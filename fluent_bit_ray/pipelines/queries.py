@@ -177,13 +177,13 @@ def q_flowcounter(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "props"]).map_batches(
         partial, batch_format="pyarrow"
     )
-    out = ds.groupby(["event_type", "bucket"]).sum(["records", "bytes"])
-    return out.map_batches(
-        lambda b: b.rename_columns(
-            [c.replace("sum(", "").replace(")", "") for c in b.column_names]
-        ),
-        batch_format="pyarrow",
-    )
+    # merge the per-block partials with the same two-stage hash exchange the
+    # flagship uses (shuffle.hash_reduce) — only pre-combined rows move, and
+    # it skips Ray Data's sort-based groupby fixed costs
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    return hash_reduce_dataset_refs(ds, ["event_type", "bucket"],
+                                    ["records", "bytes"])
 
 
 def q_counter(sf_dir: str):
