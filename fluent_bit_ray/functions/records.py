@@ -33,6 +33,28 @@ def _stringify(v):
     return str(v)
 
 
+def arrow_safe(v):
+    """Scrub surrogateescape artifacts before Arrow assembly: Arrow strings
+    must be valid UTF-8, so lossless surrogates (kept by decoders for exact
+    byte round-trips) degrade to U+FFFD — the same lossy-but-working result
+    a plain 'replace' decode would give. Called only on columns that
+    actually failed Arrow conversion (the clean-data hot path never pays
+    this recursion)."""
+    if isinstance(v, str):
+        if v.isascii():
+            return v
+        try:
+            v.encode("utf-8")
+            return v
+        except UnicodeEncodeError:
+            return v.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
+    if isinstance(v, dict):
+        return {arrow_safe(k): arrow_safe(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [arrow_safe(x) for x in v]
+    return v
+
+
 def records_to_table(recs: list[dict]) -> pa.Table:
     """Key-union table in first-seen key order; missing keys -> null.
 
@@ -55,10 +77,25 @@ def records_to_table(recs: list[dict]) -> pa.Table:
                 seen.add(k)
                 fields.append(k)
     cols = {}
+    fallback_exc = (
+        pa.ArrowInvalid,
+        pa.ArrowTypeError,
+        pa.ArrowNotImplementedError,
+        UnicodeEncodeError,
+        UnicodeDecodeError,
+    )
     for f in fields:
         vals = [r.get(f) for r in norm]
         try:
             cols[f] = pa.array(vals)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
-            cols[f] = pa.array([_stringify(v) for v in vals], type=pa.string())
+        except fallback_exc:
+            # second chance: unicode scrub only (keeps the column's type
+            # when the failure was surrogate artifacts, not mixed types)
+            vals = [arrow_safe(v) for v in vals]
+            try:
+                cols[f] = pa.array(vals)
+            except fallback_exc:
+                cols[f] = pa.array(
+                    [_stringify(v) for v in vals], type=pa.string()
+                )
     return pa.table(cols)

@@ -12,12 +12,13 @@ EventTime extension: fixext8, 4-byte big-endian seconds + 4-byte
 big-endian nanoseconds (src/flb_time.c:93-177).
 
 The codec below implements the PUBLIC msgpack spec (msgpack.org format
-definition) in pure Python — the container ships no msgpack wheel, and
-pyarrow has no msgpack kernel. Decoding is therefore a per-object Python
-loop; that is the documented ingest-boundary cost of this format (the
-reference links msgpack-c). The Ray-side plumbing is the part designed
-for scale: one file per read task (`read_binary_files`), frame decode
-inside map_batches, Arrow batch output with per-record `_tag`/`_time`.
+definition) in pure Python, and the stream decode takes a C fast path
+through the `msgpack` wheel when importable (it is in this container;
+the pure-Python decoder remains the fallback and the parity reference —
+`tests/test_msgpack_forward.py` cross-checks the two). The Ray-side
+plumbing is the part designed for scale: one file per read task
+(`read_binary_files`), frame decode inside map_batches, Arrow batch
+output with per-record `_tag`/`_time`.
 
 The encoder exists to build deterministic test fixtures and to emit
 forward-compatible dumps (out_forward's file-format analog).
@@ -34,6 +35,34 @@ import pyarrow as pa
 class ExtType(NamedTuple):
     code: int
     data: bytes
+
+
+try:  # optional C-accelerated stream decode (public msgpack wheel)
+    import msgpack as _msgpack
+except ImportError:  # pragma: no cover - wheel present in this container
+    _msgpack = None
+
+
+def iter_msgpack_stream(buf: bytes) -> Iterator[Any]:
+    """Yield every top-level msgpack object in `buf`, decoded with the same
+    conventions as msgpack_unpack (str via surrogateescape, ExtType for
+    extensions): C `msgpack.Unpacker` when the wheel exists, pure-Python
+    fallback otherwise."""
+    if _msgpack is not None and buf:
+        unp = _msgpack.Unpacker(
+            raw=False,
+            unicode_errors="surrogateescape",
+            strict_map_key=False,
+            ext_hook=ExtType,
+            max_buffer_size=0,
+        )
+        unp.feed(buf)
+        yield from unp
+    else:
+        off, n = 0, len(buf)
+        while off < n:
+            obj, off = msgpack_unpack(buf, off)
+            yield obj
 
 
 # --------------------------------------------------------------- decoder
@@ -267,10 +296,7 @@ def iter_forward_frames(buf: bytes) -> Iterator[tuple[str, list[tuple[int, dict]
     Handles Message, Forward, and PackedForward modes (fw_prot.c:170-256).
     Invalid frames raise ValueError (the reference closes the connection).
     """
-    off = 0
-    n = len(buf)
-    while off < n:
-        root, off = msgpack_unpack(buf, off)
+    for root in iter_msgpack_stream(buf):
         if not isinstance(root, list) or len(root) < 2:
             raise ValueError("forward frame must be an array of size >= 2")
         tag = root[0]
@@ -295,10 +321,8 @@ def iter_forward_frames(buf: bytes) -> Iterator[tuple[str, list[tuple[int, dict]
         elif isinstance(entry, (bytes, str)):
             # PackedForward: concatenated [time, record] entries
             data = entry.encode("utf-8", "surrogateescape") if isinstance(entry, str) else entry
-            o2 = 0
             out = []
-            while o2 < len(data):
-                e, o2 = msgpack_unpack(data, o2)
+            for e in iter_msgpack_stream(data):
                 if not isinstance(e, list) or len(e) < 2 or not isinstance(e[1], dict):
                     raise ValueError("packed entry must be [time, map]")
                 out.append((decode_event_time(e[0]), e[1]))
@@ -307,42 +331,27 @@ def iter_forward_frames(buf: bytes) -> Iterator[tuple[str, list[tuple[int, dict]
             raise ValueError(f"invalid forward entry type {type(entry).__name__}")
 
 
-def _arrow_safe(v):
-    """Scrub surrogateescape artifacts before Arrow assembly: Arrow strings
-    must be valid UTF-8, so lossless surrogates (kept for the PackedForward
-    byte round-trip) degrade to U+FFFD at the table boundary — the same
-    lossy-but-working behavior a plain 'replace' decode would give."""
-    if isinstance(v, str):
-        if v.isascii():
-            return v
-        try:
-            v.encode("utf-8")
-            return v
-        except UnicodeEncodeError:
-            return v.encode("utf-8", "surrogateescape").decode("utf-8", "replace")
-    if isinstance(v, dict):
-        return {_arrow_safe(k): _arrow_safe(x) for k, x in v.items()}
-    if isinstance(v, list):
-        return [_arrow_safe(x) for x in v]
-    return v
-
-
 def frames_to_table(buf: bytes) -> pa.Table:
-    """One file's frames -> Arrow table (_tag, _time, record columns)."""
+    """One file's frames -> Arrow table (_tag, _time, record columns).
+
+    Record values go to records_to_table UNSCRUBBED — its per-column
+    fallback applies the surrogate scrub only to columns that actually
+    fail Arrow conversion, so the clean-data hot path pays no per-value
+    recursion (was the dominant decode cost)."""
+    from ..functions.records import arrow_safe, records_to_table
+
     tags: list[str] = []
     times: list[int] = []
     recs: list[dict] = []
     for tag, entries in iter_forward_frames(buf):
-        tag = _arrow_safe(tag)
+        tag = arrow_safe(tag)
         for tns, rec in entries:
             tags.append(tag)
             times.append(tns)
-            recs.append(_arrow_safe(rec))
+            recs.append(rec)
     if not recs:
         return pa.table({"_tag": pa.array([], pa.string()),
                          "_time": pa.array([], pa.int64())})
-    from ..functions.records import records_to_table
-
     t = records_to_table(recs)
     return (
         t.append_column("_tag", pa.array(tags, pa.string()))

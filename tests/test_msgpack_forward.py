@@ -184,3 +184,63 @@ class TestForwardSinkRoundTrip:
         rows = forward_file_dataset(files).take_all()
         got = sorted((r["_tag"], r["_time"], r["svc"], r["n"]) for r in rows)
         assert got == [("app.a", 10**9, "api", 1), ("app.a", 2 * 10**9, "web", 2)]
+
+
+class TestCFastPathParity:
+    """The C `msgpack` wheel stream decoder must agree byte-for-byte with
+    the pure-Python reference decoder (msgpack_io.iter_msgpack_stream picks
+    the wheel when importable; the fallback is the parity oracle)."""
+
+    CASES = [
+        [["tag.a", [[1, {"k": "v"}], [2, {"k": 2}]]]],
+        [["t", ExtType(0, struct.pack(">II", 7, 9)), {"m": {"n": [1, None, True]}}]],
+        [["p", b"".join(msgpack_pack([i, {"x": "y" * i}]) for i in range(1, 4))]],
+        [[{"nonstr": 1}, -5, 2.5, "s", b"\xff\x00", list(range(40))]],
+    ]
+
+    def _decode_both(self, buf):
+        import fluent_bit_ray.sources.msgpack_io as m
+
+        assert m._msgpack is not None, "msgpack wheel expected in container"
+        fast = list(m.iter_msgpack_stream(buf))
+        saved = m._msgpack
+        m._msgpack = None
+        try:
+            slow = list(m.iter_msgpack_stream(buf))
+        finally:
+            m._msgpack = saved
+        return fast, slow
+
+    def test_stream_parity(self):
+        for objs in self.CASES:
+            buf = b"".join(msgpack_pack(o) for o in objs)
+            fast, slow = self._decode_both(buf)
+            assert fast == slow == objs
+
+    def test_surrogate_and_ext_parity(self):
+        # invalid-UTF-8 str payload (surrogateescape both ways) + fixext8
+        raw = bytearray(msgpack_pack(["x", [[pack_event_time(10**9), {"s": "ab"}]]]))
+        i = bytes(raw).index(b"ab")
+        raw[i:i + 2] = b"\xff\xfe"
+        fast, slow = self._decode_both(bytes(raw))
+        assert fast == slow
+        t = frames_to_table(bytes(raw))
+        assert t["s"].to_pylist() == ["��"]
+
+    def test_frames_parity_all_modes(self, tmp_path):
+        import fluent_bit_ray.sources.msgpack_io as m
+
+        p = str(tmp_path / "f.msgpack")
+        entries = [(i * 10**9 + 5, {"id": i, "s": f"v{i}", "f": i / 2}) for i in range(50)]
+        write_forward_file(p, [("t.fw", entries, mode)
+                               for mode in ("forward", "packed", "message")])
+        buf = open(p, "rb").read()
+        fast = frames_to_table(buf)
+        saved = m._msgpack
+        m._msgpack = None
+        try:
+            slow = frames_to_table(buf)
+        finally:
+            m._msgpack = saved
+        assert fast.equals(slow)
+        assert fast.num_rows == 150
