@@ -258,6 +258,20 @@ def q_enrich_nation(sf_dir: str):
     )
 
 
+def q_sharded_enrich(sf_dir: str):
+    """Sharded-dim lookup join (stages.enrich.sharded_dim_enrich): orders
+    stream x customer dim, both hash-partitioned on the key — the scale
+    path for dims too big to broadcast (kube cache generalized)."""
+    from ..stages.enrich import sharded_dim_enrich
+
+    stream = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    return sharded_dim_enrich(
+        stream, dim, key_col="o_custkey", dim_key="c_custkey",
+        fields=["c_name", "c_nationkey"],
+    )
+
+
 def q_enrich_left_miss(sf_dir: str):
     """lookup with misses kept (enrichment-miss path): events × customer."""
     import ray
@@ -738,6 +752,7 @@ QUERIES: dict[str, Callable] = {
     "tpch_pricing": q_tpch_pricing,
     "enrich_nation": q_enrich_nation,
     "enrich_left_miss": q_enrich_left_miss,
+    "sharded_enrich": q_sharded_enrich,
     "throttle": q_throttle,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
@@ -810,6 +825,10 @@ ORACLE_SQL: dict[str, str] = {
     "enrich_left_miss": (
         "SELECT e.event_id, e.user_id, c.c_name FROM events e "
         "LEFT JOIN customer c ON e.user_id = c.c_custkey"
+    ),
+    "sharded_enrich": (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey "
+        "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
     ),
     "throttle": (
         "SELECT event_id, ts FROM ("

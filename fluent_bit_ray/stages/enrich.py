@@ -13,8 +13,10 @@ record — is the ParserFilter stage composed before this one.
 
 Scale note: this is THE one join shape the reference has (small-dim lookup);
 a broadcast dict in actor state beats a distributed join for dims that fit
-in a worker heap (SURVEY §2.6). For dims beyond heap size, shard the dict
-and hash-partition the stream on the key instead.
+in a worker heap (SURVEY §2.6). For dims beyond heap size use
+``sharded_dim_enrich`` below: both sides are hash-partitioned on the key
+and each join shard probes only its dim slice, so no task ever holds the
+whole dim.
 
 Usage:
     ref = ray.put(lookup_dict)
@@ -116,6 +118,114 @@ class DictEnricher:
         else:
             out[self.under] = None
         return out
+
+
+def _join_shard(
+    key_col: str,
+    dim_key: str,
+    fields: list[str],
+    n_dim: int,
+    *parts: Optional[pa.Table],
+) -> Optional[pa.Table]:
+    """One co-located join shard: build the dim slice, probe the stream
+    slice with a vectorized hash lookup (pc.index_in — the shard-local
+    'dict probe'), left-join semantics (miss -> null fields). Duplicate dim
+    keys resolve to the FIRST occurrence, matching flb_hash_get returning
+    the single cache entry (kube_meta.c:760-781)."""
+    dim_parts = [t for t in parts[:n_dim] if t is not None and t.num_rows]
+    stream_parts = [t for t in parts[n_dim:] if t is not None and t.num_rows]
+    if not stream_parts:
+        return None
+    stream = pa.concat_tables(stream_parts, promote_options="default")
+    if not dim_parts:
+        out = stream
+        for f in fields:
+            out = out.append_column(f, pa.nulls(out.num_rows, pa.string()))
+        return out
+    dim = pa.concat_tables(dim_parts, promote_options="default")
+    idx = pc.index_in(
+        stream[key_col].combine_chunks()
+        if isinstance(stream[key_col], pa.ChunkedArray)
+        else stream[key_col],
+        value_set=dim[dim_key].combine_chunks()
+        if isinstance(dim[dim_key], pa.ChunkedArray)
+        else dim[dim_key],
+    )
+    out = stream
+    for f in fields:
+        out = out.append_column(f, dim[f].take(idx))
+    return out
+
+
+def sharded_dim_enrich(
+    stream_ds,
+    dim_ds,
+    key_col: str,
+    dim_key: str,
+    fields: list[str],
+    num_shards: Optional[int] = None,
+):
+    """Hash-exchange lookup join for dim tables beyond a worker heap.
+
+    The broadcast enrichers above ship the WHOLE dim to every worker —
+    right for small dims, impossible when the dim itself is corpus-scale.
+    Here both sides move through the same two-stage exchange as
+    shuffle.hash_reduce: every stream block and every dim block is split
+    by hash(key) % K (one task per chunk of blocks), then K join tasks
+    each probe only their own dim slice (pc.index_in hash probe). Returns
+    a Ray Dataset over the enriched shard refs — nothing materializes on
+    the driver, and shards chain object-store-to-object-store.
+
+    Partitioning assumption: key hashing balances shards (documented for
+    all exchanges in shuffle.py); a single pathologically hot JOIN key
+    skews its shard — pre-split such streams with ops.skew salting.
+    """
+    import ray
+    import ray.data
+
+    from ..shuffle import _split_chunk
+
+    stream_refs = stream_ds.to_arrow_refs()
+    dim_refs = (
+        dim_ds.to_arrow_refs() if hasattr(dim_ds, "to_arrow_refs") else None
+    )
+    if dim_refs is None:  # plain Table accepted for tests/small dims
+        dim_refs = [ray.put(dim_ds)]
+    if not stream_refs:
+        return ray.data.from_arrow(pa.table({}))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_shards is None:
+        num_shards = max(2, min(cpus, max(len(stream_refs), len(dim_refs)), 32))
+    split = ray.remote(num_returns=num_shards)(_split_chunk)
+
+    def _scatter(refs: list, keys: list[str]) -> list[list]:
+        shards: list[list] = [[] for _ in range(num_shards)]
+        n_split = max(1, min(len(refs), 2 * cpus))
+        chunk = (len(refs) + n_split - 1) // n_split
+        for i in range(0, len(refs), chunk):
+            outs = split.remote(keys, None, num_shards, *refs[i : i + chunk])
+            if num_shards == 1:
+                outs = [outs]
+            for s, r in enumerate(outs):
+                shards[s].append(r)
+        return shards
+
+    dim_shards = _scatter(dim_refs, [dim_key])
+    stream_shards = _scatter(stream_refs, [key_col])
+    join = ray.remote(_join_shard)
+    out_refs = [
+        join.remote(key_col, dim_key, fields, len(dim_shards[s]),
+                    *dim_shards[s], *stream_shards[s])
+        for s in range(num_shards)
+    ]
+    # drop empty shards WITHOUT pulling tables to the driver: a worker-side
+    # row count dereferences each shard where it lives
+    count = ray.remote(lambda t: 0 if t is None else t.num_rows)
+    nrows = ray.get([count.remote(r) for r in out_refs])
+    live = [r for r, n in zip(out_refs, nrows) if n]
+    if not live:
+        return ray.data.from_arrow(pa.table({}))
+    return ray.data.from_arrow_refs(live)
 
 
 class HostEnricher:

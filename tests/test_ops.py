@@ -317,3 +317,69 @@ class TestMinhashScalePath:
         ]
         reps = {r["doc_id"]: r["rep_id"] for r in rows_disk}
         assert reps[1] == 0 and len(reps) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedDimEnrich:
+    """sharded_dim_enrich: hash-exchange lookup join (stages/enrich.py) —
+    left-join semantics, first-match on duplicate dim keys, empty dim."""
+
+    def _run(self, stream_rows, dim_rows, **kw):
+        import pyarrow as _pa
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import sharded_dim_enrich
+
+        stream = ray.data.from_arrow(_pa.Table.from_pylist(stream_rows))
+        dim = _pa.Table.from_pylist(dim_rows) if dim_rows else _pa.table(
+            {"k": _pa.array([], _pa.int64()), "v": _pa.array([], _pa.string())}
+        )
+        out = sharded_dim_enrich(stream, dim, key_col="key", dim_key="k",
+                                 fields=["v"], **kw)
+        return sorted(out.take_all(), key=lambda r: r["id"])
+
+    def test_left_join_with_misses(self):
+        got = self._run(
+            [{"id": i, "key": i % 5} for i in range(10)],
+            [{"k": 0, "v": "zero"}, {"k": 2, "v": "two"}],
+            num_shards=3,
+        )
+        for r in got:
+            expect = {0: "zero", 2: "two"}.get(r["key"])
+            assert r["v"] == expect
+
+    def test_duplicate_dim_key_first_wins(self):
+        got = self._run(
+            [{"id": 0, "key": 7}],
+            [{"k": 7, "v": "first"}, {"k": 7, "v": "second"}],
+        )
+        assert got[0]["v"] == "first"
+
+    def test_empty_dim_all_null(self):
+        got = self._run([{"id": i, "key": i} for i in range(4)], [])
+        assert [r["v"] for r in got] == [None] * 4
+
+    def test_matches_broadcast_enrich(self, sf_dir):
+        import os
+
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import sharded_dim_enrich
+
+        stream = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+        )
+        dim = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+        )
+        out = sharded_dim_enrich(stream, dim, key_col="o_custkey",
+                                 dim_key="c_custkey", fields=["c_name"])
+        got = sorted(out.take_all(), key=lambda r: r["o_orderkey"])
+        want = duckdb.sql(
+            f"SELECT o.o_orderkey, o.o_custkey, c.c_name "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') o "
+            f"LEFT JOIN read_parquet('{sf_dir}/customer.parquet') c "
+            f"ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"
+        ).fetchall()
+        assert [(r["o_orderkey"], r["o_custkey"], r["c_name"]) for r in got] == want
