@@ -576,6 +576,12 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
         # out_forward analog: msgpack forward-frame dump files that
         # round-trip through [INPUT] Name forward (transport out of scope)
         return OutputSpec("file", match, path, "forward")
+    if name == "splunk":
+        # out_splunk analog: HEC event-envelope payload files
+        spec = OutputSpec("file", match, path, "splunk")
+        if _on(sec, "splunk_send_raw", False):
+            spec.fmt_options = (("splunk_send_raw", "on"),)
+        return spec
     if name == "http":
         # out_http analog: json / json_stream / json_lines bodies
         spec = OutputSpec("file", match, path, "http")

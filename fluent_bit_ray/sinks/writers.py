@@ -590,6 +590,31 @@ def format_kafka_json(
     return "\n".join(out) + ("\n" if out else "")
 
 
+def format_splunk(
+    table: pa.Table, record_cols: list[str], send_raw: bool = False
+) -> str:
+    """out_splunk HEC event payload (plugins/out_splunk/splunk.c:47-148 —
+    studied, not copied): per record `{"time":<%f double>, "event":{...}}`,
+    or with Splunk_Send_Raw the record's pairs flattened at the top level
+    after "time" (splunk.c:92-96). Records are CONCATENATED with no
+    separator — splunk.c:129 flb_sds_cat's the JSON objects back to back —
+    and values render in flb_msgpack_to_json shape (functions/mp_json).
+    The HTTP transport is out of scope; the event envelope is the portable
+    format (the one SaaS emitter shape not already covered by
+    json/es/http/influxdb/kafka)."""
+    from ..functions.mp_json import mp_json_value
+
+    times = _times_sec(table)
+    out = []
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        if send_raw:
+            body = {"time": float(times[i]), **rec}
+        else:
+            body = {"time": float(times[i]), "event": dict(rec)}
+        out.append(mp_json_value(body))
+    return "".join(out)
+
+
 def format_http(
     table: pa.Table,
     record_cols: list[str],
@@ -837,6 +862,12 @@ class SinkWriteStage:
                         out_format=spec.opt("http_format", "json"),
                     )
                     ext = ".json"
+                elif spec.fmt == "splunk":
+                    payload = format_splunk(
+                        chunk, rc,
+                        send_raw=spec.opt("splunk_send_raw", "off") == "on",
+                    )
+                    ext = ".splunk"
                 elif spec.fmt == "forward":
                     payload = format_forward(chunk, rc)
                     ext = ".msgpack"

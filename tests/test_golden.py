@@ -245,3 +245,68 @@ class TestHttpFormat:
             ' {"date":1519234013.360921, "msg":"a[1],b", "n":1}\n'
             ' {"date":1519234014.000000, "msg":"two", "n":2} '
         )
+
+
+class TestSplunkFormat:
+    """out_splunk HEC envelope golden (splunk.c:47-148): `{"time":<%f>,
+    "event":{...}}` per record, objects concatenated with NO separator
+    (splunk.c:129), Splunk_Send_Raw flattens pairs to the top level."""
+
+    def _table(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "_tag": pa.array(["app.a", "app.a"]),
+                "_time": pa.array(
+                    [1519234013 * 10**9 + 500_000_000, 1519234014 * 10**9],
+                    pa.int64(),
+                ),
+                "host": pa.array(["serverA", "serverB"]),
+                "count": pa.array([3, 4], pa.int64()),
+            }
+        )
+
+    def test_event_envelope(self):
+        from fluent_bit_ray.sinks.writers import format_splunk
+
+        out = format_splunk(self._table(), ["host", "count"])
+        assert out == (
+            '{"time":1519234013.500000, "event":{"host":"serverA", "count":3}}'
+            '{"time":1519234014.000000, "event":{"host":"serverB", "count":4}}'
+        )
+
+    def test_send_raw_flattens(self):
+        from fluent_bit_ray.sinks.writers import format_splunk
+
+        out = format_splunk(self._table(), ["host", "count"], send_raw=True)
+        assert out == (
+            '{"time":1519234013.500000, "host":"serverA", "count":3}'
+            '{"time":1519234014.000000, "host":"serverB", "count":4}'
+        )
+
+    def test_config_surface(self, tmp_path, ray_session):
+        import glob
+
+        from fluent_bit_ray.pipelines.config import run_config
+
+        out = tmp_path / "o"
+        res = run_config(
+            """
+[INPUT]
+    Name dummy
+    Dummy {"msg":"hi"}
+    Samples 1
+    Tag app.x
+
+[OUTPUT]
+    Name splunk
+    Match app.*
+""",
+            out_root=str(out),
+        )
+        assert res.counts["file_0"] == 1
+        files = glob.glob(str(out / "file_0" / "*.splunk"))
+        assert files
+        body = open(files[0]).read()
+        assert body.startswith('{"time":') and '"event":{"msg":"hi"}}' in body
