@@ -403,6 +403,42 @@ def q_simhash_invariant(sf_dir: str):
     return _exact_group_invariant(sf_dir, reps, "simhash")
 
 
+def _rep_structural_invariant(rep_table: pa.Table) -> pa.Table:
+    """Structural cluster-table invariants as oracle-checkable counts:
+    rep_gt_doc — the rep is elected as a MIN doc id, so no row may have
+    rep_id > doc_id (guaranteed by construction: a doc is always in its
+    own buckets / its own simhash group); rep_not_self — every rep belongs
+    to its own cluster (guaranteed for exact-hash clusters; for LSH it
+    additionally verifies the one-round propagation converged on this
+    corpus — a rep chain would need a second round); dup_assignments /
+    rows_assigned — every doc is assigned exactly once."""
+    df = rep_table.select(["doc_id", "rep_id"]).to_pandas()
+    self_map = dict(zip(df["doc_id"], df["rep_id"]))
+    rep_not_self = sum(1 for r in set(df["rep_id"]) if self_map.get(r) != r)
+    return pa.table(
+        {
+            "rep_gt_doc": pa.array([int((df["rep_id"] > df["doc_id"]).sum())], pa.int64()),
+            "rep_not_self": pa.array([rep_not_self], pa.int64()),
+            "dup_assignments": pa.array([int(df["doc_id"].duplicated().sum())], pa.int64()),
+            "rows_assigned": pa.array([len(df)], pa.int64()),
+        }
+    )
+
+
+def q_minhash_rep_invariant(sf_dir: str):
+    """minhash cluster-table structure (see _rep_structural_invariant)."""
+    return _rep_structural_invariant(
+        dedup.minhash_lsh_dedup(_augmented_docs_ds(sf_dir))
+    )
+
+
+def q_simhash_rep_invariant(sf_dir: str):
+    """simhash cluster-table structure (see _rep_structural_invariant)."""
+    return _rep_structural_invariant(
+        dedup.simhash_dedup(_augmented_docs_ds(sf_dir))
+    )
+
+
 def q_fingerprint_invariant(sf_dir: str):
     """winnowing fingerprints are content-determined: identical texts must
     fingerprint identically (clone-augmented corpus, same contract as the
@@ -759,6 +795,8 @@ QUERIES: dict[str, Callable] = {
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
     "simhash_invariant": q_simhash_invariant,
+    "minhash_rep_invariant": q_minhash_rep_invariant,
+    "simhash_rep_invariant": q_simhash_rep_invariant,
     "fingerprint_invariant": q_fingerprint_invariant,
     "text_stats": q_text_stats,
     "quality": q_quality,
@@ -852,6 +890,20 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
         "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
         "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
+    "minhash_rep_invariant": (
+        "SELECT CAST(0 AS BIGINT) AS rep_gt_doc, "
+        "CAST(0 AS BIGINT) AS rep_not_self, "
+        "CAST(0 AS BIGINT) AS dup_assignments, "
+        "(SELECT CAST(count(*) + count(*) FILTER (doc_id < 100) AS BIGINT) "
+        "FROM documents) AS rows_assigned"
+    ),
+    "simhash_rep_invariant": (
+        "SELECT CAST(0 AS BIGINT) AS rep_gt_doc, "
+        "CAST(0 AS BIGINT) AS rep_not_self, "
+        "CAST(0 AS BIGINT) AS dup_assignments, "
+        "(SELECT CAST(count(*) + count(*) FILTER (doc_id < 100) AS BIGINT) "
+        "FROM documents) AS rows_assigned"
     ),
     "fingerprint_invariant": (
         "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
