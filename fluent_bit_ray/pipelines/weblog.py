@@ -186,6 +186,22 @@ def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
     ).select(keys + vals)
 
 
+def combine_partial_refs(
+    refs: list, keys: list[str], vals: list[str]
+) -> pa.Table:
+    """Merge materialized partial-aggregate block refs (hash_reduce with
+    the empty-input schema fallback)."""
+    from ..shuffle import hash_reduce
+
+    acc = hash_reduce(refs, keys, vals)
+    if acc is None:
+        return SinkWriteStage.AGG_SCHEMA.empty_table().select(
+            [k for k in keys if k in SinkWriteStage.AGG_SCHEMA.names]
+            + vals
+        )
+    return acc
+
+
 def combine_partial_rows(
     ds,
     keys: list[str],
@@ -201,16 +217,7 @@ def combine_partial_rows(
     blocks (see shuffle.hash_reduce for why raw Ray tasks beat the Dataset
     groupby here). `driver_limit`/`chunk` retained for API compatibility.
     """
-    from ..shuffle import hash_reduce
-
-    refs = ds.to_arrow_refs()
-    acc = hash_reduce(refs, keys, vals)
-    if acc is None:
-        return SinkWriteStage.AGG_SCHEMA.empty_table().select(
-            [k for k in keys if k in SinkWriteStage.AGG_SCHEMA.names]
-            + vals
-        )
-    return acc
+    return combine_partial_refs(ds.to_arrow_refs(), keys, vals)
 
 
 def _estimate_row_groups(files: list[str]) -> int:
@@ -335,31 +342,35 @@ def run_weblog(
     lookup_ref = ray.put(lookup if lookup is not None else default_lookup())
 
     processed = 0
-    for wave_i, wave_files in enumerate(ckpt.waves(pending, wave_size)):
-        if max_waves is not None and wave_i >= max_waves:
-            break
-        ds = build_wave_dataset(wave_files, lookup_ref, sinks, out_dir,
+    waves = list(ckpt.waves(pending, wave_size))
+    if max_waves is not None:
+        waves = waves[:max_waves]
+
+    # overlapped wave execution: a background thread drives wave N+1's map
+    # phase (read -> parse -> enrich -> sink-write -> partial rows; each
+    # Dataset owns its own streaming executor, so two can run concurrently)
+    # while THIS thread runs wave N's reduce + commit. Commit ordering is
+    # unchanged — stamps and lineage are only ever written here, in wave
+    # order — so the kill-and-resume contract holds: an uncommitted wave's
+    # sink files are partial outputs, exactly what the startup scan cleans.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _map_phase(wf: list[str]) -> list:
+        ds = build_wave_dataset(wf, lookup_ref, sinks, out_dir,
                                 enrich_concurrency)
-        agg = combine_partial_rows(ds, ["src"] + AGG_KEYS, AGG_VALS)
-        wave_dir = os.path.join(
-            ckpt.agg_dir(out_dir), f"wave_{uuid.uuid4().hex[:8]}"
-        )
-        os.makedirs(wave_dir, exist_ok=True)
-        import pyarrow.parquet as pq
+        return ds.to_arrow_refs()
 
-        pq.write_table(agg, os.path.join(wave_dir, "agg.parquet"))
-        # commit point: the stamp records the wave's partitions + index;
-        # per-partition lineage after it is recoverable (see startup scan)
-        import json as jsonmod
-
-        with open(os.path.join(wave_dir, "_WAVE_DONE"), "w") as f:
-            jsonmod.dump(
-                {"wave": wave_i,
-                 "partitions": [ckpt.partition_id(p) for p in wave_files]},
-                f,
+    with ThreadPoolExecutor(max_workers=1) as pipeline_ex:
+        fut = pipeline_ex.submit(_map_phase, waves[0]) if waves else None
+        for wave_i, wave_files in enumerate(waves):
+            refs = fut.result()
+            fut = (
+                pipeline_ex.submit(_map_phase, waves[wave_i + 1])
+                if wave_i + 1 < len(waves)
+                else None
             )
-        _write_wave_lineage(out_dir, wave_dir, sinks)
-        processed += len(wave_files)
+            _commit_wave(out_dir, sinks, wave_i, wave_files, refs)
+            processed += len(wave_files)
 
     return {
         "partitions_total": len(files),
@@ -367,6 +378,29 @@ def run_weblog(
         "partitions_skipped": len(files) - len(pending),
         "aggregate": final_aggregate(out_dir),
     }
+
+
+def _commit_wave(out_dir, sinks, wave_i, wave_files, refs) -> None:
+    """Reduce one wave's partial refs and commit (stamp + lineage)."""
+    import json as jsonmod
+
+    import pyarrow.parquet as pq
+
+    agg = combine_partial_refs(refs, ["src"] + AGG_KEYS, AGG_VALS)
+    wave_dir = os.path.join(
+        ckpt.agg_dir(out_dir), f"wave_{uuid.uuid4().hex[:8]}"
+    )
+    os.makedirs(wave_dir, exist_ok=True)
+    pq.write_table(agg, os.path.join(wave_dir, "agg.parquet"))
+    # commit point: the stamp records the wave's partitions + index;
+    # per-partition lineage after it is recoverable (see startup scan)
+    with open(os.path.join(wave_dir, "_WAVE_DONE"), "w") as f:
+        jsonmod.dump(
+            {"wave": wave_i,
+             "partitions": [ckpt.partition_id(p) for p in wave_files]},
+            f,
+        )
+    _write_wave_lineage(out_dir, wave_dir, sinks)
 
 
 def _write_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
