@@ -439,6 +439,62 @@ def q_simhash_rep_invariant(sf_dir: str):
     )
 
 
+def q_corpus_prep(sf_dir: str):
+    """Composed training-data prep pipeline — the LLM-corpus showcase:
+    quality gate (n_tokens >= 5, punct_ratio <= 0.25) -> language gate
+    (lang_pred == 'en') -> exact dedup (min doc id per text, hash-exchange
+    co-location) -> per-doc token counts. Every stage is the already
+    oracle-checked kernel (ops/text, ops/dedup) composed over the
+    clone-augmented corpus so the dedup stage provably removes rows;
+    gates run BEFORE the shuffle so only survivors move."""
+    from ..ops.dedup import add_text_hash
+    from ..shuffle import hash_exchange
+
+    ds = _augmented_docs_ds(sf_dir)
+
+    def gate(b: pa.Table) -> pa.Table:
+        q = text_ops.quality_score_batch(b)
+        lang = text_ops.lang_id_batch(b)
+        toks = text_ops.token_count_batch(b)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(toks["n_tokens"], pa.scalar(5, pa.int64())),
+                pc.less_equal(q["punct_ratio"], pa.scalar(0.25)),
+            ),
+            pc.equal(lang["lang_pred"], "en"),
+        )
+        out = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "n_tokens": toks["n_tokens"],
+            }
+        )
+        return out.filter(keep)
+
+    gated = ds.map_batches(gate, batch_format="pyarrow").map_batches(
+        lambda b: add_text_hash(b, "text"), batch_format="pyarrow"
+    )
+
+    def first_per_text(t: pa.Table) -> pa.Table:
+        g = t.group_by(["text"]).aggregate(
+            [("doc_id", "min"), ("n_tokens", "min")]
+        )
+        g = g.rename_columns(
+            [
+                {"doc_id_min": "doc_id", "n_tokens_min": "n_tokens"}.get(c, c)
+                for c in g.column_names
+            ]
+        )
+        return g.select(["doc_id", "n_tokens"])
+
+    out = hash_exchange(gated.to_arrow_refs(), ["text_hash"], first_per_text)
+    if out is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    return out
+
+
 def q_fingerprint_invariant(sf_dir: str):
     """winnowing fingerprints are content-determined: identical texts must
     fingerprint identically (clone-augmented corpus, same contract as the
@@ -791,6 +847,7 @@ QUERIES: dict[str, Callable] = {
     "sharded_enrich": q_sharded_enrich,
     "throttle": q_throttle,
     "dedup_exact": q_dedup_exact,
+    "corpus_prep": q_corpus_prep,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -890,6 +947,32 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
         "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
         "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
+    "corpus_prep": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        "toks AS (SELECT doc_id, text, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t, "
+        "length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct FROM aug), "
+        "feats AS (SELECT doc_id, text, len(t) AS n_tokens, "
+        "CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END AS punct_ratio, "
+        "len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), "
+        "['the','and','of','to','a','in','is','that','it','for'])) AS s_en, "
+        "len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), "
+        "['der','die','das','und','ist','nicht','ein','mit','zu'])) AS s_de, "
+        "len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), "
+        "['le','la','les','et','est','un','une','des','du','que'])) AS s_fr, "
+        "len(list_intersect(list_distinct(list_transform(t, x -> lower(x))), "
+        "['el','la','los','y','es','un','una','de','que','en'])) AS s_es "
+        "FROM toks), "
+        "kept AS (SELECT doc_id, text, n_tokens FROM feats "
+        "WHERE n_tokens >= 5 AND punct_ratio <= 0.25 "
+        "AND s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es)) "
+        "SELECT min(doc_id) AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens "
+        "FROM kept GROUP BY text, n_tokens"
     ),
     "minhash_rep_invariant": (
         "SELECT CAST(0 AS BIGINT) AS rep_gt_doc, "
