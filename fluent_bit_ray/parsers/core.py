@@ -80,6 +80,7 @@ class Parser:
             self.fields = [
                 g for g in self._re.groupindex
             ]
+        self._re2_ok: Optional[bool] = None
         self._tf = (
             TimeFormat(self.time_format, time_offset=self.time_offset)
             if self.time_format
@@ -173,10 +174,96 @@ class Parser:
         # on exploded keys must declare them via `fields`.
         return fields
 
+    def _regex_batch_python(self, values, ok, cols, idxs) -> None:
+        """Reference path: one compiled Python `search` per row, scattering
+        captures into `cols` at positions `idxs` (unmatched groups -> "",
+        onig cb semantics — see parse_row)."""
+        field_cols = [(self._re.groupindex[f], cols[f]) for f in cols]
+        search = self._re.search
+        for i in idxs:
+            v = values[i]
+            if v is None:
+                continue
+            m = search(v)
+            if m is None:
+                continue
+            ok[i] = True
+            g = m.group
+            for gi, col in field_cols:
+                gv = g(gi)
+                col[i] = gv if gv is not None else ""
+
+    def _regex_batch_arrow(self, values, ok):
+        """RE2 fast path: ONE pc.extract_regex call for the whole batch
+        (search semantics, named captures, "" for non-participating groups —
+        verified identical to the Python engine). Two parity guards:
+        patterns RE2 cannot compile fall back wholesale (returns None), and
+        rows containing non-ASCII bytes re-run through the Python engine,
+        because RE2's \\w/\\d/\\s/\\S classes are ASCII-only while Python's
+        (and Onigmo's) are Unicode-aware."""
+        import pyarrow.compute as _pc
+
+        # the Python engine compiles with re.MULTILINE (Onigmo line-anchor
+        # semantics); RE2 needs the inline (?m) flag for the same ^/$
+        pattern = "(?m)" + self._re.pattern
+        if self._re2_ok is None:
+            try:
+                _pc.extract_regex(pa.array([], pa.string()), pattern=pattern)
+                self._re2_ok = True
+            except pa.ArrowException:
+                self._re2_ok = False
+        if not self._re2_ok:
+            return None
+        arr = (
+            values
+            if isinstance(values, pa.Array)
+            else pa.array(values, pa.string())
+        )
+        try:
+            ex = _pc.extract_regex(arr, pattern=pattern)
+        except pa.ArrowException:  # e.g. invalid UTF-8 slipped through
+            return None
+        hit = _pc.fill_null(_pc.is_valid(ex), False)
+        np.copyto(ok, np.asarray(hit))
+        # ex.field() reads the raw child arrays, which hold placeholder
+        # values under null (no-match) parents — mask them to None. Columns
+        # stay ARROW arrays end-to-end (ParserFilter merges with take);
+        # nothing in the hot path materializes Python strings.
+        null_s = pa.scalar(None, pa.string())
+        cols = {
+            f: _pc.if_else(hit, ex.field(f), null_s)
+            for f in self._re.groupindex
+        }
+        non_ascii = _pc.fill_null(
+            _pc.match_substring_regex(arr, r"[^\x00-\x7F]"), False
+        )
+        bad = np.flatnonzero(np.asarray(non_ascii))
+        if len(bad):
+            if not isinstance(values, list):
+                values = arr.to_pylist()
+            ok[bad] = False
+            fixed = {f: [None] * len(bad) for f in cols}
+            ok_bad = np.zeros(len(bad), dtype=bool)
+            self._regex_batch_python(
+                [values[i] for i in bad], ok_bad, fixed, range(len(bad))
+            )
+            ok[bad] = ok_bad
+            # splice the python-engine rows back into the Arrow columns
+            for f in list(cols):
+                col = cols[f]
+                repl = pa.array(fixed[f], pa.string())
+                m = np.zeros(len(col), dtype=bool)
+                m[bad] = True
+                cols[f] = _pc.replace_with_mask(
+                    col, pa.array(m), repl
+                )
+        return cols
+
     def parse_batch(self, values: Sequence[Optional[str]], now_year: int = 2018) -> dict[str, Any]:
         """Vectorized batch parse -> dict of columns (see module docstring).
 
-        The regex loop runs one compiled C-level `search` per row; time
+        The regex path runs ONE Arrow RE2 extract for the batch (Python
+        loop fallback for non-RE2 patterns and non-ASCII rows); time
         parsing and typecasts run columnar afterwards. This is the
         `map_batches` hot path — no per-row Python object churn beyond the
         capture lists.
@@ -185,24 +272,10 @@ class Parser:
         ok = np.zeros(n, dtype=bool)
         if self.fmt == "regex":
             fields = list(self._re.groupindex)
-            cols: dict[str, list] = {f: [None] * n for f in fields}
-            # index-addressed group extraction: no per-row dict allocation
-            field_cols = [
-                (self._re.groupindex[f], cols[f]) for f in fields
-            ]
-            search = self._re.search
-            for i, v in enumerate(values):
-                if v is None:
-                    continue
-                m = search(v)
-                if m is None:
-                    continue
-                ok[i] = True
-                g = m.group
-                for gi, col in field_cols:
-                    v = g(gi)
-                    # unmatched groups -> "" (onig cb semantics, see parse_row)
-                    col[i] = v if v is not None else ""
+            cols = self._regex_batch_arrow(values, ok)
+            if cols is None:
+                cols = {f: [None] * n for f in fields}
+                self._regex_batch_python(values, ok, cols, range(n))
         elif self.fmt == "json":
             if self.fields is None:
                 raise ValueError(
@@ -263,6 +336,9 @@ class Parser:
         # --- time lookup (columnar over the captured time strings)
         if self._tf is not None and self.time_key in cols:
             raw = cols[self.time_key]
+            if isinstance(raw, pa.Array):
+                raw = raw.to_pylist()  # one column; the lookup needs strings
+                cols[self.time_key] = raw
             tcol = [v if isinstance(v, str) else None for v in raw]
             ts = parse_time_column(tcol, self._tf, now_year)
             failed = ts == NAT  # lookup failed OR value was non-string/None
@@ -287,12 +363,20 @@ class Parser:
         else:
             ts = np.full(n, NAT, dtype=np.int64)
 
-        # --- decoders (columnar; escaped fast path)
+        # --- decoders (columnar; escaped fast path) — need list columns
         if self.decoders:
+            cols = {
+                f: (c.to_pylist() if isinstance(c, pa.Array) else c)
+                for f, c in cols.items()
+            }
             cols = apply_decoders_columns(self.decoders, cols)
 
         out: dict[str, Any] = {"_time": ts, "_parse_ok": ok}
         for f, col in cols.items():
+            if isinstance(col, pa.Array):
+                # regex fast path: columns are Arrow strings already
+                out[f] = cast_column(col, self.types[f]) if f in self.types else col
+                continue
             if f in self.types:
                 # Types cast applies to STRING values only (reference
                 # flb_parser_typecast packs non-str values untouched); json

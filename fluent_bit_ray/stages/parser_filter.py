@@ -72,11 +72,16 @@ class ParserFilter:
 
         ok = np.zeros(n, dtype=bool)
         ts = np.full(n, NAT, dtype=np.int64)
-        # object ndarrays so the per-parser merge is one fancy-index scatter
-        # instead of a Python loop per field
-        merged: dict[str, np.ndarray] = {
-            f: np.full(n, None, dtype=object) for f in self.out_fields
+        # vectorized scatter bookkeeping: per field, contribution arrays from
+        # each parser plus a take-index per output row (-1 -> null). The
+        # merge then runs as ONE concat+take per field — no Python-object
+        # materialization of parsed values on the hot path.
+        parts: dict[str, list] = {f: [] for f in self.out_fields}
+        hits_at: dict[str, list] = {f: [] for f in self.out_fields}
+        sel: dict[str, np.ndarray] = {
+            f: np.full(n, -1, dtype=np.int64) for f in self.out_fields
         }
+        lens: dict[str, int] = {f: 0 for f in self.out_fields}
 
         pending = np.arange(n)
         if mask is not None:
@@ -88,17 +93,52 @@ class ParserFilter:
             out = parser.parse_batch(sub, self.now_year)
             sub_ok = np.asarray(out["_parse_ok"])
             hit = pending[sub_ok]
+            pos = np.flatnonzero(sub_ok)
             ok[hit] = True
             ts[hit] = np.asarray(out["_time"])[sub_ok]
             for f in parser.output_fields():
                 col = out.get(f)
                 if col is None:
                     continue
-                vals = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else col
-                varr = np.empty(len(vals), dtype=object)
-                varr[:] = vals
-                merged[f][hit] = varr[sub_ok]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                elif not isinstance(col, pa.Array):
+                    try:
+                        col = pa.array(col)
+                    except (pa.ArrowInvalid, pa.ArrowTypeError):
+                        # mixed python types in one parser column (json):
+                        # keep the object path for this contribution
+                        obj = np.empty(len(col), dtype=object)
+                        obj[:] = col
+                        col = obj
+                parts[f].append(col)
+                hits_at[f].append((hit, pos))
+                sel[f][hit] = lens[f] + pos
+                lens[f] += len(col)
             pending = pending[~sub_ok]
+
+        def _merge_field(f: str) -> pa.Array:
+            if not parts[f]:
+                return pa.nulls(n, pa.string())
+            try:
+                arrs = [
+                    p for p in parts[f] if isinstance(p, pa.Array)
+                ]
+                if len(arrs) != len(parts[f]):
+                    raise pa.ArrowInvalid("object contribution")
+                allv = arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)
+                idx = pa.array(sel[f], mask=sel[f] < 0)
+                return pc.take(allv, idx)
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                # fallback: object scatter (exactly the historical merge) for
+                # fields with mixed types within/across parsers
+                merged = np.full(n, None, dtype=object)
+                for p, (hit, pos) in zip(parts[f], hits_at[f]):
+                    vals = p.to_pylist() if isinstance(p, pa.Array) else list(p)
+                    varr = np.empty(len(vals), dtype=object)
+                    varr[:] = vals
+                    merged[hit] = varr[pos]
+                return pa.array(merged)
 
         ok_arr = pa.array(ok)
         # original record columns: dropped for parsed rows unless Reserve_Data
@@ -110,7 +150,7 @@ class ParserFilter:
                         table, c, pc.if_else(ok_arr, pa.nulls(n, col.type), col)
                     )
                 continue
-            if not self.reserve_data and c not in merged:
+            if not self.reserve_data and c not in sel:
                 col = table[c]
                 table = set_col(
                     table, c, pc.if_else(ok_arr, pa.nulls(n, col.type), col)
@@ -118,7 +158,7 @@ class ParserFilter:
 
         # parsed columns merged in (parsed value wins on parsed rows)
         for f in self.out_fields:
-            parsed = pa.array(merged[f])
+            parsed = _merge_field(f)
             if pa.types.is_null(parsed.type):
                 parsed = pc.cast(parsed, pa.string())
             if f in table.column_names:

@@ -81,7 +81,9 @@ class TestTimeKeyRetention:
         assert rec == {"msg": "hello"}
         out = p.parse_batch(["bogus hello", "2018-02-21T17:26:53 hi"])
         assert out["time"] == [None, "2018-02-21T17:26:53"]
-        assert out["msg"] == ["hello", "hi"]
+        msg = out["msg"]
+        msg = msg.to_pylist() if hasattr(msg, "to_pylist") else msg
+        assert msg == ["hello", "hi"]
 
 
 class TestSlidingWindowTies:

@@ -69,8 +69,14 @@ class TestApacheParser:
         assert list(out["_parse_ok"]) == [True, True, False, False]
         assert out["_time"][0] == 1519234013 * 10**9
         assert out["_time"][2] == NAT
-        assert out["host"] == ["192.168.1.1", "10.0.0.9", None, None]
-        assert out["referer"] == ["", "http://ref.example", None, None]
+        # field columns may be lists OR Arrow arrays (the RE2 fast path
+        # keeps them Arrow end-to-end)
+        host = out["host"]
+        host = host.to_pylist() if hasattr(host, "to_pylist") else host
+        assert host == ["192.168.1.1", "10.0.0.9", None, None]
+        ref = out["referer"]
+        ref = ref.to_pylist() if hasattr(ref, "to_pylist") else ref
+        assert ref == ["", "http://ref.example", None, None]
         assert "time" not in out
 
 
@@ -208,3 +214,64 @@ class TestMultiDocJson:
 
         assert consume_json_stream("  \n\t ") == ([], 5)
         assert consume_json_stream("") == ([], 0)
+
+
+class TestArrowRegexFastPathParity:
+    """The RE2 batch fast path must agree exactly with the Python engine
+    (the parity reference) — including no-match rows, non-participating
+    groups, empty strings, multiline payloads, and non-ASCII rows (which
+    the fast path must route back through the Python engine because RE2
+    character classes are ASCII-only)."""
+
+    def _both(self, parser, values):
+        import numpy as np
+
+        n = len(values)
+        import pyarrow as pa
+
+        ok_fast = np.zeros(n, dtype=bool)
+        cols_fast = parser._regex_batch_arrow(values, ok_fast)
+        assert cols_fast is not None, "pattern unexpectedly not RE2-compatible"
+        cols_fast = {
+            f: (c.to_pylist() if isinstance(c, pa.Array) else c)
+            for f, c in cols_fast.items()
+        }
+        ok_slow = np.zeros(n, dtype=bool)
+        cols_slow = {f: [None] * n for f in parser._re.groupindex}
+        parser._regex_batch_python(values, ok_slow, cols_slow, range(n))
+        return (ok_fast.tolist(), cols_fast), (ok_slow.tolist(), cols_slow)
+
+    def test_apache_corpus_parity(self):
+        from fluent_bit_ray.parsers.core import DEFAULT_REGISTRY
+
+        p = DEFAULT_REGISTRY.get("apache")
+        values = [
+            APACHE_LINE, APACHE_LINE_FULL, "garbage", None, "",
+            'h - - [x] "GET /a" 200 1',           # no optional tail
+            "line1\n" + APACHE_LINE,               # multiline: ^ anchors line 2
+            APACHE_LINE.replace("GET", "GÉT"),  # non-ASCII -> python row
+            "h x - - [t] \"GET /\" 200 5",   # NBSP inside [^ ]* span
+        ]
+        fast, slow = self._both(p, values)
+        assert fast == slow
+
+    def test_syslog_parity(self):
+        from fluent_bit_ray.parsers.core import DEFAULT_REGISTRY
+
+        p = DEFAULT_REGISTRY.get("syslog-rfc3164")
+        values = ["<13>Feb 21 17:26:53 host app[1]: hello", "junk", None, ""]
+        fast, slow = self._both(p, values)
+        assert fast == slow
+
+    def test_non_re2_pattern_falls_back(self):
+        import numpy as np
+
+        from fluent_bit_ray.parsers.core import Parser
+
+        p = Parser(name="backref", fmt="regex", regex=r"(?<a>\w+) \1")
+        ok = np.zeros(1, dtype=bool)
+        assert p._regex_batch_arrow(["x x"], ok) is None  # backref: RE2 no
+        # and the full parse_batch still works via the python engine
+        out = p.parse_batch(["x x", "y z"])
+        assert list(out["_parse_ok"]) == [True, False]
+        assert out["a"] == ["x", None]

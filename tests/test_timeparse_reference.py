@@ -64,3 +64,38 @@ class TestReferenceTimeTable:
         assert got is not None, (fmt, value)
         expected = epoch * 10**9 + int(round(frac * 10**9))
         assert got == expected, (fmt, value, got, expected)
+
+
+class TestClfFastPathParity:
+    """The pandas CLF fast path in parse_time_column must agree with the
+    exact per-row parser on every input — including the rows it must route
+    to the fallback (leap seconds, civil-days-normalized impossible dates,
+    prefix-match trailing garbage, lowercase months)."""
+
+    def test_column_matches_rowwise(self):
+        import numpy as np
+
+        from fluent_bit_ray.functions.timeparse import (
+            TimeFormat,
+            parse_time_column,
+        )
+
+        tf = TimeFormat("%d/%b/%Y:%H:%M:%S %z")
+        values = [
+            "21/Feb/2018:17:26:53 +0000",
+            "21/Feb/2018:17:26:53 -0630",
+            "31/Feb/2018:00:00:00 +0000",   # civil-days normalization
+            "21/feb/2018:17:26:53 +0000",   # lowercase month
+            "21/February/2018:17:26:53 +0000",
+            "21/Feb/2018:17:26:60 +0000",   # leap second
+            "21/Feb/2018:17:26:53 +0000 trailing",  # prefix match
+            "99/Feb/2018:17:26:53 +0000",
+            "garbage", "", None,
+            "01/Jan/1970:00:00:00 +0000",
+        ]
+        col = parse_time_column(values, tf, 2018)
+        NAT = np.iinfo(np.int64).min
+        for i, v in enumerate(values):
+            exact = tf.parse(v, 2018) if isinstance(v, str) else None
+            want = NAT if exact is None else exact
+            assert col[i] == want, (i, v, col[i], exact)
