@@ -182,6 +182,22 @@ def bench_forward_decode() -> float:
     return time.time() - t0
 
 
+def bench_corpus_prep() -> float:
+    from fluent_bit_ray.pipelines.queries import q_corpus_prep
+
+    t0 = time.time()
+    _consume(q_corpus_prep(SF_DIR))
+    return time.time() - t0
+
+
+def bench_sharded_enrich() -> float:
+    from fluent_bit_ray.pipelines.queries import q_sharded_enrich
+
+    t0 = time.time()
+    _consume(q_sharded_enrich(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -192,6 +208,8 @@ BENCHES = {
     "ann_topk": bench_ann,
     "sliding_window": bench_sliding_window,
     "forward_decode": bench_forward_decode,
+    "corpus_prep": bench_corpus_prep,
+    "sharded_enrich": bench_sharded_enrich,
 }
 
 
