@@ -632,3 +632,85 @@ def verify_pairs_jaccard(
         )
 
     return ds_pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- line dedup
+
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+):
+    """C4-style exact LINE dedup: keep only the globally FIRST occurrence
+    (min (doc_id, line_idx)) of every line of `min_len`+ characters, then
+    reassemble documents in original line order. Lines shorter than
+    `min_len` (blank separators, stubs) are always kept. Documents whose
+    every line was removed disappear from the output (no empty husks).
+
+    Scale shape: explode is a vectorized map (Arrow split + numpy repeat),
+    then TWO chained hash exchanges — first on the 64-bit line hash
+    (first-occurrence election, collision-exact: the group key is the
+    actual line), then on doc id (order-preserving reassembly) — moving
+    each surviving line exactly twice through the object store.
+    """
+    from ..shuffle import hash_exchange
+
+    def explode(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+        flat = pc.list_flatten(lines)
+        lens = np.asarray(pc.list_value_length(lines)).astype(np.int64)
+        ids = np.asarray(b[id_col]).astype(np.int64)
+        doc = np.repeat(ids, lens)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+        keep = pc.less(pc.utf8_length(flat), min_len)
+        return pa.table(
+            {
+                id_col: pa.array(doc),
+                "idx": pa.array(idx),
+                "line": flat,
+                "line_hash": pa.array(
+                    _hash_string_array(flat).astype(np.int64)
+                ),
+                "keep_always": keep,
+            }
+        )
+
+    def elect(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        short = df[df["keep_always"]]
+        long = df[~df["keep_always"]]
+        if len(long):
+            key = long[id_col] * 1_000_000_000 + long["idx"]
+            long = long.loc[key.groupby(long["line"]).idxmin()]
+        import pandas as pd
+
+        out = pd.concat([short, long], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[[id_col, "idx", "line"]], preserve_index=False
+        )
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values([id_col, "idx"])
+        g = (
+            df.groupby(id_col, sort=False)["line"]
+            .agg("\n".join)
+            .reset_index()
+            .rename(columns={"line": text_col})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    kept_refs = hash_exchange(
+        exploded.to_arrow_refs(), ["line_hash"], elect, return_refs=True
+    )
+    kept_refs = [r for r in kept_refs if r is not None]
+    out = hash_exchange(kept_refs, [id_col], rebuild)
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         text_col: pa.array([], pa.string())})
+    return out.select([id_col, text_col])

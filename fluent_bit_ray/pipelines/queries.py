@@ -439,6 +439,14 @@ def q_simhash_rep_invariant(sf_dir: str):
     )
 
 
+def q_line_dedup(sf_dir: str):
+    """C4-style exact line-level dedup over the clone-augmented corpus:
+    globally-first occurrence of every >=10-char line wins, short lines
+    always kept, docs reassembled in line order (ops/dedup.line_dedup —
+    two chained hash exchanges, no driver materialization of lines)."""
+    return dedup.line_dedup(_augmented_docs_ds(sf_dir))
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed training-data prep pipeline — the LLM-corpus showcase:
     quality gate (n_tokens >= 5, punct_ratio <= 0.25) -> language gate
@@ -848,6 +856,7 @@ QUERIES: dict[str, Callable] = {
     "throttle": q_throttle,
     "dedup_exact": q_dedup_exact,
     "corpus_prep": q_corpus_prep,
+    "line_dedup": q_line_dedup,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -947,6 +956,22 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
         "SELECT min(doc_id) AS doc_id, CAST(1 AS BIGINT) AS distinct_assignments "
         "FROM aug GROUP BY text HAVING count(*) > 1"
+    ),
+    "line_dedup": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        "split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug), "
+        "lines AS (SELECT doc_id, unnest(ls) AS line, "
+        "generate_subscripts(ls, 1) - 1 AS idx FROM split), "
+        "firsts AS (SELECT line, min(doc_id * 1000000000 + idx) AS fk "
+        "FROM lines WHERE length(line) >= 10 GROUP BY line), "
+        "kept AS (SELECT l.doc_id, l.idx, l.line FROM lines l "
+        "WHERE length(l.line) < 10 "
+        "UNION ALL "
+        "SELECT l.doc_id, l.idx, l.line FROM lines l JOIN firsts f "
+        "ON l.line = f.line AND l.doc_id * 1000000000 + l.idx = f.fk) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
+        "FROM kept GROUP BY doc_id"
     ),
     "corpus_prep": (
         "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "

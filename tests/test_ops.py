@@ -383,3 +383,49 @@ class TestShardedDimEnrich:
             f"ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey"
         ).fetchall()
         assert [(r["o_orderkey"], r["o_custkey"], r["c_name"]) for r in got] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLineDedup:
+    """C4-style exact line dedup: global first-occurrence, short-line
+    bypass, order-preserving reassembly, empty-husk removal."""
+
+    def _run(self, docs, **kw):
+        import pyarrow as _pa
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import line_dedup
+
+        out = line_dedup(ray.data.from_arrow(_pa.Table.from_pylist(docs)), **kw)
+        return {r["doc_id"]: r["text"] for r in out.to_pylist()}
+
+    def test_first_occurrence_wins_and_husks_drop(self):
+        got = self._run([
+            {"doc_id": 0, "text": "the same long line here\nunique to zero\n\nshort"},
+            {"doc_id": 1, "text": "the same long line here\nunique to one"},
+            {"doc_id": 2, "text": "the same long line here"},
+            {"doc_id": 3, "text": ""},
+        ])
+        assert got == {
+            0: "the same long line here\nunique to zero\n\nshort",
+            1: "unique to one",
+            3: "",
+        }  # doc 2 fully deduped away
+
+    def test_within_doc_duplicates(self):
+        got = self._run([
+            {"doc_id": 5, "text": "repeated paragraph text\nmiddle line stays\nrepeated paragraph text"},
+        ])
+        assert got == {5: "repeated paragraph text\nmiddle line stays"}
+
+    def test_min_len_bypass(self):
+        got = self._run(
+            [{"doc_id": 0, "text": "aa\naa"}, {"doc_id": 1, "text": "aa"}],
+            min_len=2,
+        )
+        assert got == {0: "aa"}  # with min_len=2 both 'aa' dedupe
+        got = self._run(
+            [{"doc_id": 0, "text": "aa\naa"}, {"doc_id": 1, "text": "aa"}],
+            min_len=10,
+        )
+        assert got == {0: "aa\naa", 1: "aa"}  # short lines always kept
