@@ -405,6 +405,7 @@ def run_scaling(rows_mult: int = 4) -> None:
                 "pairs": pairs,
                 "sf": SF_DIR,
                 "num_cpus": 32,
+                "env": _env_probe(),
             }
         )
     )
