@@ -299,18 +299,27 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     shard_output_dir: Optional[str] = None,
+    propagate: bool = True,
+    max_rounds: int = 16,
 ):
     """LSH near-dup clustering: returns (doc_id, rep_id) — rep_id is the
-    elected representative (min doc id over all shared buckets, one
-    propagation round). rep_id == doc_id means "keep".
+    elected representative (the min doc id of the doc's CONNECTED
+    COMPONENT in the bucket-sharing graph). rep_id == doc_id means "keep".
 
     Pipeline: map_batches(signatures) -> flat rows (band, bucket_hash, id)
     -> bucket exchange (shard-local rep election + per-doc combine) ->
-    doc-id exchange (global per-doc min). Both shuffles move fixed-width
-    rows only and CHAIN through the object store (return_refs) — the
-    driver never holds the O(docs) rep table; at corpus scale pass
-    `shard_output_dir` and the final shards stream to parquet instead
-    (returns None).
+    doc-id exchange (global per-doc min) -> label-propagation rounds to a
+    FIXPOINT (propagate=True): each round labels flow doc -> bucket ->
+    doc through two more hash exchanges, and the loop stops when the
+    (monotonically non-increasing) label sum stops changing — so rep
+    chains across transitive bucket overlaps (A~B in bucket 1, B~C in
+    bucket 2) fully collapse and every rep maps to itself by
+    construction. Near-dup components are shallow, so this converges in
+    1-2 extra rounds. All shuffles move fixed-width rows only and CHAIN
+    through the object store (return_refs) — the driver never holds the
+    O(docs) rep table (it only reduces per-shard label SUMS per round);
+    at corpus scale pass `shard_output_dir` and the final shards stream
+    to parquet instead (returns None).
     """
     if num_perm % bands:
         raise ValueError(
@@ -372,13 +381,69 @@ def minhash_lsh_dedup(
         )
         return g.select([id_col, "rep_id"])
 
+    edge_refs = buckets.to_arrow_refs()
     cand_refs = hash_exchange(
-        buckets.to_arrow_refs(), ["band", "bucket"], bucket_reps,
-        return_refs=True,
+        edge_refs, ["band", "bucket"], bucket_reps, return_refs=True,
     )
+    label_refs = hash_exchange(
+        cand_refs, [id_col], doc_min, combine_fn=doc_min, return_refs=True,
+    )
+    label_refs = [r for r in label_refs if r is not None]
+
+    if propagate:
+        import ray
+
+        label_sum = ray.remote(
+            lambda t: 0 if t is None else (pc.sum(t["rep_id"]).as_py() or 0)
+        )
+
+        def _sum(refs) -> int:
+            return sum(ray.get([label_sum.remote(r) for r in refs]))
+
+        def edges_with_labels(t: pa.Table) -> Optional[pa.Table]:
+            # shard holds all of its docs' edge rows AND label rows (the
+            # concat promotes missing columns to null -> pandas floats;
+            # cast back — every doc has a label, so no NaN survives)
+            df = t.to_pandas()
+            lab = df[df["band"].isna()][[id_col, "rep_id"]]
+            ed = df[df["band"].notna()][[id_col, "band", "bucket"]]
+            if not len(ed):
+                return None
+            m = ed.merge(lab, on=id_col, how="left")
+            for c in ("band", "bucket", "rep_id"):
+                m[c] = m[c].astype("int64")
+            return pa.Table.from_pandas(
+                m[[id_col, "band", "bucket", "rep_id"]], preserve_index=False
+            )
+
+        def bucket_min_labels(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["rep_id"] = df.groupby(["band", "bucket"])["rep_id"].transform("min")
+            out = df.groupby(id_col, as_index=False)["rep_id"].min()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        prev = _sum(label_refs)
+        for _ in range(max_rounds):
+            joined = hash_exchange(
+                list(edge_refs) + list(label_refs), [id_col],
+                edges_with_labels, return_refs=True,
+            )
+            relabeled = hash_exchange(
+                joined, ["band", "bucket"], bucket_min_labels,
+                return_refs=True,
+            )
+            new_refs = hash_exchange(
+                relabeled, [id_col], doc_min, combine_fn=doc_min,
+                return_refs=True,
+            )
+            label_refs = [r for r in new_refs if r is not None]
+            cur = _sum(label_refs)
+            if cur == prev:  # labels only decrease: fixpoint reached
+                break
+            prev = cur
+
     out = hash_exchange(
-        cand_refs, [id_col], doc_min, combine_fn=doc_min,
-        shard_output_dir=shard_output_dir,
+        label_refs, [id_col], doc_min, shard_output_dir=shard_output_dir,
     )
     if shard_output_dir is not None:
         return None

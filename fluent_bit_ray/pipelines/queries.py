@@ -408,9 +408,9 @@ def _rep_structural_invariant(rep_table: pa.Table) -> pa.Table:
     rep_gt_doc — the rep is elected as a MIN doc id, so no row may have
     rep_id > doc_id (guaranteed by construction: a doc is always in its
     own buckets / its own simhash group); rep_not_self — every rep belongs
-    to its own cluster (guaranteed for exact-hash clusters; for LSH it
-    additionally verifies the one-round propagation converged on this
-    corpus — a rep chain would need a second round); dup_assignments /
+    to its own cluster (guaranteed by construction for exact-hash clusters
+    AND, since the fixpoint label propagation landed, for LSH components
+    too — this oracle now pins that contract); dup_assignments /
     rows_assigned — every doc is assigned exactly once."""
     df = rep_table.select(["doc_id", "rep_id"]).to_pandas()
     self_map = dict(zip(df["doc_id"], df["rep_id"]))

@@ -429,3 +429,42 @@ class TestLineDedup:
             min_len=10,
         )
         assert got == {0: "aa\naa", 1: "aa"}  # short lines always kept
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLshLabelPropagation:
+    """minhash_lsh_dedup propagates labels to a fixpoint: transitive
+    bucket-overlap chains (A~B, B~C, A!~C) collapse into one component,
+    so every rep maps to itself by construction."""
+
+    def _docs(self):
+        import pyarrow as _pa
+        import ray.data
+
+        a = " ".join(f"alpha{i}" for i in range(60))
+        c = " ".join(f"omega{i}" for i in range(60))
+        b = a + " " + c  # bridges a and c; a and c share no shingles
+        return ray.data.from_arrow(_pa.Table.from_pylist([
+            {"doc_id": 0, "text": a},
+            {"doc_id": 1, "text": b},
+            {"doc_id": 2, "text": c},
+            {"doc_id": 3, "text": "totally unrelated content standing alone"},
+        ]))
+
+    def test_chain_collapses_to_component_min(self):
+        reps = {r["doc_id"]: r["rep_id"] for r in dedup.minhash_lsh_dedup(
+            self._docs(), bands=32, shingle_k=3).to_pylist()}
+        assert reps == {0: 0, 1: 0, 2: 0, 3: 3}
+
+    def test_one_round_exhibits_the_chain(self):
+        # documents WHY propagation exists: without it, C points at B
+        # while B points at A
+        reps = {r["doc_id"]: r["rep_id"] for r in dedup.minhash_lsh_dedup(
+            self._docs(), bands=32, shingle_k=3, propagate=False).to_pylist()}
+        assert reps[1] == 0 and reps[2] == 1
+
+    def test_reps_self_map(self):
+        reps = {r["doc_id"]: r["rep_id"] for r in dedup.minhash_lsh_dedup(
+            self._docs(), bands=32, shingle_k=3).to_pylist()}
+        for d, r in reps.items():
+            assert reps[r] == r
