@@ -779,3 +779,137 @@ def line_dedup(
         return pa.table({id_col: pa.array([], pa.int64()),
                          text_col: pa.array([], pa.string())})
     return out.select([id_col, text_col])
+
+
+# --------------------------------------------------------------- dup spans
+
+def dup_spans(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 16,
+):
+    """Duplicated-span detection (the ExactSubstr-style training-data
+    filter, Lee et al. 2022, re-expressed over hash exchanges): for every
+    document, count the k-token windows whose EXACT token sequence occurs
+    at least twice anywhere in the corpus. Returns (doc_id, dup_windows)
+    for documents with at least one duplicated window; docs shorter than
+    span_k contribute no windows.
+
+    Exact without shipping window text for the whole corpus — two passes:
+      A. rolling 64-bit window hashes (the minhash shingle kernel) flow
+         through one hash exchange that keeps only hashes seen >= 2 times;
+         the surviving CANDIDATE hash set (tiny: only near-dup material)
+         is broadcast with ray.put;
+      B. a second map pass re-derives hashes, reconstructs the window
+         STRINGS only at candidate positions, and a second exchange
+         groups candidates by the actual string (collision-exact),
+         emitting per-doc partial counts merged by hash_reduce.
+    """
+    import ray
+
+    from ..shuffle import hash_exchange, hash_reduce
+
+    def _tokens(batch: pa.Table):
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+        lists = pc.utf8_split_whitespace(trimmed)
+        raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        counts = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
+        return pc.list_flatten(lists), counts
+
+    def _window_rows(batch: pa.Table):
+        """(hash, doc id, flat start position, flat tokens) per k-window."""
+        flat, counts = _tokens(batch)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fh = _hash_string_array(flat)
+        sh, sh_counts = _shingle_hashes(fh, counts, span_k)
+        # drop the short-doc single pseudo-shingle (< span_k tokens)
+        keep = np.repeat(counts >= span_k, sh_counts)
+        sh_off = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+        within = (
+            np.arange(len(sh), dtype=np.int64)
+            - np.repeat(sh_off, sh_counts)
+        )
+        tok_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        fstart = np.repeat(tok_off, sh_counts) + within
+        doc = np.repeat(ids, sh_counts)
+        return (
+            sh[keep].astype(np.int64),
+            doc[keep],
+            fstart[keep],
+            flat,
+        )
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        h, doc, _, _ = _window_rows(batch)
+        return pa.table({"h": pa.array(h), id_col: pa.array(doc)})
+
+    def dup_hashes(t: pa.Table) -> Optional[pa.Table]:
+        g = t.group_by(["h"]).aggregate([("h", "count")])
+        g = g.filter(pc.greater_equal(g["h_count"], 2))
+        return g.select(["h"]) if g.num_rows else None
+
+    a = ds.map_batches(pass_a, batch_format="pyarrow", batch_size=None)
+    cand = hash_exchange(a.to_arrow_refs(), ["h"], dup_hashes)
+    if cand is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dup_windows": pa.array([], pa.int64())})
+    cand_sorted = np.sort(cand["h"].to_numpy(zero_copy_only=False))
+    cand_ref = ray.put(cand_sorted)
+
+    def pass_b(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        h, doc, fstart, flat = _window_rows(batch)
+        pos = np.searchsorted(cands, h)
+        pos[pos >= len(cands)] = 0
+        idx = np.flatnonzero(cands[pos] == h)
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        # reconstruct window strings ONLY at candidate positions:
+        # one vectorized gather of k tokens per candidate + binary_join
+        gather = (
+            fstart[idx][:, None] + np.arange(span_k, dtype=np.int64)
+        ).ravel()
+        toks = flat.take(pa.array(gather, pa.int64()))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, len(gather) + 1, span_k, dtype=np.int32),
+                pa.int32(),
+            ),
+            toks,
+        )
+        ws = pc.binary_join(lists, " ")
+        return pa.table(
+            {"h": pa.array(h[idx]), "w": ws, id_col: pa.array(doc[idx])}
+        )
+
+    def exact_dup_counts(t: pa.Table) -> Optional[pa.Table]:
+        df = t.to_pandas()
+        sizes = df.groupby("w")["w"].transform("size")
+        df = df[sizes >= 2]
+        if not len(df):
+            return None
+        out = df.groupby(id_col, as_index=False).size()
+        out = out.rename(columns={"size": "dup_windows"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    b = ds.map_batches(pass_b, batch_format="pyarrow", batch_size=None)
+    part_refs = hash_exchange(b.to_arrow_refs(), ["h"], exact_dup_counts,
+                              return_refs=True)
+    part_refs = [r for r in part_refs if r is not None]
+    out = hash_reduce(part_refs, [id_col], ["dup_windows"])
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dup_windows": pa.array([], pa.int64())})
+    return out

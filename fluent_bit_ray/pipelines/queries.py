@@ -447,6 +447,16 @@ def q_line_dedup(sf_dir: str):
     return dedup.line_dedup(_augmented_docs_ds(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022) over
+    the clone-augmented corpus: per-doc count of 16-token windows whose
+    exact token sequence occurs >= 2 times corpus-wide. Two-pass hash
+    exchange — rolling window hashes elect candidates, a broadcast
+    candidate set gates a collision-exact string regroup
+    (ops/dedup.dup_spans)."""
+    return dedup.dup_spans(_augmented_docs_ds(sf_dir), span_k=16)
+
+
 def q_corpus_prep(sf_dir: str):
     """Composed training-data prep pipeline — the LLM-corpus showcase:
     quality gate (n_tokens >= 5, punct_ratio <= 0.25) -> language gate
@@ -857,6 +867,7 @@ QUERIES: dict[str, Callable] = {
     "dedup_exact": q_dedup_exact,
     "corpus_prep": q_corpus_prep,
     "line_dedup": q_line_dedup,
+    "dup_spans": q_dup_spans,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -972,6 +983,21 @@ ORACLE_SQL: dict[str, str] = {
         "ON l.line = f.line AND l.doc_id * 1000000000 + l.idx = f.fk) "
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
         "FROM kept GROUP BY doc_id"
+    ),
+    "dup_spans": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        "docs AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM aug), "
+        "wins AS (SELECT doc_id, array_to_string(t[i : i + 15], ' ') AS w "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t) - 14)) AS i "
+        "FROM docs WHERE len(t) >= 16)), "
+        "dups AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2) "
+        "SELECT doc_id, count(*) AS dup_windows FROM wins JOIN dups USING (w) "
+        "GROUP BY doc_id"
     ),
     "corpus_prep": (
         "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "

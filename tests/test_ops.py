@@ -386,6 +386,62 @@ class TestShardedDimEnrich:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDupSpans:
+    """ExactSubstr-style duplicated k-token window counts: corpus-wide
+    occurrence >= 2, short docs excluded, whitespace-normalized match."""
+
+    def _run(self, docs, **kw):
+        import pyarrow as _pa
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import dup_spans
+
+        out = dup_spans(ray.data.from_arrow(_pa.Table.from_pylist(docs)), **kw)
+        return {r["doc_id"]: r["dup_windows"] for r in out.to_pylist()}
+
+    def test_clones_shared_run_and_short_docs(self):
+        got = self._run(
+            [
+                {"doc_id": 0, "text": "a b c d e"},
+                {"doc_id": 1, "text": "a b c d e"},
+                {"doc_id": 2, "text": "x y z w a b c d q"},
+                {"doc_id": 3, "text": "p q"},
+                {"doc_id": 4, "text": "r s t u"},
+            ],
+            span_k=4,
+        )
+        # clones share both windows; doc 2 shares exactly one ("a b c d");
+        # doc 3 is shorter than k; doc 4's single window is unique
+        assert got == {0: 2, 1: 2, 2: 1}
+
+    def test_within_doc_repetition_counts_positions(self):
+        got = self._run(
+            [{"doc_id": 10, "text": "m n o p m n o p"}],
+            span_k=4,
+        )
+        assert got == {10: 2}  # "m n o p" at offsets 0 and 4
+
+    def test_whitespace_normalized(self):
+        got = self._run(
+            [
+                {"doc_id": 0, "text": "a  b \t c d"},
+                {"doc_id": 1, "text": "a b c d"},
+            ],
+            span_k=4,
+        )
+        assert got == {0: 1, 1: 1}
+
+    def test_no_duplicates_empty_result(self):
+        got = self._run(
+            [
+                {"doc_id": 0, "text": "a b c d"},
+                {"doc_id": 1, "text": "e f g h"},
+            ],
+            span_k=4,
+        )
+        assert got == {}
+
+
 class TestLineDedup:
     """C4-style exact line dedup: global first-occurrence, short-line
     bypass, order-preserving reassembly, empty-husk removal."""
