@@ -233,3 +233,98 @@ def fingerprint_batch(
             "fingerprint": pa.array(fps.astype(np.int64), pa.int64()),
         }
     )
+
+
+def _group_runs(doc: np.ndarray, code: np.ndarray):
+    """Run-length groups of (doc, code) pairs: returns (group start indices
+    into the lexsorted order, per-group counts, per-group doc, sort order).
+    Both inputs are int64; equality is exact (codes come from Arrow
+    dictionary encoding, i.e. exact string identity)."""
+    order = np.lexsort((code, doc))
+    d, c = doc[order], code[order]
+    new = np.ones(len(d), dtype=bool)
+    new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate((starts, [len(d)])))
+    return starts, counts, d[starts], order
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    table A1, the public repetition filters), fully vectorized:
+
+      dup_line_frac      — fraction of newline-split lines that repeat an
+                           earlier identical line in the same doc
+                           ((n_lines - n_distinct) / n_lines)
+      dup_line_char_frac — fraction of line characters sitting in repeated
+                           occurrences (sum over distinct lines of
+                           (count-1)*len / total line chars)
+      top_2gram_frac     — occurrences of the doc's most frequent token
+                           2-gram over the doc's 2-gram count (n_tokens-1)
+
+    Per-doc metrics only — no cross-batch state, so the stage is a plain
+    map_batches with no shuffle. Lines are exact-string groups via Arrow
+    dictionary encoding + lexsort run-lengths; 2-grams pair adjacent
+    dictionary codes so equality stays exact (no hashing).
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    filled = pc.fill_null(text, "")
+    n_docs = len(filled)
+
+    # ---- line metrics
+    line_lists = pc.split_pattern(filled, "\n")
+    n_lines = np.asarray(pc.list_value_length(line_lists)).astype(np.int64)
+    lbounds = np.concatenate(([0], np.cumsum(n_lines)))
+    flat_lines = pc.list_flatten(line_lists)
+    llen = np.asarray(pc.utf8_length(flat_lines)).astype(np.int64)
+    total_chars = _per_doc_sum(llen, lbounds)
+    enc = flat_lines.dictionary_encode()
+    lcodes = np.asarray(enc.indices).astype(np.int64)
+    ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+    starts, counts, gdoc, order = _group_runs(ldoc, lcodes)
+    n_distinct = np.bincount(gdoc, minlength=n_docs).astype(np.int64)
+    # chars in repeated occurrences: (count-1) * line length, per group
+    glen = llen[order][starts]
+    dup_chars = np.bincount(
+        gdoc, weights=(counts - 1) * glen, minlength=n_docs
+    )
+    nl = np.maximum(n_lines, 1)
+    dup_line_frac = np.where(n_lines > 0, (n_lines - n_distinct) / nl, 0.0)
+    dup_line_char_frac = np.where(
+        total_chars > 0, dup_chars / np.maximum(total_chars, 1), 0.0
+    )
+
+    # ---- top token-2-gram fraction
+    flat, bounds, n_tokens = _doc_tokens(text)
+    top_frac = np.zeros(n_docs, dtype=np.float64)
+    n2 = np.maximum(n_tokens - 1, 0)
+    if len(flat) and n2.sum() > 0:
+        tenc = flat.dictionary_encode()
+        tcodes = np.asarray(tenc.indices).astype(np.int64)
+        raw = np.diff(bounds)
+        tdoc = np.repeat(np.arange(n_docs, dtype=np.int64), raw)
+        # adjacent-pair key; same doc only (last token of a doc pairs with
+        # the next doc's first token — masked out below)
+        a, b = tcodes[:-1], tcodes[1:]
+        same = tdoc[:-1] == tdoc[1:]
+        ndict = len(tenc.dictionary)
+        key = a[same] * np.int64(ndict) + b[same]
+        gdoc2 = tdoc[:-1][same]
+        s2, c2, d2, _ = _group_runs(gdoc2, key)
+        # per-doc max group count: doc segments are contiguous after lexsort
+        doc_seg = np.ones(len(d2), dtype=bool)
+        doc_seg[1:] = d2[1:] != d2[:-1]
+        seg_starts = np.flatnonzero(doc_seg)
+        seg_max = np.maximum.reduceat(c2, seg_starts)
+        top_frac[d2[seg_starts]] = seg_max / n2[d2[seg_starts]]
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_line_frac": pa.array(dup_line_frac),
+            "dup_line_char_frac": pa.array(dup_line_char_frac),
+            "top_2gram_frac": pa.array(top_frac),
+        }
+    )

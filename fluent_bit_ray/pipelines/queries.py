@@ -447,6 +447,17 @@ def q_line_dedup(sf_dir: str):
     return dedup.line_dedup(_augmented_docs_ds(sf_dir))
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals: duplicate-line fraction,
+    duplicate-line char fraction, top token-2-gram fraction — one
+    vectorized map_batches, no shuffle (ops/text.repetition_stats_batch)."""
+    from ..ops.text import repetition_stats_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
 def q_dup_spans(sf_dir: str):
     """ExactSubstr-style duplicated-span detection (Lee et al. 2022) over
     the clone-augmented corpus: per-doc count of 16-token windows whose
@@ -868,6 +879,7 @@ QUERIES: dict[str, Callable] = {
     "corpus_prep": q_corpus_prep,
     "line_dedup": q_line_dedup,
     "dup_spans": q_dup_spans,
+    "repetition": q_repetition,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -983,6 +995,33 @@ ORACLE_SQL: dict[str, str] = {
         "ON l.line = f.line AND l.doc_id * 1000000000 + l.idx = f.fk) "
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
         "FROM kept GROUP BY doc_id"
+    ),
+    "repetition": (
+        "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
+        "FROM documents), "
+        "lgrp AS (SELECT doc_id, count(*) AS cnt, length(line) AS ln "
+        "FROM lines GROUP BY doc_id, line), "
+        "lstat AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct, "
+        "sum(cnt * ln) AS total_chars, sum((cnt - 1) * ln) AS dup_chars "
+        "FROM lgrp GROUP BY doc_id), "
+        "toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i "
+        "FROM toks WHERE len(t) >= 2)), "
+        "gtop AS (SELECT doc_id, max(cnt) AS top2, sum(cnt) AS n2 "
+        "FROM (SELECT doc_id, g, count(*) AS cnt FROM grams "
+        "GROUP BY doc_id, g) GROUP BY doc_id) "
+        "SELECT s.doc_id, "
+        "CASE WHEN s.n_lines > 0 THEN "
+        "(s.n_lines - s.n_distinct)::DOUBLE / s.n_lines ELSE 0 END AS dup_line_frac, "
+        "CASE WHEN s.total_chars > 0 THEN "
+        "s.dup_chars::DOUBLE / s.total_chars ELSE 0 END AS dup_line_char_frac, "
+        "coalesce(g.top2::DOUBLE / g.n2, 0) AS top_2gram_frac "
+        "FROM lstat s LEFT JOIN gtop g USING (doc_id)"
     ),
     "dup_spans": (
         "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "

@@ -10,6 +10,7 @@ from fluent_bit_ray.ops.text import (
     fingerprint_batch,
     lang_id_batch,
     quality_score_batch,
+    repetition_stats_batch,
     token_count_batch,
 )
 
@@ -164,6 +165,34 @@ class TestText:
     def test_bpe_ish(self):
         assert bpe_ish_token_count(["hello world"])[0] == 2
         assert bpe_ish_token_count(["it's 42 tokens!"])[0] == 5
+
+    def test_repetition_stats(self):
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "aa\naa\nbb",      # 1 of 3 lines is a repeat (2 of 6 chars)
+                        "x y x y x y",     # "x y" 3 of 5 2-grams
+                        "",                # degenerate: everything 0
+                        "one line\nother",  # no repeats; top 2-gram 1 of 2
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = repetition_stats_batch(t).to_pylist()
+        assert out[0]["dup_line_frac"] == pytest.approx(1 / 3)
+        assert out[0]["dup_line_char_frac"] == pytest.approx(2 / 6)
+        assert out[1]["top_2gram_frac"] == pytest.approx(3 / 5)
+        assert out[2] == {
+            "doc_id": 2,
+            "dup_line_frac": 0.0,
+            "dup_line_char_frac": 0.0,
+            "top_2gram_frac": 0.0,
+        }
+        assert out[3]["dup_line_frac"] == 0.0
+        assert out[3]["top_2gram_frac"] == pytest.approx(1 / 2)
 
 
 @pytest.mark.usefixtures("ray_session")
