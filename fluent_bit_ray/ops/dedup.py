@@ -783,6 +783,54 @@ def line_dedup(
 
 # --------------------------------------------------------------- dup spans
 
+def _span_tokens(batch: pa.Table, text_col: str):
+    """Whitespace tokens per doc: (flat token array, per-doc counts)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
+    lists = pc.utf8_split_whitespace(trimmed)
+    raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+    counts = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
+    return pc.list_flatten(lists), counts
+
+
+def _span_window_rows(batch: pa.Table, text_col: str, id_col: str, k: int):
+    """(hash, doc id, flat start position, flat tokens) for every full
+    k-token window — the shared front end of dup_spans / decontaminate.
+    Docs shorter than k tokens contribute no windows."""
+    flat, counts = _span_tokens(batch, text_col)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    fh = _hash_string_array(flat)
+    sh, sh_counts = _shingle_hashes(fh, counts, k)
+    # drop the short-doc single pseudo-shingle (< k tokens)
+    keep = np.repeat(counts >= k, sh_counts)
+    sh_off = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
+    within = (
+        np.arange(len(sh), dtype=np.int64) - np.repeat(sh_off, sh_counts)
+    )
+    tok_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    fstart = np.repeat(tok_off, sh_counts) + within
+    doc = np.repeat(ids, sh_counts)
+    return sh[keep].astype(np.int64), doc[keep], fstart[keep], flat
+
+
+def _gather_window_strings(
+    flat: pa.Array, fstart: np.ndarray, k: int
+) -> pa.Array:
+    """Window strings at the given flat start positions: one vectorized
+    gather of k tokens per window + binary_join (space-separated)."""
+    gather = (fstart[:, None] + np.arange(k, dtype=np.int64)).ravel()
+    toks = flat.take(pa.array(gather, pa.int64()))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lists = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, len(gather) + 1, k, dtype=np.int32), pa.int32()),
+        toks,
+    )
+    return pc.binary_join(lists, " ")
+
+
 def dup_spans(
     ds,
     text_col: str = "text",
@@ -810,41 +858,8 @@ def dup_spans(
 
     from ..shuffle import hash_exchange, hash_reduce
 
-    def _tokens(batch: pa.Table):
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
-        lists = pc.utf8_split_whitespace(trimmed)
-        raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
-        counts = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
-        return pc.list_flatten(lists), counts
-
-    def _window_rows(batch: pa.Table):
-        """(hash, doc id, flat start position, flat tokens) per k-window."""
-        flat, counts = _tokens(batch)
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        fh = _hash_string_array(flat)
-        sh, sh_counts = _shingle_hashes(fh, counts, span_k)
-        # drop the short-doc single pseudo-shingle (< span_k tokens)
-        keep = np.repeat(counts >= span_k, sh_counts)
-        sh_off = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
-        within = (
-            np.arange(len(sh), dtype=np.int64)
-            - np.repeat(sh_off, sh_counts)
-        )
-        tok_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        fstart = np.repeat(tok_off, sh_counts) + within
-        doc = np.repeat(ids, sh_counts)
-        return (
-            sh[keep].astype(np.int64),
-            doc[keep],
-            fstart[keep],
-            flat,
-        )
-
     def pass_a(batch: pa.Table) -> pa.Table:
-        h, doc, _, _ = _window_rows(batch)
+        h, doc, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
         return pa.table({"h": pa.array(h), id_col: pa.array(doc)})
 
     def dup_hashes(t: pa.Table) -> Optional[pa.Table]:
@@ -862,7 +877,7 @@ def dup_spans(
 
     def pass_b(batch: pa.Table) -> pa.Table:
         cands = ray.get(cand_ref)
-        h, doc, fstart, flat = _window_rows(batch)
+        h, doc, fstart, flat = _span_window_rows(batch, text_col, id_col, span_k)
         pos = np.searchsorted(cands, h)
         pos[pos >= len(cands)] = 0
         idx = np.flatnonzero(cands[pos] == h)
@@ -874,22 +889,8 @@ def dup_spans(
                     id_col: pa.array([], pa.int64()),
                 }
             )
-        # reconstruct window strings ONLY at candidate positions:
-        # one vectorized gather of k tokens per candidate + binary_join
-        gather = (
-            fstart[idx][:, None] + np.arange(span_k, dtype=np.int64)
-        ).ravel()
-        toks = flat.take(pa.array(gather, pa.int64()))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lists = pa.ListArray.from_arrays(
-            pa.array(
-                np.arange(0, len(gather) + 1, span_k, dtype=np.int32),
-                pa.int32(),
-            ),
-            toks,
-        )
-        ws = pc.binary_join(lists, " ")
+        # reconstruct window strings ONLY at candidate positions
+        ws = _gather_window_strings(flat, fstart[idx], span_k)
         return pa.table(
             {"h": pa.array(h[idx]), "w": ws, id_col: pa.array(doc[idx])}
         )
@@ -913,3 +914,108 @@ def dup_spans(
         return pa.table({id_col: pa.array([], pa.int64()),
                          "dup_windows": pa.array([], pa.int64())})
     return out
+
+
+# ----------------------------------------------------------- decontaminate
+
+def decontaminate(
+    train_ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_k: int = 8,
+):
+    """Benchmark decontamination (the GPT-3-appendix-style n-gram overlap
+    filter, public method): for every TRAIN document, count the k-token
+    windows whose EXACT token sequence occurs anywhere in the benchmark
+    corpus. Returns (doc_id, contaminated_windows) for train docs with at
+    least one overlapping window — drop or flag them downstream.
+
+    Exact, sized for a huge train side and a small bench side (benchmark
+    suites are MBs against a 100 TB corpus):
+      1. bench pass: rolling window hashes -> per-shard unique -> broadcast
+         sorted hash array (8 bytes per distinct bench window);
+      2. train pass: windows gated by the broadcast set (searchsorted);
+         candidate window strings reconstructed vectorized at the few
+         surviving positions;
+      3. bench rows (h, window string) and train candidate rows
+         (h, window string, doc id) meet in one hash exchange keyed on h,
+         where the join is by the actual string (collision-exact);
+         per-doc partial counts merge through hash_reduce.
+    """
+    import ray
+
+    from ..shuffle import hash_exchange, hash_reduce
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        h, _, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
+        return pa.table({"h": pa.array(np.unique(h))})
+
+    a = bench_ds.map_batches(
+        bench_hashes, batch_format="pyarrow", batch_size=None
+    )
+    uniq = hash_exchange(
+        a.to_arrow_refs(), ["h"],
+        lambda t: pa.table({"h": pc.unique(t["h"])}),
+    )
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "contaminated_windows": pa.array([], pa.int64())})
+    if uniq is None:
+        return empty
+    bset = np.sort(uniq["h"].to_numpy(zero_copy_only=False))
+    bref = ray.put(bset)
+
+    def _emit(batch: pa.Table, side: int) -> pa.Table:
+        h, doc, fstart, flat = _span_window_rows(batch, text_col, id_col, span_k)
+        if side == 0:  # train: gate by the broadcast bench hash set
+            bs = ray.get(bref)
+            pos = np.searchsorted(bs, h)
+            pos[pos >= len(bs)] = 0
+            idx = np.flatnonzero(bs[pos] == h)
+        else:  # bench: every window is relevant by construction
+            idx = np.arange(len(h), dtype=np.int64)
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        ws = _gather_window_strings(flat, fstart[idx], span_k)
+        return pa.table(
+            {
+                "h": pa.array(h[idx]),
+                "w": ws,
+                id_col: pa.array(doc[idx]),
+                "side": pa.array(
+                    np.full(len(idx), side, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    train = train_ds.map_batches(
+        lambda b: _emit(b, 0), batch_format="pyarrow", batch_size=None
+    )
+    bench = bench_ds.map_batches(
+        lambda b: _emit(b, 1), batch_format="pyarrow", batch_size=None
+    )
+
+    def mark(t: pa.Table) -> Optional[pa.Table]:
+        is_bench = pc.equal(t["side"], pa.scalar(1, pa.int8()))
+        bw = t.filter(is_bench)
+        tr = t.filter(pc.invert(is_bench))
+        if tr.num_rows == 0 or bw.num_rows == 0:
+            return None
+        hit = pc.is_in(tr["w"], value_set=pc.unique(bw["w"]))
+        tr = tr.filter(hit)
+        if not tr.num_rows:
+            return None
+        g = tr.group_by([id_col]).aggregate([(id_col, "count")])
+        return g.rename_columns([id_col, "contaminated_windows"])
+
+    refs = list(train.to_arrow_refs()) + list(bench.to_arrow_refs())
+    part_refs = hash_exchange(refs, ["h"], mark, return_refs=True)
+    out = hash_reduce(part_refs, [id_col], ["contaminated_windows"])
+    return empty if out is None else out

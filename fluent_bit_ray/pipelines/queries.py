@@ -447,6 +447,31 @@ def q_line_dedup(sf_dir: str):
     return dedup.line_dedup(_augmented_docs_ds(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per train doc, count of 8-token windows
+    whose exact token sequence occurs in the held-out benchmark slice
+    (doc_id % 7 == 0 of the clone-augmented corpus — the clones guarantee
+    real train-x-bench overlap to check values against). Broadcast bench
+    hash set gates the train side; the final join is by exact window
+    string (ops/dedup.decontaminate)."""
+
+    def _slice(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 7 == 0) if bench else (ids % 7 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    train = _augmented_docs_ds(sf_dir).map_batches(
+        _slice(False), batch_format="pyarrow"
+    )
+    bench = _augmented_docs_ds(sf_dir).map_batches(
+        _slice(True), batch_format="pyarrow"
+    )
+    return dedup.decontaminate(train, bench, span_k=8)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals: duplicate-line fraction,
     duplicate-line char fraction, top token-2-gram fraction — one
@@ -880,6 +905,7 @@ QUERIES: dict[str, Callable] = {
     "line_dedup": q_line_dedup,
     "dup_spans": q_dup_spans,
     "repetition": q_repetition,
+    "decontaminate": q_decontaminate,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -995,6 +1021,22 @@ ORACLE_SQL: dict[str, str] = {
         "ON l.line = f.line AND l.doc_id * 1000000000 + l.idx = f.fk) "
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
         "FROM kept GROUP BY doc_id"
+    ),
+    "decontaminate": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        "toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM aug), "
+        "wins AS (SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS w "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i "
+        "FROM toks WHERE len(t) >= 8)), "
+        "bw AS (SELECT DISTINCT w FROM wins WHERE doc_id % 7 = 0) "
+        "SELECT doc_id, count(*) AS contaminated_windows "
+        "FROM wins JOIN bw USING (w) WHERE doc_id % 7 <> 0 "
+        "GROUP BY doc_id"
     ),
     "repetition": (
         "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "

@@ -471,6 +471,54 @@ class TestDupSpans:
         assert got == {}
 
 
+class TestDecontaminate:
+    """Benchmark decontamination: train windows matched against the bench
+    corpus by exact k-token sequence."""
+
+    def _run(self, train, bench, **kw):
+        import pyarrow as _pa
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import decontaminate
+
+        out = decontaminate(
+            ray.data.from_arrow(_pa.Table.from_pylist(train)),
+            ray.data.from_arrow(_pa.Table.from_pylist(bench)),
+            **kw,
+        )
+        return {r["doc_id"]: r["contaminated_windows"] for r in out.to_pylist()}
+
+    def test_clone_partial_and_clean(self):
+        bench = [{"doc_id": 100, "text": "q a b c d z"}]
+        got = self._run(
+            [
+                {"doc_id": 0, "text": "q a b c d z"},     # full clone: 4 windows
+                {"doc_id": 1, "text": "x a b c y"},        # shares "a b c" only
+                {"doc_id": 2, "text": "totally clean doc"},
+                {"doc_id": 3, "text": "a b"},              # shorter than k
+            ],
+            bench,
+            span_k=3,
+        )
+        assert got == {0: 4, 1: 1}
+
+    def test_repeated_window_counts_each_occurrence(self):
+        got = self._run(
+            [{"doc_id": 0, "text": "a b c x a b c"}],
+            [{"doc_id": 9, "text": "a b c"}],
+            span_k=3,
+        )
+        assert got == {0: 2}
+
+    def test_no_overlap_empty(self):
+        got = self._run(
+            [{"doc_id": 0, "text": "p q r s"}],
+            [{"doc_id": 9, "text": "x y z w"}],
+            span_k=3,
+        )
+        assert got == {}
+
+
 class TestLineDedup:
     """C4-style exact line dedup: global first-occurrence, short-line
     bypass, order-preserving reassembly, empty-husk removal."""
