@@ -328,3 +328,38 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "top_2gram_frac": pa.array(top_frac),
         }
     )
+
+
+# PII patterns (RE2 syntax — the same engine behind Arrow's
+# replace_substring_regex and DuckDB's regexp_replace, so the engine and
+# the SQL oracle match byte-for-byte). Public filter shapes; redaction
+# order is email -> IPv4 -> phone, each pass counting on the PREVIOUS
+# pass's output so classes never double-count.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers with typed
+    placeholders, returning the scrubbed text plus per-doc counts — one
+    Arrow RE2 pass per class, no Python row loop."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    t0 = pc.fill_null(text, "")
+    n_em = pc.cast(pc.count_substring_regex(t0, PII_EMAIL), pa.int64())
+    t1 = pc.replace_substring_regex(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = pc.cast(pc.count_substring_regex(t1, PII_IPV4), pa.int64())
+    t2 = pc.replace_substring_regex(t1, PII_IPV4, "<IP>")
+    n_ph = pc.cast(pc.count_substring_regex(t2, PII_PHONE), pa.int64())
+    t3 = pc.replace_substring_regex(t2, PII_PHONE, "<PHONE>")
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text": t3,
+            "n_emails": n_em,
+            "n_ips": n_ip,
+            "n_phones": n_ph,
+        }
+    )

@@ -472,6 +472,37 @@ def q_decontaminate(sf_dir: str):
     return dedup.decontaminate(train, bench, span_k=8)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction: emails / IPv4s / phone-shaped numbers replaced with
+    typed placeholders + per-doc counts (ops/text.pii_redact_batch). The
+    synthetic corpus carries no PII, so every doc_id % 5 == 0 gets a
+    deterministic PII suffix injected — the same expression the SQL
+    oracle applies — making the redaction counts non-vacuous."""
+    from ..ops.text import pii_redact_batch
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s_id = pc.cast(b["doc_id"], pa.string())
+        s_mod = pc.cast(pa.array((ids % 256).astype("int64")), pa.string())
+        injected = pc.binary_join_element_wise(
+            b["text"],
+            " reach doc",
+            s_id,
+            "@mail.example.org from 10.1.2.",
+            s_mod,
+            " call 555-123-4567",
+            "",
+        )
+        text = pc.if_else(pa.array(ids % 5 == 0), injected, b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+    )
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals: duplicate-line fraction,
     duplicate-line char fraction, top token-2-gram fraction — one
@@ -906,6 +937,7 @@ QUERIES: dict[str, Callable] = {
     "dup_spans": q_dup_spans,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -1037,6 +1069,27 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, count(*) AS contaminated_windows "
         "FROM wins JOIN bw USING (w) WHERE doc_id % 7 <> 0 "
         "GROUP BY doc_id"
+    ),
+    "pii_redact": (
+        "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+        "text || ' reach doc' || doc_id::VARCHAR || "
+        "'@mail.example.org from 10.1.2.' || (doc_id % 256)::VARCHAR || "
+        "' call 555-123-4567' ELSE text END AS text FROM documents), "
+        "e AS (SELECT doc_id, len(regexp_extract_all(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+        "regexp_replace(text, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') "
+        "AS t1 FROM inj), "
+        "i AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+        "regexp_replace(t1, "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+        "AS t2 FROM e) "
+        "SELECT doc_id, "
+        "regexp_replace(t2, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', "
+        "'<PHONE>', 'g') AS text, n_emails, n_ips, "
+        "len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b')) "
+        "AS n_phones FROM i"
     ),
     "repetition": (
         "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "

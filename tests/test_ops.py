@@ -166,6 +166,27 @@ class TestText:
         assert bpe_ish_token_count(["hello world"])[0] == 2
         assert bpe_ish_token_count(["it's 42 tokens!"])[0] == 5
 
+    def test_pii_redact(self):
+        from fluent_bit_ray.ops.text import pii_redact_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a.b+c@x-y.co or 10.0.0.1 then 555-123-4567 x",
+                        "version 1.2 is clean",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = pii_redact_batch(t).to_pylist()
+        assert out[0]["text"] == "mail <EMAIL> or <IP> then <PHONE> x"
+        assert (out[0]["n_emails"], out[0]["n_ips"], out[0]["n_phones"]) == (1, 1, 1)
+        assert out[1]["text"] == "version 1.2 is clean"
+        assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (0, 0, 0)
+
     def test_repetition_stats(self):
         t = pa.table(
             {
