@@ -1,0 +1,131 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+A 100 TB corpus needs reproducible train/val/test assignment and per-domain
+subsampling that (a) never depends on row order, partitioning, or a process
+seed, and (b) can be re-derived by any engine. Both operators key off the
+same SQL-expressible multiplicative hash (Knuth's 2654435761 over the id's
+low 32 bits) so every assignment is checkable against a DuckDB oracle —
+documented engine contract: swap in a stronger keyed hash for adversarial
+settings, keeping the same plumbing.
+
+- hash_split: per-row split label from fractional thresholds. Pure
+  map_batches — no shuffle, no state; a row's label is a function of its id
+  alone, so resuming / repartitioning can never reassign rows.
+- stratified_sample: the N lowest-hash rows per stratum (a deterministic
+  uniform sample per domain). Map-side partial top-N per stratum, then one
+  hash exchange keyed on the stratum co-locates survivors; the map-side
+  prune means at most N rows per stratum per block ever enter the exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = np.int64(2654435761)
+_M32 = np.int64(1 << 32)
+
+
+def split_hash(ids: np.ndarray) -> np.ndarray:
+    """((id % 2^32) * 2654435761) % 2^32 — SQL-mirrorable, order-free."""
+    ids = ids.astype(np.int64)
+    return ((ids % _M32) * _KNUTH) % _M32
+
+
+def split_cuts(splits: dict[str, float]) -> np.ndarray:
+    """Cumulative integer hash thresholds over [0, 2^32): one cut per
+    label except the last (which takes the remainder)."""
+    acc, cuts = 0.0, []
+    for name in list(splits)[:-1]:
+        acc += splits[name]
+        cuts.append(int(acc * float(_M32)))
+    return np.asarray(cuts, dtype=np.int64)
+
+
+def hash_split_batch(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    splits: Optional[dict[str, float]] = None,
+) -> pa.Table:
+    """Assign each row a split label by hash fraction. `splits` maps label
+    -> fraction (must sum to <= 1; remainder falls into the LAST label).
+    Thresholds are evaluated in insertion order, so the mapping is stable
+    as long as the dict literal is."""
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    h = split_hash(ids)
+    labels = list(splits)
+    # integer hash cuts (not float fractions) so the comparison is exact
+    # and literally reproducible in SQL: label i gets h in [cut_{i-1}, cut_i)
+    cuts = split_cuts(splits)
+    out = np.searchsorted(cuts, h, side="right")
+    label_arr = pa.DictionaryArray.from_arrays(
+        pa.array(out.astype(np.int32)), pa.array(labels, pa.string())
+    )
+    return pa.table(
+        {id_col: batch[id_col], "split": label_arr.cast(pa.string())}
+    )
+
+
+def hash_split(ds, id_col: str = "doc_id", splits=None):
+    """Dataset wrapper: pure per-batch map, streaming end-to-end."""
+    return ds.map_batches(
+        lambda b: hash_split_batch(b, id_col, splits),
+        batch_format="pyarrow",
+    )
+
+
+def _topn_per_stratum(
+    t: pa.Table, strata_col: str, id_col: str, n: int
+) -> pa.Table:
+    """Keep the n (hash, id)-smallest rows per stratum — vectorized
+    lexsort + within-group rank, no Python loop."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = split_hash(ids)
+    strat = t[strata_col]
+    if isinstance(strat, pa.ChunkedArray):
+        strat = strat.combine_chunks()
+    codes = np.asarray(strat.dictionary_encode().indices).astype(np.int64)
+    order = np.lexsort((ids, h, codes))
+    sc = codes[order]
+    new = np.ones(len(sc), dtype=bool)
+    new[1:] = sc[1:] != sc[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(sc)) - np.repeat(starts, np.diff(
+        np.concatenate((starts, [len(sc)]))
+    ))
+    keep_idx = order[rank < n]
+    return t.take(pa.array(np.sort(keep_idx)))
+
+
+def stratified_sample(
+    ds,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    n_per_stratum: int = 25,
+) -> pa.Table:
+    """Deterministic uniform sample: the n lowest-(hash, id) rows of every
+    stratum. Map-side prune caps each block's contribution at n rows per
+    stratum; the exchange keyed on the stratum then runs the same top-n
+    as combiner and finisher — associative, so the result is exact and
+    independent of block boundaries."""
+    from ..shuffle import hash_exchange
+
+    def prune(b: pa.Table) -> pa.Table:
+        return _topn_per_stratum(b, strata_col, id_col, n_per_stratum)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    topn = lambda t: _topn_per_stratum(t, strata_col, id_col, n_per_stratum)
+    out = hash_exchange(
+        pruned.to_arrow_refs(), [strata_col], topn, combine_fn=topn
+    )
+    if out is None:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()),
+             strata_col: pa.array([], pa.string())}
+        )
+    return out.select([id_col, strata_col])

@@ -472,6 +472,27 @@ def q_decontaminate(sf_dir: str):
     return dedup.decontaminate(train, bench, span_k=8)
 
 
+def q_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment (98/1/1) by multiplicative
+    hash of doc_id — pure map, order/partitioning-independent
+    (ops/sample.hash_split). Integer hash cuts 4209067950 / 4252017623
+    mirror exactly in the oracle."""
+    from ..ops.sample import hash_split
+
+    return hash_split(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-source uniform sample: the 10 lowest-(hash, id)
+    docs of every source stratum (ops/sample.stratified_sample — map-side
+    top-n prune, one exchange keyed on the stratum)."""
+    from ..ops.sample import stratified_sample
+
+    return stratified_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]), n_per_stratum=10
+    )
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction: emails / IPv4s / phone-shaped numbers replaced with
     typed placeholders + per-doc counts (ops/text.pii_redact_batch). The
@@ -938,6 +959,8 @@ QUERIES: dict[str, Callable] = {
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -1069,6 +1092,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, count(*) AS contaminated_windows "
         "FROM wins JOIN bw USING (w) WHERE doc_id % 7 <> 0 "
         "GROUP BY doc_id"
+    ),
+    "hash_split": (
+        "SELECT doc_id, CASE WHEN h < 4209067950 THEN 'train' "
+        "WHEN h < 4252017623 THEN 'val' ELSE 'test' END AS split "
+        "FROM (SELECT doc_id, "
+        "((doc_id % 4294967296) * 2654435761) % 4294967296 AS h "
+        "FROM documents)"
+    ),
+    "stratified_sample": (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+        "ORDER BY ((doc_id % 4294967296) * 2654435761) % 4294967296, doc_id"
+        ") AS rn FROM documents) WHERE rn <= 10"
     ),
     "pii_redact": (
         "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "

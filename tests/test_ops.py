@@ -492,6 +492,70 @@ class TestDupSpans:
         assert got == {}
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    """Deterministic hash split + stratified sampling: order- and
+    block-boundary-independent assignments."""
+
+    def test_hash_split_deterministic_and_partitioned(self):
+        import numpy as np
+
+        from fluent_bit_ray.ops.sample import hash_split_batch, split_hash
+
+        t = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64())})
+        a = hash_split_batch(t)
+        b = hash_split_batch(t)
+        assert a.equals(b)
+        labels = a["split"].to_pylist()
+        h = split_hash(np.arange(1000))
+        for lbl, hh in zip(labels, h):
+            if hh < 4209067950:
+                assert lbl == "train"
+            elif hh < 4252017623:
+                assert lbl == "val"
+            else:
+                assert lbl == "test"
+        # 98/1/1 split lands near its fractions on 1000 uniform ids
+        assert labels.count("train") > 900
+
+    def test_stratified_sample_block_independent(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import stratified_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(300)), pa.int64()),
+                "source": pa.array(
+                    [f"s{i % 3}" for i in range(300)], pa.string()
+                ),
+            }
+        )
+        one = stratified_sample(
+            ray.data.from_arrow(t), n_per_stratum=7
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        many = stratified_sample(
+            ray.data.from_arrow(t).repartition(13), n_per_stratum=7
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert one.equals(many)
+        assert (one.groupby("source").size() == 7).all()
+
+    def test_stratified_sample_small_stratum_kept_whole(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import stratified_sample
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "a", "b"], pa.string()),
+            }
+        )
+        out = stratified_sample(ray.data.from_arrow(t), n_per_stratum=5)
+        assert out.num_rows == 3
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDecontaminate:
     """Benchmark decontamination: train windows matched against the bench
     corpus by exact k-token sequence."""
@@ -540,6 +604,7 @@ class TestDecontaminate:
         assert got == {}
 
 
+@pytest.mark.usefixtures("ray_session")
 class TestLineDedup:
     """C4-style exact line dedup: global first-occurrence, short-line
     bypass, order-preserving reassembly, empty-husk removal."""
