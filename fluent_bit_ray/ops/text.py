@@ -363,3 +363,43 @@ def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "n_phones": n_ph,
         }
     )
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100) -> pa.Table:
+    """Corpus-wide top-k most frequent whitespace tokens, ordered by
+    (count desc, token asc) — the vocabulary/statistics pass of a corpus
+    build. Map-side value_counts means only (distinct token, partial
+    count) rows leave each block; one hash exchange keyed on the token
+    sums partials (each token lives in exactly one shard, so shard-local
+    top-k is globally safe); the driver merges shards * k candidate rows.
+    """
+    from ..shuffle import hash_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_tokens(batch[text_col])
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("cnt", "sum")])
+        g = g.rename_columns(["token", "cnt"])
+        order = pc.sort_indices(
+            g, sort_keys=[("cnt", "descending"), ("token", "ascending")]
+        )
+        return g.take(order[:k])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = hash_exchange(parts.to_arrow_refs(), ["token"], _topk)
+    if out is None:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    order = pc.sort_indices(
+        out, sort_keys=[("cnt", "descending"), ("token", "ascending")]
+    )
+    return out.take(order[:k])

@@ -472,6 +472,26 @@ def q_decontaminate(sf_dir: str):
     return dedup.decontaminate(train, bench, span_k=8)
 
 
+def q_vocab_topk(sf_dir: str):
+    """Corpus-wide top-100 tokens by (count desc, token asc): map-side
+    value_counts partials -> token-keyed hash exchange -> shard-local
+    top-k -> tiny driver merge (ops/text.vocab_topk)."""
+    return text_ops.vocab_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=100
+    )
+
+
+def q_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing (512-token chunks) via the
+    two-phase distributed prefix sum (ops/pack.pack_chunks): per-doc
+    (n_tokens, start_chunk, end_chunk) over the id-ordered corpus."""
+    from ..ops.pack import pack_chunks
+
+    return pack_chunks(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk_tokens=512
+    )
+
+
 def q_hash_split(sf_dir: str):
     """Deterministic train/val/test assignment (98/1/1) by multiplicative
     hash of doc_id — pure map, order/partitioning-independent
@@ -961,6 +981,8 @@ QUERIES: dict[str, Callable] = {
     "pii_redact": q_pii_redact,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
+    "pack_chunks": q_pack_chunks,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -1092,6 +1114,29 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, count(*) AS contaminated_windows "
         "FROM wins JOIN bw USING (w) WHERE doc_id % 7 <> 0 "
         "GROUP BY doc_id"
+    ),
+    "vocab_topk": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT unnest(t) AS token FROM toks) "
+        "SELECT token, count(*)::BIGINT AS cnt FROM flat GROUP BY token "
+        "ORDER BY cnt DESC, token LIMIT 100"
+    ),
+    "pack_chunks": (
+        "WITH tc AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+        "ELSE len(string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0) AS off FROM tc) "
+        "SELECT doc_id, n_tokens, (off // 512)::BIGINT AS start_chunk, "
+        "(CASE WHEN n_tokens = 0 THEN off // 512 "
+        "ELSE (off + n_tokens - 1) // 512 END)::BIGINT AS end_chunk FROM c"
     ),
     "hash_split": (
         "SELECT doc_id, CASE WHEN h < 4209067950 THEN 'train' "

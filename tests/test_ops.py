@@ -556,6 +556,94 @@ class TestSampling:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestVocabAndPacking:
+    def test_vocab_topk_counts_and_tie_order(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import vocab_topk
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(
+                        ["b a b c", "a b  \n zz"], pa.string()
+                    ),
+                }
+            )
+        )
+        out = vocab_topk(ds, k=3).to_pylist()
+        # b:3, a:2, then the count-1 tie broken ascending: c before zz
+        assert out == [
+            {"token": "b", "cnt": 3},
+            {"token": "a", "cnt": 2},
+            {"token": "c", "cnt": 1},
+        ]
+
+    def test_pack_chunks_spans(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import pack_chunks
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c", "d e f g", "", "h i"], pa.string()
+                ),
+            }
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_chunk"], r["end_chunk"])
+            for r in pack_chunks(
+                ray.data.from_arrow(t), chunk_tokens=4
+            ).to_pylist()
+        }
+        # stream offsets: doc0 [0,3) -> chunk 0; doc1 [3,7) -> chunks 0-1;
+        # doc2 empty at 7 -> chunk 1; doc3 [7,9) -> chunks 1-2
+        assert got == {0: (3, 0, 0), 1: (4, 0, 1), 2: (0, 1, 1), 3: (2, 1, 2)}
+
+    def test_pack_chunks_block_boundary_invariant(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import pack_chunks
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(40)), pa.int64()),
+                "text": pa.array(
+                    [" ".join(["w"] * (i % 7)) for i in range(40)],
+                    pa.string(),
+                ),
+            }
+        )
+        one = pack_chunks(ray.data.from_arrow(t), chunk_tokens=5)
+        many = pack_chunks(
+            ray.data.from_arrow(t).repartition(6), chunk_tokens=5
+        )
+        a = one.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = many.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_pack_chunks_rejects_overlapping_blocks(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import pack_chunks
+
+        odd = pa.table(
+            {"doc_id": pa.array([1, 3], pa.int64()),
+             "text": pa.array(["a", "b"], pa.string())}
+        )
+        even = pa.table(
+            {"doc_id": pa.array([0, 2], pa.int64()),
+             "text": pa.array(["c", "d"], pa.string())}
+        )
+        ds = ray.data.from_arrow(odd).union(ray.data.from_arrow(even))
+        with pytest.raises(ValueError, match="non-overlapping"):
+            pack_chunks(ds, chunk_tokens=4)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDecontaminate:
     """Benchmark decontamination: train windows matched against the bench
     corpus by exact k-token sequence."""
