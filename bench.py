@@ -198,6 +198,30 @@ def bench_sharded_enrich() -> float:
     return time.time() - t0
 
 
+def bench_dup_spans() -> float:
+    from fluent_bit_ray.pipelines.queries import q_dup_spans
+
+    t0 = time.time()
+    _consume(q_dup_spans(SF_DIR))
+    return time.time() - t0
+
+
+def bench_decontaminate() -> float:
+    from fluent_bit_ray.pipelines.queries import q_decontaminate
+
+    t0 = time.time()
+    _consume(q_decontaminate(SF_DIR))
+    return time.time() - t0
+
+
+def bench_line_dedup() -> float:
+    from fluent_bit_ray.pipelines.queries import q_line_dedup
+
+    t0 = time.time()
+    _consume(q_line_dedup(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -210,6 +234,9 @@ BENCHES = {
     "forward_decode": bench_forward_decode,
     "corpus_prep": bench_corpus_prep,
     "sharded_enrich": bench_sharded_enrich,
+    "dup_spans": bench_dup_spans,
+    "decontaminate": bench_decontaminate,
+    "line_dedup": bench_line_dedup,
 }
 
 

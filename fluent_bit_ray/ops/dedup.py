@@ -836,6 +836,7 @@ def dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_k: int = 16,
+    shard_output_dir: Optional[str] = None,
 ):
     """Duplicated-span detection (the ExactSubstr-style training-data
     filter, Lee et al. 2022, re-expressed over hash exchanges): for every
@@ -853,6 +854,10 @@ def dup_spans(
          STRINGS only at candidate positions, and a second exchange
          groups candidates by the actual string (collision-exact),
          emitting per-doc partial counts merged by hash_reduce.
+
+    The per-doc result is corpus-sized at scale: pass `shard_output_dir`
+    and each reduce shard writes its own parquet file (returns None)
+    instead of materializing on the driver.
     """
     import ray
 
@@ -909,7 +914,10 @@ def dup_spans(
     part_refs = hash_exchange(b.to_arrow_refs(), ["h"], exact_dup_counts,
                               return_refs=True)
     part_refs = [r for r in part_refs if r is not None]
-    out = hash_reduce(part_refs, [id_col], ["dup_windows"])
+    out = hash_reduce(part_refs, [id_col], ["dup_windows"],
+                      shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "dup_windows": pa.array([], pa.int64())})
@@ -924,6 +932,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_k: int = 8,
+    shard_output_dir: Optional[str] = None,
 ):
     """Benchmark decontamination (the GPT-3-appendix-style n-gram overlap
     filter, public method): for every TRAIN document, count the k-token
@@ -942,6 +951,9 @@ def decontaminate(
          (h, window string, doc id) meet in one hash exchange keyed on h,
          where the join is by the actual string (collision-exact);
          per-doc partial counts merge through hash_reduce.
+
+    Pass `shard_output_dir` at corpus scale: reduce shards stream their
+    parquet files instead of materializing the result on the driver.
     """
     import ray
 
@@ -1017,5 +1029,8 @@ def decontaminate(
 
     refs = list(train.to_arrow_refs()) + list(bench.to_arrow_refs())
     part_refs = hash_exchange(refs, ["h"], mark, return_refs=True)
-    out = hash_reduce(part_refs, [id_col], ["contaminated_windows"])
+    out = hash_reduce(part_refs, [id_col], ["contaminated_windows"],
+                      shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
     return empty if out is None else out

@@ -146,11 +146,15 @@ def hash_reduce(
     keys: list[str],
     vals: list[str],
     num_shards: Optional[int] = None,
-) -> pa.Table:
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
     """Parallel sum-merge of partial-aggregate blocks (hash_exchange with a
-    group-sum combiner on both sides)."""
+    group-sum combiner on both sides). Pass `shard_output_dir` when the
+    merged result is itself corpus-sized: each reduce shard writes its own
+    parquet file and nothing lands on the driver."""
     from functools import partial
 
     gs = partial(_group_sum, keys=keys, vals=vals)
     return hash_exchange(block_refs, keys, gs, combine_fn=gs,
-                         num_shards=num_shards)
+                         num_shards=num_shards,
+                         shard_output_dir=shard_output_dir)

@@ -343,6 +343,31 @@ class TestDedupShardOutput:
         got = {r["doc_id"] for f in files for r in pq.read_table(f).to_pylist()}
         assert got == {0, 2, 3, 4}
 
+    def test_dup_spans_streams_to_disk(self, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+        import ray.data
+
+        docs = [
+            {"doc_id": 0, "text": "a b c d e"},
+            {"doc_id": 1, "text": "a b c d e"},
+            {"doc_id": 2, "text": "q r s t"},
+        ]
+        ds = lambda: ray.data.from_arrow(pa.Table.from_pylist(docs))
+        mem = {r["doc_id"]: r["dup_windows"]
+               for r in dedup.dup_spans(ds(), span_k=4).to_pylist()}
+        out = dedup.dup_spans(
+            ds(), span_k=4, shard_output_dir=str(tmp_path / "d")
+        )
+        assert out is None
+        disk = {
+            r["doc_id"]: r["dup_windows"]
+            for f in glob.glob(str(tmp_path / "d" / "*.parquet"))
+            for r in pq.read_table(f).to_pylist()
+        }
+        assert disk == mem == {0: 2, 1: 2}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMinhashScalePath:
