@@ -78,7 +78,11 @@ def _doc_tokens(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
 
 
 def _per_doc_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
-    cs = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    # int64 accumulator for integer/bool inputs (exact), float64 for floats
+    # (a hardcoded int64 here silently truncated unigram_logprob's NLLs).
+    dtype = (np.float64 if np.issubdtype(np.asarray(values).dtype, np.floating)
+             else np.int64)
+    cs = np.concatenate(([0], np.cumsum(values, dtype=dtype)))
     return cs[bounds[1:]] - cs[bounds[:-1]]
 
 
@@ -403,3 +407,72 @@ def vocab_topk(ds, text_col: str = "text", k: int = 100) -> pa.Table:
         out, sort_keys=[("cnt", "descending"), ("token", "ascending")]
     )
     return out.take(order[:k])
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc mean unigram negative log-likelihood under the corpus's own
+    unigram model — the CCNet-style cheap LM-quality proxy (public method):
+    rare-token-heavy (junky) docs score high, common-prose docs low.
+
+    Two phases: (1) global token counts via map-side value_counts partials
+    + one token-keyed hash exchange (the unigram vocab of even a web-scale
+    corpus fits a worker heap), broadcast once with ray.put; (2) a pure
+    scoring map — index_in against the broadcast vocab, vectorized ln,
+    per-doc mean. Docs with zero tokens are omitted (no likelihood).
+    """
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_tokens(batch[text_col])
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def _sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["token", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    vocab = hash_exchange(parts.to_arrow_refs(), ["token"], _sum,
+                          combine_fn=_sum)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "nll": pa.array([], pa.float64())})
+    if vocab is None:
+        return empty
+    total = float(pc.sum(vocab["cnt"]).as_py())
+    vref = ray.put(
+        (vocab["token"].combine_chunks()
+         if isinstance(vocab["token"], pa.ChunkedArray) else vocab["token"],
+         vocab["cnt"].to_numpy(zero_copy_only=False).astype(np.float64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tokens, cnts = ray.get(vref)
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=tokens), -1)
+        ).astype(np.int64)
+        # ''-placeholder tokens of empty docs aren't in the vocab
+        # (index_in yields null -> cast to 0-count sentinel), but their
+        # docs have n_tokens == 0 and are dropped below anyway
+        safe = np.where(idx < 0, 0, idx)
+        nll_tok = -np.log(cnts[safe] / total)
+        sums = _per_doc_sum(np.where(idx < 0, 0.0, nll_tok), bounds)
+        live = n_tokens > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(live)),
+                "nll": pa.array(
+                    sums[live] / n_tokens[live], pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -472,6 +472,16 @@ def q_decontaminate(sf_dir: str):
     return dedup.decontaminate(train, bench, span_k=8)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style LM-quality proxy: per-doc mean unigram negative
+    log-likelihood under the corpus's own unigram model
+    (ops/text.unigram_logprob — counts exchange + broadcast vocab +
+    vectorized scoring map)."""
+    return text_ops.unigram_logprob(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-100 tokens by (count desc, token asc): map-side
     value_counts partials -> token-keyed hash exchange -> shard-local
@@ -983,6 +993,7 @@ QUERIES: dict[str, Callable] = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "pack_chunks": q_pack_chunks,
+    "unigram_logprob": q_unigram_logprob,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -1114,6 +1125,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, count(*) AS contaminated_windows "
         "FROM wins JOIN bw USING (w) WHERE doc_id % 7 <> 0 "
         "GROUP BY doc_id"
+    ),
+    "unigram_logprob": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT doc_id, unnest(t) AS token FROM toks), "
+        "vocab AS (SELECT token, count(*) AS cnt FROM flat GROUP BY token), "
+        "tot AS (SELECT sum(cnt)::DOUBLE AS n FROM vocab) "
+        "SELECT f.doc_id, avg(-ln(v.cnt / t.n)) AS nll "
+        "FROM flat f JOIN vocab v USING (token), tot t "
+        "GROUP BY f.doc_id"
     ),
     "vocab_topk": (
         "WITH toks AS (SELECT "

@@ -669,6 +669,46 @@ class TestVocabAndPacking:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestUnigramLogprob:
+    def test_matches_hand_model(self):
+        import math
+
+        import ray.data
+
+        from fluent_bit_ray.ops.text import unigram_logprob
+
+        # corpus: a a b | b c | "" -> counts a:2 b:2 c:1, total 5
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["a a b", "b  c", "   "], pa.string()),
+                }
+            )
+        )
+        out = {r["doc_id"]: r["nll"]
+               for r in unigram_logprob(ds).take_all()}
+        nll = lambda c: -math.log(c / 5.0)
+        assert set(out) == {0, 1}  # whitespace-only doc omitted
+        assert out[0] == pytest.approx((2 * nll(2) + nll(2)) / 3)
+        assert out[1] == pytest.approx((nll(2) + nll(1)) / 2)
+
+    def test_per_doc_sum_keeps_float_precision(self):
+        # regression: the shared prefix-sum helper used a hardcoded int64
+        # accumulator, truncating float inputs (silently flooring NLLs)
+        import numpy as np
+
+        from fluent_bit_ray.ops.text import _per_doc_sum
+
+        vals = np.array([0.25, 0.5, 1.75, 2.5])
+        bounds = np.array([0, 2, 4])
+        assert _per_doc_sum(vals, bounds).tolist() == [0.75, 4.25]
+        ints = np.array([1, 2, 3, 4], dtype=np.int64)
+        assert _per_doc_sum(ints, bounds).dtype == np.int64
+        assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDecontaminate:
     """Benchmark decontamination: train windows matched against the bench
     corpus by exact k-token sequence."""
