@@ -88,6 +88,62 @@ def exact_dedup(
     return out
 
 
+def keep_best_per_key(
+    ds,
+    key_col: str = "source",
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """URL-level dedup analog: keep ONE row per key — the max-score row,
+    ties broken by min id (the web-corpus "keep the longest capture per
+    url" rule; here `key_col` stands in for the url/host).
+
+    Map-side argmax partial (≤ one candidate row per key per batch) →
+    key-hash exchange moving only those winners (combiner re-argmaxes each
+    split chunk) → shard-local argmax. Exchange traffic is bounded by
+    #distinct-keys × #batches, never corpus rows, so a Zipf key
+    distribution costs nothing extra: a hot key still contributes one
+    candidate row per batch. Null keys group together (as ""); null
+    scores sort last.
+    """
+    from ..shuffle import hash_exchange
+
+    def best_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = np.asarray(
+            pc.dictionary_encode(pc.fill_null(keys, "")).indices
+        ).astype(np.int64)
+        score = np.asarray(
+            pc.fill_null(pc.cast(t[score_col], pa.float64()), -np.inf)
+        )
+        ids = np.asarray(t[id_col]).astype(np.int64)
+        # primary: key group; secondary: score desc; tertiary: id asc
+        order = np.lexsort((ids, -score, codes))
+        sorted_codes = codes[order]
+        first = np.concatenate(
+            ([True], sorted_codes[1:] != sorted_codes[:-1])
+        )
+        return t.take(pa.array(order[first]))
+
+    partials = ds.map_batches(best_rows, batch_format="pyarrow",
+                              batch_size=None)
+    out = hash_exchange(partials.to_arrow_refs(), [key_col], best_rows,
+                        combine_fn=best_rows,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    if out is None:
+        arrow_sch = getattr(ds.schema(), "base_schema", None)
+        return (arrow_sch.empty_table()
+                if isinstance(arrow_sch, pa.Schema) else pa.table({}))
+    return out
+
+
 # ------------------------------------------------------------------ minhash
 
 _U64 = np.uint64

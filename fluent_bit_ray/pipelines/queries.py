@@ -324,6 +324,17 @@ def q_dedup_exact(sf_dir: str):
     return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_keep_best(sf_dir: str):
+    """URL-dedup analog: per source keep the longest doc (max n_chars,
+    ties -> min doc_id), via map-side argmax partials + a key-hash
+    exchange that only ever moves per-batch winners (ops/dedup
+    .keep_best_per_key)."""
+    return dedup.keep_best_per_key(
+        _read(sf_dir, "documents",
+              ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup clustering (rows-only check)."""
     return dedup.minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -983,6 +994,7 @@ QUERIES: dict[str, Callable] = {
     "sharded_enrich": q_sharded_enrich,
     "throttle": q_throttle,
     "dedup_exact": q_dedup_exact,
+    "keep_best": q_keep_best,
     "corpus_prep": q_corpus_prep,
     "line_dedup": q_line_dedup,
     "dup_spans": q_dup_spans,
@@ -1078,6 +1090,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM events) WHERE rn <= 5"
     ),
     "dedup_exact": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "keep_best": (
+        "SELECT doc_id, text, lang, source, n_chars FROM ("
+        "SELECT *, row_number() OVER ("
+        "PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn "
+        "FROM documents) WHERE rn = 1"
+    ),
     # exact-dup groups must receive ONE cluster assignment (minhash: same
     # text -> same signature -> same buckets -> same rep; simhash: same
     # text -> same hash). The oracle states the invariant; the Ray side

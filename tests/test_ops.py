@@ -233,6 +233,34 @@ class TestShardOutput:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKeepBestPerKey:
+    def test_argmax_ties_nulls_and_blocks(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import keep_best_per_key
+
+        def blk(rows):
+            return pa.Table.from_pylist(rows)
+
+        # key a: scores 5,9,9 -> id 1 wins (max score, tie -> min id);
+        # key b: null score loses to 0; key c: single null-score row kept
+        b1 = blk([
+            {"doc_id": 0, "source": "a", "n_chars": 5},
+            {"doc_id": 3, "source": "b", "n_chars": None},
+            {"doc_id": 4, "source": "c", "n_chars": None},
+        ])
+        b2 = blk([
+            {"doc_id": 2, "source": "a", "n_chars": 9},
+            {"doc_id": 1, "source": "a", "n_chars": 9},
+            {"doc_id": 5, "source": "b", "n_chars": 0},
+        ])
+        ds = ray.data.from_arrow(b1).union(ray.data.from_arrow(b2))
+        out = {r["source"]: r["doc_id"]
+               for r in keep_best_per_key(ds).to_pylist()}
+        assert out == {"a": 1, "b": 5, "c": 4}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def events_ds(self):
         import datetime
