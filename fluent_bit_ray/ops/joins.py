@@ -1,0 +1,229 @@
+"""Temporal joins the Dataset API lacks: as-of join and range (band) join.
+
+The reference engine has no join beyond the kube-metadata lookup
+(`plugins/filter_kubernetes/kube_meta.c:760-781` — studied, not copied);
+these are the temporal-join shapes a log/telemetry pipeline needs next
+(correlate each event with the latest config/rate change; count errors
+around each click). Re-expressed Ray-Data-first:
+
+    per-side map_batches projection (key, epoch-us ts, side marker,
+    pruned payload columns)  →  ONE key-hash exchange moving both sides'
+    fixed-width rows once (`shuffle.hash_exchange`)  →  shard-local
+    vectorized sort-merge: every key in the shard is served by a single
+    composite-space `np.searchsorted` (the `ops/windows.py` trick — each
+    key's run occupies a disjoint integer block, so no per-key Python).
+
+Partitioning assumption (documented, same as the window ops): one KEY's
+rows must fit the reduce shard, not the corpus — keys are spread by a
+uniform hash, so Zipf key-count skew balances across shards. The exchange
+moves each row exactly once and payloads are pruned to the columns the
+join emits, so at 10^12 rows the traffic is the theoretical minimum for a
+co-locating join. For a small right side, `stages/enrich.py` (broadcast)
+is the cheaper plan; this operator is for big-big temporal joins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..shuffle import hash_exchange
+
+_GUARD = 2**62
+
+
+def _prep_side(ds, key_col: str, ts_col: str, keep: dict[str, str], side: int):
+    """Project one side to (key, _ts_us, _side, keep...) — pruned (and
+    renamed) before the exchange so the shuffle never moves unused payload
+    bytes. `keep` maps source column -> output column."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        cols: dict = {key_col: t[key_col], "_ts_us": ts_us}
+        cols["_side"] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+        for src, dst in keep.items():
+            cols[dst] = t[src]
+        return pa.table(cols)
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _int_left_cols(left_ds, left_cols: list[str]) -> set:
+    """Left integer columns get null-promoted to float64 in the mixed shard
+    frame (right rows carry nulls there); record which ones to cast back."""
+    sch = left_ds.schema()
+    arrow_sch = getattr(sch, "base_schema", sch)
+    out = set()
+    for name, typ in zip(arrow_sch.names, getattr(arrow_sch, "types", [])):
+        if name in left_cols and pa.types.is_integer(typ):
+            out.add(name)
+    return out
+
+
+def _sorted_right(codes: np.ndarray, ts: np.ndarray, r: np.ndarray):
+    """Right-side row indices sorted by (key code, ts)."""
+    return r[np.lexsort((ts[r], codes[r]))]
+
+
+def _ensure_cols(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """A reduce shard may hold rows from only ONE side (every key in it
+    lacks the other side), in which case concat never saw the other side's
+    columns — add them as all-NaN so the shard body and the cross-shard
+    output schema stay uniform."""
+    for c in cols:
+        if c not in df.columns:
+            df[c] = np.nan
+    return df
+
+
+def _composite(codes: np.ndarray, ts: np.ndarray, margin: int):
+    """Map (key code, ts) into disjoint per-key integer blocks, or None when
+    the composite space would overflow int64 (caller falls back per-key)."""
+    base = ts - ts.min()
+    span = int(base.max()) + margin + 2
+    n_keys = int(codes.max()) + 1 if len(codes) else 1
+    if span <= 0 or n_keys > _GUARD // span:
+        return None
+    return codes * span + base
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_val_col: str,
+    out_ts: str = "asof_ts_us",
+    out_val: str = "asof_value",
+) -> Optional[pa.Table]:
+    """For each left row: the latest right row of the same key with
+    right.ts <= left.ts (SQL `ASOF LEFT JOIN ... ON l.k = r.k AND
+    l.ts >= r.ts`). Unmatched left rows keep nulls. Emits
+    (left_cols..., key, ts_us, out_ts, out_val)."""
+    int_cols = _int_left_cols(left_ds, left_cols)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = _ensure_cols(t.to_pandas(), ["_rval", *left_cols])
+        codes = pd.factorize(df[key_col], use_na_sentinel=False)[0].astype(np.int64)
+        ts = df["_ts_us"].to_numpy().astype(np.int64)
+        is_left = df["_side"].to_numpy() == 1
+        l = np.flatnonzero(is_left)
+        r = np.flatnonzero(~is_left)
+        match = np.full(len(l), -1, dtype=np.int64)
+        if len(r) and len(l):
+            ridx = _sorted_right(codes, ts, r)
+            comp = _composite(codes, ts, 0)
+            if comp is not None:
+                pos = np.searchsorted(comp[ridx], comp[l], side="right") - 1
+                ok = pos >= 0
+                ok[ok] &= codes[ridx[pos[ok]]] == codes[l[ok]]
+                match[ok] = ridx[pos[ok]]
+            else:  # overflow fallback: binary-search per key run
+                rc, rt = codes[ridx], ts[ridx]
+                starts = np.r_[0, np.nonzero(np.diff(rc))[0] + 1, len(rc)]
+                run_of = {rc[s]: (s, e) for s, e in zip(starts[:-1], starts[1:])}
+                for i, li in enumerate(l):
+                    se = run_of.get(codes[li])
+                    if se is None:
+                        continue
+                    s, e = se
+                    p = np.searchsorted(rt[s:e], ts[li], side="right") - 1
+                    if p >= 0:
+                        match[i] = ridx[s + p]
+        out = pd.DataFrame({key_col: df[key_col].to_numpy()[l], "ts_us": ts[l]})
+        for c in left_cols:
+            out[c] = df[c].to_numpy()[l]
+            if c in int_cols:
+                out[c] = out[c].astype("int64")  # null-promotion undo
+        hit = match >= 0
+        mts = np.full(len(l), np.nan)
+        mval = np.full(len(l), np.nan)
+        mts[hit] = ts[match[hit]].astype(np.float64)
+        mval[hit] = df["_rval"].to_numpy()[match[hit]]
+        out[out_ts] = mts
+        out[out_val] = mval
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lhs = _prep_side(left_ds, key_col, ts_col, {c: c for c in left_cols}, 1)
+    rhs = _prep_side(right_ds, key_col, ts_col, {right_val_col: "_rval"}, 0)
+    return hash_exchange(
+        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish
+    )
+
+
+def range_join_agg(
+    left_ds,
+    right_ds,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_val_col: str,
+    lo_sec: int,
+    hi_sec: int,
+    out_n: str = "n_in_range",
+    out_sum: str = "sum_in_range",
+) -> Optional[pa.Table]:
+    """Band/range join in aggregate form: per left row, count and sum of
+    same-key right rows with ts in [l.ts - lo_sec, l.ts + hi_sec], both
+    ends inclusive (SQL `r.ts BETWEEN l.ts - lo AND l.ts + hi`). The raw
+    pair output of a band join is quadratic in hot windows; the aggregate
+    form keeps output linear in the left side, which is what the telemetry
+    use cases (errors around a click) actually consume."""
+    lo_us = lo_sec * 10**6
+    hi_us = hi_sec * 10**6
+    int_cols = _int_left_cols(left_ds, left_cols)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = _ensure_cols(t.to_pandas(), ["_rval", *left_cols])
+        codes = pd.factorize(df[key_col], use_na_sentinel=False)[0].astype(np.int64)
+        ts = df["_ts_us"].to_numpy().astype(np.int64)
+        is_left = df["_side"].to_numpy() == 1
+        l = np.flatnonzero(is_left)
+        r = np.flatnonzero(~is_left)
+        n = np.zeros(len(l), dtype=np.int64)
+        s = np.zeros(len(l), dtype=np.float64)
+        if len(r) and len(l):
+            ridx = _sorted_right(codes, ts, r)
+            rv = np.nan_to_num(df["_rval"].to_numpy()[ridx].astype(np.float64))
+            pre = np.concatenate(([0.0], np.cumsum(rv)))
+            # margin lo+hi keeps every query window inside its key's block,
+            # so ONE searchsorted pair serves all keys with no leakage
+            comp = _composite(codes, ts, lo_us + hi_us)
+            if comp is not None:
+                cr = comp[ridx]
+                lo_pos = np.searchsorted(cr, comp[l] - lo_us, side="left")
+                hi_pos = np.searchsorted(cr, comp[l] + hi_us, side="right")
+                n = hi_pos - lo_pos
+                s = pre[hi_pos] - pre[lo_pos]
+            else:
+                rc, rt = codes[ridx], ts[ridx]
+                starts = np.r_[0, np.nonzero(np.diff(rc))[0] + 1, len(rc)]
+                run_of = {rc[a]: (a, b) for a, b in zip(starts[:-1], starts[1:])}
+                for i, li in enumerate(l):
+                    se = run_of.get(codes[li])
+                    if se is None:
+                        continue
+                    a, b = se
+                    p0 = a + np.searchsorted(rt[a:b], ts[li] - lo_us, side="left")
+                    p1 = a + np.searchsorted(rt[a:b], ts[li] + hi_us, side="right")
+                    n[i] = p1 - p0
+                    s[i] = pre[p1] - pre[p0]
+        out = pd.DataFrame({key_col: df[key_col].to_numpy()[l]})
+        for c in left_cols:
+            out[c] = df[c].to_numpy()[l]
+            if c in int_cols:
+                out[c] = out[c].astype("int64")
+        out[out_n] = n
+        out[out_sum] = s
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    lhs = _prep_side(left_ds, key_col, ts_col, {c: c for c in left_cols}, 1)
+    rhs = _prep_side(right_ds, key_col, ts_col, {right_val_col: "_rval"}, 0)
+    return hash_exchange(
+        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish
+    )

@@ -285,6 +285,10 @@ class Parser:
             fields = self.fields
             cols = {f: [None] * n for f in fields}
             loads = json.loads
+            if isinstance(values, (pa.Array, pa.ChunkedArray)):
+                # the regex path consumes Arrow natively; json decode is a
+                # per-string Python loop either way, so normalize here
+                values = values.to_pylist()
             for i, v in enumerate(values):
                 if not v:
                     continue
@@ -313,6 +317,8 @@ class Parser:
                 )
             fields = self.fields
             cols = {f: [None] * n for f in fields}
+            if isinstance(values, (pa.Array, pa.ChunkedArray)):
+                values = values.to_pylist()
             for i, v in enumerate(values):
                 if v is None:
                     continue

@@ -922,6 +922,47 @@ def q_tumbling_window(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """as-of join: each click picks up the same user's latest prior
+    purchase (ts + value), nulls when none — the temporal lookup shape
+    (latest config/rate change before each event). One key-hash exchange,
+    shard-local composite-searchsorted merge (ops/joins.asof_join)."""
+    from ..ops.joins import asof_join
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = _read(sf_dir, "events", cols)
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    return asof_join(left, right, "user_id", "ts",
+                     left_cols=["event_id"], right_val_col="value")
+
+
+def q_range_join(sf_dir: str):
+    """range (band) join in aggregate form: per click, count and value-sum
+    of the same user's errors within ±5 minutes (ops/joins
+    .range_join_agg)."""
+    from ..ops.joins import range_join_agg
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = _read(sf_dir, "events", cols)
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'error'")
+    return range_join_agg(left, right, "user_id", "ts",
+                          left_cols=["event_id"], right_val_col="value",
+                          lo_sec=300, hi_sec=300)
+
+
+def q_percentiles(sf_dir: str):
+    """exact per-event-type value percentiles (p50/p95/p99) via a keyed
+    exchange of pruned (key,value) pairs (ops/stats.keyed_quantiles)."""
+    from ..ops.stats import keyed_quantiles
+
+    return keyed_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+    )
+
+
 def q_udf_filter(sf_dir: str):
     """filter_lua analog (UdfFilter): a columnar UDF that drops error rows
     and derives a doubled value — semantics simple enough for a SQL twin."""
@@ -1026,6 +1067,9 @@ QUERIES: dict[str, Callable] = {
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "percentiles": q_percentiles,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1410,6 +1454,27 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    "asof_join": (
+        "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+        "epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "range_join": (
+        "SELECT l.user_id, l.event_id, count(r.ts) AS n_in_range, "
+        "coalesce(sum(r.value), 0) AS sum_in_range "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r "
+        "ON l.user_id = r.user_id AND r.ts BETWEEN "
+        "l.ts - INTERVAL 5 MINUTE AND l.ts + INTERVAL 5 MINUTE "
+        "GROUP BY l.user_id, l.event_id"
+    ),
+    "percentiles": (
+        "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+        "quantile_cont(value, 0.95) AS p95, "
+        "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

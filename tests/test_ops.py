@@ -261,6 +261,77 @@ class TestKeepBestPerKey:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestTemporalJoins:
+    def sides(self):
+        import datetime
+
+        import ray.data
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        left = ray.data.from_items([
+            {"event_id": 0, "user_id": 1, "ts": at(100)},
+            {"event_id": 1, "user_id": 1, "ts": at(500)},
+            {"event_id": 2, "user_id": 2, "ts": at(100)},  # no right rows
+            {"event_id": 3, "user_id": 3, "ts": at(50)},   # right only later
+        ])
+        right = ray.data.from_items([
+            {"user_id": 1, "ts": at(100), "value": 1.5},  # equal-ts: matches
+            {"user_id": 1, "ts": at(400), "value": 2.5},
+            {"user_id": 3, "ts": at(60), "value": 9.0},
+        ])
+        return left, right
+
+    def test_asof_semantics(self):
+        from fluent_bit_ray.ops.joins import asof_join
+
+        left, right = self.sides()
+        out = {r["event_id"]: (r["asof_ts_us"], r["asof_value"])
+               for r in asof_join(left, right, "user_id", "ts",
+                                  left_cols=["event_id"],
+                                  right_val_col="value").to_pylist()}
+        base = 1704067200 * 10**6
+        assert out[0] == (base + 100 * 10**6, 1.5)   # equal ts inclusive
+        assert out[1] == (base + 400 * 10**6, 2.5)   # latest prior wins
+        assert out[2] == (None, None)                # key with no right side
+        assert out[3] == (None, None)                # right row is later
+        # left ids stay integral after the null-promotion round trip
+        assert all(isinstance(k, int) for k in out)
+
+    def test_range_agg_boundaries(self):
+        from fluent_bit_ray.ops.joins import range_join_agg
+
+        left, right = self.sides()
+        # window [-300s, +300s]: ev0 sees both u1 rows (100 and 400);
+        # ev1 sees only 400 (100 is 400s before); ev3 sees 60 (10s later)
+        out = {r["event_id"]: (r["n_in_range"], r["sum_in_range"])
+               for r in range_join_agg(left, right, "user_id", "ts",
+                                       left_cols=["event_id"],
+                                       right_val_col="value",
+                                       lo_sec=300, hi_sec=300).to_pylist()}
+        assert out[0] == (2, 4.0)
+        assert out[1] == (1, 2.5)
+        assert out[2] == (0, 0.0)
+        assert out[3] == (1, 9.0)
+
+    def test_keyed_quantiles(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import keyed_quantiles
+
+        rows = [{"k": "a", "v": float(i)} for i in range(1, 101)]
+        rows += [{"k": "b", "v": 10.0}, {"k": "b", "v": None}]
+        out = keyed_quantiles(ray.data.from_items(rows), "k", "v",
+                              qs=(0.5, 0.95), names=("p50", "p95"))
+        got = {r["k"]: (r["p50"], r["p95"]) for r in out.to_pylist()}
+        assert got["a"] == (50.5, 95.05)  # numpy 'linear' == quantile_cont
+        assert got["b"] == (10.0, 10.0)   # nulls ignored
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def events_ds(self):
         import datetime

@@ -101,6 +101,28 @@ class TestDockerParser:
         assert out["log"][0].endswith("777\n")
         assert out["time"][0] == "2018-02-21T17:26:53.360920913Z"
 
+    def test_batch_arrow_input(self):
+        # json/ltsv parse_batch must accept an Arrow column directly (the
+        # map_batches boundary hands Arrow arrays; the regex path already
+        # did) — including nulls, empties, and truncated escapes
+        import pyarrow as pa
+
+        out = self.p.parse_batch(
+            pa.array([DOCKER_LINE, '{"log":"trunc \\', None, ""])
+        )
+        assert list(out["_parse_ok"]) == [True, False, False, False]
+        assert out["log"][0].endswith("777\n")
+
+    def test_batch_arrow_input_ltsv(self):
+        import pyarrow as pa
+
+        from fluent_bit_ray.parsers.core import Parser
+
+        p = Parser(name="l", fmt="ltsv", fields=["host", "status"])
+        out = p.parse_batch(pa.array(["host:a\tstatus:200", "notltsv", None]))
+        assert list(out["_parse_ok"]) == [True, False, False]
+        assert out["host"][0] == "a"
+
 
 class TestSyslogParser:
     def test_year_injection(self):
