@@ -15,6 +15,13 @@ settings, keeping the same plumbing.
   uniform sample per domain). Map-side partial top-N per stratum, then one
   hash exchange keyed on the stratum co-locates survivors; the map-side
   prune means at most N rows per stratum per block ever enter the exchange.
+- global_shuffle: seeded, fully reproducible global permutation for
+  training-data export. The shuffle key is a 3-round 32-bit multiply/xor
+  mix of (id, seed) — every round expressible in DuckDB SQL, so the WHOLE
+  permutation (not just membership) is oracle-checkable. Order comes from
+  Ray Data's range-partitioned distributed sort on (key, id); global ranks
+  are then assigned per sorted block from a driver-side prefix sum over
+  block ROW COUNTS only (metadata, never rows), so nothing materializes.
 """
 
 from __future__ import annotations
@@ -77,6 +84,83 @@ def hash_split(ds, id_col: str = "doc_id", splits=None):
         lambda b: hash_split_batch(b, id_col, splits),
         batch_format="pyarrow",
     )
+
+
+_MIX2 = np.uint64(2246822519)   # xxhash32 prime 2
+_MIX3 = np.uint64(3266489917)   # xxhash32 prime 3
+_MASK32 = np.uint64(0xFFFFFFFF)
+
+
+def shuffle_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded 32-bit mix of the id: Knuth multiply + seed, then two
+    xxhash-style xor-shift/multiply finalizer rounds. All intermediates
+    stay < 2^64 (max product 2^32 * MIX3 ≈ 2^63.6), so plain uint64
+    arithmetic is exact — and each round is literally reproducible in
+    DuckDB SQL via HUGEINT products (see shuffle_hash_sql)."""
+    x = ids.astype(np.uint64) & _MASK32
+    x = (x * np.uint64(2654435761) + np.uint64(seed)) & _MASK32
+    x ^= x >> np.uint64(16)
+    x = (x * _MIX2) & _MASK32
+    x ^= x >> np.uint64(13)
+    x = (x * _MIX3) & _MASK32
+    x ^= x >> np.uint64(16)
+    return x.astype(np.int64)
+
+
+def shuffle_hash_sql(id_expr: str, seed: int) -> str:
+    """The exact shuffle_hash computation as a DuckDB scalar expression
+    pipeline (for oracle SQL). Products run in HUGEINT because
+    2^32 * 3266489917 overflows BIGINT."""
+    s1 = (f"CAST((CAST({id_expr} AS HUGEINT) % 4294967296) * 2654435761 "
+          f"+ {seed} AS HUGEINT) % 4294967296")
+    s2 = f"xor(CAST(({s1}) AS BIGINT), CAST(({s1}) AS BIGINT) >> 16)"
+    s3 = f"CAST(CAST(({s2}) AS HUGEINT) * 2246822519 % 4294967296 AS BIGINT)"
+    s4 = f"xor(({s3}), ({s3}) >> 13)"
+    s5 = f"CAST(CAST(({s4}) AS HUGEINT) * 3266489917 % 4294967296 AS BIGINT)"
+    return f"xor(({s5}), ({s5}) >> 16)"
+
+
+def global_shuffle(ds, id_col: str = "doc_id", seed: int = 0,
+                   keep_cols: Optional[list] = None):
+    """Seeded deterministic global shuffle; returns a Dataset ordered by
+    the shuffle key with a materialized global `pos` rank column.
+
+    Scale shape: one map to attach the key, ONE distributed sort (Ray
+    Data's range-partitioned sort — the unavoidable exchange), then rank
+    assignment touches only per-block row counts: tiny remote count
+    tasks -> driver prefix sum over ints -> per-block offset+arange tasks
+    chained through the object store. The permutation is a pure function
+    of (id, seed) — independent of partitioning, cluster size, or resume
+    point — which is what makes a 100 TB training-order reproducible."""
+    import ray
+    import ray.data
+
+    cols = [id_col] + [c for c in (keep_cols or []) if c != id_col]
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = shuffle_hash(ids, seed)
+        return pa.table(
+            {c: b[c] for c in cols} | {"_shuffle_h": pa.array(h)}
+        )
+
+    hashed = ds.map_batches(add_key, batch_format="pyarrow")
+    s = hashed.sort(["_shuffle_h", id_col])
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def add_pos(t: pa.Table, offset: int) -> pa.Table:
+        pos = pa.array(offset + np.arange(t.num_rows, dtype=np.int64))
+        return t.drop_columns(["_shuffle_h"]).append_column("pos", pos)
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = [add_pos.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])]
+    return ray.data.from_arrow_refs(out)
 
 
 def _topn_per_stratum(

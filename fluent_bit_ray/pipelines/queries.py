@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..ops.sample import shuffle_hash_sql
 from ..parsers import Parser
 from ..router import Route, Router
 from ..stages import (
@@ -963,6 +964,18 @@ def q_percentiles(sf_dir: str):
     )
 
 
+def q_global_shuffle(sf_dir: str):
+    """seeded deterministic global shuffle: the ENTIRE permutation (global
+    rank per doc) is oracle-checked — the SQL twin recomputes the same
+    3-round 32-bit mix and row_number()s over it (ops/sample
+    .global_shuffle)."""
+    from ..ops.sample import global_shuffle
+
+    return global_shuffle(
+        _read(sf_dir, "documents", ["doc_id"]), "doc_id", seed=20240817
+    )
+
+
 def q_udf_filter(sf_dir: str):
     """filter_lua analog (UdfFilter): a columnar UDF that drops error rows
     and derives a doubled value — semantics simple enough for a SQL twin."""
@@ -1070,6 +1083,7 @@ QUERIES: dict[str, Callable] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "percentiles": q_percentiles,
+    "global_shuffle": q_global_shuffle,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1454,6 +1468,16 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    # the SQL twin recomputes the exact 3-round mix (HUGEINT products
+    # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —
+    # built from the same shuffle_hash_sql the engine documents
+    "global_shuffle": (
+        "WITH h AS (SELECT doc_id, "
+        + shuffle_hash_sql("doc_id", 20240817)
+        + " AS h FROM documents) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) - 1 "
+        "AS BIGINT) AS pos FROM h"
     ),
     "asof_join": (
         "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "

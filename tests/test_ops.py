@@ -678,6 +678,47 @@ class TestSampling:
         out = stratified_sample(ray.data.from_arrow(t), n_per_stratum=5)
         assert out.num_rows == 3
 
+    def test_global_shuffle_rank_complete_and_partition_free(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import global_shuffle
+
+        t = pa.table({"doc_id": pa.array(list(range(500)), pa.int64())})
+        one = global_shuffle(
+            ray.data.from_arrow(t), seed=7
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        many = global_shuffle(
+            ray.data.from_arrow(t).repartition(11), seed=7
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        # permutation is a pure function of (id, seed): block layout
+        # cannot change any rank
+        assert one.equals(many)
+        # ranks are exactly 0..n-1 (a true permutation, no gaps/dups)
+        assert sorted(one["pos"].tolist()) == list(range(500))
+
+    def test_global_shuffle_seed_changes_order_keep_cols(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import global_shuffle
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(200)), pa.int64()),
+                "text": pa.array([f"d{i}" for i in range(200)], pa.string()),
+            }
+        )
+        a = global_shuffle(ray.data.from_arrow(t), seed=1,
+                           keep_cols=["text"]).to_pandas()
+        b = global_shuffle(ray.data.from_arrow(t), seed=2,
+                           keep_cols=["text"]).to_pandas()
+        assert set(a.columns) == {"doc_id", "text", "pos"}
+        # payload rides along with its row
+        row = a[a["doc_id"] == 42].iloc[0]
+        assert row["text"] == "d42"
+        pa_ = a.sort_values("doc_id")["pos"].tolist()
+        pb_ = b.sort_values("doc_id")["pos"].tolist()
+        assert pa_ != pb_  # different seed -> different permutation
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestVocabAndPacking:
