@@ -976,6 +976,18 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_kmeans_invariant(sf_dir: str):
+    """distributed Lloyd's k-means structural invariants: every vector
+    assigned (n_points), assignments re-verified by an independent
+    distance formulation (n_bad_argmin = 0), Lloyd's inertia monotonicity
+    (n_inertia_increases = 0), cluster usage sane (ops/cluster)."""
+    from ..ops.cluster import kmeans_invariants
+
+    return kmeans_invariants(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8, iters=5
+    )
+
+
 def q_udf_filter(sf_dir: str):
     """filter_lua analog (UdfFilter): a columnar UDF that drops error rows
     and derives a doubled value — semantics simple enough for a SQL twin."""
@@ -1084,6 +1096,7 @@ QUERIES: dict[str, Callable] = {
     "range_join": q_range_join,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
+    "kmeans_invariant": q_kmeans_invariant,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1468,6 +1481,13 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    # kmeans invariants: the SQL twin pins the structural facts SQL can
+    # see (point count; zero violations) — the violation counts themselves
+    # are computed by an independent in-engine distance recheck
+    "kmeans_invariant": (
+        "SELECT count(*) AS n_points, 0 AS n_bad_argmin, "
+        "0 AS n_inertia_increases, 1 AS clusters_ok FROM embeddings"
     ),
     # the SQL twin recomputes the exact 3-round mix (HUGEINT products
     # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —

@@ -332,6 +332,69 @@ class TestTemporalJoins:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKMeans:
+    def corpus(self):
+        import ray.data
+
+        # three well-separated clusters around fixed anchors, spread by a
+        # deterministic per-index offset (no RNG — reproducible layout)
+        anchors = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 8.0]])
+        rows = []
+        for i in range(90):
+            a = anchors[i % 3]
+            off = np.array([((i * 7) % 10) / 20.0, ((i * 13) % 10) / 20.0])
+            v = a + off
+            rows.append({"vec_id": i, "embedding": [float(v[0]), float(v[1])]})
+        return ray.data.from_items(rows)
+
+    def test_recovers_separated_clusters(self):
+        from fluent_bit_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+        ds = self.corpus()
+        cent, info = kmeans_fit(ds, k=3, iters=8)
+        got = kmeans_assign(ds, cent).to_pandas()
+        # all members of a true cluster land in ONE fitted cluster
+        got["truth"] = got["vec_id"] % 3
+        groups = got.groupby("truth")["cluster"].nunique()
+        assert (groups == 1).all()
+        assert got.groupby("truth")["cluster"].first().nunique() == 3
+
+    def test_inertia_monotone_and_partition_free_assignment(self):
+        from fluent_bit_ray.ops.cluster import kmeans_assign, kmeans_fit
+
+        ds = self.corpus()
+        cent, info = kmeans_fit(ds, k=3, iters=6)
+        hist = info["inertia"]
+        assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+        # block layout must not change the assignment on separated data
+        a = kmeans_assign(self.corpus(), cent).to_pandas().sort_values("vec_id")
+        b = kmeans_assign(self.corpus().repartition(7), cent).to_pandas().sort_values("vec_id")
+        assert a["cluster"].tolist() == b["cluster"].tolist()
+
+    def test_invariants_table(self):
+        from fluent_bit_ray.ops.cluster import kmeans_invariants
+
+        out = kmeans_invariants(self.corpus(), k=3, iters=4).to_pylist()[0]
+        assert out == {
+            "n_points": 90,
+            "n_bad_argmin": 0,
+            "n_inertia_increases": 0,
+            "clusters_ok": 1,
+        }
+
+    def test_k_exceeds_corpus_raises(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.cluster import kmeans_fit
+
+        ds = ray.data.from_items(
+            [{"vec_id": 0, "embedding": [1.0, 2.0]}]
+        )
+        with pytest.raises(ValueError, match="exceeds corpus"):
+            kmeans_fit(ds, k=5, iters=1)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def events_ds(self):
         import datetime
