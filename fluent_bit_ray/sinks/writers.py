@@ -531,42 +531,75 @@ def format_influxdb(
     exact influxdb.c:129-135 behaviour.
     """
     n = table.num_rows
-    tags = table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
-    times = table["_time"].to_pylist() if "_time" in table.column_names else [None] * n
+    if n == 0:
+        return ""
     tag_key_set = set(tag_keys or ())
-    out = []
-    seq = seq_start
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        if seq + 1 >= 100000:
-            emitted = 1  # counter frozen: all later records pin to 1
+
+    # sequence values, vectorized with the freeze-at-wrap semantics: while
+    # seq+1 < 100000 each record consumes the counter; from the wrap
+    # iteration on, every record emits the pinned 1
+    si = seq_start + np.arange(n, dtype=np.int64)
+    emitted = np.where(si + 1 >= 100000, 1, si)
+    head0 = pc.binary_join_element_wise(
+        _tag_strings(table),
+        "," + seq_name + "=",
+        pc.cast(pa.array(emitted), pa.string()),
+        "",
+    )
+
+    # per-column serialization (one type dispatch per COLUMN, no row loop);
+    # quoted==True marks string-typed values (auto_tags promotes them)
+    head_frags: list = []
+    body_frags: list = []
+    for c in record_cols:
+        col = _combined(table[c])
+        t = col.type
+        quoted = False
+        if pa.types.is_large_string(t):
+            col = pc.cast(col, pa.string())
+            t = col.type
+        if pa.types.is_string(t):
+            ser = _quote(_escape_strings(col))
+            quoted = True
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            esc = flb_json_escape
+            ser = pa.array(
+                [
+                    None if v is None else '"' + esc(v.decode("utf-8", "replace")) + '"'
+                    for v in col.to_pylist()
+                ],
+                pa.string(),
+            )
+            quoted = True
+        elif pa.types.is_boolean(t):
+            ser = pc.if_else(col, "TRUE", "FALSE")
+        elif pa.types.is_integer(t):
+            ser = pc.cast(col, pa.string())
+        elif pa.types.is_floating(t):
+            # %f has no Arrow kernel with byte-identical rounding; the
+            # listcomp is per-FLOAT-COLUMN only
+            ser = pa.array(
+                [None if v is None else f"{v:f}" for v in col.to_pylist()],
+                pa.string(),
+            )
         else:
-            emitted = seq
-            seq += 1
-        head = [f"{tags[i]},{seq_name}={emitted}"]
-        body = []
-        for k, v in rec.items():
-            quote = False
-            if isinstance(v, bool):
-                sval = "TRUE" if v else "FALSE"
-            elif isinstance(v, (int, np.integer)):
-                sval = str(int(v))
-            elif isinstance(v, (float, np.floating)):
-                sval = f"{float(v):f}"
-            elif isinstance(v, str):
-                quote = True
-                sval = '"' + flb_json_escape(v) + '"'
-            elif isinstance(v, bytes):
-                quote = True
-                sval = '"' + flb_json_escape(v.decode("utf-8", "replace")) + '"'
-            else:
-                continue  # nil / nested values are skipped
-            tagged = (quote and auto_tags) or k in tag_key_set
-            (head if tagged else body).append(f"{k}={sval}")
-        if not body:
-            continue  # all fields tagged: record dropped (influxdb.c:269-272)
-        t = times[i]
-        ts_ns = 0 if t is None or t == int(_NAT_F) else int(t)
-        out.append(",".join(head) + " " + ",".join(body) + f" {ts_ns}")
+            continue  # nil / nested / timestamp values are skipped
+        frag = pc.binary_join_element_wise(c + "=", ser, "")
+        tagged = (quoted and auto_tags) or c in tag_key_set
+        (head_frags if tagged else body_frags).append(frag)
+
+    # head0 is always non-null, so it doubles as the skip-join sentinel
+    head = pc.binary_join_element_wise(
+        head0, *head_frags, ",", null_handling="skip"
+    )
+    body = _skip_join(body_frags, ",", n)
+    ts = _times_ns(table)
+    lines = pc.binary_join_element_wise(
+        head, " ", body, " ", pc.cast(pa.array(ts), pa.string()), ""
+    )
+    # all fields tagged -> record dropped (influxdb.c:269-272)
+    keep = pc.not_equal(body, "")
+    out = lines.filter(keep).to_pylist()
     return "\n".join(out) + ("\n" if out else "")
 
 
