@@ -10,9 +10,12 @@ vectorized pandas body per shard.
 
 Partitioning assumption (documented): one KEY's values fit a reduce shard
 (per-category metric distributions — the usual case). For keys whose value
-lists exceed a shard, the scale path is an approximate sketch (t-digest /
-fixed-bin histogram merged as partials); this operator is the exact
-oracle-checkable form.
+lists exceed a shard, `keyed_quantiles_approx` below is the scale path: a
+fixed-bin histogram sketch whose per-key state is BINS counts regardless
+of value volume — partials combine associatively, the exchange moves
+(key, bin, count) rows only, and the estimate carries a hard error bound
+of one bin width ((max-min)/bins per key), which the kmeans-style
+invariant driver query verifies against the exact operator.
 """
 
 from __future__ import annotations
@@ -57,3 +60,156 @@ def keyed_quantiles(
 
     pruned = ds.select_columns([key_col, value_col])
     return hash_exchange(pruned.to_arrow_refs(), [key_col], finish)
+
+
+def _keyed_ranges(ds, key_col: str, value_col: str) -> dict:
+    """Per-key (min, max) via in-batch Arrow group_by partials merged with
+    one key-hash exchange of tiny rows; collected to a driver dict for
+    broadcast (assumption: the KEY CARDINALITY fits a heap — same contract
+    as the broadcast enrich dim, and far smaller than any value list)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate(
+            [(value_col, "min"), (value_col, "max")]
+        )
+        return g.rename_columns([key_col, "vmin", "vmax"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate([("vmin", "min"), ("vmax", "max")])
+        return g.rename_columns([key_col, "vmin", "vmax"])
+
+    pruned = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    merged = hash_exchange(pruned.to_arrow_refs(), [key_col], merge,
+                           combine_fn=merge)
+    if merged is None:
+        return {}
+    return {
+        r[key_col]: (r["vmin"], r["vmax"])
+        for r in merged.to_pylist()
+        if r["vmin"] is not None
+    }
+
+
+def keyed_quantiles_approx(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    names: Sequence[str] = ("p50", "p95", "p99"),
+    bins: int = 2048,
+) -> Optional[pa.Table]:
+    """Scale-path quantiles: fixed-bin histogram sketch per key.
+
+    Two passes: (1) per-key (min, max) — tiny exchange; (2) per-batch
+    sparse (key, bin, count) partials pre-combined in-batch, merged by an
+    associative group-sum exchange, finished per key by interpolating the
+    target rank inside its bin. Per-key sketch state is <= `bins` counts
+    no matter how many values the key has — the over-shard regime the
+    exact operator documents away. Estimates carry a hard bound:
+    |approx - exact| <= (max-min)/bins per key.
+    """
+    import ray
+
+    qlist = np.asarray(list(qs), dtype=np.float64)
+    ranges = _keyed_ranges(ds, key_col, value_col)
+    ranges_ref = ray.put(ranges)
+
+    def sketch(t: pa.Table, _r=ranges_ref) -> pa.Table:
+        rng = ray.get(_r)
+        df = t.select([key_col, value_col]).to_pandas()
+        df = df[df[value_col].notna()]
+        if not len(df):
+            return pa.table(
+                {key_col: pa.array([], t.schema.field(key_col).type),
+                 "bin": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        keys = df[key_col]
+        lo = keys.map(lambda k: rng[k][0]).to_numpy(dtype=np.float64)
+        hi = keys.map(lambda k: rng[k][1]).to_numpy(dtype=np.float64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        width = np.where(hi > lo, hi - lo, 1.0)
+        b = np.clip(((v - lo) / width * bins).astype(np.int64), 0, bins - 1)
+        sub = pd.DataFrame({key_col: keys.to_numpy(), "bin": b})
+        g = sub.groupby([key_col, "bin"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, "bin"]).aggregate([("cnt", "sum")])
+        return g.rename_columns([key_col, "bin", "cnt"])
+
+    def finish(t: pa.Table, _r=ranges) -> pa.Table:
+        df = t.to_pandas()
+        keys_out, rows = [], []
+        for key, g in df.groupby(key_col, sort=False, dropna=False):
+            lo, hi = _r[key]
+            counts = np.zeros(bins, dtype=np.int64)
+            # a reduce shard may still see one (key, bin) row per SPLIT
+            # chunk (combine runs per chunk, not globally) — sum, not assign
+            np.add.at(counts, g["bin"].to_numpy(), g["cnt"].to_numpy())
+            n = counts.sum()
+            cum = np.cumsum(counts)
+            width = (hi - lo) / bins if hi > lo else 0.0
+            est = np.empty(len(qlist))
+            for j, q in enumerate(qlist):
+                r = q * (n - 1)  # quantile_cont's 0-based target rank
+                lo_r, hi_r = int(np.floor(r)), int(np.ceil(r))
+                frac = r - lo_r
+
+                def stat(rank: int) -> float:
+                    b = int(np.searchsorted(cum, rank + 1))
+                    if width == 0.0:
+                        return lo
+                    prev = cum[b - 1] if b else 0
+                    inbin = counts[b]
+                    # uniform-within-bin interpolation of the rank
+                    off = (rank + 1 - prev) / inbin if inbin else 0.0
+                    return lo + (b + off) * width
+
+                est[j] = (1 - frac) * stat(lo_r) + frac * stat(hi_r)
+            keys_out.append(key)
+            rows.append(est)
+        mat = np.asarray(rows).reshape(len(rows), len(qlist))
+        out = {key_col: keys_out}
+        for j, name in enumerate(names):
+            out[name] = mat[:, j]
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    pruned = ds.select_columns([key_col, value_col]).map_batches(
+        sketch, batch_format="pyarrow"
+    )
+    return hash_exchange(pruned.to_arrow_refs(), [key_col], finish,
+                         combine_fn=combine)
+
+
+def keyed_quantiles_error_check(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: Sequence[float] = (0.5, 0.95, 0.99),
+    bins: int = 2048,
+) -> pa.Table:
+    """Invariant table for the driver oracle: runs the exact operator and
+    the sketch side by side and counts estimates outside the hard
+    (max-min)/bins error bound (must be 0)."""
+    names = [f"q{j}" for j in range(len(list(qs)))]
+    exact = keyed_quantiles(ds, key_col, value_col, qs, names).to_pandas()
+    approx = keyed_quantiles_approx(ds, key_col, value_col, qs, names,
+                                    bins=bins).to_pandas()
+    ranges = _keyed_ranges(ds, key_col, value_col)
+    m = exact.merge(approx, on=key_col, suffixes=("_e", "_a"))
+    viol = 0
+    for _, row in m.iterrows():
+        lo, hi = ranges[row[key_col]]
+        bound = (hi - lo) / bins + 1e-9 * (1 + abs(hi) + abs(lo))
+        for nm in names:
+            if abs(row[f"{nm}_e"] - row[f"{nm}_a"]) > bound:
+                viol += 1
+    return pa.table(
+        {
+            "n_keys": pa.array([len(m)], pa.int64()),
+            "n_violations": pa.array([viol], pa.int64()),
+        }
+    )

@@ -976,6 +976,18 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_percentiles_sketch(sf_dir: str):
+    """scale-path quantiles: fixed-bin histogram sketch vs the exact
+    operator, with the hard (max-min)/bins error bound verified per key ×
+    quantile (n_violations must be 0; ops/stats.keyed_quantiles_approx)."""
+    from ..ops.stats import keyed_quantiles_error_check
+
+    return keyed_quantiles_error_check(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value",
+    )
+
+
 def q_kmeans_invariant(sf_dir: str):
     """distributed Lloyd's k-means structural invariants: every vector
     assigned (n_points), assignments re-verified by an independent
@@ -1097,6 +1109,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
     "kmeans_invariant": q_kmeans_invariant,
+    "percentiles_sketch": q_percentiles_sketch,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1481,6 +1494,13 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    # sketch-vs-exact quantile bound: SQL pins the key count and the
+    # zero-violation contract; the bound itself is checked in-engine
+    # against the exact operator (which has its own full SQL oracle)
+    "percentiles_sketch": (
+        "SELECT count(DISTINCT event_type) AS n_keys, 0 AS n_violations "
+        "FROM events WHERE value IS NOT NULL"
     ),
     # kmeans invariants: the SQL twin pins the structural facts SQL can
     # see (point count; zero violations) — the violation counts themselves

@@ -330,6 +330,43 @@ class TestTemporalJoins:
         assert got["a"] == (50.5, 95.05)  # numpy 'linear' == quantile_cont
         assert got["b"] == (10.0, 10.0)   # nulls ignored
 
+    def test_quantile_sketch_within_bound_and_block_free(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import (
+            keyed_quantiles,
+            keyed_quantiles_approx,
+        )
+
+        # skewed + uniform keys, nulls, a degenerate single-value key
+        rows = [{"k": "u", "v": float(i)} for i in range(1000)]
+        rows += [{"k": "s", "v": float(2 ** (i % 16))} for i in range(500)]
+        rows += [{"k": "one", "v": 42.0}, {"k": "u", "v": None}]
+        ds = ray.data.from_items(rows)
+        exact = {r["k"]: (r["p50"], r["p95"], r["p99"])
+                 for r in keyed_quantiles(ds, "k", "v").to_pylist()}
+        bins = 512
+        for parts in (1, 9):
+            d = ray.data.from_items(rows).repartition(parts)
+            approx = {r["k"]: (r["p50"], r["p95"], r["p99"])
+                      for r in keyed_quantiles_approx(
+                          d, "k", "v", bins=bins).to_pylist()}
+            assert set(approx) == set(exact)
+            widths = {"u": 999.0 / bins, "s": (2**15 - 1) / bins, "one": 0.0}
+            for k in exact:
+                for e, a in zip(exact[k], approx[k]):
+                    assert abs(e - a) <= widths[k] + 1e-9
+
+    def test_quantile_error_check_zero_violations(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import keyed_quantiles_error_check
+
+        rows = [{"k": f"k{i % 4}", "v": float(i * i % 997)} for i in range(800)]
+        out = keyed_quantiles_error_check(
+            ray.data.from_items(rows), "k", "v").to_pylist()[0]
+        assert out == {"n_keys": 4, "n_violations": 0}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestKMeans:
