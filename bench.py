@@ -222,6 +222,23 @@ def bench_line_dedup() -> float:
     return time.time() - t0
 
 
+def bench_global_shuffle() -> float:
+    """seeded permutation: distributed sort + metadata-only rank pass."""
+    from fluent_bit_ray.pipelines.queries import q_global_shuffle
+
+    t0 = time.time()
+    q_global_shuffle(SF_DIR).materialize()
+    return time.time() - t0
+
+
+def bench_asof_join() -> float:
+    from fluent_bit_ray.pipelines.queries import q_asof_join
+
+    t0 = time.time()
+    _consume(q_asof_join(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -237,6 +254,8 @@ BENCHES = {
     "dup_spans": bench_dup_spans,
     "decontaminate": bench_decontaminate,
     "line_dedup": bench_line_dedup,
+    "global_shuffle": bench_global_shuffle,
+    "asof_join": bench_asof_join,
 }
 
 
