@@ -476,3 +476,94 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                 min_df: int = 1):
+    """Per-doc TF-IDF mass: sum over token occurrences of ln(N / df(token))
+    — the DSIR-style importance signal for data selection (rare-vocabulary
+    documents weigh more). Fully SQL-oracle-able.
+
+    Phase 1 (document frequencies): per block, the DISTINCT (doc, token)
+    pairs are counted per token — dictionary-encode + composite-code
+    np.unique, no Python loop — and the per-token partials merge through
+    one token-keyed hash exchange. Tokens with df < min_df are dropped at
+    the merge (the standard vocab truncation; the SQL twin applies the
+    same filter), bounding the broadcast vocabulary.
+    Phase 2: pure scoring map — index_in against the ray.put vocab, idf
+    per occurrence, one reduceat per doc. Docs with zero kept tokens
+    score 0.0 (they still appear — selection needs every doc ranked).
+
+    Scale notes: the df exchange moves (distinct-token, count) rows only;
+    the broadcast is the TRUNCATED vocab. N (corpus doc count) is an
+    exact count() on pruned metadata.
+    """
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n_docs = len(n_tokens)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(bounds))
+        # distinct (doc, token) pairs via composite codes — one np.unique
+        n_vocab = len(enc.dictionary)
+        pairs = np.unique(doc_of * n_vocab + codes)
+        tok_of_pair = (pairs % n_vocab).astype(np.int64)
+        df = np.bincount(tok_of_pair, minlength=n_vocab).astype(np.int64)
+        keep = df > 0
+        toks = enc.dictionary.filter(pa.array(keep))
+        mask_empty = pc.not_equal(toks, "")
+        return pa.table(
+            {"token": toks, "df": pa.array(df[keep])}
+        ).filter(mask_empty)
+
+    def df_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("df", "sum")])
+        g = g.rename_columns(["token", "df"])
+        return g.filter(pc.greater_equal(g["df"], min_df))
+
+    n_total = float(ds.count())
+    df_table = hash_exchange(
+        ds.select_columns([text_col]).map_batches(
+            df_partial, batch_format="pyarrow"
+        ).to_arrow_refs(),
+        ["token"],
+        df_merge,
+    )
+    if df_table is None:
+        df_table = pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+    tok_col = df_table["token"]
+    if isinstance(tok_col, pa.ChunkedArray):
+        tok_col = tok_col.combine_chunks()
+    vref = ray.put(
+        (tok_col, df_table["df"].to_numpy(zero_copy_only=False).astype(np.float64))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tokens, dfs = ray.get(vref)
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=tokens), -1)
+        ).astype(np.int64)
+        safe = np.where(idx < 0, 0, idx)
+        if len(dfs):
+            idf = np.log(n_total / dfs[safe])
+        else:
+            idf = np.zeros(len(safe))
+        sums = _per_doc_sum(np.where(idx < 0, 0.0, idf), bounds)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "tfidf": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -976,6 +976,16 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_tfidf(sf_dir: str):
+    """DSIR-style TF-IDF importance mass per doc (min_df=2 vocab
+    truncation exercised; ops/text.tfidf_scores)."""
+    from ..ops import text as text_ops
+
+    return text_ops.tfidf_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_df=2
+    )
+
+
 def q_percentiles_sketch(sf_dir: str):
     """scale-path quantiles: fixed-bin histogram sketch vs the exact
     operator, with the hard (max-min)/bins error bound verified per key ×
@@ -1110,6 +1120,7 @@ QUERIES: dict[str, Callable] = {
     "global_shuffle": q_global_shuffle,
     "kmeans_invariant": q_kmeans_invariant,
     "percentiles_sketch": q_percentiles_sketch,
+    "tfidf": q_tfidf,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1494,6 +1505,22 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    "tfidf": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT doc_id, unnest(t) AS token FROM toks), "
+        "df AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df "
+        "FROM flat GROUP BY token HAVING count(DISTINCT doc_id) >= 2), "
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+        "contrib AS (SELECT f.doc_id, "
+        "sum(ln((SELECT n FROM n) / df.df)) AS s "
+        "FROM flat f JOIN df ON f.token = df.token GROUP BY f.doc_id) "
+        "SELECT d.doc_id, coalesce(c.s, 0.0) AS tfidf "
+        "FROM documents d LEFT JOIN contrib c ON d.doc_id = c.doc_id"
     ),
     # sketch-vs-exact quantile bound: SQL pins the key count and the
     # zero-violation contract; the bound itself is checked in-engine

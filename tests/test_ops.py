@@ -909,6 +909,52 @@ class TestVocabAndPacking:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestTfidf:
+    def docs(self):
+        import ray.data
+
+        return ray.data.from_items([
+            {"doc_id": 0, "text": "apple apple banana"},   # tf counts twice
+            {"doc_id": 1, "text": "apple cherry"},
+            {"doc_id": 2, "text": "banana cherry cherry"},
+            {"doc_id": 3, "text": "   "},                  # empty -> 0.0
+            {"doc_id": 4, "text": "unique"},               # df=1 token
+        ])
+
+    def test_hand_computed_scores_min_df(self):
+        import math
+
+        from fluent_bit_ray.ops.text import tfidf_scores
+
+        out = {r["doc_id"]: r["tfidf"]
+               for r in tfidf_scores(self.docs(), min_df=2).to_pandas()
+               .to_dict("records")}
+        n = 5.0
+        idf = {t: math.log(n / 2) for t in ("apple", "banana", "cherry")}
+        # df counts DISTINCT docs (apple df=2 though doc 0 has it twice);
+        # tf multiplies per occurrence; 'unique' (df=1) truncated by min_df
+        assert abs(out[0] - (2 * idf["apple"] + idf["banana"])) < 1e-12
+        assert abs(out[1] - (idf["apple"] + idf["cherry"])) < 1e-12
+        assert abs(out[2] - (idf["banana"] + 2 * idf["cherry"])) < 1e-12
+        assert out[3] == 0.0
+        assert out[4] == 0.0
+        assert len(out) == 5  # every doc ranked, including zeros
+
+    def test_block_layout_invariant(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import tfidf_scores
+
+        rows = [{"doc_id": i, "text": f"w{i % 7} w{i % 3} common"}
+                for i in range(60)]
+        a = tfidf_scores(ray.data.from_items(rows)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = tfidf_scores(ray.data.from_items(rows).repartition(9)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert np.allclose(a["tfidf"], b["tfidf"], atol=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestUnigramLogprob:
     def test_matches_hand_model(self):
         import math
