@@ -25,6 +25,7 @@ from typing import Optional, Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..shuffle import hash_exchange
 
@@ -210,6 +211,195 @@ def keyed_quantiles_error_check(
     return pa.table(
         {
             "n_keys": pa.array([len(m)], pa.int64()),
+            "n_violations": pa.array([viol], pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+def _mg_compress(keys: pa.Array, cnts: np.ndarray, m: int):
+    """Misra-Gries compress: keep at most m counters by subtracting the
+    (m+1)-th largest count from all and dropping non-positives. Estimates
+    stay lower bounds; total decrement across any merge tree is bounded
+    by N/(m+1) (mergeable-summaries guarantee, Agarwal et al. 2013)."""
+    if len(cnts) <= m:
+        return keys, cnts
+    order = np.argsort(-cnts, kind="stable")
+    d = cnts[order[m]]
+    keep = order[:m]
+    new = cnts[keep] - d
+    pos = new > 0
+    idx = pa.array(keep[pos].astype(np.int64))
+    return keys.take(idx), new[pos]
+
+
+def _mg_summary_table(keys, cnts) -> pa.Table:
+    return pa.table({"key": keys, "cnt": pa.array(cnts, pa.int64())})
+
+
+def _mg_merge_tables(tables, m: int) -> pa.Table:
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    t = pa.concat_tables(live, promote_options="default")
+    g = t.group_by(["key"]).aggregate([("cnt", "sum")])
+    g = g.rename_columns(["key", "cnt"])
+    keys = g["key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    k2, c2 = _mg_compress(keys, g["cnt"].to_numpy(zero_copy_only=False), m)
+    return _mg_summary_table(k2, c2)
+
+
+def heavy_hitters(
+    ds,
+    item_col: str,
+    m: int = 256,
+    fanin: int = 32,
+    tokenize: bool = False,
+) -> tuple[pa.Table, int]:
+    """Corpus-wide frequent items via mergeable Misra-Gries summaries.
+
+    Per block: an EXACT value_counts compressed to m counters; summaries
+    then merge up a fan-in tree of remote tasks (each level moves <= m
+    rows per summary), so no stage ever sees more than fanin * m rows —
+    the all-to-all exchange `vocab_topk` needs is gone, at the price of
+    the bounded underestimate. Returns (summary, n_items); every item
+    with true count > n_items/(m+1) is guaranteed present, and every
+    estimate e satisfies c_true - n_items/(m+1) <= e <= c_true.
+
+    With tokenize=True the items are the whitespace tokens of `item_col`
+    (the corpus-vocabulary use case; shares the oracle tokenizer).
+    """
+    import ray
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if tokenize:
+            from .text import _doc_tokens
+
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        n = len(items)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vc = items.value_counts()
+        keys = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        k2, c2 = _mg_compress(keys, cnts, m)
+        t = _mg_summary_table(k2, c2)
+        # per-summary item count rides along in a parallel column (row 0);
+        # if compress cancelled every counter (all-equal counts), a
+        # null-key carrier row keeps n in the stream
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([None], pa.string()),
+                             "cnt": pa.array([0], pa.int64()),
+                             "n": pa.array([n], pa.int64())})
+        nn = np.zeros(t.num_rows, dtype=np.int64)
+        nn[0] = n
+        return t.append_column("n", pa.array(nn))
+
+    summaries = ds.map_batches(summarize, batch_format="pyarrow")
+
+    @ray.remote
+    def merge_group(*tables):
+        live = [t for t in tables if t is not None and t.num_rows]
+        n = sum(int(pc.sum(t["n"]).as_py() or 0) for t in live)
+        merged = _mg_merge_tables([t.select(["key", "cnt"]) for t in live], m)
+        nn = np.zeros(merged.num_rows, dtype=np.int64)
+        if len(nn):
+            nn[0] = n
+        elif n:
+            # all counters cancelled but items existed: carry n anyway
+            return pa.table({"key": pa.array([None], pa.string()),
+                             "cnt": pa.array([0], pa.int64()),
+                             "n": pa.array([n], pa.int64())})
+        return merged.append_column("n", pa.array(nn))
+
+    refs = summaries.to_arrow_refs()
+    while len(refs) > 1:
+        refs = [
+            merge_group.remote(*refs[i : i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+    final = ray.get(refs[0]) if refs else None
+    if final is None or final.num_rows == 0:
+        return (pa.table({"key": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())}), 0)
+    n_items = int(pc.sum(final["n"]).as_py() or 0)
+    out = final.select(["key", "cnt"]).filter(pc.is_valid(final["key"]))
+    return out, n_items
+
+
+def heavy_hitters_error_check(
+    ds,
+    item_col: str,
+    m: int = 256,
+    tokenize: bool = False,
+) -> pa.Table:
+    """Invariant table for the driver oracle: exact corpus counts (one
+    token-keyed exchange) vs the sketch. Violations (must be 0):
+    - an item with true count > n/(m+1) missing from the sketch;
+    - an estimate above its true count (MG estimates are lower bounds);
+    - an estimate more than n/(m+1) below its true count."""
+    from ..shuffle import hash_exchange
+
+    sketch, n_items = heavy_hitters(ds, item_col, m=m, tokenize=tokenize)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        if tokenize:
+            from .text import _doc_tokens
+
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        vc = items.value_counts()
+        return pa.table({"key": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["key"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["key", "cnt"])
+
+    exact = hash_exchange(
+        ds.select_columns([item_col]).map_batches(
+            exact_partial, batch_format="pyarrow"
+        ).to_arrow_refs(),
+        ["key"],
+        merge,
+    )
+    truth = (
+        {} if exact is None
+        else dict(zip(exact["key"].to_pylist(),
+                      exact["cnt"].to_pylist()))
+    )
+    est = dict(zip(sketch["key"].to_pylist(), sketch["cnt"].to_pylist()))
+    bound = n_items / (m + 1)
+    viol = 0
+    for k, c in truth.items():
+        e = est.get(k)
+        if e is None:
+            if c > bound:
+                viol += 1
+        elif e > c or e < c - bound:
+            viol += 1
+    viol += sum(1 for k in est if k not in truth)  # phantom keys
+    return pa.table(
+        {
+            "n_items": pa.array([n_items], pa.int64()),
             "n_violations": pa.array([viol], pa.int64()),
         }
     )

@@ -998,6 +998,18 @@ def q_percentiles_sketch(sf_dir: str):
     )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries frequent-token sketch vs exact corpus counts: the
+    mergeable-summary guarantees (presence above n/(m+1), lower-bound
+    estimates within n/(m+1)) verified in-engine, zero violations pinned
+    by SQL (ops/stats.heavy_hitters)."""
+    from ..ops.stats import heavy_hitters_error_check
+
+    return heavy_hitters_error_check(
+        _read(sf_dir, "documents", ["text"]), "text", m=64, tokenize=True
+    )
+
+
 def q_kmeans_invariant(sf_dir: str):
     """distributed Lloyd's k-means structural invariants: every vector
     assigned (n_points), assignments re-verified by an independent
@@ -1121,6 +1133,7 @@ QUERIES: dict[str, Callable] = {
     "kmeans_invariant": q_kmeans_invariant,
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
+    "heavy_hitters": q_heavy_hitters,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1505,6 +1518,17 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    # MG sketch invariant: SQL pins the exact total token count and the
+    # zero-violation contract; the per-key bounds are checked in-engine
+    # against the exact exchange (which vocab_topk oracles separately)
+    "heavy_hitters": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents) "
+        "SELECT sum(len(t))::BIGINT AS n_items, 0 AS n_violations FROM toks"
     ),
     "tfidf": (
         "WITH toks AS (SELECT doc_id, "

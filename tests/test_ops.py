@@ -369,6 +369,66 @@ class TestTemporalJoins:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHeavyHitters:
+    def zipf_rows(self):
+        # deterministic Zipf-ish stream: item i appears ~N/i times
+        rows = []
+        for i in range(1, 40):
+            rows += [{"item": f"w{i:02d}"}] * (2000 // i)
+        return rows
+
+    def test_guarantees_hold(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import heavy_hitters
+
+        rows = self.zipf_rows()
+        truth: dict = {}
+        for r in rows:
+            truth[r["item"]] = truth.get(r["item"], 0) + 1
+        n = len(rows)
+        m = 16
+        sketch, n_items = heavy_hitters(
+            ray.data.from_items(rows).repartition(7), "item", m=m, fanin=3
+        )
+        assert n_items == n
+        est = dict(zip(sketch["key"].to_pylist(), sketch["cnt"].to_pylist()))
+        assert len(est) <= m
+        bound = n / (m + 1)
+        for k, c in truth.items():
+            if c > bound:
+                assert k in est  # frequent items always survive
+            if k in est:
+                assert est[k] <= c          # lower bound
+                assert est[k] >= c - bound  # within guarantee
+        assert all(k in truth for k in est)  # no phantom keys
+
+    def test_error_check_zero_violations_tokenized(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import heavy_hitters_error_check
+
+        docs = [{"text": " ".join(f"t{j % (i + 1)}" for j in range(20))}
+                for i in range(30)]
+        out = heavy_hitters_error_check(
+            ray.data.from_items(docs), "text", m=8, tokenize=True
+        ).to_pylist()[0]
+        assert out["n_items"] == 600
+        assert out["n_violations"] == 0
+
+    def test_exact_when_under_capacity(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import heavy_hitters
+
+        rows = [{"item": x} for x in ["a", "a", "b", "c", "c", "c"]]
+        sketch, n = heavy_hitters(ray.data.from_items(rows), "item", m=64)
+        est = dict(zip(sketch["key"].to_pylist(), sketch["cnt"].to_pylist()))
+        assert n == 6
+        assert est == {"a": 2, "b": 1, "c": 3}  # no compression -> exact
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKMeans:
     def corpus(self):
         import ray.data
