@@ -982,6 +982,33 @@ def dup_spans(
 
 # ----------------------------------------------------------- decontaminate
 
+_BLOOM_K = 4  # double-hashing probes per element
+
+
+def _bloom_positions(h: np.ndarray, bloom_bits: int) -> np.ndarray:
+    """k probe positions per hash via double hashing: pos_i = h1 + i*h2
+    (mod 2^bloom_bits). Returns [len(h), k] uint64."""
+    mask = np.uint64((1 << bloom_bits) - 1)
+    hu = h.astype(np.uint64)
+    h1 = hu & mask
+    h2 = (hu >> np.uint64(32)) | np.uint64(1)  # odd -> full-cycle stride
+    i = np.arange(_BLOOM_K, dtype=np.uint64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) & mask
+
+
+def _bloom_set(bits: np.ndarray, h: np.ndarray, bloom_bits: int) -> None:
+    pos = _bloom_positions(h, bloom_bits).ravel()
+    np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                     (1 << (pos & np.uint64(7))).astype(np.uint8))
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray, bloom_bits: int) -> np.ndarray:
+    pos = _bloom_positions(h, bloom_bits)
+    byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+    hit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
 def decontaminate(
     train_ds,
     bench_ds,
@@ -989,6 +1016,7 @@ def decontaminate(
     id_col: str = "doc_id",
     span_k: int = 8,
     shard_output_dir: Optional[str] = None,
+    bloom_bits: Optional[int] = None,
 ):
     """Benchmark decontamination (the GPT-3-appendix-style n-gram overlap
     filter, public method): for every TRAIN document, count the k-token
@@ -1010,36 +1038,88 @@ def decontaminate(
 
     Pass `shard_output_dir` at corpus scale: reduce shards stream their
     parquet files instead of materializing the result on the driver.
+
+    `bloom_bits`: the bench gate's scale dial. The default (None) gate is
+    the exact sorted hash array (8 bytes per DISTINCT bench window) — the
+    right call for MB-scale benchmark suites. For a LARGE "bench" side
+    (cross-corpus overlap, an earlier snapshot), pass bloom_bits=B to gate
+    with a fixed 2^B-bit Bloom bitset instead: per-block bitsets OR-merge
+    up a fan-in tree, the broadcast is 2^B/8 bytes REGARDLESS of bench
+    size, and Bloom false positives only cost exchange traffic — the
+    string-exact join downstream removes them, so the RESULT is identical
+    to the exact gate (same driver oracle covers both paths).
     """
     import ray
 
     from ..shuffle import hash_exchange, hash_reduce
 
-    def bench_hashes(batch: pa.Table) -> pa.Table:
-        h, _, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
-        return pa.table({"h": pa.array(np.unique(h))})
-
-    a = bench_ds.map_batches(
-        bench_hashes, batch_format="pyarrow", batch_size=None
-    )
-    uniq = hash_exchange(
-        a.to_arrow_refs(), ["h"],
-        lambda t: pa.table({"h": pc.unique(t["h"])}),
-    )
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "contaminated_windows": pa.array([], pa.int64())})
-    if uniq is None:
-        return empty
-    bset = np.sort(uniq["h"].to_numpy(zero_copy_only=False))
-    bref = ray.put(bset)
+
+    if bloom_bits is None:
+        def bench_hashes(batch: pa.Table) -> pa.Table:
+            h, _, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
+            return pa.table({"h": pa.array(np.unique(h))})
+
+        a = bench_ds.map_batches(
+            bench_hashes, batch_format="pyarrow", batch_size=None
+        )
+        uniq = hash_exchange(
+            a.to_arrow_refs(), ["h"],
+            lambda t: pa.table({"h": pc.unique(t["h"])}),
+        )
+        if uniq is None:
+            return empty
+        gate_ref = ray.put(np.sort(uniq["h"].to_numpy(zero_copy_only=False)))
+
+        def _gate(bs, h: np.ndarray) -> np.ndarray:
+            pos = np.searchsorted(bs, h)
+            pos[pos >= len(bs)] = 0
+            return np.flatnonzero(bs[pos] == h)
+    else:
+        nbytes = 1 << (bloom_bits - 3)
+
+        def bench_bits(batch: pa.Table) -> pa.Table:
+            h, _, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            _bloom_set(bits, h, bloom_bits)
+            return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+        @ray.remote
+        def or_group(*tables):
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for t in tables:
+                # empty input blocks pass through map_batches with their
+                # ORIGINAL schema (Ray skips the fn) — no bits to OR
+                if t is None or "bits" not in t.column_names:
+                    continue
+                for buf in t["bits"].to_pylist():
+                    acc |= np.frombuffer(buf, dtype=np.uint8)
+            return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
+
+        refs = bench_ds.map_batches(
+            bench_bits, batch_format="pyarrow", batch_size=None
+        ).to_arrow_refs()
+        fanin = 32
+        while len(refs) > 1:
+            refs = [or_group.remote(*refs[i : i + fanin])
+                    for i in range(0, len(refs), fanin)]
+        if not refs:
+            return empty
+        final_bits = np.frombuffer(
+            ray.get(refs[0])["bits"].to_pylist()[0], dtype=np.uint8
+        )
+        if not final_bits.any():
+            return empty
+        gate_ref = ray.put(final_bits)
+
+        def _gate(bs, h: np.ndarray) -> np.ndarray:
+            return np.flatnonzero(_bloom_test(bs, h, bloom_bits))
 
     def _emit(batch: pa.Table, side: int) -> pa.Table:
         h, doc, fstart, flat = _span_window_rows(batch, text_col, id_col, span_k)
-        if side == 0:  # train: gate by the broadcast bench hash set
-            bs = ray.get(bref)
-            pos = np.searchsorted(bs, h)
-            pos[pos >= len(bs)] = 0
-            idx = np.flatnonzero(bs[pos] == h)
+        if side == 0:  # train: gate by the broadcast bench structure
+            idx = _gate(ray.get(gate_ref), h)
         else:  # bench: every window is relevant by construction
             idx = np.arange(len(h), dtype=np.int64)
         if len(idx) == 0:

@@ -484,6 +484,29 @@ def q_decontaminate(sf_dir: str):
     return dedup.decontaminate(train, bench, span_k=8)
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """same contamination counts via the Bloom-gated scale path: fixed
+    2^20-bit bitset broadcast instead of the exact hash array; false
+    positives die in the string-exact join, so the SAME SQL oracle as
+    `decontaminate` must hash-match."""
+
+    def _slice(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 7 == 0) if bench else (ids % 7 != 0)
+            return b.filter(pa.array(m))
+
+        return f
+
+    train = _augmented_docs_ds(sf_dir).map_batches(
+        _slice(False), batch_format="pyarrow"
+    )
+    bench = _augmented_docs_ds(sf_dir).map_batches(
+        _slice(True), batch_format="pyarrow"
+    )
+    return dedup.decontaminate(train, bench, span_k=8, bloom_bits=20)
+
+
 def q_unigram_logprob(sf_dir: str):
     """CCNet-style LM-quality proxy: per-doc mean unigram negative
     log-likelihood under the corpus's own unigram model
@@ -1100,6 +1123,7 @@ QUERIES: dict[str, Callable] = {
     "dup_spans": q_dup_spans,
     "repetition": q_repetition,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "pii_redact": q_pii_redact,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
@@ -1594,6 +1618,10 @@ ORACLE_SQL: dict[str, str] = {
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)
 }
+
+# the Bloom-gated path must produce BIT-IDENTICAL contamination counts
+# (false positives die in the string-exact join) — same oracle, verbatim
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
 
 def oracle_sql_full() -> dict[str, str]:

@@ -1102,6 +1102,30 @@ class TestDecontaminate:
         )
         assert got == {}
 
+    def test_bloom_gate_identical_to_exact(self):
+        # a tiny bitset (2^10 bits) forces real Bloom collisions; the
+        # string-exact join must still yield the exact path's counts
+        train = [
+            {"doc_id": i, "text": " ".join(f"w{(i * 31 + j) % 97}"
+                                           for j in range(12))}
+            for i in range(40)
+        ] + [{"doc_id": 100, "text": "a b c d e f g h"}]
+        bench = [{"doc_id": 900, "text": "a b c d e f g h"},
+                 {"doc_id": 901, "text": " ".join(f"w{j}" for j in range(20))}]
+        exact = self._run(train, bench, span_k=4)
+        bloom = self._run(train, bench, span_k=4, bloom_bits=10)
+        assert bloom == exact
+        assert exact[100] == 5  # sanity: the clone's 5 windows
+
+    def test_bloom_empty_bench(self):
+        got = self._run(
+            [{"doc_id": 0, "text": "p q r s"}],
+            [{"doc_id": 9, "text": "xy"}],  # shorter than k: no windows
+            span_k=3,
+            bloom_bits=12,
+        )
+        assert got == {}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestLineDedup:
