@@ -227,3 +227,57 @@ def range_join_agg(
     return hash_exchange(
         lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish
     )
+
+
+def semi_join(ds, keys_ds, key_col: str, anti: bool = False):
+    """Broadcast semi/anti join: keep rows whose key IS (semi) or IS NOT
+    (anti) present in `keys_ds`'s key column. The filter side's DISTINCT
+    keys are collected once (map-side unique partials -> driver unique)
+    and broadcast via ray.put; the stream side is a pure `is_in` filter
+    map — no shuffle at all. This is the small-filter-side twin of the
+    big-big temporal joins above (same contract as stages/enrich.py:
+    the DISTINCT key set fits a worker heap; for bigger filter sides use
+    a key-hash exchange membership join).
+
+    Null keys follow SQL semantics: a null key never matches (dropped by
+    semi), and anti KEEPS null-key rows only if the filter side is
+    non-empty-null-free (SQL NOT IN is three-valued; we implement the
+    NOT EXISTS form: null keys are kept by anti, dropped by semi).
+    """
+    import ray
+
+    def uniq(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({key_col: col.unique().drop_null()})
+
+    tabs = ray.get(
+        keys_ds.select_columns([key_col]).map_batches(
+            uniq, batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    live = [t for t in tabs if t is not None and t.num_rows]
+    key_set = None  # empty / all-null filter side: nothing matches
+    if live:
+        cat = pa.concat_tables(live, promote_options="default")[key_col]
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        cat = cat.unique().drop_null()
+        if len(cat) and not pa.types.is_null(cat.type):
+            key_set = cat
+    set_ref = ray.put(key_set)
+
+    def filt(b: pa.Table) -> pa.Table:
+        ks = ray.get(set_ref)
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if ks is None or pa.types.is_null(col.type):
+            hit = pa.array(np.zeros(len(col), dtype=bool))
+        else:
+            hit = pc.fill_null(pc.is_in(col, value_set=ks), False)
+        mask = pc.invert(hit) if anti else hit
+        return b.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")

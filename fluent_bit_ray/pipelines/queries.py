@@ -976,6 +976,37 @@ def q_range_join(sf_dir: str):
                           lo_sec=300, hi_sec=300)
 
 
+def _semi_sides(sf_dir: str):
+    """clicks vs the users with a LARGE error (value > 200) — thresholded
+    so both the semi and anti results are non-degenerate at sf0.01."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id"]
+    )
+    errs = ev.filter(expr="event_type == 'error'").filter(expr="value > 200")
+    return clicks, errs
+
+
+def q_semi_join(sf_dir: str):
+    """broadcast semi join: clicks whose user had a large error —
+    distinct filter keys collected once, stream side is a pure is_in
+    map, no shuffle (ops/joins.semi_join)."""
+    from ..ops.joins import semi_join
+
+    clicks, errs = _semi_sides(sf_dir)
+    return semi_join(clicks, errs, "user_id")
+
+
+def q_anti_join(sf_dir: str):
+    """broadcast anti join: clicks whose user had NO large error
+    (NOT EXISTS form; ops/joins.semi_join(anti=True))."""
+    from ..ops.joins import semi_join
+
+    clicks, errs = _semi_sides(sf_dir)
+    return semi_join(clicks, errs, "user_id", anti=True)
+
+
 def q_percentiles(sf_dir: str):
     """exact per-event-type value percentiles (p50/p95/p99) via a keyed
     exchange of pruned (key,value) pairs (ops/stats.keyed_quantiles)."""
@@ -1152,6 +1183,8 @@ QUERIES: dict[str, Callable] = {
     "tumbling_window": q_tumbling_window,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
     "kmeans_invariant": q_kmeans_invariant,
@@ -1600,6 +1633,18 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "semi_join": (
+        "SELECT event_id, user_id FROM events "
+        "WHERE event_type = 'click' AND user_id IN "
+        "(SELECT user_id FROM events "
+        "WHERE event_type = 'error' AND value > 200)"
+    ),
+    "anti_join": (
+        "SELECT event_id, user_id FROM events e "
+        "WHERE event_type = 'click' AND NOT EXISTS "
+        "(SELECT 1 FROM events x WHERE x.event_type = 'error' "
+        "AND x.value > 200 AND x.user_id = e.user_id)"
     ),
     "range_join": (
         "SELECT l.user_id, l.event_id, count(r.ts) AS n_in_range, "

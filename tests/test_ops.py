@@ -317,6 +317,34 @@ class TestTemporalJoins:
         assert out[2] == (0, 0.0)
         assert out[3] == (1, 9.0)
 
+    def test_semi_anti_join_null_semantics(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import semi_join
+
+        stream = ray.data.from_items([
+            {"id": 0, "k": "a"},
+            {"id": 1, "k": "b"},
+            {"id": 2, "k": None},   # null key: anti keeps, semi drops
+            {"id": 3, "k": "c"},
+        ])
+        filt = ray.data.from_items([{"k": "a"}, {"k": "c"}, {"k": None}])
+        semi = sorted(r["id"] for r in semi_join(stream, filt, "k").take_all())
+        anti = sorted(r["id"] for r in
+                      semi_join(stream, filt, "k", anti=True).take_all())
+        assert semi == [0, 3]
+        assert anti == [1, 2]
+
+    def test_semi_join_empty_filter_side(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import semi_join
+
+        stream = ray.data.from_items([{"id": 0, "k": "a"}])
+        filt = ray.data.from_items([{"k": None}])  # only-null filter keys
+        assert semi_join(stream, filt, "k").count() == 0
+        assert semi_join(stream, filt, "k", anti=True).count() == 1
+
     def test_keyed_quantiles(self):
         import ray.data
 
