@@ -200,3 +200,100 @@ def ivf_topk(
         batch_format="pyarrow",
     )
     return brute_force_topk(filtered, queries_ref, k, id_col, vec_col)
+
+
+# ------------------------------------------------------------ quantization
+
+def _quantize_rows(X: np.ndarray):
+    """Per-vector symmetric int8 quantization: 1 byte/dim + 1 float32
+    scale — 4x less object-store/storage footprint than float32, ~8x vs
+    float64."""
+    scale = np.abs(X).max(axis=1) / 127.0
+    scale[scale == 0] = 1.0
+    Q = np.clip(np.rint(X / scale[:, None]), -127, 127).astype(np.int8)
+    return Q, scale.astype(np.float32)
+
+
+def quantize_embeddings(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Storage form for a 100 TB embedding table: (id, qvec fixed-size
+    binary d bytes, scale float32). The fixed-size binary column is built
+    zero-copy from the int8 buffer (no per-row Python)."""
+
+    def qz(b: pa.Table) -> pa.Table:
+        X = _batch_matrix(b, vec_col)
+        Q, scale = _quantize_rows(X)
+        d = Q.shape[1] if Q.ndim == 2 and Q.shape[0] else 0
+        qvec = pa.Array.from_buffers(
+            pa.binary(d), len(Q), [None, pa.py_buffer(Q.tobytes())]
+        )
+        return pa.table(
+            {id_col: b[id_col], "qvec": qvec,
+             "scale": pa.array(scale, pa.float32())}
+        )
+
+    return ds.map_batches(qz, batch_format="pyarrow")
+
+
+def quantized_topk(
+    ds,
+    queries_ref: Any,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_factor: int = 4,
+):
+    """Memory-scaled ANN: int8-approximate candidate generation + EXACT
+    float64 re-rank, so the final top-k normally equals brute_force_topk
+    bit-for-bit (same driver oracle covers both).
+
+    Stage 1 scans the corpus in the quantized representation (at scale
+    this is the stored `quantize_embeddings` table — 4-8x less I/O and
+    heap than the float path) and keeps rerank_factor*k candidates per
+    query per block by approximate cosine. Stage 2 gathers ONLY the
+    candidate union (a per-query-bounded id set) and runs the exact
+    brute-force kernel on that tiny subset. Approximation lives solely in
+    candidate RECALL: a true neighbor is missed only if quantization
+    error pushes it below rank rerank_factor*k within its own block.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    q = _maybe_get(queries_ref)
+    qmat32 = _normalize(q["mat"].astype(np.float64)).astype(np.float32)
+    m = rerank_factor * k + 1  # +1 headroom for the self-match exclusion
+
+    def approx(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        X = _batch_matrix(batch, vec_col)
+        Q, scale = _quantize_rows(X)
+        Xq = Q.astype(np.float32) * scale[:, None]
+        Xq = _normalize(Xq.astype(np.float64)).astype(np.float32)
+        sims = qmat32 @ Xq.T
+        take = min(m, sims.shape[1])
+        # per-query block-local top-m by approx score (argpartition, then
+        # no ordering needed — candidates are a SET)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        cand = np.unique(part.ravel())
+        return pa.table({"vec_id": pa.array(ids[cand], pa.int64())})
+
+    cand_tables = ray.get(
+        ds.map_batches(approx, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    live = [t for t in cand_tables
+            if t is not None and t.num_rows and "vec_id" in t.column_names]
+    if not live:
+        return ds.map_batches(lambda b: pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}), batch_format="pyarrow")
+    cset = pc.unique(pa.concat_tables(live)["vec_id"].combine_chunks())
+    cref = ray.put(cset)
+
+    def filt(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=ray.get(cref))
+        )
+
+    survivors = ds.map_batches(filt, batch_format="pyarrow")
+    return brute_force_topk(survivors, queries_ref, k, id_col, vec_col)

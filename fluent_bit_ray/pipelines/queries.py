@@ -716,6 +716,19 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_quantized(sf_dir: str):
+    """int8-quantized candidate scan + exact float64 re-rank: must equal
+    brute_force_topk bit-for-bit on this corpus, so it shares ann_topk's
+    SQL oracle (ops/ann.quantized_topk)."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = emb.filter(pc.less(emb["vec_id"], 3))
+    qmat = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ref = ann.make_query_ref(np.asarray(qt["vec_id"].to_pylist()), qmat)
+    return ann.quantized_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), ref, k=5
+    )
+
+
 def q_embedding_neardup(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.45, id_a < id_b),
     via the blocked pair-join — EXACT, with no whole-corpus broadcast
@@ -1173,6 +1186,7 @@ QUERIES: dict[str, Callable] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_quantized": q_ann_quantized,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_ivf": q_embedding_neardup_ivf,
     "syslog_events": q_syslog_events,
@@ -1667,6 +1681,10 @@ ORACLE_SQL: dict[str, str] = {
 # the Bloom-gated path must produce BIT-IDENTICAL contamination counts
 # (false positives die in the string-exact join) — same oracle, verbatim
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+
+# the int8-quantized ANN re-ranks candidates with the exact kernel, so its
+# top-k must equal the brute-force path's — same oracle, verbatim
+ORACLE_SQL["ann_quantized"] = ORACLE_SQL["ann_topk"]
 
 
 def oracle_sql_full() -> dict[str, str]:

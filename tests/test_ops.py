@@ -457,6 +457,54 @@ class TestHeavyHitters:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestQuantizedAnn:
+    def corpus(self, n=120, d=16):
+        import ray.data
+
+        rows = []
+        for i in range(n):
+            v = [((i * 13 + j * 7) % 19 - 9) / 9.0 for j in range(d)]
+            rows.append({"vec_id": i, "embedding": v})
+        return ray.data.from_items(rows)
+
+    def test_quantize_storage_form(self):
+        from fluent_bit_ray.ops.ann import quantize_embeddings
+
+        out = {r["vec_id"]: r
+               for r in quantize_embeddings(self.corpus(n=10)).take_all()}
+        assert len(out) == 10
+        for r in out.values():
+            assert len(r["qvec"]) == 16           # 1 byte per dim
+            assert r["scale"] > 0
+        # roundtrip error bounded by scale/2 per component
+        for i in (0, 3, 7):
+            q = np.frombuffer(out[i]["qvec"], dtype=np.int8).astype(np.float64)
+            v = np.array([((i * 13 + j * 7) % 19 - 9) / 9.0
+                          for j in range(16)])
+            assert (np.abs(q * out[i]["scale"] - v).max()
+                    <= out[i]["scale"] / 2 + 1e-7)
+
+    def test_topk_equals_brute_force(self):
+        from fluent_bit_ray.ops.ann import (
+            brute_force_topk,
+            make_query_ref,
+            quantized_topk,
+        )
+
+        ds = self.corpus()
+        qmat = np.array(
+            [[((i * 13 + j * 7) % 19 - 9) / 9.0 for j in range(16)]
+             for i in (0, 5)]
+        )
+        ref = make_query_ref(np.array([0, 5]), qmat)
+        exact = brute_force_topk(self.corpus(), ref, k=5).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        quant = quantized_topk(ds, ref, k=5).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert exact.equals(quant)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKMeans:
     def corpus(self):
         import ray.data
