@@ -186,6 +186,59 @@ def _topn_per_stratum(
     return t.take(pa.array(np.sort(keep_idx)))
 
 
+def _topn_by_score(
+    t: pa.Table, key_col: str, id_col: str, score_col: str, n: int
+) -> pa.Table:
+    """Keep the n (score desc, id asc)-best rows per key — the scored
+    generalization of _topn_per_stratum (same lexsort + within-group
+    rank, no Python loop). Null scores sort last."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    sc = np.where(np.isnan(sc), -np.inf, sc)
+    key = t[key_col]
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    codes = np.asarray(
+        pc.dictionary_encode(pc.fill_null(key, "")).indices
+    ).astype(np.int64)
+    order = np.lexsort((ids, -sc, codes))
+    kc = codes[order]
+    new = np.ones(len(kc), dtype=bool)
+    new[1:] = kc[1:] != kc[:-1]
+    starts = np.flatnonzero(new)
+    rank = np.arange(len(kc)) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(kc)])))
+    )
+    keep_idx = order[rank < n]
+    return t.take(pa.array(np.sort(keep_idx)))
+
+
+def topn_per_key(
+    ds,
+    key_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> Optional[pa.Table]:
+    """Top-n rows per key by (score desc, id asc) — keep_best_per_key's
+    n>1 generalization (best n captures per url/host, best n docs per
+    domain by quality). Same shape as stratified_sample: the map-side
+    prune caps each block's contribution at n rows per key, the exchange
+    moves only survivors, and the associative top-n combiner/finisher
+    makes the result independent of block boundaries."""
+    from ..shuffle import hash_exchange
+
+    cols = [key_col, score_col, id_col]
+    pruned = ds.select_columns(cols).map_batches(
+        lambda b: _topn_by_score(b, key_col, id_col, score_col, n),
+        batch_format="pyarrow",
+    )
+    topn = lambda t: _topn_by_score(t, key_col, id_col, score_col, n)
+    return hash_exchange(
+        pruned.to_arrow_refs(), [key_col], topn, combine_fn=topn
+    )
+
+
 def stratified_sample(
     ds,
     strata_col: str = "source",

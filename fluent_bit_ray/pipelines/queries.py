@@ -1020,6 +1020,18 @@ def q_anti_join(sf_dir: str):
     return semi_join(clicks, errs, "user_id", anti=True)
 
 
+def q_topn_per_key(sf_dir: str):
+    """top-3 events per type by (value desc, event_id asc) — the scored
+    top-n-per-key exchange (map-side prune caps traffic at n rows per key
+    per block; ops/sample.topn_per_key)."""
+    from ..ops.sample import topn_per_key
+
+    return topn_per_key(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", id_col="event_id", n=3,
+    )
+
+
 def q_percentiles(sf_dir: str):
     """exact per-event-type value percentiles (p50/p95/p99) via a keyed
     exchange of pruned (key,value) pairs (ops/stats.keyed_quantiles)."""
@@ -1199,6 +1211,7 @@ QUERIES: dict[str, Callable] = {
     "range_join": q_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
     "kmeans_invariant": q_kmeans_invariant,
@@ -1647,6 +1660,13 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "topn_per_key": (
+        "SELECT event_type, value, event_id FROM ("
+        "SELECT event_type, value, event_id, "
+        "row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id) AS rn FROM events) "
+        "WHERE rn <= 3"
     ),
     "semi_join": (
         "SELECT event_id, user_id FROM events "

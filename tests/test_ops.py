@@ -914,6 +914,31 @@ class TestSampling:
         out = stratified_sample(ray.data.from_arrow(t), n_per_stratum=5)
         assert out.num_rows == 3
 
+    def test_topn_per_key_ordering_ties_and_blocks(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import topn_per_key
+
+        rows = [
+            {"doc_id": 0, "k": "a", "s": 5.0},
+            {"doc_id": 1, "k": "a", "s": 9.0},
+            {"doc_id": 2, "k": "a", "s": 9.0},   # tie: lower id wins rank
+            {"doc_id": 3, "k": "a", "s": 1.0},
+            {"doc_id": 4, "k": "b", "s": 2.0},
+            {"doc_id": 5, "k": "b", "s": None},  # null score sorts last
+            {"doc_id": 6, "k": None, "s": 7.0},  # null key groups as ""
+        ]
+        for parts in (1, 5):
+            out = topn_per_key(
+                ray.data.from_items(rows).repartition(parts),
+                "k", "s", id_col="doc_id", n=2,
+            )
+            got = sorted(
+                [(r["k"], r["doc_id"]) for r in out.to_pylist()],
+                key=lambda x: (x[0] or "", x[1]),
+            )
+            assert got == [(None, 6), ("a", 1), ("a", 2), ("b", 4), ("b", 5)]
+
     def test_global_shuffle_rank_complete_and_partition_free(self):
         import ray.data
 
