@@ -603,6 +603,62 @@ def format_influxdb(
     return "\n".join(out) + ("\n" if out else "")
 
 
+def _mp_columns(table: pa.Table, record_cols: list[str]) -> list:
+    """Per-column serialization in flb_msgpack_to_json shape (the mp_json
+    byte dialect: "%f" floats, ", " separators handled by the caller).
+    One type dispatch per COLUMN; nested values fall back to a per-column
+    mp_json_value listcomp. None stays None (absent key)."""
+    from ..functions.mp_json import mp_json_value
+
+    out = []
+    for c in record_cols:
+        col = _combined(table[c])
+        t = col.type
+        if pa.types.is_large_string(t):
+            col = pc.cast(col, pa.string())
+            t = col.type
+        if pa.types.is_string(t):
+            arr = _quote(_escape_strings(col))
+        elif pa.types.is_boolean(t) or pa.types.is_integer(t):
+            arr = pc.cast(col, pa.string())
+        elif pa.types.is_floating(t):
+            arr = pa.array(
+                [None if v is None else f"{v:f}" for v in col.to_pylist()],
+                pa.string(),
+            )
+        elif pa.types.is_timestamp(t):
+            s = _ts_strings(col)
+            arr = (
+                _quote(s)
+                if s is not None
+                else pa.array(
+                    [None if v is None else mp_json_value(v)
+                     for v in col.to_pylist()],
+                    pa.string(),
+                )
+            )
+        else:  # nested / exotic: per-column mp_json fallback
+            vals = col.to_pylist()
+            arr = pa.array(
+                [None if v is None
+                 else mp_json_value(dict(v) if isinstance(v, list)
+                                    and v and isinstance(v[0], tuple) else v)
+                 for v in vals],
+                pa.string(),
+            )
+        out.append(arr)
+    return out
+
+
+def _mp_key_frags(table: pa.Table, record_cols: list[str]) -> list:
+    return [
+        pc.binary_join_element_wise(
+            '"' + flb_json_escape(c) + '":', ser, ""
+        )
+        for c, ser in zip(record_cols, _mp_columns(table, record_cols))
+    ]
+
+
 def format_kafka_json(
     table: pa.Table, record_cols: list[str], timestamp_key: str = "@timestamp"
 ) -> str:
@@ -611,16 +667,30 @@ def format_kafka_json(
     prepended, serialized in flb_msgpack_to_json shape (functions/mp_json).
     One message per line (the transport is out of scope; the body format
     is the portable part). A record key equal to timestamp_key overwrites
-    the injected one (msgpack maps would carry both — documented)."""
-    from ..functions.mp_json import mp_json_value
-
+    the injected one but keeps first position (dict-merge parity).
+    Vectorized like the other text sinks: per-column mp-shape
+    serialization, ", "-joined with null skipping."""
+    n = table.num_rows
+    if n == 0:
+        return ""
     times = _times_sec(table)
-    out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        body = {timestamp_key: float(times[i])}
-        body.update(rec)
-        out.append(mp_json_value(body))
-    return "\n".join(out) + ("\n" if out else "")
+    frags = _mp_key_frags(table, record_cols)
+    tsfrag = pa.array(
+        [f'"{flb_json_escape(timestamp_key)}":{t:f}' for t in times],
+        pa.string(),
+    )
+    if timestamp_key in record_cols:
+        # a non-null record value overwrites the injected time (dict-merge
+        # parity, first position); null record values keep the injection
+        i = record_cols.index(timestamp_key)
+        tsfrag = pc.if_else(pc.is_valid(frags[i]), frags[i], tsfrag)
+        frags = frags[:i] + frags[i + 1:]
+    # tsfrag is non-null: doubles as the skip-join sentinel
+    body = pc.binary_join_element_wise(
+        tsfrag, *frags, ", ", null_handling="skip"
+    )
+    lines = pc.binary_join_element_wise("{", body, "}", "")
+    return "\n".join(lines.to_pylist()) + "\n"
 
 
 def format_splunk(
@@ -631,21 +701,34 @@ def format_splunk(
     or with Splunk_Send_Raw the record's pairs flattened at the top level
     after "time" (splunk.c:92-96). Records are CONCATENATED with no
     separator — splunk.c:129 flb_sds_cat's the JSON objects back to back —
-    and values render in flb_msgpack_to_json shape (functions/mp_json).
-    The HTTP transport is out of scope; the event envelope is the portable
-    format (the one SaaS emitter shape not already covered by
-    json/es/http/influxdb/kafka)."""
-    from ..functions.mp_json import mp_json_value
-
+    and values render in flb_msgpack_to_json shape. The HTTP transport is
+    out of scope; the event envelope is the portable format. Vectorized
+    column-wise; a record key named "time" overwrites the injected time
+    in the raw dict-merge, keeping first position (parity with the
+    historical {"time": t, **rec})."""
+    n = table.num_rows
+    if n == 0:
+        return ""
     times = _times_sec(table)
-    out = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        if send_raw:
-            body = {"time": float(times[i]), **rec}
-        else:
-            body = {"time": float(times[i]), "event": dict(rec)}
-        out.append(mp_json_value(body))
-    return "".join(out)
+    frags = _mp_key_frags(table, record_cols)
+    tfrag = pa.array([f'"time":{t:f}' for t in times], pa.string())
+    if send_raw:
+        if "time" in record_cols:
+            i = record_cols.index("time")
+            # record "time" replaces the injected value at first position
+            tfrag = pc.if_else(pc.is_valid(frags[i]), frags[i], tfrag)
+            frags = frags[:i] + frags[i + 1:]
+        lines = pc.binary_join_element_wise(
+            "{", pc.binary_join_element_wise(
+                tfrag, *frags, ", ", null_handling="skip"
+            ), "}", "",
+        )
+    else:
+        body = _skip_join(frags, ", ", n)
+        lines = pc.binary_join_element_wise(
+            "{", tfrag, ', "event":{', body, "}}", ""
+        )
+    return "".join(lines.to_pylist())
 
 
 def format_http(
