@@ -767,28 +767,43 @@ def format_http(
         bodies.append(mp_json_value(body))
     out = "[" + ", ".join(bodies) + "]"
     if out_format in ("json_stream", "json_lines"):
-        sep = "\n" if out_format == "json_lines" else " "
-        chars = list(out)
-        level = 0
-        in_string = in_escape = False
-        for j, ch in enumerate(chars):
-            if in_escape:
-                in_escape = False
-            elif ch == "\\":
-                in_escape = True
-            elif ch == '"':
-                in_string = not in_string
-            elif not in_string:
-                if ch == "{":
-                    level += 1
-                elif ch == "}":
-                    level -= 1
-                elif ch in "[]" and level == 0:
-                    chars[j] = " "
-                elif ch == "," and level == 0:
-                    chars[j] = sep
-        out = "".join(chars)
+        out = _brackets_transform(out, "\n" if out_format == "json_lines" else " ")
     return out
+
+
+def _brackets_transform(payload: str, sep: str) -> str:
+    """The reference's in-place json_stream/json_lines character transform
+    (top-level brackets blanked, top-level commas -> sep), vectorized: the
+    sequential escape/string/level state machine becomes numpy prefix
+    scans over the UTF-8 bytes (multi-byte sequences can never alias the
+    ASCII structural bytes, so byte-level is safe).
+    - escaped(i): char follows an ODD run of backslashes (run lengths via
+      the cumsum-minus-running-reset idiom);
+    - in_string(i): parity of unescaped quotes BEFORE i (exclusive);
+    - level(i): exclusive prefix sum of out-of-string braces.
+    Byte-identical to the historical per-char loop (parity-probed).
+    """
+    b = np.frombuffer(payload.encode("utf-8"), dtype=np.uint8).copy()
+    is_bs = b == 92  # backslash
+    t = is_bs.astype(np.int64)
+    cs = np.cumsum(t)
+    reset = np.where(~is_bs, cs, 0)
+    runlen = cs - np.maximum.accumulate(reset)
+    escaped = np.zeros(len(b), dtype=bool)
+    if len(b) > 1:
+        escaped[1:] = (runlen[:-1] & 1).astype(bool)
+    q = (b == 34) & ~escaped  # unescaped quotes
+    qs = np.cumsum(q.astype(np.int64))
+    in_str = np.zeros(len(b), dtype=bool)
+    if len(b) > 1:
+        in_str[1:] = (qs[:-1] & 1).astype(bool)
+    open_ = ((b == 123) & ~in_str & ~escaped).astype(np.int64)
+    close = ((b == 125) & ~in_str & ~escaped).astype(np.int64)
+    lvl = np.concatenate(([0], np.cumsum(open_ - close)[:-1]))
+    top = ~in_str & ~escaped & (lvl == 0)
+    b[((b == 91) | (b == 93)) & top] = 32  # [ ] -> space
+    b[(b == 44) & top] = ord(sep)
+    return b.tobytes().decode("utf-8")
 
 
 def format_forward(table: pa.Table, record_cols: list[str]) -> bytes:
