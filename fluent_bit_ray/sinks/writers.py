@@ -747,24 +747,45 @@ def format_http(
     """
     import datetime
 
-    from ..functions.mp_json import mp_json_value
-
+    n = table.num_rows
+    if n == 0:
+        out = "[]"
+        if out_format in ("json_stream", "json_lines"):
+            out = _brackets_transform(
+                out, "\n" if out_format == "json_lines" else " "
+            )
+        return out
     iso = date_format == "iso8601"
-    times = None if iso else _times_sec(table)
-    times_ns = _times_ns(table) if iso else None
-    bodies = []
-    for i, rec in enumerate(_row_iter(table, record_cols)):
-        if iso:
-            # exact integer split: float math could round the fraction to
-            # 1000000 us (7-digit field) or go negative for pre-epoch times
-            sec, rem = divmod(int(times_ns[i]), 1_000_000_000)
-            dt = datetime.datetime.fromtimestamp(sec, datetime.timezone.utc)
-            date_val = dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{rem // 1000:06d}Z"
-        else:
-            date_val = float(times[i])
-        body = {date_key: date_val}
-        body.update(rec)
-        bodies.append(mp_json_value(body))
+    keyesc = flb_json_escape(date_key)
+    if iso:
+        # exact integer split: float math could round the fraction to
+        # 1000000 us (7-digit field) or go negative for pre-epoch times
+        fromts = datetime.datetime.fromtimestamp
+        utc = datetime.timezone.utc
+        vals = []
+        for tns in _times_ns(table):
+            sec, rem = divmod(int(tns), 1_000_000_000)
+            dt = fromts(sec, utc)
+            vals.append(
+                f'"{keyesc}":"'
+                + dt.strftime("%Y-%m-%dT%H:%M:%S")
+                + f'.{rem // 1000:06d}Z"'
+            )
+        datefrag = pa.array(vals, pa.string())
+    else:
+        datefrag = pa.array(
+            [f'"{keyesc}":{t:f}' for t in _times_sec(table)], pa.string()
+        )
+    frags = _mp_key_frags(table, record_cols)
+    if date_key in record_cols:
+        # dict-merge parity: non-null record value overwrites in place
+        i = record_cols.index(date_key)
+        datefrag = pc.if_else(pc.is_valid(frags[i]), frags[i], datefrag)
+        frags = frags[:i] + frags[i + 1:]
+    body = pc.binary_join_element_wise(
+        datefrag, *frags, ", ", null_handling="skip"
+    )
+    bodies = pc.binary_join_element_wise("{", body, "}", "").to_pylist()
     out = "[" + ", ".join(bodies) + "]"
     if out_format in ("json_stream", "json_lines"):
         out = _brackets_transform(out, "\n" if out_format == "json_lines" else " ")
