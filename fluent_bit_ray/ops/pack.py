@@ -102,3 +102,77 @@ def pack_chunks(
             }
         )
     return pa.concat_tables(ray.get(out_refs))
+
+
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """RAG-style per-document overlapping chunking: each doc splits into
+    windows of `chunk_tokens` tokens advancing by `chunk_tokens - overlap`
+    (the last window may be short; a doc with <= chunk_tokens tokens is
+    one chunk; empty docs emit nothing). Emits (id, chunk_idx, start_tok,
+    n_tok, chunk_text) where chunk_text joins the window's tokens with a
+    single space (= SQL array_to_string of the token-array slice, the
+    oracle form).
+
+    Pure per-batch map — chunking is doc-local, so it streams with no
+    shuffle and no state. Fully vectorized: ragged per-chunk token index
+    ranges are built with one repeat/arange pass, gathered from the flat
+    token stream, and joined per chunk by ONE Arrow binary_join.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def chunk(b: pa.Table) -> pa.Table:
+        from .text import _doc_tokens
+
+        empty = pa.table(
+            {
+                id_col: pa.array([], b.schema.field(id_col).type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start_tok": pa.array([], pa.int64()),
+                "n_tok": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        flat, bounds, n_tokens = _doc_tokens(b[text_col])
+        live = np.flatnonzero(n_tokens > 0)
+        if len(live) == 0:
+            return empty
+        n = n_tokens[live]
+        # chunks per doc: 1 if n <= chunk else 1 + ceil((n - chunk)/stride)
+        extra = np.maximum(n - chunk_tokens, 0)
+        n_chunks = 1 + (extra + stride - 1) // stride
+        doc_of = np.repeat(np.arange(len(live)), n_chunks)
+        # chunk_idx within each doc via the ragged-arange idiom
+        coff = np.concatenate(([0], np.cumsum(n_chunks)))
+        cidx = np.arange(coff[-1]) - np.repeat(coff[:-1], n_chunks)
+        start = cidx * stride
+        length = np.minimum(chunk_tokens, n[doc_of] - start)
+        # gather the window tokens from the flat stream
+        gstart = bounds[live][doc_of] + start
+        toff = np.concatenate(([0], np.cumsum(length)))
+        ridx = (np.repeat(gstart, length)
+                + np.arange(toff[-1]) - np.repeat(toff[:-1], length))
+        toks = flat.take(pa.array(ridx, pa.int64()))
+        lists = pa.ListArray.from_arrays(pa.array(toff, pa.int32()), toks)
+        texts = pc.binary_join(lists, " ")
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(live[doc_of], pa.int64())),
+                "chunk_idx": pa.array(cidx),
+                "start_tok": pa.array(start),
+                "n_tok": pa.array(length),
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -1055,6 +1055,18 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str):
+    """RAG-style overlapping chunking (64-token windows, 16 overlap):
+    chunk indices, offsets AND the joined chunk text all SQL-oracled
+    (ops/pack.chunk_documents)."""
+    from ..ops.pack import chunk_documents
+
+    return chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        chunk_tokens=64, overlap=16,
+    )
+
+
 def q_tfidf(sf_dir: str):
     """DSIR-style TF-IDF importance mass per doc (min_df=2 vocab
     truncation exercised; ops/text.tfidf_scores)."""
@@ -1218,6 +1230,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
     "heavy_hitters": q_heavy_hitters,
+    "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
@@ -1602,6 +1615,21 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    "chunk_docs": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0), "
+        "g AS (SELECT doc_id, t, n, unnest(range(0, 1 + "
+        "CASE WHEN n <= 64 THEN 0 "
+        "ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS i FROM tc) "
+        "SELECT doc_id, i AS chunk_idx, i * 48 AS start_tok, "
+        "least(64, n - i * 48) AS n_tok, "
+        "array_to_string(t[i * 48 + 1 : i * 48 + least(64, n - i * 48)], ' ') "
+        "AS chunk_text FROM g"
     ),
     # MG sketch invariant: SQL pins the exact total token count and the
     # zero-violation contract; the per-key bounds are checked in-engine

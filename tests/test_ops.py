@@ -1070,6 +1070,58 @@ class TestVocabAndPacking:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestChunkDocuments:
+    def test_hand_chunks(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import chunk_documents
+
+        toks = " ".join(str(i) for i in range(10))  # 10 tokens
+        ds = ray.data.from_items([
+            {"doc_id": 0, "text": toks},        # chunks of 4, stride 2
+            {"doc_id": 1, "text": "a b"},       # single short chunk
+            {"doc_id": 2, "text": "   "},       # empty: no chunks
+        ])
+        out = chunk_documents(ds, chunk_tokens=4, overlap=2).to_pandas()
+        d0 = out[out["doc_id"] == 0].sort_values("chunk_idx")
+        # starts 0,2,4,6 then last window [8,10) is short (len 2):
+        # n=10, extra=6, stride=2 -> 1+3=4 chunks
+        assert d0["start_tok"].tolist() == [0, 2, 4, 6]
+        assert d0["n_tok"].tolist() == [4, 4, 4, 4]
+        assert d0["chunk_text"].tolist() == [
+            "0 1 2 3", "2 3 4 5", "4 5 6 7", "6 7 8 9"
+        ]
+        d1 = out[out["doc_id"] == 1]
+        assert d1["chunk_text"].tolist() == ["a b"]
+        assert d1["n_tok"].tolist() == [2]
+        assert (out["doc_id"] == 2).sum() == 0
+
+    def test_short_tail_chunk(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import chunk_documents
+
+        ds = ray.data.from_items(
+            [{"doc_id": 0, "text": " ".join("t%d" % i for i in range(9))}]
+        )
+        out = chunk_documents(ds, chunk_tokens=4, overlap=1).to_pandas() \
+            .sort_values("chunk_idx")
+        # n=9 stride=3: starts 0,3,6 -> lengths 4,4,3
+        assert out["start_tok"].tolist() == [0, 3, 6]
+        assert out["n_tok"].tolist() == [4, 4, 3]
+        assert out["chunk_text"].iloc[-1] == "t6 t7 t8"
+
+    def test_overlap_validation(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.pack import chunk_documents
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(ray.data.from_items([{"doc_id": 0, "text": "x"}]),
+                            chunk_tokens=4, overlap=4)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestTfidf:
     def docs(self):
         import ray.data
