@@ -369,20 +369,45 @@ def pii_redact_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def vocab_topk(ds, text_col: str = "text", k: int = 100) -> pa.Table:
-    """Corpus-wide top-k most frequent whitespace tokens, ordered by
-    (count desc, token asc) — the vocabulary/statistics pass of a corpus
-    build. Map-side value_counts means only (distinct token, partial
-    count) rows leave each block; one hash exchange keyed on the token
-    sums partials (each token lives in exactly one shard, so shard-local
-    top-k is globally safe); the driver merges shards * k candidate rows.
+def _doc_ngrams(text_col, n: int) -> pa.Array:
+    """Within-doc space-joined token n-grams from the flat stream (no
+    cross-doc grams): gram i of a doc spans tokens [i, i+n). Vectorized —
+    the per-gram indices come from the bounds arithmetic, the join from
+    one binary_join_element_wise over shifted views."""
+    flat, bounds, n_tokens = _doc_tokens(text_col)
+    if n == 1:
+        return flat.filter(pc.not_equal(flat, ""))
+    raw = np.diff(bounds)
+    counts = np.maximum(raw - (n - 1), 0)
+    counts[n_tokens == 0] = 0
+    total = int(counts.sum())
+    if total == 0:
+        return pa.array([], pa.string())
+    starts = np.repeat(bounds[:-1], counts) + (
+        np.arange(total) - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1], counts)
+    )
+    views = [
+        flat.take(pa.array(starts + j, pa.int64())) for j in range(n)
+    ]
+    return pc.binary_join_element_wise(*views, " ")
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100,
+               ngram: int = 1) -> pa.Table:
+    """Corpus-wide top-k most frequent whitespace token n-grams (ngram=1:
+    plain vocabulary; 2: bigrams, never crossing doc boundaries), ordered
+    by (count desc, token asc) — the vocabulary/statistics pass of a
+    corpus build. Map-side value_counts means only (distinct gram,
+    partial count) rows leave each block; one hash exchange keyed on the
+    gram sums partials (each gram lives in exactly one shard, so
+    shard-local top-k is globally safe); the driver merges shards * k
+    candidate rows.
     """
     from ..shuffle import hash_exchange
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _doc_tokens(batch[text_col])
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.value_counts()
+        grams = _doc_ngrams(batch[text_col], ngram)
+        vc = grams.value_counts()
         return pa.table(
             {
                 "token": vc.field("values"),

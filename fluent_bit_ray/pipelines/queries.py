@@ -1055,6 +1055,14 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_vocab_bigrams(sf_dir: str):
+    """top-50 corpus bigrams (within-doc adjacent token pairs), same
+    exchange as the unigram vocab (ops/text.vocab_topk(ngram=2))."""
+    return text_ops.vocab_topk(
+        _read(sf_dir, "documents", ["text"]), k=50, ngram=2
+    )
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG-style overlapping chunking (64-token windows, 16 overlap):
     chunk indices, offsets AND the joined chunk text all SQL-oracled
@@ -1230,6 +1238,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
     "heavy_hitters": q_heavy_hitters,
+    "vocab_bigrams": q_vocab_bigrams,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -1615,6 +1624,18 @@ ORACLE_SQL: dict[str, str] = {
     "udf_filter": (
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
+    ),
+    "vocab_bigrams": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "grams AS (SELECT t[i] || ' ' || t[i + 1] AS token "
+        "FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks "
+        "WHERE len(t) >= 2)) "
+        "SELECT token, count(*)::BIGINT AS cnt FROM grams GROUP BY token "
+        "ORDER BY cnt DESC, token LIMIT 50"
     ),
     "chunk_docs": (
         "WITH toks AS (SELECT doc_id, "

@@ -983,6 +983,22 @@ class TestSampling:
 
 @pytest.mark.usefixtures("ray_session")
 class TestVocabAndPacking:
+    def test_vocab_bigrams_within_doc_only(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import vocab_topk
+
+        ds = ray.data.from_items([
+            {"text": "a b c"},      # bigrams: "a b", "b c"
+            {"text": "c a"},        # "c a" — NOT "c c" across docs
+            {"text": "a b"},        # "a b" again
+            {"text": "solo"},       # no bigram
+            {"text": "  "},         # empty
+        ])
+        out = vocab_topk(ds, k=10, ngram=2)
+        got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+        assert got == {"a b": 2, "b c": 1, "c a": 1}
+
     def test_vocab_topk_counts_and_tie_order(self):
         import ray.data
 
