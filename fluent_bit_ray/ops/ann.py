@@ -248,18 +248,23 @@ def quantized_topk(
 
     Stage 1 scans the corpus in the quantized representation (at scale
     this is the stored `quantize_embeddings` table — 4-8x less I/O and
-    heap than the float path) and keeps rerank_factor*k candidates per
-    query per block by approximate cosine. Stage 2 gathers ONLY the
-    candidate union (a per-query-bounded id set) and runs the exact
-    brute-force kernel on that tiny subset. Approximation lives solely in
-    candidate RECALL: a true neighbor is missed only if quantization
-    error pushes it below rank rerank_factor*k within its own block.
+    heap than the float path), emitting rerank_factor*k candidates per
+    query per block by approximate cosine; a query-keyed hash exchange
+    then reduces those to a GLOBAL per-query top-(rerank_factor*k), so
+    the gathered id set is bounded by nq * rerank_factor * k no matter
+    how many blocks the corpus has. Stage 2 gathers only that set and
+    runs the exact brute-force kernel on the tiny subset. Approximation
+    lives solely in candidate RECALL: a true neighbor is missed only if
+    quantization error pushes it below the per-query candidate rank.
     """
     import ray
     import pyarrow.compute as pc
 
+    from ..shuffle import hash_exchange
+
     q = _maybe_get(queries_ref)
     qmat32 = _normalize(q["mat"].astype(np.float64)).astype(np.float32)
+    q_ids = np.asarray(q["ids"], dtype=np.int64)
     m = rerank_factor * k + 1  # +1 headroom for the self-match exclusion
 
     def approx(batch: pa.Table) -> pa.Table:
@@ -270,24 +275,47 @@ def quantized_topk(
         Xq = _normalize(Xq.astype(np.float64)).astype(np.float32)
         sims = qmat32 @ Xq.T
         take = min(m, sims.shape[1])
-        # per-query block-local top-m by approx score (argpartition, then
-        # no ordering needed — candidates are a SET)
         part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
-        cand = np.unique(part.ravel())
-        return pa.table({"vec_id": pa.array(ids[cand], pa.int64())})
+        rows_q = np.repeat(np.arange(len(q_ids)), take)
+        cand = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(q_ids[rows_q]),
+                "vec_id": pa.array(ids[cand], pa.int64()),
+                "approx": pa.array(
+                    sims[rows_q, cand].astype(np.float64), pa.float64()
+                ),
+            }
+        )
 
-    cand_tables = ray.get(
-        ds.map_batches(approx, batch_format="pyarrow", batch_size=None)
-        .to_arrow_refs()
+    def per_query_topm(t: pa.Table) -> pa.Table:
+        # (approx desc, vec_id asc)-best m per query — same lexsort+rank
+        # idiom as ops/sample, fixed-width rows only
+        qi = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vi = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = t["approx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vi, -sc, qi))
+        qo = qi[order]
+        new = np.ones(len(qo), dtype=bool)
+        new[1:] = qo[1:] != qo[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(qo)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(qo)])))
+        )
+        keep = order[rank < m]
+        return t.take(pa.array(np.sort(keep)))
+
+    parts = ds.map_batches(approx, batch_format="pyarrow", batch_size=None)
+    topm = hash_exchange(
+        parts.to_arrow_refs(), ["query_id"], per_query_topm,
+        combine_fn=per_query_topm,
     )
-    live = [t for t in cand_tables
-            if t is not None and t.num_rows and "vec_id" in t.column_names]
-    if not live:
+    if topm is None or topm.num_rows == 0:
         return ds.map_batches(lambda b: pa.table(
             {"query_id": pa.array([], pa.int64()),
              "vec_id": pa.array([], pa.int64()),
              "rank": pa.array([], pa.int64())}), batch_format="pyarrow")
-    cset = pc.unique(pa.concat_tables(live)["vec_id"].combine_chunks())
+    cset = pc.unique(topm["vec_id"].combine_chunks())
     cref = ray.put(cset)
 
     def filt(b: pa.Table) -> pa.Table:

@@ -100,6 +100,7 @@ def asof_join(
     right_val_col: str,
     out_ts: str = "asof_ts_us",
     out_val: str = "asof_value",
+    shard_output_dir: Optional[str] = None,
 ) -> Optional[pa.Table]:
     """For each left row: the latest right row of the same key with
     right.ts <= left.ts (SQL `ASOF LEFT JOIN ... ON l.k = r.k AND
@@ -151,8 +152,11 @@ def asof_join(
 
     lhs = _prep_side(left_ds, key_col, ts_col, {c: c for c in left_cols}, 1)
     rhs = _prep_side(right_ds, key_col, ts_col, {right_val_col: "_rval"}, 0)
+    # the output is LEFT-side sized: pass shard_output_dir at corpus scale
+    # so reduce shards stream parquet instead of landing on the driver
     return hash_exchange(
-        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish
+        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish,
+        shard_output_dir=shard_output_dir,
     )
 
 
@@ -167,6 +171,7 @@ def range_join_agg(
     hi_sec: int,
     out_n: str = "n_in_range",
     out_sum: str = "sum_in_range",
+    shard_output_dir: Optional[str] = None,
 ) -> Optional[pa.Table]:
     """Band/range join in aggregate form: per left row, count and sum of
     same-key right rows with ts in [l.ts - lo_sec, l.ts + hi_sec], both
@@ -225,7 +230,8 @@ def range_join_agg(
     lhs = _prep_side(left_ds, key_col, ts_col, {c: c for c in left_cols}, 1)
     rhs = _prep_side(right_ds, key_col, ts_col, {right_val_col: "_rval"}, 0)
     return hash_exchange(
-        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish
+        lhs.to_arrow_refs() + rhs.to_arrow_refs(), [key_col], finish,
+        shard_output_dir=shard_output_dir,
     )
 
 
