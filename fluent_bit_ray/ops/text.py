@@ -592,3 +592,41 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+_URL_PARTS = (
+    ("scheme", r"^([A-Za-z][A-Za-z0-9+.\-]*)://"),
+    ("host", r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/:?#]*)"),
+    ("port", r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?[^/:?#]*:([0-9]+)"),
+    ("path", r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?[^/?#]*(/[^?#]*)"),
+    ("query", r"\?([^#]*)"),
+    ("fragment", r"#(.*)$"),
+)
+
+
+def url_parts_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized URL decomposition (scheme/host/port/path/query/fragment)
+    — the per-host/per-path keys a web-corpus pipeline groups on. One
+    Arrow RE2 scan per part with the EXACT patterns the SQL oracle uses
+    (regexp_extract parity: no match -> empty string, never null)."""
+    col = batch[url_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    out = {url_col: col}
+    for name, pat in _URL_PARTS:
+        ex = pc.extract_regex(col, _named(pat))
+        out[name] = pc.if_else(pc.is_valid(ex), ex.field("g"), "")
+    return pa.table(out)
+
+
+def _named(pat: str) -> str:
+    """Insert a name on the FIRST capturing group (Arrow extract_regex
+    needs named groups; the SQL twin uses the same pattern with group 1).
+    Non-capturing `(?:` groups are untouched."""
+    i = 0
+    while True:
+        i = pat.index("(", i)
+        if pat[i : i + 3] != "(?:":
+            return pat[:i] + "(?P<g>" + pat[i + 1 :]
+        i += 1

@@ -1151,6 +1151,20 @@ def q_weblog_aggregate(sf_dir: str):
     return aggregate_only(sf_dir)
 
 
+def q_url_parts(sf_dir: str):
+    """vectorized URL decomposition over the pages table's url column
+    (scheme/host/port/path/query/fragment; one Arrow RE2 scan per part,
+    regexp_extract parity — ops/text.url_parts_batch)."""
+    import ray.data
+
+    from ..synth import pages_path, pages_rows_for_sf
+
+    ds = ray.data.read_parquet(
+        pages_path(pages_rows_for_sf(sf_dir)), columns=["url"]
+    )
+    return ds.map_batches(text_ops.url_parts_batch, batch_format="pyarrow")
+
+
 def q_weblog_from_html(sf_dir: str):
     """flagship over the RAW html binary column (byte-exact body-span
     extraction instead of the pre-extracted text column); pytest asserts
@@ -1243,6 +1257,7 @@ QUERIES: dict[str, Callable] = {
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
+    "url_parts": q_url_parts,
 }
 
 
@@ -1776,4 +1791,17 @@ def oracle_sql_full() -> dict[str, str]:
     sql = weblog_aggregate_sql(pages_path(rows) + "/*.parquet")
     out["weblog_aggregate"] = sql
     out["weblog_from_html"] = sql
+    # url decomposition over the same pages corpus: the SQL twin runs the
+    # EXACT regex patterns the engine's Arrow RE2 scans use (ops/text
+    # ._URL_PARTS), group 1, with regexp_extract's empty-on-no-match
+    from ..ops.text import _URL_PARTS
+
+    parts_sql = ", ".join(
+        f"regexp_extract(url, '{pat}', 1) AS {name}"
+        for name, pat in _URL_PARTS
+    )
+    out["url_parts"] = (
+        f"SELECT url, {parts_sql} "
+        f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
+    )
     return out

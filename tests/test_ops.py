@@ -1085,6 +1085,35 @@ class TestVocabAndPacking:
             pack_chunks(ds, chunk_tokens=4)
 
 
+class TestUrlParts:
+    def test_decomposition_matrix(self):
+        import pyarrow as _pa
+
+        from fluent_bit_ray.ops.text import url_parts_batch
+
+        t = _pa.table({"url": [
+            "https://h3.example.net/0/9c9.html",
+            "http://a.b:8080/p/q?x=1&y=2#frag",
+            "ftp://files.example.com",
+            "no-scheme.example/path",
+            "",
+            None,
+        ]})
+        got = url_parts_batch(t).to_pylist()
+        assert got[0]["scheme"] == "https"
+        assert got[0]["host"] == "h3.example.net"
+        assert got[0]["path"] == "/0/9c9.html"
+        assert got[1] == {"url": "http://a.b:8080/p/q?x=1&y=2#frag",
+                          "scheme": "http", "host": "a.b", "port": "8080",
+                          "path": "/p/q", "query": "x=1&y=2",
+                          "fragment": "frag"}
+        assert got[2]["host"] == "files.example.com"
+        assert got[3]["scheme"] == "" and got[3]["host"] == "no-scheme.example"
+        # empty and null urls give all-empty parts (regexp_extract parity)
+        for r in got[4:]:
+            assert all(v == "" for k, v in r.items())
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestChunkDocuments:
     def test_hand_chunks(self):
