@@ -150,3 +150,64 @@ def session_windows(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def running_totals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_shards: int = 16,
+):
+    """Per-key running aggregates over event time — the cumulative-counter
+    shape (a per-entity flowcounter in running form): for every row, the
+    count and value-sum of all same-key rows up to and including it
+    (order: ts, then id for deterministic ties). SQL parity: `count(*) /
+    sum(val) OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)` — in particular cum_sum is NULL while a key's prefix has
+    seen no non-null value (SQL SUM semantics), not 0.
+
+    Hash-sharded like the window ops: ONE pandas body per shard serves
+    all its keys — a composite sort, then per-key-resetting cumulative
+    sums via the prefix-minus-group-start idiom (no per-key Python).
+    Partitioning assumption (documented): one KEY's rows fit the shard.
+    """
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        reps = np.diff(np.concatenate((starts, [len(c)])))
+
+        v = df[val_col].to_numpy(dtype=np.float64)
+        nn = ~np.isnan(v)
+        cs = np.cumsum(np.where(nn, v, 0.0))
+        cn = np.cumsum(nn.astype(np.int64))
+        # per-key reset: subtract the running value just BEFORE each
+        # key's first row
+        base_s = np.concatenate(([0.0], cs))[starts]
+        base_n = np.concatenate(([0], cn))[starts]
+        cum_sum = cs - np.repeat(base_s, reps)
+        nonnull = cn - np.repeat(base_n, reps)
+        cum_n = np.arange(len(c)) - np.repeat(starts, reps) + 1
+        out = pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                "ts_us": ns[order] // 1000,
+                "cum_n": cum_n.astype(np.int64),
+                "cum_sum": np.where(nonnull > 0, cum_sum, np.nan),
+            }
+        )
+        return out
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -1121,6 +1121,17 @@ def q_kmeans_invariant(sf_dir: str):
     )
 
 
+def q_running_totals(sf_dir: str):
+    """per-key running count/sum over event time (cumulative-counter
+    form; SQL window-function parity incl. NULL-prefix sums —
+    ops/windows.running_totals)."""
+    from ..ops.windows import running_totals
+
+    return running_totals(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
 def q_udf_filter(sf_dir: str):
     """filter_lua analog (UdfFilter): a columnar UDF that drops error rows
     and derives a doubled value — semantics simple enough for a SQL twin."""
@@ -1238,6 +1249,7 @@ QUERIES: dict[str, Callable] = {
     "syslog_events": q_syslog_events,
     "forward_events": q_forward_events,
     "salted_topk": q_salted_topk,
+    "running_totals": q_running_totals,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -1724,6 +1736,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "running_totals": (
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        "count(*) OVER w AS cum_n, sum(value) OVER w AS cum_sum "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)"
     ),
     "topn_per_key": (
         "SELECT event_type, value, event_id FROM ("

@@ -568,6 +568,39 @@ class TestKMeans:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRunningTotals:
+    def test_resets_ties_and_null_prefix(self):
+        import datetime
+
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import running_totals
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        rows = [
+            {"event_id": 0, "user_id": 1, "ts": at(10), "value": None},
+            {"event_id": 1, "user_id": 1, "ts": at(20), "value": 2.0},
+            {"event_id": 2, "user_id": 1, "ts": at(20), "value": 3.0},  # tie
+            {"event_id": 3, "user_id": 2, "ts": at(5), "value": 7.0},
+        ]
+        out = {r["event_id"]: (r["cum_n"], r["cum_sum"])
+               for r in running_totals(
+                   ray.data.from_items(rows), num_shards=3
+               ).to_pandas().to_dict("records")}
+        import math
+
+        # null-value prefix: SQL SUM gives NULL, not 0
+        assert out[0][0] == 1 and math.isnan(out[0][1])
+        assert out[1] == (2, 2.0)   # ties order by event_id
+        assert out[2] == (3, 5.0)
+        assert out[3] == (1, 7.0)   # key reset
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def events_ds(self):
         import datetime
