@@ -403,3 +403,157 @@ def heavy_hitters_error_check(
             "n_violations": pa.array([viol], pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------------- HyperLogLog
+
+
+def _msb_index(v: np.ndarray, bits: int) -> np.ndarray:
+    """0-based index of the highest set bit per element (uint64 input),
+    vectorized bit-twiddling (exact — no float log2, which breaks past
+    2^53). v == 0 yields -1."""
+    idx = np.full(len(v), -1, dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        if s < bits:
+            y = x >> np.uint64(s)
+            gt = y != 0
+            idx[gt] += s
+            x = np.where(gt, y, x)
+    idx[v != 0] += 1
+    return idx
+
+
+def hll_registers(hashes: np.ndarray, p: int = 14) -> np.ndarray:
+    """One block's HLL register array (2^p uint8): register = top p hash
+    bits, value = max over items of (leading-zero count of the remaining
+    64-p bits) + 1. Registers merge across blocks/nodes by elementwise
+    MAX — fully associative/commutative (the HLL mergeability property).
+    """
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    h = hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    msb = _msb_index(low, 64 - p)
+    rank = (64 - p) - msb  # msb=-1 (low==0) -> 64-p+1
+    rank = np.where(msb < 0, 64 - p + 1, rank).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; large-range correction is unnecessary at 64-bit."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(e)
+
+
+def hll_distinct(
+    ds,
+    item_col: str,
+    p: int = 14,
+    fanin: int = 32,
+    tokenize: bool = False,
+) -> float:
+    """Approximate corpus-wide COUNT(DISTINCT item) with fixed 2^p-byte
+    state: per-block registers, elementwise-max merged up a fan-in tree
+    of remote tasks (the third mergeable sketch next to the quantile
+    histogram and Misra-Gries). Standard error ~1.04/sqrt(2^p) (~0.8% at
+    p=14). Deterministic for a given corpus — the item hash is the
+    engine's fixed string hash."""
+    import ray
+
+    from .dedup import _hash_string_array
+
+    def block_regs(b: pa.Table) -> pa.Table:
+        if tokenize:
+            from .text import _doc_tokens
+
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        if len(items) == 0:
+            regs = np.zeros(1 << p, dtype=np.uint8)
+        else:
+            regs = hll_registers(_hash_string_array(items.unique()), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    @ray.remote
+    def max_group(*tables):
+        acc = np.zeros(1 << p, dtype=np.uint8)
+        for t in tables:
+            if t is None or "regs" not in t.column_names:
+                continue  # empty blocks pass through map_batches unmapped
+            for buf in t["regs"].to_pylist():
+                acc = np.maximum(acc, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({"regs": pa.array([acc.tobytes()], pa.large_binary())})
+
+    refs = ds.map_batches(
+        block_regs, batch_format="pyarrow", batch_size=None
+    ).to_arrow_refs()
+    while len(refs) > 1:
+        refs = [max_group.remote(*refs[i : i + fanin])
+                for i in range(0, len(refs), fanin)]
+    if not refs:
+        return 0.0
+    final = ray.get(refs[0])
+    if "regs" not in final.column_names or final.num_rows == 0:
+        return 0.0
+    return hll_estimate(np.frombuffer(final["regs"].to_pylist()[0],
+                                      dtype=np.uint8))
+
+
+def hll_error_check(
+    ds,
+    item_col: str,
+    p: int = 14,
+    tokenize: bool = False,
+    n_sigma: float = 6.0,
+) -> pa.Table:
+    """Invariant table for the driver oracle: the HLL estimate vs the
+    exact distinct count (one item-keyed unique exchange), pinned to be
+    within n_sigma standard errors (deterministic for a fixed corpus +
+    the engine's fixed hash)."""
+
+    def uniq_partial(b: pa.Table) -> pa.Table:
+        if tokenize:
+            from .text import _doc_tokens
+
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        return pa.table({"key": items.unique()})
+
+    merged = hash_exchange(
+        ds.select_columns([item_col]).map_batches(
+            uniq_partial, batch_format="pyarrow"
+        ).to_arrow_refs(),
+        ["key"],
+        lambda t: pa.table({"key": pc.unique(t["key"])}),
+    )
+    exact = 0 if merged is None else merged.num_rows
+    est = hll_distinct(ds, item_col, p=p, tokenize=tokenize)
+    rel_err = abs(est - exact) / exact if exact else abs(est)
+    bound = n_sigma * 1.04 / np.sqrt(1 << p)
+    return pa.table(
+        {
+            "exact_distinct": pa.array([exact], pa.int64()),
+            "within_bound": pa.array([int(rel_err <= bound)], pa.int64()),
+        }
+    )

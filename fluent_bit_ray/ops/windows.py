@@ -211,3 +211,48 @@ def running_totals(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def lag_deltas(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_shards: int = 16,
+):
+    """Per-key lag features: for each row, the previous same-key row's
+    value and the inter-arrival gap in seconds (nulls for a key's first
+    row) — `lag(...) OVER (PARTITION BY key ORDER BY ts, id)` parity.
+    The inter-arrival delta is THE session/abuse/rate telemetry feature.
+    Same shard machinery as running_totals: one composite sort per shard,
+    the lag is a shifted view with the per-key first row nulled."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        ns_s = ns[order]
+        v = df[val_col].to_numpy(dtype=np.float64)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        prev_v = np.concatenate(([np.nan], v[:-1]))
+        prev_ns = np.concatenate(([0], ns_s[:-1]))
+        prev_v[first] = np.nan
+        gap = (ns_s - prev_ns) / 1e9
+        gap[first] = np.nan
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                "prev_value": prev_v,
+                "gap_sec": gap,
+            }
+        )
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

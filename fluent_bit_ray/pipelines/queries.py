@@ -1097,6 +1097,17 @@ def q_percentiles_sketch(sf_dir: str):
     )
 
 
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-token estimate vs the exact unique exchange,
+    pinned within 6 standard errors (~0.5% at p=14; deterministic for the
+    engine's fixed hash — ops/stats.hll_distinct)."""
+    from ..ops.stats import hll_error_check
+
+    return hll_error_check(
+        _read(sf_dir, "documents", ["text"]), "text", tokenize=True
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent-token sketch vs exact corpus counts: the
     mergeable-summary guarantees (presence above n/(m+1), lower-bound
@@ -1128,6 +1139,16 @@ def q_running_totals(sf_dir: str):
     from ..ops.windows import running_totals
 
     return running_totals(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    )
+
+
+def q_lag_deltas(sf_dir: str):
+    """per-key lag features: previous value + inter-arrival gap seconds
+    (SQL lag() parity; ops/windows.lag_deltas)."""
+    from ..ops.windows import lag_deltas
+
+    return lag_deltas(
         _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
     )
 
@@ -1250,6 +1271,7 @@ QUERIES: dict[str, Callable] = {
     "forward_events": q_forward_events,
     "salted_topk": q_salted_topk,
     "running_totals": q_running_totals,
+    "lag_deltas": q_lag_deltas,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -1264,6 +1286,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
     "heavy_hitters": q_heavy_hitters,
+    "hll_distinct": q_hll_distinct,
     "vocab_bigrams": q_vocab_bigrams,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
@@ -1652,6 +1675,19 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_id, event_type, value * 2.0 AS double_value "
         "FROM events WHERE event_type <> 'error'"
     ),
+    # HLL invariant: SQL pins the exact distinct-token count and the
+    # within-bound contract (the estimate is deterministic given the
+    # engine's fixed hash; the bound check runs in-engine)
+    "hll_distinct": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT unnest(t) AS token FROM toks) "
+        "SELECT count(DISTINCT token)::BIGINT AS exact_distinct, "
+        "1 AS within_bound FROM flat"
+    ),
     "vocab_bigrams": (
         "WITH toks AS (SELECT "
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
@@ -1736,6 +1772,12 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "lag_deltas": (
+        "SELECT user_id, event_id, lag(value) OVER w AS prev_value, "
+        "epoch(ts) - lag(epoch(ts)) OVER w AS gap_sec "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)"
     ),
     "running_totals": (
         "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "

@@ -601,6 +601,88 @@ class TestRunningTotals:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestHyperLogLog:
+    def test_registers_merge_and_estimate_accuracy(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import (
+            hll_distinct,
+            hll_estimate,
+            hll_registers,
+        )
+
+        # register MERGE property: regs(A ∪ B) == max(regs(A), regs(B))
+        ha = (np.arange(1, 2001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        hb = (np.arange(1500, 3501, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        ra, rb = hll_registers(ha, p=10), hll_registers(hb, p=10)
+        runion = hll_registers(np.union1d(ha, hb), p=10)
+        assert np.array_equal(np.maximum(ra, rb), runion)
+        # accuracy on a 20k-distinct stream across block layouts
+        rows = [{"item": f"x{i % 20000}"} for i in range(50000)]
+        for parts in (2, 13):
+            est = hll_distinct(
+                ray.data.from_items(rows).repartition(parts), "item", p=12
+            )
+            assert abs(est - 20000) / 20000 < 0.1  # ~6 sigma at p=12
+        # duplicates don't move the estimate (set semantics)
+        est2 = hll_distinct(
+            ray.data.from_items(rows + rows), "item", p=12
+        )
+        assert abs(est2 - est) < 1e-9
+
+    def test_small_range_linear_counting(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import hll_distinct
+
+        rows = [{"item": f"only{i}"} for i in range(30)]
+        est = hll_distinct(ray.data.from_items(rows), "item", p=10)
+        assert abs(est - 30) < 2  # linear-counting regime is near-exact
+
+    def test_error_check_table(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import hll_error_check
+
+        docs = [{"text": " ".join(f"w{j}" for j in range(i, i + 10))}
+                for i in range(0, 500, 10)]
+        out = hll_error_check(
+            ray.data.from_items(docs), "text", tokenize=True
+        ).to_pylist()[0]
+        assert out == {"exact_distinct": 500, "within_bound": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLagDeltas:
+    def test_lag_and_gap(self):
+        import datetime
+        import math
+
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import lag_deltas
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def at(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        rows = [
+            {"event_id": 0, "user_id": 1, "ts": at(10), "value": 1.0},
+            {"event_id": 1, "user_id": 1, "ts": at(25), "value": None},
+            {"event_id": 2, "user_id": 1, "ts": at(26), "value": 4.0},
+            {"event_id": 3, "user_id": 2, "ts": at(99), "value": 9.0},
+        ]
+        out = {r["event_id"]: (r["prev_value"], r["gap_sec"])
+               for r in lag_deltas(ray.data.from_items(rows), num_shards=2)
+               .to_pandas().to_dict("records")}
+        assert math.isnan(out[0][0]) and math.isnan(out[0][1])  # first row
+        assert out[1] == (1.0, 15.0)
+        assert math.isnan(out[2][0]) and out[2][1] == 1.0  # lag of NULL value
+        assert math.isnan(out[3][0]) and math.isnan(out[3][1])  # new key
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWindows:
     def events_ds(self):
         import datetime
