@@ -557,3 +557,78 @@ def hll_error_check(
             "within_bound": pa.array([int(rel_err <= bound)], pa.int64()),
         }
     )
+
+
+def hll_distinct_per_key(
+    ds,
+    key_col: str,
+    item_col: str,
+    p: int = 12,
+) -> Optional[pa.Table]:
+    """Approximate COUNT(DISTINCT item) PER KEY (distinct visitors per
+    host, distinct urls per domain): per block each key emits its SPARSE
+    non-zero HLL registers as (key, reg, rank) rows — at most 2^p rows
+    per key per block, usually far fewer — which merge through one
+    key-hash exchange with a rank-MAX combiner. Estimation happens
+    shard-locally per key; nothing key-sized ever lands on the driver.
+    Emits (key, approx_distinct)."""
+    from .dedup import _hash_string_array
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        items = b[item_col]
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        valid = pc.and_(pc.is_valid(keys), pc.is_valid(items))
+        keys = keys.filter(valid)
+        items = items.filter(valid)
+        if len(keys) == 0:
+            return pa.table({key_col: pa.array([], b.schema.field(key_col).type),
+                             "reg": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        h = _hash_string_array(pc.cast(items, pa.string()))
+        codes, uniq = pd.factorize(
+            pd.Series(keys.to_pandas()), use_na_sentinel=False
+        )
+        reg = (h >> np.uint64(64 - p)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - p)) - 1)
+        msb = _msb_index(low, 64 - p)
+        rank = np.where(msb < 0, 64 - p + 1, (64 - p) - msb).astype(np.int64)
+        # sparse per-(key, reg) max via lexsort + run tails
+        order = np.lexsort((rank, reg, codes))
+        ck, cr, rk = codes[order], reg[order], rank[order]
+        tail = np.ones(len(ck), dtype=bool)
+        tail[:-1] = (ck[1:] != ck[:-1]) | (cr[1:] != cr[:-1])
+        return pa.table(
+            {
+                key_col: pa.array(np.asarray(uniq, dtype=object)[ck[tail]]),
+                "reg": pa.array(cr[tail]),
+                "rank": pa.array(rk[tail]),
+            }
+        )
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, "reg"]).aggregate([("rank", "max")])
+        return g.rename_columns([key_col, "reg", "rank"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = combine(t).to_pandas()
+        keys_out, ests = [], []
+        for key, g in df.groupby(key_col, sort=False, dropna=False):
+            regs = np.zeros(1 << p, dtype=np.uint8)
+            np.maximum.at(regs, g["reg"].to_numpy(),
+                          g["rank"].to_numpy().astype(np.uint8))
+            keys_out.append(key)
+            ests.append(hll_estimate(regs))
+        return pa.Table.from_pandas(
+            pd.DataFrame({key_col: keys_out, "approx_distinct": ests}),
+            preserve_index=False,
+        )
+
+    pruned = ds.select_columns([key_col, item_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_exchange(pruned.to_arrow_refs(), [key_col], finish,
+                         combine_fn=combine)

@@ -1108,6 +1108,60 @@ def q_hll_distinct(sf_dir: str):
     )
 
 
+def q_hll_per_key(sf_dir: str):
+    """keyed HLL (distinct users per event type) vs the exact per-key
+    distinct counts, pinned within 6 standard errors per key
+    (ops/stats.hll_distinct_per_key)."""
+    from ..ops.stats import hll_distinct_per_key
+    from ..shuffle import hash_exchange
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def as_str(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user": pc.cast(b["user_id"], pa.string()),
+            }
+        )
+
+    s = ds.map_batches(as_str, batch_format="pyarrow")
+    p = 12
+    approx = hll_distinct_per_key(s, "event_type", "user", p=p)
+
+    def uniq_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b["event_type"], "user": b["user"]})
+        return t.group_by(["event_type", "user"]).aggregate([]).select(
+            ["event_type", "user"]
+        )
+
+    def nunique(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user"]).aggregate([])
+        g2 = g.group_by(["event_type"]).aggregate([("user", "count")])
+        return g2.rename_columns(["event_type", "exact"])
+
+    exact = hash_exchange(
+        s.map_batches(uniq_partial, batch_format="pyarrow").to_arrow_refs(),
+        ["event_type"],
+        nunique,
+    )
+    a = {r["event_type"]: r["approx_distinct"] for r in approx.to_pylist()}
+    e = {r["event_type"]: r["exact"] for r in exact.to_pylist()}
+    bound = 6.0 * 1.04 / np.sqrt(1 << p)
+    viol = sum(
+        1
+        for k, ex in e.items()
+        if abs(a.get(k, 0.0) - ex) / ex > bound
+    )
+    viol += sum(1 for k in a if k not in e)
+    return pa.table(
+        {
+            "n_keys": pa.array([len(e)], pa.int64()),
+            "n_violations": pa.array([viol], pa.int64()),
+        }
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent-token sketch vs exact corpus counts: the
     mergeable-summary guarantees (presence above n/(m+1), lower-bound
@@ -1287,6 +1341,7 @@ QUERIES: dict[str, Callable] = {
     "tfidf": q_tfidf,
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
+    "hll_per_key": q_hll_per_key,
     "vocab_bigrams": q_vocab_bigrams,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
@@ -1687,6 +1742,10 @@ ORACLE_SQL: dict[str, str] = {
         "flat AS (SELECT unnest(t) AS token FROM toks) "
         "SELECT count(DISTINCT token)::BIGINT AS exact_distinct, "
         "1 AS within_bound FROM flat"
+    ),
+    "hll_per_key": (
+        "SELECT count(DISTINCT event_type) AS n_keys, 0 AS n_violations "
+        "FROM events"
     ),
     "vocab_bigrams": (
         "WITH toks AS (SELECT "

@@ -630,6 +630,25 @@ class TestHyperLogLog:
         )
         assert abs(est2 - est) < 1e-9
 
+    def test_per_key_estimates(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import hll_distinct_per_key
+
+        rows = []
+        for i in range(6000):
+            rows.append({"k": "big", "item": f"u{i % 3000}"})
+        for i in range(40):
+            rows.append({"k": "small", "item": f"v{i % 20}"})
+        for parts in (1, 9):
+            out = {r["k"]: r["approx_distinct"]
+                   for r in hll_distinct_per_key(
+                       ray.data.from_items(rows).repartition(parts),
+                       "k", "item", p=11
+                   ).to_pylist()}
+            assert abs(out["big"] - 3000) / 3000 < 0.15
+            assert abs(out["small"] - 20) < 2  # linear-counting regime
+
     def test_small_range_linear_counting(self):
         import ray.data
 
