@@ -1251,6 +1251,60 @@ def q_url_parts(sf_dir: str):
     return ds.map_batches(text_ops.url_parts_batch, batch_format="pyarrow")
 
 
+def _warc_fixture(sf_dir: str) -> str:
+    """Deterministic WARC corpus built once from the pages parquet (one
+    .warc.gz per shard, cached under /tmp) — the Common-Crawl at-rest
+    form of the same pages."""
+    import glob as g
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.warc import write_warc
+    from ..synth import pages_path, pages_rows_for_sf
+
+    src = pages_path(pages_rows_for_sf(sf_dir))
+    out_dir = src.rstrip("/") + "_warc"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out_dir, exist_ok=True)
+        for shard in sorted(g.glob(os.path.join(src, "*.parquet"))):
+            name = os.path.basename(shard).replace(".parquet", ".warc.gz")
+            write_warc(
+                _pq.read_table(shard, columns=["url", "warc_ts", "html"]),
+                os.path.join(out_dir, name),
+                compress=True,
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """WARC ingestion: the pages corpus written as per-record-gzipped
+    WARC response records (the Common-Crawl at-rest format) and read
+    back by sources/warc.read_warc — url, timestamp, and payload byte
+    length must match the parquet original exactly."""
+    import ray.data
+
+    from ..sources.warc import read_warc
+
+    warc_dir = _warc_fixture(sf_dir)
+    ds = read_warc(warc_dir)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": b["url"],
+                "ts_us": pc.cast(b["warc_ts"], pa.int64()),
+                "html_bytes": pc.cast(
+                    pc.binary_length(b["html"]), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def q_weblog_from_html(sf_dir: str):
     """flagship over the RAW html binary column (byte-exact body-span
     extraction instead of the pre-extracted text column); pytest asserts
@@ -1348,6 +1402,7 @@ QUERIES: dict[str, Callable] = {
     "weblog_aggregate": q_weblog_aggregate,
     "weblog_from_html": q_weblog_from_html,
     "url_parts": q_url_parts,
+    "warc_roundtrip": q_warc_roundtrip,
 }
 
 
@@ -1921,6 +1976,13 @@ def oracle_sql_full() -> dict[str, str]:
     )
     out["url_parts"] = (
         f"SELECT url, {parts_sql} "
+        f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
+    )
+    # WARC roundtrip: the reader's output must match the parquet original
+    # per url (timestamp + payload byte length)
+    out["warc_roundtrip"] = (
+        "SELECT url, epoch_us(warc_ts) AS ts_us, "
+        "octet_length(html)::BIGINT AS html_bytes "
         f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
     )
     return out

@@ -1,0 +1,166 @@
+"""Minimal WARC (ISO 28500 / WARC/1.0, public spec) writer + Ray reader.
+
+Common Crawl's at-rest format: the pages tables this engine processes are
+born as WARC response records, so the ingestion loop closes here — write a
+deterministic WARC from a pages table (test fixture / export), read WARC
+files into the engine as a streaming Dataset of (url, warc_ts, html).
+
+Reference note: the reference engine (michiel/fluent-bit) ingests log
+FILES (in_tail); WARC is this engine's web-corpus analog of that boundary.
+The format implementation follows the public WARC/1.0 spec, not any
+existing reader.
+
+Scale shape: `read_warc` maps over whole WARC files
+(`ray.data.read_binary_files` — one task per file, the unit Common Crawl
+shards by), parsing records with C-speed bytes.find/split; per-record
+gzip members (the CC convention) and plain concatenated records are both
+handled. Parsing emits only (url, ts, payload) — HTTP headers are split
+off and dropped at the boundary, so the wide payload bytes flow straight
+into the normal pruned-read pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import numpy as np
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def _iso8601(ts_us: int) -> str:
+    import datetime
+
+    dt = datetime.datetime.fromtimestamp(
+        ts_us // 1_000_000, datetime.timezone.utc
+    )
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def write_warc(
+    table: pa.Table,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+    compress: bool = False,
+) -> int:
+    """Write one WARC file of response records from a pages table.
+    Each record: WARC/1.0 header block, an HTTP/1.1 200 response header,
+    then the payload bytes. `compress=True` gzips each record as its own
+    member (the Common Crawl layout). Returns the record count."""
+    urls = table[url_col].to_pylist()
+    ts = table[ts_col]
+    if pa.types.is_timestamp(ts.type):
+        import pyarrow.compute as pc
+
+        ts_us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_pylist()
+    else:
+        ts_us = ts.to_pylist()
+    payloads = table[payload_col].to_pylist()
+    out = open(path, "wb")
+    try:
+        for url, t, body in zip(urls, ts_us, payloads):
+            if body is None:
+                body = b""
+            if isinstance(body, str):
+                body = body.encode("utf-8")
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                b"Content-Length: " + str(len(body)).encode() + _SEP
+            )
+            block = http + body
+            hdr = (
+                b"WARC/1.0\r\n"
+                b"WARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url.encode() + _CRLF +
+                b"WARC-Date: " + _iso8601(int(t or 0)).encode() + _CRLF +
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(block)).encode() + _SEP
+            )
+            rec = hdr + block + _CRLF + _CRLF
+            if compress:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                out.write(buf.getvalue())
+            else:
+                out.write(rec)
+    finally:
+        out.close()
+    return len(urls)
+
+
+def _parse_warc_bytes(data: bytes):
+    """Yield (url, ts_us, payload bytes) for every response record in a
+    WARC byte stream (handles multi-member gzip transparently)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # multi-member streams decompress whole
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/1.0", pos)
+        if start < 0:
+            break
+        hdr_end = data.find(_SEP, start)
+        if hdr_end < 0:
+            break
+        header = data[start:hdr_end].decode("utf-8", "replace")
+        fields = {}
+        for line in header.split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields.get("content-length", "0"))
+        block = data[hdr_end + 4 : hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        if fields.get("warc-type") != "response":
+            continue
+        url = fields.get("warc-target-uri", "")
+        date = fields.get("warc-date", "")
+        ts_us = 0
+        if date:
+            import datetime
+
+            try:
+                dt = datetime.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+                ts_us = int(dt.replace(
+                    tzinfo=datetime.timezone.utc
+                ).timestamp()) * 1_000_000
+            except ValueError:
+                pass
+        # split the HTTP response header off the payload
+        body_at = block.find(_SEP)
+        payload = block[body_at + 4 :] if body_at >= 0 else block
+        yield url, ts_us, payload
+
+
+def read_warc(paths):
+    """Ray Dataset of (url, warc_ts us-timestamp, html binary) from WARC
+    files — one read/parse task per file, streaming thereafter."""
+    import ray.data
+
+    files = ray.data.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls: list = []
+        ts: list = []
+        bodies: list = []
+        for data in batch["bytes"].to_pylist():
+            for url, t, payload in _parse_warc_bytes(data):
+                urls.append(url)
+                ts.append(t)
+                bodies.append(payload)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(
+                    np.asarray(ts, dtype=np.int64), pa.timestamp("us", tz="UTC")
+                ),
+                "html": pa.array(bodies, pa.large_binary()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")
