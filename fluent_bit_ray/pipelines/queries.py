@@ -1263,15 +1263,18 @@ def _warc_fixture(sf_dir: str) -> str:
     from ..synth import pages_path, pages_rows_for_sf
 
     src = pages_path(pages_rows_for_sf(sf_dir))
-    out_dir = src.rstrip("/") + "_warc"
+    out_dir = src.rstrip("/") + "_warc_v2"  # v2: carries the lang header
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out_dir, exist_ok=True)
         for shard in sorted(g.glob(os.path.join(src, "*.parquet"))):
             name = os.path.basename(shard).replace(".parquet", ".warc.gz")
             write_warc(
-                _pq.read_table(shard, columns=["url", "warc_ts", "html"]),
+                _pq.read_table(
+                    shard, columns=["url", "warc_ts", "html", "lang"]
+                ),
                 os.path.join(out_dir, name),
+                lang_col="lang",
                 compress=True,
             )
         with open(done, "w") as f:
@@ -1303,6 +1306,47 @@ def q_warc_roundtrip(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_weblog_from_warc(sf_dir: str):
+    """the COMPLETE Common-Crawl loop: per-record-gzip WARC files ->
+    read_warc (url/ts/html/lang + _src provenance) -> byte-exact body
+    extraction -> the same parse/enrich/aggregate chain — must hash-match
+    the weblog_aggregate oracle computed from the parquet original."""
+    import ray
+
+    from ..ops.multimodal import html_body_text
+    from ..sources.warc import read_warc
+    from .weblog import (
+        AGG_KEYS,
+        AGG_VALS,
+        combine_partial_rows,
+        default_lookup,
+        make_enrich_fn,
+        parse_fn,
+    )
+    from .weblog import DEFAULT_SINKS
+    from ..sinks.writers import SinkWriteStage
+
+    warc_dir = _warc_fixture(sf_dir)
+    ds = read_warc(warc_dir, include_src=True)
+    ds = ds.map_batches(
+        lambda b: html_body_text(b).drop_columns(["html"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    ds = ds.map_batches(parse_fn, batch_format="pyarrow", batch_size=None)
+    ref = ray.put(default_lookup())
+    ds = ds.map_batches(
+        make_enrich_fn(ref, key_col="host"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    ds = ds.map_batches(
+        SinkWriteStage(DEFAULT_SINKS, None),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return combine_partial_rows(ds, AGG_KEYS, AGG_VALS).select(
+        AGG_KEYS + AGG_VALS
+    )
 
 
 def q_weblog_from_html(sf_dir: str):
@@ -1403,6 +1447,7 @@ QUERIES: dict[str, Callable] = {
     "weblog_from_html": q_weblog_from_html,
     "url_parts": q_url_parts,
     "warc_roundtrip": q_warc_roundtrip,
+    "weblog_from_warc": q_weblog_from_warc,
 }
 
 
@@ -1965,6 +2010,7 @@ def oracle_sql_full() -> dict[str, str]:
     sql = weblog_aggregate_sql(pages_path(rows) + "/*.parquet")
     out["weblog_aggregate"] = sql
     out["weblog_from_html"] = sql
+    out["weblog_from_warc"] = sql
     # url decomposition over the same pages corpus: the SQL twin runs the
     # EXACT regex patterns the engine's Arrow RE2 scans use (ops/text
     # ._URL_PARTS), group 1, with regexp_extract's empty-on-no-match

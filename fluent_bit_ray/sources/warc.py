@@ -46,12 +46,16 @@ def write_warc(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     payload_col: str = "html",
+    lang_col: str | None = None,
     compress: bool = False,
 ) -> int:
     """Write one WARC file of response records from a pages table.
     Each record: WARC/1.0 header block, an HTTP/1.1 200 response header,
     then the payload bytes. `compress=True` gzips each record as its own
-    member (the Common Crawl layout). Returns the record count."""
+    member (the Common Crawl layout). `lang_col` emits the
+    WARC-Identified-Content-Language header Common Crawl has carried
+    since 2018. Returns the record count."""
+    langs = table[lang_col].to_pylist() if lang_col else [None] * table.num_rows
     urls = table[url_col].to_pylist()
     ts = table[ts_col]
     if pa.types.is_timestamp(ts.type):
@@ -63,7 +67,7 @@ def write_warc(
     payloads = table[payload_col].to_pylist()
     out = open(path, "wb")
     try:
-        for url, t, body in zip(urls, ts_us, payloads):
+        for url, t, body, lang in zip(urls, ts_us, payloads, langs):
             if body is None:
                 body = b""
             if isinstance(body, str):
@@ -73,11 +77,17 @@ def write_warc(
                 b"Content-Length: " + str(len(body)).encode() + _SEP
             )
             block = http + body
+            lang_hdr = (
+                b"WARC-Identified-Content-Language: " + lang.encode() + _CRLF
+                if lang
+                else b""
+            )
             hdr = (
                 b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"
                 b"WARC-Target-URI: " + url.encode() + _CRLF +
                 b"WARC-Date: " + _iso8601(int(t or 0)).encode() + _CRLF +
+                lang_hdr +
                 b"Content-Type: application/http; msgtype=response\r\n"
                 b"Content-Length: " + str(len(block)).encode() + _SEP
             )
@@ -134,33 +144,55 @@ def _parse_warc_bytes(data: bytes):
         # split the HTTP response header off the payload
         body_at = block.find(_SEP)
         payload = block[body_at + 4 :] if body_at >= 0 else block
-        yield url, ts_us, payload
+        yield url, ts_us, payload, fields.get(
+            "warc-identified-content-language"
+        )
 
 
-def read_warc(paths):
-    """Ray Dataset of (url, warc_ts us-timestamp, html binary) from WARC
-    files — one read/parse task per file, streaming thereafter."""
+def read_warc(paths, include_src: bool = False):
+    """Ray Dataset of (url, warc_ts us-timestamp, html binary, lang) from
+    WARC files — one read/parse task per file, streaming thereafter.
+    `include_src=True` adds `_src` = the WARC file's basename (extensions
+    stripped), the per-shard provenance key the checkpointing pipeline
+    partitions on."""
     import ray.data
 
-    files = ray.data.read_binary_files(paths)
+    files = ray.data.read_binary_files(paths, include_paths=include_src)
 
     def parse(batch: pa.Table) -> pa.Table:
         urls: list = []
         ts: list = []
         bodies: list = []
-        for data in batch["bytes"].to_pylist():
-            for url, t, payload in _parse_warc_bytes(data):
+        langs: list = []
+        srcs: list = []
+        paths_col = (
+            batch["path"].to_pylist()
+            if "path" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        for data, fpath in zip(batch["bytes"].to_pylist(), paths_col):
+            src = None
+            if fpath is not None:
+                src = fpath.rsplit("/", 1)[-1]
+                for ext in (".gz", ".warc"):
+                    if src.endswith(ext):
+                        src = src[: -len(ext)]
+            for url, t, payload, lang in _parse_warc_bytes(data):
                 urls.append(url)
                 ts.append(t)
                 bodies.append(payload)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_ts": pa.array(
-                    np.asarray(ts, dtype=np.int64), pa.timestamp("us", tz="UTC")
-                ),
-                "html": pa.array(bodies, pa.large_binary()),
-            }
-        )
+                langs.append(lang)
+                srcs.append(src)
+        cols = {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                np.asarray(ts, dtype=np.int64), pa.timestamp("us", tz="UTC")
+            ),
+            "html": pa.array(bodies, pa.large_binary()),
+            "lang": pa.array(langs, pa.string()),
+        }
+        if include_src:
+            cols["_src"] = pa.array(srcs, pa.string())
+        return pa.table(cols)
 
     return files.map_batches(parse, batch_format="pyarrow")

@@ -41,9 +41,18 @@ def test_roundtrip_bytes_exact(tmp_path, compress):
     path = os.path.join(tmp_path, "t.warc" + (".gz" if compress else ""))
     assert write_warc(t, path, compress=compress) == 3
     got = list(_parse_warc_bytes(open(path, "rb").read()))
-    assert [u for u, _, _ in got] == t["url"].to_pylist()
-    assert [ts for _, ts, _ in got] == [1700000000 * 10**6, 1700000060 * 10**6, 0]
-    assert [p for _, _, p in got] == t["html"].to_pylist()
+    assert [u for u, _, _, _ in got] == t["url"].to_pylist()
+    assert [ts for _, ts, _, _ in got] == [1700000000 * 10**6, 1700000060 * 10**6, 0]
+    assert [p for _, _, p, _ in got] == t["html"].to_pylist()
+    assert [lg for _, _, _, lg in got] == [None, None, None]
+
+
+def test_lang_header_roundtrip(tmp_path):
+    t = table().append_column("lang", pa.array(["en", "fr", None]))
+    path = os.path.join(tmp_path, "lang.warc")
+    write_warc(t, path, lang_col="lang")
+    got = list(_parse_warc_bytes(open(path, "rb").read()))
+    assert [lg for _, _, _, lg in got] == ["en", "fr", None]
 
 
 @pytest.mark.usefixtures("ray_session")
