@@ -239,6 +239,17 @@ def bench_asof_join() -> float:
     return time.time() - t0
 
 
+def bench_warc_ingest() -> float:
+    """full Common-Crawl loop: WARC files -> parse -> enrich -> aggregate
+    (fixture pre-built untimed, like the forward bench)."""
+    from fluent_bit_ray.pipelines.queries import _warc_fixture, q_weblog_from_warc
+
+    _warc_fixture(SF_DIR)
+    t0 = time.time()
+    _consume(q_weblog_from_warc(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -256,6 +267,7 @@ BENCHES = {
     "line_dedup": bench_line_dedup,
     "global_shuffle": bench_global_shuffle,
     "asof_join": bench_asof_join,
+    "warc_ingest": bench_warc_ingest,
 }
 
 

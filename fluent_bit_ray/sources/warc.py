@@ -94,7 +94,11 @@ def write_warc(
             rec = hdr + block + _CRLF + _CRLF
             if compress:
                 buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                # level 6: ~2x faster than the default 9 at similar ratio;
+                # mtime=0 keeps the bytes deterministic either way
+                with gzip.GzipFile(
+                    fileobj=buf, mode="wb", mtime=0, compresslevel=6
+                ) as gz:
                     gz.write(rec)
                 out.write(buf.getvalue())
             else:
