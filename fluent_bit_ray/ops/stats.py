@@ -632,3 +632,87 @@ def hll_distinct_per_key(
     )
     return hash_exchange(pruned.to_arrow_refs(), [key_col], finish,
                          combine_fn=combine)
+
+
+def keyed_outliers(
+    ds,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float = 3.0,
+) -> Optional[pa.Table]:
+    """Per-key z-score outliers: rows whose value deviates more than
+    z_threshold population standard deviations from their KEY's mean —
+    the per-category anomaly gate (error-rate spikes per host, length
+    outliers per domain).
+
+    Two passes, both cheap: (1) per-key (n, sum, sumsq) moment partials
+    combined in-batch and merged through one key-hash exchange of tiny
+    rows, broadcast once via ray.put (key-cardinality contract, as the
+    quantile ranges); (2) a pure flag map — vectorized z computation and
+    filter, emitting (key, id, value, z). Nothing corpus-sized moves.
+    """
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        sq = pc.multiply(v, v)
+        g = pa.table(
+            {key_col: t[key_col], "v": v, "sq": sq}
+        ).group_by([key_col]).aggregate(
+            [("v", "count"), ("v", "sum"), ("sq", "sum")]
+        )
+        return g.rename_columns([key_col, "n", "s", "ss"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return g.rename_columns([key_col, "n", "s", "ss"])
+
+    moments = hash_exchange(
+        ds.select_columns([key_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ).to_arrow_refs(),
+        [key_col],
+        merge,
+        combine_fn=merge,
+    )
+    stats: dict = {}
+    if moments is not None:
+        for r in moments.to_pylist():
+            n = r["n"]
+            if not n:
+                continue
+            mu = r["s"] / n
+            var = max(r["ss"] / n - mu * mu, 0.0)
+            stats[r[key_col]] = (mu, float(np.sqrt(var)))
+    sref = ray.put(stats)
+
+    def flag(t: pa.Table, _s=sref) -> pa.Table:
+        st = ray.get(_s)
+        df = t.select([key_col, id_col, value_col]).to_pandas()
+        df = df[df[value_col].notna()]
+        if not len(df):
+            return pa.table(
+                {key_col: pa.array([], t.schema.field(key_col).type),
+                 id_col: pa.array([], t.schema.field(id_col).type),
+                 value_col: pa.array([], pa.float64()),
+                 "z": pa.array([], pa.float64())}
+            )
+        mu = df[key_col].map(lambda k: st.get(k, (np.nan, np.nan))[0]).to_numpy(
+            dtype=np.float64
+        )
+        sd = df[key_col].map(lambda k: st.get(k, (np.nan, np.nan))[1]).to_numpy(
+            dtype=np.float64
+        )
+        v = df[value_col].to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - mu) / sd
+        keep = (sd > 0) & (np.abs(z) > z_threshold)
+        out = df[keep].copy()
+        out["z"] = z[keep]
+        out[value_col] = v[keep]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

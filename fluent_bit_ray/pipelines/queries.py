@@ -1186,6 +1186,17 @@ def q_kmeans_invariant(sf_dir: str):
     )
 
 
+def q_outliers(sf_dir: str):
+    """per-event-type z-score outliers (|z| > 2 population-std from the
+    type's mean; ops/stats.keyed_outliers)."""
+    from ..ops.stats import keyed_outliers
+
+    return keyed_outliers(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        "event_type", "value", "event_id", z_threshold=2.0,
+    )
+
+
 def q_running_totals(sf_dir: str):
     """per-key running count/sum over event time (cumulative-counter
     form; SQL window-function parity incl. NULL-prefix sums —
@@ -1424,6 +1435,7 @@ QUERIES: dict[str, Callable] = {
     "salted_topk": q_salted_topk,
     "running_totals": q_running_totals,
     "lag_deltas": q_lag_deltas,
+    "outliers": q_outliers,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -1931,6 +1943,16 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "outliers": (
+        "WITH s AS (SELECT event_type, avg(value) AS mu, "
+        "stddev_pop(value) AS sigma FROM events "
+        "WHERE value IS NOT NULL GROUP BY event_type) "
+        "SELECT e.event_type, e.event_id, e.value, "
+        "(e.value - s.mu) / s.sigma AS z "
+        "FROM events e JOIN s USING (event_type) "
+        "WHERE e.value IS NOT NULL AND s.sigma > 0 "
+        "AND abs((e.value - s.mu) / s.sigma) > 2"
     ),
     "lag_deltas": (
         "SELECT user_id, event_id, lag(value) OVER w AS prev_value, "

@@ -601,6 +601,40 @@ class TestRunningTotals:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKeyedOutliers:
+    def test_flags_only_the_spike(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import keyed_outliers
+
+        rows = [{"id": i, "k": "a", "v": 10.0} for i in range(50)]
+        rows += [{"id": 100, "k": "a", "v": 1000.0}]   # the spike
+        rows += [{"id": 200, "k": "b", "v": 5.0},
+                 {"id": 201, "k": "b", "v": 5.0}]      # zero-variance key
+        rows += [{"id": 300, "k": "a", "v": None}]     # null value ignored
+        out = keyed_outliers(
+            ray.data.from_items(rows), "k", "v", "id", z_threshold=3.0
+        ).to_pandas()
+        assert out["id"].tolist() == [100]
+        assert out["z"].iloc[0] > 3
+
+    def test_block_layout_invariant(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import keyed_outliers
+
+        rows = [{"id": i, "k": f"k{i % 3}", "v": float((i * 37) % 101)}
+                for i in range(600)]
+        a = keyed_outliers(ray.data.from_items(rows), "k", "v", "id",
+                           z_threshold=1.5).to_pandas().sort_values("id")
+        b = keyed_outliers(ray.data.from_items(rows).repartition(11),
+                           "k", "v", "id",
+                           z_threshold=1.5).to_pandas().sort_values("id")
+        assert a["id"].tolist() == b["id"].tolist()
+        assert np.allclose(a["z"], b["z"])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestHyperLogLog:
     def test_registers_merge_and_estimate_accuracy(self):
         import ray.data
