@@ -255,3 +255,110 @@ class TestDedupKernelProperties:
         batch = simhash_batch(texts)
         for i, t in enumerate(texts):
             assert int(batch[i]) == int(simhash_batch([t])[0])
+
+
+class TestShuffleHashSqlMirror:
+    """The seeded shuffle hash must equal its DuckDB SQL rendering for
+    ANY id/seed — the property the global_shuffle oracle stands on."""
+
+    @given(
+        ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                     max_size=50),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_duckdb(self, ids, seed):
+        import duckdb
+        import numpy as np
+
+        from fluent_bit_ray.ops.sample import shuffle_hash, shuffle_hash_sql
+
+        ours = shuffle_hash(np.asarray(ids, dtype=np.int64), seed).tolist()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(id BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+        theirs = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {shuffle_hash_sql('id', seed)} FROM t"
+            ).fetchall()
+        ]
+        assert ours == theirs
+
+
+class TestBracketTransformProperty:
+    """The vectorized json_stream transform equals the sequential state
+    machine on arbitrary serializer-shaped payloads."""
+
+    @given(
+        vals=st.lists(
+            st.one_of(
+                st.text(max_size=20),
+                st.integers(-10**6, 10**6),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                st.none(),
+                st.lists(st.text(max_size=6), max_size=3),
+                st.dictionaries(st.text(string.ascii_letters, max_size=5),
+                                st.text(max_size=8), max_size=3),
+            ),
+            max_size=8,
+        ),
+        sep=st.sampled_from(["\n", " "]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_matches_sequential(self, vals, sep):
+        import json
+
+        from fluent_bit_ray.sinks.writers import _brackets_transform
+        from tests.test_formatter_parity import slow_transform
+
+        payload = "[" + ", ".join(
+            json.dumps({"v": v}, ensure_ascii=False) for v in vals
+        ) + "]"
+        assert _brackets_transform(payload, sep) == slow_transform(payload, sep)
+
+
+class TestMergeableSketchProperties:
+    @given(
+        a=st.lists(st.integers(1, 10**6), max_size=200),
+        b=st.lists(st.integers(1, 10**6), max_size=200),
+        p=st.integers(6, 12),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_hll_merge_is_union(self, a, b, p):
+        import numpy as np
+
+        from fluent_bit_ray.ops.stats import hll_registers
+
+        ha = np.asarray(a, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        hb = np.asarray(b, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ra = hll_registers(ha, p)
+        rb = hll_registers(hb, p)
+        ru = hll_registers(np.concatenate((ha, hb)), p)
+        assert np.array_equal(np.maximum(ra, rb), ru)
+
+    @given(
+        counts=st.lists(st.integers(1, 1000), min_size=1, max_size=100),
+        m=st.integers(1, 20),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_mg_compress_preserves_bounds(self, counts, m):
+        import numpy as np
+        import pyarrow as _pa
+
+        from fluent_bit_ray.ops.stats import _mg_compress
+
+        keys = _pa.array([f"k{i}" for i in range(len(counts))])
+        cnts = np.asarray(counts, dtype=np.int64)
+        k2, c2 = _mg_compress(keys, cnts, m)
+        assert len(c2) <= m
+        est = dict(zip(k2.to_pylist(), c2.tolist()))
+        n = int(cnts.sum())
+        bound = n / (m + 1)
+        for i, c in enumerate(counts):
+            e = est.get(f"k{i}")
+            if e is not None:
+                assert e <= c            # lower bound
+                assert e >= c - bound    # within guarantee
+            else:
+                assert c <= bound        # dropped only if infrequent
