@@ -630,3 +630,28 @@ def _named(pat: str) -> str:
         if pat[i : i + 3] != "(?:":
             return pat[:i] + "(?P<g>" + pat[i + 1 :]
         i += 1
+
+
+def normalize_text_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lower: bool = True,
+    strip_punct: bool = False,
+) -> pa.Table:
+    """Standard corpus normalization, all Arrow kernels: lowercase,
+    whitespace runs collapsed to single spaces, outer whitespace trimmed,
+    optionally the [^A-Za-z0-9\\s] punctuation class removed (the same
+    class the quality oracle specs). Emits (id, norm_text). The SQL twin
+    is lower/regexp_replace with identical patterns."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    if lower:
+        col = pc.utf8_lower(col)
+    if strip_punct:
+        col = pc.replace_substring_regex(col, r"[^A-Za-z0-9\s]", "")
+    col = pc.replace_substring_regex(col, r"\s+", " ")
+    col = pc.utf8_trim_whitespace(col)
+    return pa.table({id_col: batch[id_col], "norm_text": col})

@@ -1075,6 +1075,16 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_normalize(sf_dir: str):
+    """corpus text normalization (lowercase, punct strip, whitespace
+    collapse) — pure Arrow-kernel map (ops/text.normalize_text_batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: text_ops.normalize_text_batch(b, strip_punct=True),
+        batch_format="pyarrow",
+    )
+
+
 def q_tfidf(sf_dir: str):
     """DSIR-style TF-IDF importance mass per doc (min_df=2 vocab
     truncation exercised; ops/text.tfidf_scores)."""
@@ -1449,6 +1459,7 @@ QUERIES: dict[str, Callable] = {
     "kmeans_invariant": q_kmeans_invariant,
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
+    "normalize": q_normalize,
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
     "hll_per_key": q_hll_per_key,
@@ -1896,6 +1907,11 @@ ORACLE_SQL: dict[str, str] = {
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
         "FROM documents) "
         "SELECT sum(len(t))::BIGINT AS n_items, 0 AS n_violations FROM toks"
+    ),
+    "normalize": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "lower(coalesce(text, '')), '[^A-Za-z0-9\\s]', '', 'g'), "
+        "'\\s+', ' ', 'g'), '^ | $', '', 'g') AS norm_text FROM documents"
     ),
     "tfidf": (
         "WITH toks AS (SELECT doc_id, "

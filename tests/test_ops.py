@@ -1253,6 +1253,22 @@ class TestVocabAndPacking:
             pack_chunks(ds, chunk_tokens=4)
 
 
+class TestNormalizeText:
+    def test_kernels(self):
+        import pyarrow as _pa
+
+        from fluent_bit_ray.ops.text import normalize_text_batch
+
+        t = _pa.table({
+            "doc_id": _pa.array([0, 1, 2], _pa.int64()),
+            "text": _pa.array(["  Hello,   WORLD!  ", "a\tb\nc", None]),
+        })
+        out = normalize_text_batch(t, strip_punct=True)["norm_text"].to_pylist()
+        assert out == ["hello world", "a b c", ""]
+        keep = normalize_text_batch(t, strip_punct=False)["norm_text"].to_pylist()
+        assert keep == ["hello, world!", "a b c", ""]
+
+
 class TestUrlParts:
     def test_decomposition_matrix(self):
         import pyarrow as _pa
