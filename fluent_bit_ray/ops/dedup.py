@@ -1170,3 +1170,80 @@ def decontaminate(
     if shard_output_dir is not None:
         return None
     return empty if out is None else out
+
+
+def corpus_diff(
+    old_ds,
+    new_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """Snapshot diff between two corpus versions — the incremental-
+    ingestion primitive: per doc id, `added` (new only), `removed` (old
+    only), `changed` (both, content differs), `unchanged`. Exact by
+    CONTENT STRING comparison (not hash), so the result is
+    collision-proof; each side's (id, text) moves through the id-keyed
+    exchange exactly once, and the shard body is a vectorized two-side
+    pivot (no per-doc Python). `shard_output_dir` streams the (corpus-
+    sized) result to sharded parquet at scale.
+
+    Contract: ids are unique WITHIN each side (the snapshot invariant —
+    run exact_dedup/keep_best first if not).
+    """
+    from ..shuffle import hash_exchange
+
+    def prep(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "_text": pc.fill_null(pc.cast(b[text_col], pa.large_string()), ""),
+                    "_side": pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, ids))
+        ids_s = ids[order]
+        side_s = side[order]
+        txt = t["_text"].take(pa.array(order, pa.int64()))
+        n = len(ids_s)
+        first = np.ones(n, dtype=bool)
+        first[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.concatenate((starts, [n])))
+        out_ids = ids_s[starts]
+        status = np.empty(len(starts), dtype=object)
+        single = counts == 1
+        # singletons: side 0 -> removed, side 1 -> added
+        status[single & (side_s[starts] == 0)] = "removed"
+        status[single & (side_s[starts] == 1)] = "added"
+        both = ~single  # exactly two rows (old, new) after the sort
+        if both.any():
+            same = np.asarray(
+                pc.equal(
+                    txt.take(pa.array(starts[both], pa.int64())),
+                    txt.take(pa.array(starts[both] + 1, pa.int64())),
+                )
+            )
+            status[both] = np.where(same, "unchanged", "changed")
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    refs = (
+        old_ds.map_batches(prep(0), batch_format="pyarrow").to_arrow_refs()
+        + new_ds.map_batches(prep(1), batch_format="pyarrow").to_arrow_refs()
+    )
+    return hash_exchange(refs, [id_col], finish,
+                         shard_output_dir=shard_output_dir)

@@ -1075,6 +1075,34 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_corpus_diff(sf_dir: str):
+    """snapshot diff between two corpus versions (old = docs with
+    doc_id % 13 != 0; new = all docs with % 7 texts mutated):
+    added/removed/changed/unchanged per id, content-string exact
+    (ops/dedup.corpus_diff)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def old_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 13 != 0))
+
+    def new_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mut = pa.array(ids % 7 == 0)
+        text = pc.if_else(
+            mut,
+            pc.binary_join_element_wise(
+                pc.cast(b["text"], pa.string()), " v2", ""
+            ),
+            b["text"],
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    old = ds.map_batches(old_slice, batch_format="pyarrow")
+    new = ds.map_batches(new_slice, batch_format="pyarrow")
+    return dedup.corpus_diff(old, new)
+
+
 def q_normalize(sf_dir: str):
     """corpus text normalization (lowercase, punct strip, whitespace
     collapse) — pure Arrow-kernel map (ops/text.normalize_text_batch)."""
@@ -1460,6 +1488,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
     "normalize": q_normalize,
+    "corpus_diff": q_corpus_diff,
     "heavy_hitters": q_heavy_hitters,
     "hll_distinct": q_hll_distinct,
     "hll_per_key": q_hll_per_key,
@@ -1907,6 +1936,17 @@ ORACLE_SQL: dict[str, str] = {
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
         "FROM documents) "
         "SELECT sum(len(t))::BIGINT AS n_items, 0 AS n_violations FROM toks"
+    ),
+    "corpus_diff": (
+        "WITH old AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 13 <> 0), "
+        "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        "THEN text || ' v2' ELSE text END AS text FROM documents) "
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status "
+        "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
     ),
     "normalize": (
         "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("

@@ -601,6 +601,34 @@ class TestRunningTotals:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestCorpusDiff:
+    def test_all_statuses(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import corpus_diff
+
+        old = ray.data.from_items([
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "before"},
+            {"doc_id": 3, "text": "gone"},
+            {"doc_id": 5, "text": None},     # null == null -> unchanged
+        ])
+        new = ray.data.from_items([
+            {"doc_id": 1, "text": "same"},
+            {"doc_id": 2, "text": "after"},
+            {"doc_id": 4, "text": "fresh"},
+            {"doc_id": 5, "text": None},
+        ])
+        for parts in (1, 5):
+            got = {r["doc_id"]: r["status"]
+                   for r in corpus_diff(
+                       old.repartition(parts), new.repartition(parts)
+                   ).to_pylist()}
+            assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                           4: "added", 5: "unchanged"}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKeyedOutliers:
     def test_flags_only_the_spike(self):
         import ray.data
