@@ -243,7 +243,8 @@ def semi_join(ds, keys_ds, key_col: str, anti: bool = False):
     map — no shuffle at all. This is the small-filter-side twin of the
     big-big temporal joins above (same contract as stages/enrich.py:
     the DISTINCT key set fits a worker heap; for bigger filter sides use
-    a key-hash exchange membership join).
+    `semi_join_exchange` below — identical semantics via a key-hash
+    exchange, oracle-checked to match this path exactly).
 
     Null keys follow SQL semantics: a null key never matches (dropped by
     semi), and anti KEEPS null-key rows only if the filter side is
@@ -287,3 +288,79 @@ def semi_join(ds, keys_ds, key_col: str, anti: bool = False):
         return b.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def semi_join_exchange(
+    ds,
+    keys_ds,
+    key_col: str,
+    anti: bool = False,
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """The big-filter-side twin of `semi_join`: when the DISTINCT key set
+    does NOT fit a worker heap, co-locate both sides with one key-hash
+    exchange instead of broadcasting — stream rows and (map-side-deduped)
+    filter keys meet in the shard, where membership is a vectorized
+    is_in against the shard's slice of the filter keys. Null-key
+    semantics match the broadcast path (NOT EXISTS form). The stream's
+    full rows move once; pass `shard_output_dir` for corpus-sized
+    outputs."""
+    from ..shuffle import hash_exchange
+
+    sch = ds.schema()
+    arrow = getattr(sch, "base_schema", sch)
+    stream_cols = list(arrow.names)
+    empty = pa.schema(
+        [(n, t) for n, t in zip(arrow.names, arrow.types)]
+    ).empty_table()
+
+    def prep_stream(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_side", pa.array(np.ones(b.num_rows, dtype=np.int8))
+        )
+
+    def prep_filter(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = col.unique().drop_null()
+        return pa.table(
+            {key_col: u,
+             "_side": pa.array(np.zeros(len(u), dtype=np.int8))}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        side = t["_side"]
+        stream = t.filter(pc.equal(side, pa.scalar(1, pa.int8())))
+        if stream.num_rows == 0 or not all(
+            c in t.column_names for c in stream_cols
+        ):
+            # filter-only shard (or one-sided concat dropped stream cols)
+            return empty
+        fkeys = t.filter(pc.equal(side, pa.scalar(0, pa.int8())))[key_col]
+        if isinstance(fkeys, pa.ChunkedArray):
+            fkeys = fkeys.combine_chunks()
+        fkeys = fkeys.unique().drop_null()
+        col = stream[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(fkeys) == 0 or pa.types.is_null(col.type):
+            hit = pa.array(np.zeros(stream.num_rows, dtype=bool))
+        else:
+            hit = pc.fill_null(
+                pc.is_in(col, value_set=pc.cast(fkeys, col.type)), False
+            )
+        mask = pc.invert(hit) if anti else hit
+        return stream.select(stream_cols).filter(mask)
+
+    refs = (
+        ds.map_batches(prep_stream, batch_format="pyarrow").to_arrow_refs()
+        + keys_ds.select_columns([key_col]).map_batches(
+            prep_filter, batch_format="pyarrow"
+        ).to_arrow_refs()
+    )
+    out = hash_exchange(refs, [key_col], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    return empty if out is None else out

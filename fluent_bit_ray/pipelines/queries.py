@@ -1020,6 +1020,16 @@ def q_anti_join(sf_dir: str):
     return semi_join(clicks, errs, "user_id", anti=True)
 
 
+def q_semi_join_shuffled(sf_dir: str):
+    """the big-filter-side semi join: same semantics and SQL oracle as
+    `semi_join`, via the key-hash exchange instead of the broadcast
+    (ops/joins.semi_join_exchange)."""
+    from ..ops.joins import semi_join_exchange
+
+    clicks, errs = _semi_sides(sf_dir)
+    return semi_join_exchange(clicks, errs, "user_id")
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1481,6 +1491,7 @@ QUERIES: dict[str, Callable] = {
     "range_join": q_range_join,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "semi_join_shuffled": q_semi_join_shuffled,
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
@@ -2066,6 +2077,9 @@ ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 # the int8-quantized ANN re-ranks candidates with the exact kernel, so its
 # top-k must equal the brute-force path's — same oracle, verbatim
 ORACLE_SQL["ann_quantized"] = ORACLE_SQL["ann_topk"]
+
+# the exchange-based semi join must match the broadcast path exactly
+ORACLE_SQL["semi_join_shuffled"] = ORACLE_SQL["semi_join"]
 
 
 def oracle_sql_full() -> dict[str, str]:

@@ -335,6 +335,27 @@ class TestTemporalJoins:
         assert semi == [0, 3]
         assert anti == [1, 2]
 
+    def test_semi_join_exchange_matches_broadcast(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import semi_join, semi_join_exchange
+
+        stream = ray.data.from_items(
+            [{"id": i, "k": f"k{i % 7}", "v": i * 2} for i in range(100)]
+            + [{"id": 900, "k": None, "v": 0}]
+        )
+        filt = ray.data.from_items(
+            [{"k": "k1"}, {"k": "k4"}, {"k": None}]
+        )
+        for anti in (False, True):
+            bc = sorted(r["id"] for r in semi_join(
+                stream, filt, "k", anti=anti).take_all())
+            ex = semi_join_exchange(
+                stream.repartition(5), filt.repartition(2), "k", anti=anti
+            )
+            assert sorted(ex["id"].to_pylist()) == bc
+            assert ex.column_names == ["id", "k", "v"]  # schema preserved
+
     def test_semi_join_empty_filter_side(self):
         import ray.data
 
