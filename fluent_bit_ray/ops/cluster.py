@@ -162,12 +162,13 @@ def kmeans_invariants(
     ds,
     k: int = 8,
     iters: int = 5,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     rel_tol: float = 1e-9,
 ) -> pa.Table:
     """Oracle-checkable structural invariants of a full fit+assign:
-    - n_points: every vector got exactly one assignment;
+    - n_points: every vector got exactly one assignment (the verify pass
+      counts rows, so ids are not needed here — use kmeans_assign for
+      per-id output);
     - n_bad_argmin: assignments re-verified against the final centroids
       in an independent pass (argmin mismatch count; 0);
     - n_inertia_increases: Lloyd's monotonicity violations across the

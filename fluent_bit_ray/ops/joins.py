@@ -140,7 +140,9 @@ def asof_join(
         for c in left_cols:
             out[c] = df[c].to_numpy()[l]
             if c in int_cols:
-                out[c] = out[c].astype("int64")  # null-promotion undo
+                # nullable Int64: undoes the float promotion without
+                # crashing on GENUINELY null left values (IntCastingNaN)
+                out[c] = out[c].astype("Int64")
         hit = match >= 0
         mts = np.full(len(l), np.nan)
         mval = np.full(len(l), np.nan)
@@ -222,7 +224,7 @@ def range_join_agg(
         for c in left_cols:
             out[c] = df[c].to_numpy()[l]
             if c in int_cols:
-                out[c] = out[c].astype("int64")
+                out[c] = out[c].astype("Int64")
         out[out_n] = n
         out[out_sum] = s
         return pa.Table.from_pandas(out, preserve_index=False)

@@ -163,45 +163,25 @@ def global_shuffle(ds, id_col: str = "doc_id", seed: int = 0,
     return ray.data.from_arrow_refs(out)
 
 
-def _topn_per_stratum(
-    t: pa.Table, strata_col: str, id_col: str, n: int
-) -> pa.Table:
-    """Keep the n (hash, id)-smallest rows per stratum — vectorized
-    lexsort + within-group rank, no Python loop."""
-    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    h = split_hash(ids)
-    strat = t[strata_col]
-    if isinstance(strat, pa.ChunkedArray):
-        strat = strat.combine_chunks()
-    codes = np.asarray(strat.dictionary_encode().indices).astype(np.int64)
-    order = np.lexsort((ids, h, codes))
-    sc = codes[order]
-    new = np.ones(len(sc), dtype=bool)
-    new[1:] = sc[1:] != sc[:-1]
-    starts = np.flatnonzero(new)
-    rank = np.arange(len(sc)) - np.repeat(starts, np.diff(
-        np.concatenate((starts, [len(sc)]))
-    ))
-    keep_idx = order[rank < n]
-    return t.take(pa.array(np.sort(keep_idx)))
+def _key_codes(col) -> np.ndarray:
+    """Group codes for a key column of ANY dtype; null is its OWN group
+    (pd.factorize use_na_sentinel=False — dictionary_encode+fill_null
+    would merge null with the fill value and drops non-string keys)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    import pandas as pd
+
+    return pd.factorize(col.to_pandas(), use_na_sentinel=False)[0].astype(
+        np.int64
+    )
 
 
-def _topn_by_score(
-    t: pa.Table, key_col: str, id_col: str, score_col: str, n: int
+def _keep_group_topn(
+    t: pa.Table, codes: np.ndarray, order: np.ndarray, n: int
 ) -> pa.Table:
-    """Keep the n (score desc, id asc)-best rows per key — the scored
-    generalization of _topn_per_stratum (same lexsort + within-group
-    rank, no Python loop). Null scores sort last."""
-    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    sc = np.where(np.isnan(sc), -np.inf, sc)
-    key = t[key_col]
-    if isinstance(key, pa.ChunkedArray):
-        key = key.combine_chunks()
-    codes = np.asarray(
-        pc.dictionary_encode(pc.fill_null(key, "")).indices
-    ).astype(np.int64)
-    order = np.lexsort((ids, -sc, codes))
+    """Shared within-group-rank kernel: `order` sorts rows grouped by
+    `codes` with the per-group preference as secondary keys; keep each
+    group's first n rows (original row order preserved)."""
     kc = codes[order]
     new = np.ones(len(kc), dtype=bool)
     new[1:] = kc[1:] != kc[:-1]
@@ -209,8 +189,31 @@ def _topn_by_score(
     rank = np.arange(len(kc)) - np.repeat(
         starts, np.diff(np.concatenate((starts, [len(kc)])))
     )
-    keep_idx = order[rank < n]
-    return t.take(pa.array(np.sort(keep_idx)))
+    return t.take(pa.array(np.sort(order[rank < n])))
+
+
+def _topn_per_stratum(
+    t: pa.Table, strata_col: str, id_col: str, n: int
+) -> pa.Table:
+    """Keep the n (hash, id)-smallest rows per stratum — vectorized
+    lexsort + within-group rank, no Python loop."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = split_hash(ids)
+    codes = _key_codes(t[strata_col])
+    return _keep_group_topn(t, codes, np.lexsort((ids, h, codes)), n)
+
+
+def _topn_by_score(
+    t: pa.Table, key_col: str, id_col: str, score_col: str, n: int
+) -> pa.Table:
+    """Keep the n (score desc, id asc)-best rows per key — the scored
+    generalization of _topn_per_stratum (same within-group-rank kernel).
+    Null scores sort last; null keys form their own group."""
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    sc = np.where(np.isnan(sc), -np.inf, sc)
+    codes = _key_codes(t[key_col])
+    return _keep_group_topn(t, codes, np.lexsort((ids, -sc, codes)), n)
 
 
 def topn_per_key(

@@ -120,7 +120,11 @@ def keyed_quantiles_approx(
     def sketch(t: pa.Table, _r=ranges_ref) -> pa.Table:
         rng = ray.get(_r)
         df = t.select([key_col, value_col]).to_pandas()
-        df = df[df[value_col].notna()]
+        # null keys are excluded from the sketch path: a numeric null key
+        # round-trips as NaN in pandas but as None in the ranges dict, so
+        # no stable lookup representation exists (the EXACT operator keeps
+        # them; documented divergence)
+        df = df[df[value_col].notna() & df[key_col].notna()]
         if not len(df):
             return pa.table(
                 {key_col: pa.array([], t.schema.field(key_col).type),
@@ -128,8 +132,11 @@ def keyed_quantiles_approx(
                  "cnt": pa.array([], pa.int64())}
             )
         keys = df[key_col]
-        lo = keys.map(lambda k: rng[k][0]).to_numpy(dtype=np.float64)
-        hi = keys.map(lambda k: rng[k][1]).to_numpy(dtype=np.float64)
+        # vectorized range lookup: Series-backed map, not a per-row lambda
+        lo_s = pd.Series({k: v[0] for k, v in rng.items()})
+        hi_s = pd.Series({k: v[1] for k, v in rng.items()})
+        lo = keys.map(lo_s).to_numpy(dtype=np.float64)
+        hi = keys.map(hi_s).to_numpy(dtype=np.float64)
         v = df[value_col].to_numpy(dtype=np.float64)
         width = np.where(hi > lo, hi - lo, 1.0)
         b = np.clip(((v - lo) / width * bins).astype(np.int64), 0, bins - 1)
@@ -700,12 +707,11 @@ def keyed_outliers(
                  value_col: pa.array([], pa.float64()),
                  "z": pa.array([], pa.float64())}
             )
-        mu = df[key_col].map(lambda k: st.get(k, (np.nan, np.nan))[0]).to_numpy(
-            dtype=np.float64
-        )
-        sd = df[key_col].map(lambda k: st.get(k, (np.nan, np.nan))[1]).to_numpy(
-            dtype=np.float64
-        )
+        # vectorized (C-speed) stat lookup — this runs per corpus row
+        mu_s = pd.Series({k: v[0] for k, v in st.items()})
+        sd_s = pd.Series({k: v[1] for k, v in st.items()})
+        mu = df[key_col].map(mu_s).to_numpy(dtype=np.float64)
+        sd = df[key_col].map(sd_s).to_numpy(dtype=np.float64)
         v = df[value_col].to_numpy(dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (v - mu) / sd

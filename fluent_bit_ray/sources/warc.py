@@ -127,7 +127,19 @@ def _parse_warc_bytes(data: bytes):
         for line in header.split("\r\n")[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields.get("content-length", "0"))
+        # robust framing: a malformed/missing Content-Length in ONE record
+        # of an externally-sourced file must not kill the whole read task —
+        # skip the record and rescan for the next magic (best effort; a
+        # payload containing the literal magic may then yield a bogus
+        # record, which the header parse rejects as non-response)
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            pos = hdr_end + 4
+            continue
+        if length < 0 or hdr_end + 4 + length > n:
+            pos = hdr_end + 4
+            continue
         block = data[hdr_end + 4 : hdr_end + 4 + length]
         pos = hdr_end + 4 + length
         if fields.get("warc-type") != "response":

@@ -47,6 +47,32 @@ def test_roundtrip_bytes_exact(tmp_path, compress):
     assert [lg for _, _, _, lg in got] == [None, None, None]
 
 
+def test_malformed_content_length_skipped(tmp_path):
+    t = table()
+    path = os.path.join(tmp_path, "bad.warc")
+    write_warc(t, path)
+    data = open(path, "rb").read()
+    # corrupt the SECOND record's Content-Length (the WARC one, not HTTP)
+    second = data.index(b"WARC/1.0", 1)
+    bad = data[second:].replace(b"Content-Length: ", b"Content-Length: x", 1)
+    data = data[:second] + bad
+    got = list(_parse_warc_bytes(data))
+    # record 1 parses; record 2 is skipped (bad framing) but the scanner
+    # recovers and still finds record 3
+    urls = [u for u, _, _, _ in got]
+    assert t["url"][0].as_py() in urls
+    assert t["url"][2].as_py() in urls
+    assert t["url"][1].as_py() not in urls
+
+
+def test_truncated_record_skipped(tmp_path):
+    t = table()
+    path = os.path.join(tmp_path, "trunc.warc")
+    write_warc(t.slice(0, 1), path)
+    data = open(path, "rb").read()[:-10]  # chop the payload tail
+    assert list(_parse_warc_bytes(data)) == []
+
+
 def test_lang_header_roundtrip(tmp_path):
     t = table().append_column("lang", pa.array(["en", "fr", None]))
     path = os.path.join(tmp_path, "lang.warc")
