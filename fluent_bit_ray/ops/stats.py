@@ -722,3 +722,56 @@ def keyed_outliers(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def pivot_sum(
+    ds,
+    key_col: str,
+    cat_col: str,
+    value_col: str,
+    categories: Sequence[str],
+) -> Optional[pa.Table]:
+    """Long-to-wide pivot with sum aggregation — the reporting verb:
+    one row per key, one column per category holding that category's
+    value sum (SQL `sum(CASE WHEN cat = c THEN value END)`; NULL when
+    the key has no rows in the category, never 0).
+
+    `categories` is explicit (the output schema must be static for a
+    distributed job — deriving it would be its own pass). Map-side
+    (key, cat) partial sums via Arrow group_by keep the exchange moving
+    tiny pre-combined rows; the shard-local pivot is one scatter per
+    category.
+    """
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[value_col], pa.float64())
+        tbl = pa.table({key_col: t[key_col], cat_col: t[cat_col], "v": v})
+        tbl = tbl.filter(
+            pc.and_(pc.is_valid(tbl["v"]),
+                    pc.is_in(tbl[cat_col], value_set=pa.array(cats)))
+        )
+        g = tbl.group_by([key_col, cat_col]).aggregate([("v", "sum")])
+        return g.rename_columns([key_col, cat_col, "v"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        # group-sum combines split-chunk partials, after which (key, cat)
+        # pairs are unique — the pivot is one plain scatter per category
+        g = t.group_by([key_col, cat_col]).aggregate([("v", "sum")])
+        df = g.rename_columns([key_col, cat_col, "v"]).to_pandas()
+        keys, codes = np.unique(
+            df[key_col].to_numpy(), return_inverse=True
+        )
+        vals = df["v"].to_numpy()
+        out: dict = {key_col: keys}
+        for c in cats:
+            col = np.full(len(keys), np.nan)
+            m = (df[cat_col] == c).to_numpy()
+            col[codes[m]] = vals[m]
+            out[f"{c}_sum"] = col
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    pruned = ds.select_columns([key_col, cat_col, value_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_exchange(pruned.to_arrow_refs(), [key_col], finish)

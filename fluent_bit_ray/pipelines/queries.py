@@ -1234,6 +1234,19 @@ def q_kmeans_invariant(sf_dir: str):
     )
 
 
+def q_pivot(sf_dir: str):
+    """long-to-wide pivot: per user, value sums by event type as columns
+    (SQL conditional-aggregation parity incl. NULL for absent categories;
+    ops/stats.pivot_sum)."""
+    from ..ops.stats import pivot_sum
+
+    return pivot_sum(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        "user_id", "event_type", "value",
+        categories=["click", "purchase", "error"],
+    )
+
+
 def q_outliers(sf_dir: str):
     """per-event-type z-score outliers (|z| > 2 population-std from the
     type's mean; ops/stats.keyed_outliers)."""
@@ -1484,6 +1497,7 @@ QUERIES: dict[str, Callable] = {
     "running_totals": q_running_totals,
     "lag_deltas": q_lag_deltas,
     "outliers": q_outliers,
+    "pivot": q_pivot,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -2010,6 +2024,16 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "pivot": (
+        "SELECT user_id, "
+        "sum(CASE WHEN event_type = 'click' THEN value END) AS click_sum, "
+        "sum(CASE WHEN event_type = 'purchase' THEN value END) "
+        "AS purchase_sum, "
+        "sum(CASE WHEN event_type = 'error' THEN value END) AS error_sum "
+        "FROM events WHERE value IS NOT NULL "
+        "AND event_type IN ('click', 'purchase', 'error') "
+        "GROUP BY user_id"
     ),
     "outliers": (
         "WITH s AS (SELECT event_type, avg(value) AS mu, "

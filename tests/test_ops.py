@@ -622,6 +622,36 @@ class TestRunningTotals:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPivotSum:
+    def test_wide_sums_and_null_absences(self):
+        import math
+
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import pivot_sum
+
+        rows = [
+            {"k": "u1", "c": "a", "v": 1.0},
+            {"k": "u1", "c": "a", "v": 2.0},
+            {"k": "u1", "c": "b", "v": 5.0},
+            {"k": "u2", "c": "b", "v": 7.0},   # u2 has no 'a' -> NULL
+            {"k": "u2", "c": "zz", "v": 9.0},  # category not requested
+            {"k": "u3", "c": "a", "v": None},  # null value ignored
+        ]
+        for parts in (1, 4):
+            out = {r["k"]: (r["a_sum"], r["b_sum"])
+                   for r in pivot_sum(
+                       ray.data.from_items(rows).repartition(parts),
+                       "k", "c", "v", categories=["a", "b"]
+                   ).to_pylist()}
+            assert out["u1"] == (3.0, 5.0)
+            # absent category -> SQL NULL (NaN becomes an Arrow null)
+            assert out["u2"] == (None, 7.0)
+            # u3's only row had a null value: key absent entirely
+            assert "u3" not in out
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestCorpusDiff:
     def test_all_statuses(self):
         import ray.data
