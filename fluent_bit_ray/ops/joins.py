@@ -366,3 +366,131 @@ def semi_join_exchange(
     if shard_output_dir is not None:
         return None
     return empty if out is None else out
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    return pa.schema(list(zip(base.names, base.types)))
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_keep: dict[str, str],
+    right_keep: dict[str, str],
+    how: str = "inner",
+    out_key: Optional[str] = None,
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """General big-big equi-join (SQL `INNER` / `LEFT JOIN ... ON l.k =
+    r.k`), the row-producing sibling of the temporal joins above. Both
+    sides are fact-sized and the key may repeat on both (many-to-many
+    emits the full per-key cross product, like SQL).
+
+    Plan: per-side map_batches projection renames the key to one shared
+    column and prunes payload to exactly the emitted columns (`left_keep`
+    / `right_keep` map source -> output name; output names must be
+    disjoint) -> ONE key-hash exchange co-locates every key's rows from
+    both sides -> shard-local `pd.merge` (a C hash join) per reduce
+    shard. Each row moves exactly once; nothing key-global ever lands on
+    the driver — pass `shard_output_dir` at corpus scale and the joined
+    shards stream to parquet.
+
+    SQL null semantics (pandas would match NaN==NaN, so nulls are handled
+    explicitly): a null key never matches — right null-key rows are
+    dropped on the map side; left null-key rows are dropped for `inner`
+    and emitted unmatched (all right columns null) for `left`.
+
+    Partitioning assumption (same as asof_join): one KEY's rows from both
+    sides fit the reduce shard; a many-to-many hot key additionally
+    multiplies output rows — for hot-key cross products use the aggregate
+    form (`range_join_agg`) or pre-aggregate a side. For a small right
+    side `stages/enrich.py` (broadcast) is the cheaper plan.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    overlap = set(left_keep.values()) & set(right_keep.values())
+    if overlap:
+        raise ValueError(f"output column collision across sides: {overlap}")
+    key_out = out_key or left_key
+    l_sch, r_sch = _arrow_schema(left_ds), _arrow_schema(right_ds)
+    key_typ = l_sch.field(left_key).type
+    # `_jx` is the EXCHANGE key: the shuffle hashes it via pandas, whose
+    # dtype for an int64 arrow column flips to float64 as soon as a block
+    # carries a null — so a null-free side would hash `1` while the other
+    # hashes `1.0`, and the sides would never co-locate. Casting numeric
+    # keys to float64 on BOTH sides pins one pandas dtype (and one hash)
+    # regardless of null presence; exactness caveat: integer keys are
+    # assumed < 2^53 in magnitude (the Int64 restore below shares it).
+    numeric_key = pa.types.is_integer(key_typ) or pa.types.is_floating(key_typ)
+
+    def _xkey(col):
+        return pc.cast(col, pa.float64()) if numeric_key else col
+    fields = [pa.field(key_out, l_sch.field(left_key).type)]
+    fields += [pa.field(dst, l_sch.field(src).type) for src, dst in left_keep.items()]
+    fields += [pa.field(dst, r_sch.field(src).type) for src, dst in right_keep.items()]
+    target = pa.schema(fields)
+    l_out = [key_out, *left_keep.values()]
+    r_out = list(right_keep.values())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cols: dict = {key_out: t[left_key]}
+        for src, dst in left_keep.items():
+            cols[dst] = t[src]
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols["_jx"] = _xkey(t[left_key])
+        out = pa.table(cols)
+        if how == "inner":  # SQL: null keys can never join — drop early
+            out = out.filter(pc.is_valid(out[key_out]))
+        return out
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {key_out: t[right_key]}
+        for src, dst in right_keep.items():
+            cols[dst] = t[src]
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["_jx"] = _xkey(t[right_key])
+        return pa.table(cols).filter(pc.is_valid(t[right_key]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = _ensure_cols(t.to_pandas(), [*l_out, *r_out])
+        is_left = df["_side"].to_numpy() == 1
+        # merge on the canonical `_jx` (one dtype across sides); the
+        # original key rides along as left payload
+        lf = df.loc[is_left, ["_jx", *l_out]]
+        rf = df.loc[~is_left, ["_jx", *r_out]]
+        null_l = lf["_jx"].isna()
+        matched = lf[~null_l].merge(rf, on="_jx", how=how, sort=False)
+        if how == "left" and null_l.any():
+            # unmatched-by-definition rows re-enter with null right cols
+            matched = pd.concat(
+                [matched, _ensure_cols(lf[null_l].copy(), r_out)],
+                ignore_index=True,
+            )
+        matched = matched[[*l_out, *r_out]]
+        for f in target:
+            # the mixed-side shard frame null-promotes ints to float64 and
+            # leaves all-NaN float columns where a side was absent; coerce
+            # back so every shard emits the one target schema
+            if pd.api.types.is_float_dtype(matched[f.name]):
+                if pa.types.is_integer(f.type):
+                    matched[f.name] = matched[f.name].astype("Int64")
+                elif not pa.types.is_floating(f.type):
+                    col = matched[f.name]
+                    matched[f.name] = col.astype(object).where(col.notna(), None)
+        return pa.Table.from_pandas(
+            matched, preserve_index=False, schema=target
+        )
+
+    refs = (
+        left_ds.map_batches(prep_left, batch_format="pyarrow").to_arrow_refs()
+        + right_ds.map_batches(prep_right, batch_format="pyarrow").to_arrow_refs()
+    )
+    out = hash_exchange(refs, ["_jx"], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    return target.empty_table() if out is None else out

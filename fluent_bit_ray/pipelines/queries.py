@@ -1030,6 +1030,48 @@ def q_semi_join_shuffled(sf_dir: str):
     return semi_join_exchange(clicks, errs, "user_id")
 
 
+def q_join_orders(sf_dir: str):
+    """general big-big INNER equi-join: orders x lineitem on orderkey —
+    the row-producing join family (many-to-many cross product per key,
+    SQL semantics). Both sides pruned to the emitted columns, ONE
+    key-hash exchange, shard-local pandas hash join (ops/joins
+    .hash_join)."""
+    from ..ops.joins import hash_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_quantity",
+                   "l_extendedprice"])
+    return hash_join(
+        orders, items, "o_orderkey", "l_orderkey",
+        {"o_custkey": "o_custkey", "o_orderpriority": "o_orderpriority"},
+        {"l_linenumber": "l_linenumber", "l_quantity": "l_quantity",
+         "l_extendedprice": "l_extendedprice"},
+        how="inner",
+    )
+
+
+def q_join_left_miss(sf_dir: str):
+    """LEFT outer form of the hash join with real misses: orders against
+    only the near-max-quantity lineitems — unmatched orders keep null
+    right columns (nulls land in DOUBLE columns only, so the DuckDB
+    comparison frame types agree; ops/joins.hash_join)."""
+    from ..ops.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    items = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_quantity", "l_extendedprice"],
+    ).filter(expr="l_quantity >= 49")
+    return hash_join(
+        orders, items, "o_orderkey", "l_orderkey",
+        {"o_totalprice": "o_totalprice"},
+        {"l_quantity": "l_quantity", "l_extendedprice": "l_extendedprice"},
+        how="left",
+    )
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1503,6 +1545,8 @@ QUERIES: dict[str, Callable] = {
     "tumbling_window": q_tumbling_window,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "join_orders": q_join_orders,
+    "join_left_miss": q_join_left_miss,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "semi_join_shuffled": q_semi_join_shuffled,
@@ -2075,6 +2119,17 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE event_type = 'click' AND NOT EXISTS "
         "(SELECT 1 FROM events x WHERE x.event_type = 'error' "
         "AND x.value > 200 AND x.user_id = e.user_id)"
+    ),
+    "join_orders": (
+        "SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, "
+        "l.l_linenumber, l.l_quantity, l.l_extendedprice "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    ),
+    "join_left_miss": (
+        "SELECT o.o_orderkey, o.o_totalprice, l.l_quantity, "
+        "l.l_extendedprice FROM orders o LEFT JOIN "
+        "(SELECT * FROM lineitem WHERE l_quantity >= 49) l "
+        "ON o.o_orderkey = l.l_orderkey"
     ),
     "range_join": (
         "SELECT l.user_id, l.event_id, count(r.ts) AS n_in_range, "

@@ -356,6 +356,59 @@ class TestTemporalJoins:
             assert sorted(ex["id"].to_pylist()) == bc
             assert ex.column_names == ["id", "k", "v"]  # schema preserved
 
+    def test_hash_join_inner_left_nulls(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import hash_join
+
+        left = ray.data.from_items([
+            {"k": 1, "a": "x"},
+            {"k": 1, "a": "y"},     # duplicate left key: cross product
+            {"k": 2, "a": "z"},
+            {"k": None, "a": "n"},  # null key never matches
+            {"k": 5, "a": "m"},     # no right match
+        ])
+        right = ray.data.from_items([
+            {"rk": 1, "b": 10},
+            {"rk": 1, "b": 11},    # duplicate right key too: 2x2 = 4 rows
+            {"rk": 2, "b": 20},
+            {"rk": None, "b": 99},  # dropped (null right key)
+        ])
+        # repartition-variant: exchange must co-locate across many blocks
+        left, right = left.repartition(4), right.repartition(3)
+
+        inner = hash_join(left, right, "k", "rk",
+                          {"a": "a"}, {"b": "b"}, how="inner")
+        rows = sorted((r["k"], r["a"], r["b"]) for r in inner.to_pylist())
+        assert rows == [(1, "x", 10), (1, "x", 11), (1, "y", 10),
+                        (1, "y", 11), (2, "z", 20)]
+        assert inner.column_names == ["k", "a", "b"]
+        assert inner.schema.field("k").type == pa.int64()  # Int64 restored
+        assert inner.schema.field("b").type == pa.int64()
+
+        outer = hash_join(left, right, "k", "rk",
+                          {"a": "a"}, {"b": "b"}, how="left")
+        by_key = {}
+        for r in outer.to_pylist():
+            by_key.setdefault((r["k"], r["a"]), []).append(r["b"])
+        assert sorted(by_key[(5, "m")]) == [None]       # unmatched left
+        assert sorted(by_key[(None, "n")]) == [None]    # null left key kept
+        assert sorted(by_key[(1, "x")]) == [10, 11]
+        assert sum(len(v) for v in by_key.values()) == 7
+
+    def test_hash_join_string_key_and_rename(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import hash_join
+
+        left = ray.data.from_items([{"u": "a", "v": 1.5}, {"u": "b", "v": 2.5}])
+        right = ray.data.from_items([{"w": "a", "s": "hit"}])
+        out = hash_join(left, right, "u", "w",
+                        {"v": "lv"}, {"s": "rs"}, how="left", out_key="key")
+        got = {r["key"]: (r["lv"], r["rs"]) for r in out.to_pylist()}
+        assert got == {"a": (1.5, "hit"), "b": (2.5, None)}
+        assert out.column_names == ["key", "lv", "rs"]
+
     def test_semi_join_empty_filter_side(self):
         import ray.data
 
