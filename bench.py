@@ -239,6 +239,15 @@ def bench_asof_join() -> float:
     return time.time() - t0
 
 
+def bench_hash_join() -> float:
+    """big-big equi-join: orders x lineitem through one key-hash exchange."""
+    from fluent_bit_ray.pipelines.queries import q_join_orders
+
+    t0 = time.time()
+    _consume(q_join_orders(SF_DIR))
+    return time.time() - t0
+
+
 def bench_warc_ingest() -> float:
     """full Common-Crawl loop: WARC files -> parse -> enrich -> aggregate
     (fixture pre-built untimed, like the forward bench)."""
@@ -267,6 +276,7 @@ BENCHES = {
     "line_dedup": bench_line_dedup,
     "global_shuffle": bench_global_shuffle,
     "asof_join": bench_asof_join,
+    "hash_join": bench_hash_join,
     "warc_ingest": bench_warc_ingest,
 }
 
