@@ -1072,6 +1072,42 @@ def q_join_left_miss(sf_dir: str):
     )
 
 
+def q_cc_clusters(sf_dir: str):
+    """transitive duplicate clusters: docs sharing a 64-char prefix OR a
+    64-char suffix are linked; the cluster id is the min doc_id reachable
+    through any chain of such links (doc A shares a prefix with B, B a
+    suffix with C => one cluster). ONE key-hash exchange elects a hub per
+    shared-affix group and emits star edges (O(n) per group, same
+    components as the clique), then ops/graph.connected_components runs
+    hash-min label propagation over aligned shards."""
+    import numpy as np
+
+    from ..ops.graph import connected_components
+    from ..shuffle import hash_exchange
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(("p:" + s.str[:64])._append("s:" + s.str[-64:])),
+            "doc_id": np.concatenate([ids, ids]),
+        })
+
+    def star(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
+        return pa.table({"src": hub.to_numpy(),
+                         "dst": df["doc_id"].to_numpy()})
+
+    refs = hash_exchange(
+        docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
+        ["key"], star, return_refs=True)
+    return connected_components(refs, "src", "dst",
+                                node_out="doc_id", comp_out="component")
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1547,6 +1583,7 @@ QUERIES: dict[str, Callable] = {
     "range_join": q_range_join,
     "join_orders": q_join_orders,
     "join_left_miss": q_join_left_miss,
+    "cc_clusters": q_cc_clusters,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "semi_join_shuffled": q_semi_join_shuffled,
@@ -2130,6 +2167,25 @@ ORACLE_SQL: dict[str, str] = {
         "l.l_extendedprice FROM orders o LEFT JOIN "
         "(SELECT * FROM lineitem WHERE l_quantity >= 49) l "
         "ON o.o_orderkey = l.l_orderkey"
+    ),
+    "cc_clusters": (
+        # transitive closure of the shared-affix star graph: min reachable
+        # doc_id per node via a recursive CTE — the SQL twin of hash-min
+        # label propagation
+        "WITH RECURSIVE star AS ("
+        "SELECT min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS s, "
+        "doc_id AS d FROM documents "
+        "UNION ALL "
+        "SELECT min(doc_id) OVER (PARTITION BY "
+        "substr(text, greatest(1, length(text) - 63), 64)) AS s, "
+        "doc_id AS d FROM documents"
+        "), edges AS ("
+        "SELECT s, d FROM star UNION SELECT d, s FROM star"
+        "), reach(n, l) AS ("
+        "SELECT d, d FROM star "
+        "UNION "
+        "SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n"
+        ") SELECT n AS doc_id, min(l) AS component FROM reach GROUP BY n"
     ),
     "range_join": (
         "SELECT l.user_id, l.event_id, count(r.ts) AS n_in_range, "

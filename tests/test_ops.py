@@ -1724,3 +1724,70 @@ class TestLshLabelPropagation:
             self._docs(), bands=32, shingle_k=3).to_pylist()}
         for d, r in reps.items():
             assert reps[r] == r
+
+
+class TestConnectedComponents:
+    def test_chain_and_isolate_across_shards(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.graph import connected_components
+
+        edges = ray.data.from_items([
+            {"src": 11, "dst": 10}, {"src": 11, "dst": 12},
+            {"src": 12, "dst": 13},              # chain 10-11-12-13
+            {"src": 20, "dst": 21},              # pair
+            {"src": 30, "dst": 30},              # isolated self-loop
+        ]).repartition(4)
+        out = connected_components(edges, num_shards=3)
+        got = dict(zip(out["node"].to_pylist(), out["component"].to_pylist()))
+        assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                       20: 20, 21: 20, 30: 30}
+        assert out.schema.field("node").type == pa.int64()
+
+    def test_matches_union_find_on_random_graph(self):
+        import random
+
+        import ray.data
+
+        from fluent_bit_ray.ops.graph import connected_components
+
+        rng = random.Random(7)
+        n = 400
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        seen = set()
+        for a, b in edges:
+            seen.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: min(u for u in seen if find(u) == find(v))
+                for v in seen}
+
+        ds = ray.data.from_items(
+            [{"src": a, "dst": b} for a, b in edges]).repartition(5)
+        out = connected_components(ds, num_shards=4)
+        got = dict(zip(out["node"].to_pylist(), out["component"].to_pylist()))
+        assert got == want
+
+    def test_empty_and_table_input(self):
+        from fluent_bit_ray.ops.graph import connected_components
+
+        empty = connected_components(pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}))
+        assert empty.num_rows == 0
+        one = connected_components(
+            pa.table({"src": [5], "dst": [3]}),
+            node_out="doc_id", comp_out="component")
+        assert one.column_names == ["doc_id", "component"]
+        got = dict(zip(one["doc_id"].to_pylist(),
+                       one["component"].to_pylist()))
+        assert got == {3: 3, 5: 3}
