@@ -775,3 +775,38 @@ def pivot_sum(
         partial, batch_format="pyarrow"
     )
     return hash_exchange(pruned.to_arrow_refs(), [key_col], finish)
+
+
+def unpivot(
+    ds,
+    id_cols: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Wide-to-long melt, the inverse of `pivot_sum`: each input row emits
+    one output row per value column as (ids..., column-name, value). SQL
+    `UNPIVOT` / per-column `UNION ALL` parity; values are cast to float64
+    so the long column has one type, and NULL cells stay NULL rows (SQL
+    UNION ALL keeps them; use a filter after if you want UNPIVOT's
+    null-dropping form).
+
+    Purely map-side — no shuffle, no state: each batch melts to
+    len(value_cols) stacked slices (zero-copy ids via table concat,
+    one cast per column), so it streams at read speed.
+    """
+    ids, vals = list(id_cols), list(value_cols)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in vals:
+            parts.append(pa.table({
+                **{i: t[i] for i in ids},
+                var_name: pa.array(
+                    np.full(t.num_rows, c, dtype=object), pa.string()),
+                value_name: pc.cast(t[c], pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns([*ids, *vals]).map_batches(
+        melt, batch_format="pyarrow")

@@ -1325,6 +1325,21 @@ def q_pivot(sf_dir: str):
     )
 
 
+def q_unpivot(sf_dir: str):
+    """wide-to-long melt of four lineitem measures (the inverse of pivot;
+    SQL per-column UNION ALL parity incl. NULL cells kept as NULL rows;
+    ops/stats.unpivot — pure map-side, streams at read speed)."""
+    from ..ops.stats import unpivot
+
+    return unpivot(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax"]),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_outliers(sf_dir: str):
     """per-event-type z-score outliers (|z| > 2 population-std from the
     type's mean; ops/stats.keyed_outliers)."""
@@ -1576,6 +1591,7 @@ QUERIES: dict[str, Callable] = {
     "lag_deltas": q_lag_deltas,
     "outliers": q_outliers,
     "pivot": q_pivot,
+    "unpivot": q_unpivot,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -2105,6 +2121,16 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "unpivot": (
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "
+        "CAST(l_quantity AS DOUBLE) AS value FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+        "CAST(l_extendedprice AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "CAST(l_discount AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+        "CAST(l_tax AS DOUBLE) FROM lineitem"
     ),
     "pivot": (
         "SELECT user_id, "

@@ -1791,3 +1791,22 @@ class TestConnectedComponents:
         got = dict(zip(one["doc_id"].to_pylist(),
                        one["component"].to_pylist()))
         assert got == {3: 3, 5: 3}
+
+
+class TestUnpivot:
+    def test_melt_keeps_nulls_and_order_free(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import unpivot
+
+        ds = ray.data.from_arrow(pa.table({
+            "id": [1, 2],
+            "a": [10.0, None],   # NULL cell -> NULL row, kept
+            "b": pa.array([3, 4], pa.int64()),  # int casts to float64
+            "extra": ["x", "y"],  # not selected: pruned away
+        })).repartition(2)
+        out = unpivot(ds, ["id"], ["a", "b"]).take_all()
+        got = sorted((r["id"], r["variable"], r["value"]) for r in out)
+        assert got == [(1, "a", 10.0), (1, "b", 3.0),
+                       (2, "a", None), (2, "b", 4.0)]
+        assert all(set(r) == {"id", "variable", "value"} for r in out)
