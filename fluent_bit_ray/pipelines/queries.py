@@ -1072,6 +1072,76 @@ def q_join_left_miss(sf_dir: str):
     )
 
 
+def q_q3_revenue(sf_dir: str):
+    """TPC-H Q3-style composition — customer-segment semi-filter, then
+    orders x lineitem revenue per order — showing the operator families
+    composing end-to-end WITHOUT a row-producing join: the broadcast
+    semi join (ops/joins.semi_join) prunes orders; lineitem revenue is
+    pre-combined map-side per orderkey (partials, never raw rows, cross
+    the wire); ONE key-hash exchange both joins and aggregates in the
+    same shard (grouping key == join key, so the groupby is free after
+    co-location)."""
+    import numpy as np
+
+    from ..ops.joins import semi_join
+    from ..shuffle import hash_exchange
+
+    bld = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        expr="c_mktsegment == 'BUILDING'"
+    ).map_batches(
+        lambda t: t.select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = semi_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        bld, "o_custkey",
+    )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "revenue": pa.nulls(t.num_rows, pa.float64()),
+        })
+
+    def revenue_partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())),
+        )
+        g = pa.table({"o_orderkey": t["l_orderkey"], "rev": rev}).group_by(
+            ["o_orderkey"]).aggregate([("rev", "sum")])
+        return pa.table({
+            "o_orderkey": g["o_orderkey"],
+            "o_orderdate": pa.nulls(g.num_rows, pa.timestamp("us")),
+            "revenue": g["rev_sum"],
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_order = df["revenue"].isna() & df["o_orderdate"].notna()
+        rev = (df[~is_order].groupby("o_orderkey", sort=False)["revenue"]
+               .sum())
+        o = df[is_order][["o_orderkey", "o_orderdate"]].merge(
+            rev.rename("revenue"), left_on="o_orderkey", right_index=True,
+            how="inner", sort=False)
+        return pa.Table.from_pandas(o, preserve_index=False)
+
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"])
+    refs = (
+        orders.map_batches(order_rows, batch_format="pyarrow").to_arrow_refs()
+        + items.map_batches(revenue_partial,
+                            batch_format="pyarrow").to_arrow_refs()
+    )
+    out = hash_exchange(refs, ["o_orderkey"], finish)
+    if out is None:
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "revenue": pa.array([], pa.float64())})
+    return out
+
+
 def q_cc_clusters(sf_dir: str):
     """transitive duplicate clusters: docs sharing a 64-char prefix OR a
     64-char suffix are linked; the cluster id is the min doc_id reachable
@@ -1600,6 +1670,7 @@ QUERIES: dict[str, Callable] = {
     "join_orders": q_join_orders,
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
+    "q3_revenue": q_q3_revenue,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "semi_join_shuffled": q_semi_join_shuffled,
@@ -2193,6 +2264,14 @@ ORACLE_SQL: dict[str, str] = {
         "l.l_extendedprice FROM orders o LEFT JOIN "
         "(SELECT * FROM lineitem WHERE l_quantity >= 49) l "
         "ON o.o_orderkey = l.l_orderkey"
+    ),
+    "q3_revenue": (
+        "SELECT o.o_orderkey, o.o_orderdate, "
+        "sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue "
+        "FROM customer c, orders o, lineitem l "
+        "WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey "
+        "AND l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderkey, o.o_orderdate"
     ),
     "cc_clusters": (
         # transitive closure of the shared-affix star graph: min reachable
