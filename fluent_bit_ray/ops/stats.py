@@ -810,3 +810,64 @@ def unpivot(
 
     return ds.select_columns([*ids, *vals]).map_batches(
         melt, batch_format="pyarrow")
+
+
+def rollup_sum(
+    ds,
+    k1: str,
+    k2: str,
+    value_col: str,
+    out: str = "sum_value",
+) -> pa.Table:
+    """Two-level rollup — one pass computing sums at (k1, k2), (k1) and
+    grand-total granularity (SQL `GROUP BY ROLLUP(k1, k2)`: rolled levels
+    carry NULL in the rolled key). Key columns are assumed non-null (the
+    usual practical rollup; a data-NULL key would be indistinguishable
+    from a roll-NULL without a GROUPING id column).
+
+    Map-side (k1, k2) partial sums cross the wire, never raw rows; ONE
+    exchange keyed on k1 alone co-locates everything a k1 group needs, so
+    the (k1, k2) and (k1) levels are both exact in-shard. The grand total
+    is emitted as one partial row per shard and folded on the driver — K
+    rows, not data. Keying on k1 alone concentrates a hot k1 in one
+    shard; for Zipf-hot k1 use ops/skew.salted aggregation for the fine
+    level instead.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            k1: t[k1], k2: t[k2],
+            "v": pc.cast(t[value_col], pa.float64()),
+        }).group_by([k1, k2]).aggregate([("v", "sum")])
+        return g.rename_columns([k1, k2, "v"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fine = (df.groupby([k1, k2], sort=False, as_index=False)["v"].sum())
+        mid = df.groupby(k1, sort=False, as_index=False)["v"].sum()
+        mid[k2] = None
+        grand = pd.DataFrame({k1: [None], k2: [None],
+                              "v": [df["v"].sum()], "_partial": [1]})
+        fine["_partial"] = 0
+        mid["_partial"] = 0
+        return pa.Table.from_pandas(
+            pd.concat([fine, mid[[k1, k2, "v", "_partial"]], grand],
+                      ignore_index=True),
+            preserve_index=False)
+
+    refs = ds.select_columns([k1, k2, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    merged = hash_exchange(refs, [k1], finish)
+    if merged is None:
+        return pa.table({k1: pa.array([], pa.string()),
+                         k2: pa.array([], pa.string()),
+                         out: pa.array([], pa.float64())})
+    part = pc.equal(merged["_partial"], 1)
+    shards = merged.filter(part)
+    done = merged.filter(pc.invert(part)).select([k1, k2, "v"])
+    grand = pa.table({
+        k1: pa.nulls(1, merged.schema.field(k1).type),
+        k2: pa.nulls(1, merged.schema.field(k2).type),
+        "v": pa.array([pc.sum(shards["v"]).as_py() or 0.0], pa.float64()),
+    })
+    return pa.concat_tables([done, grand]).rename_columns([k1, k2, out])

@@ -1395,6 +1395,18 @@ def q_pivot(sf_dir: str):
     )
 
 
+def q_rollup(sf_dir: str):
+    """two-level rollup over documents: n_chars sums at (lang, source),
+    (lang) and grand-total granularity in ONE exchange (SQL GROUP BY
+    ROLLUP parity incl. NULL roll markers; ops/stats.rollup_sum)."""
+    from ..ops.stats import rollup_sum
+
+    return rollup_sum(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        "lang", "source", "n_chars", out="sum_chars",
+    )
+
+
 def q_unpivot(sf_dir: str):
     """wide-to-long melt of four lineitem measures (the inverse of pivot;
     SQL per-column UNION ALL parity incl. NULL cells kept as NULL rows;
@@ -1662,6 +1674,7 @@ QUERIES: dict[str, Callable] = {
     "outliers": q_outliers,
     "pivot": q_pivot,
     "unpivot": q_unpivot,
+    "rollup": q_rollup,
     "sliding_window": q_sliding_window,
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
@@ -2192,6 +2205,10 @@ ORACLE_SQL: dict[str, str] = {
         "FROM (SELECT * FROM events WHERE event_type = 'click') l "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    "rollup": (
+        "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
+        "FROM documents GROUP BY ROLLUP(lang, source)"
     ),
     "unpivot": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "

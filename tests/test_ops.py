@@ -1810,3 +1810,25 @@ class TestUnpivot:
         assert got == [(1, "a", 10.0), (1, "b", 3.0),
                        (2, "a", None), (2, "b", 4.0)]
         assert all(set(r) == {"id", "variable", "value"} for r in out)
+
+
+class TestRollup:
+    def test_levels_and_repartition(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import rollup_sum
+
+        rows = [
+            {"a": "x", "b": "p", "v": 1},
+            {"a": "x", "b": "p", "v": 2},
+            {"a": "x", "b": "q", "v": 4},
+            {"a": "y", "b": "p", "v": 8},
+        ]
+        out = rollup_sum(ray.data.from_items(rows).repartition(3),
+                         "a", "b", "v", out="s")
+        got = {(r["a"], r["b"]): r["s"] for r in out.to_pylist()}
+        assert got == {
+            ("x", "p"): 3.0, ("x", "q"): 4.0, ("y", "p"): 8.0,
+            ("x", None): 7.0, ("y", None): 8.0, (None, None): 15.0,
+        }
+        assert out.schema.field("s").type == pa.float64()
