@@ -163,6 +163,38 @@ def global_shuffle(ds, id_col: str = "doc_id", seed: int = 0,
     return ray.data.from_arrow_refs(out)
 
 
+def global_sort(ds, keys: list, descending=None, rank_col: str = "rn"):
+    """Distributed ORDER BY with a materialized 1-based global rank (SQL
+    `row_number() OVER (ORDER BY ...)` — pass a total order, i.e. include
+    a unique tiebreaker key, or ranks within ties are partition-dependent).
+
+    Same scale shape as `global_shuffle`: Ray Data's range-partitioned
+    sample sort is the one unavoidable exchange; the rank pass then
+    touches only per-block row COUNTS (remote int tasks -> driver prefix
+    sum -> per-block offset+arange), never re-shipping the data, and the
+    result chains object-store-to-object-store as a Dataset."""
+    import ray
+    import ray.data
+
+    s = ds.sort(keys, descending=descending if descending is not None
+                else [False] * len(keys))
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def add_rank(t: pa.Table, offset: int) -> pa.Table:
+        rn = pa.array(offset + 1 + np.arange(t.num_rows, dtype=np.int64))
+        return t.append_column(rank_col, rn)
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])]
+    return ray.data.from_arrow_refs(out)
+
+
 def _key_codes(col) -> np.ndarray:
     """Group codes for a key column of ANY dtype; null is its OWN group
     (pd.factorize use_na_sentinel=False — dictionary_encode+fill_null

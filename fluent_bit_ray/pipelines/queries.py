@@ -1213,6 +1213,19 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_global_sort(sf_dir: str):
+    """distributed ORDER BY with the ENTIRE global rank oracle-checked:
+    events by (value DESC, event_id ASC) -> 1-based row_number parity
+    (ops/sample.global_sort; range-partitioned sample sort + a
+    counts-only rank pass)."""
+    from ..ops.sample import global_sort
+
+    return global_sort(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        ["value", "event_id"], descending=[True, False],
+    )
+
+
 def q_vocab_bigrams(sf_dir: str):
     """top-50 corpus bigrams (within-doc adjacent token pairs), same
     exchange as the unigram vocab (ops/text.vocab_topk(ngram=2))."""
@@ -1690,6 +1703,7 @@ QUERIES: dict[str, Callable] = {
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
+    "global_sort": q_global_sort,
     "kmeans_invariant": q_kmeans_invariant,
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
@@ -2192,6 +2206,10 @@ ORACLE_SQL: dict[str, str] = {
     # the SQL twin recomputes the exact 3-round mix (HUGEINT products
     # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —
     # built from the same shuffle_hash_sql the engine documents
+    "global_sort": (
+        "SELECT event_id, value, row_number() OVER "
+        "(ORDER BY value DESC, event_id) AS rn FROM events"
+    ),
     "global_shuffle": (
         "WITH h AS (SELECT doc_id, "
         + shuffle_hash_sql("doc_id", 20240817)

@@ -1832,3 +1832,21 @@ class TestRollup:
             ("x", None): 7.0, ("y", None): 8.0, (None, None): 15.0,
         }
         assert out.schema.field("s").type == pa.float64()
+
+
+class TestGlobalSort:
+    def test_rank_matches_sorted_order(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import global_sort
+
+        rows = [{"id": i, "v": float(i % 5)} for i in range(40)]
+        out = global_sort(
+            ray.data.from_items(rows).repartition(6),
+            ["v", "id"], descending=[True, False],
+        ).take_all()
+        want = sorted(rows, key=lambda r: (-r["v"], r["id"]))
+        by_rank = {r["rn"]: (r["v"], r["id"]) for r in out}
+        assert len(by_rank) == 40 and min(by_rank) == 1  # dense 1-based
+        for rn, w in enumerate(want, start=1):
+            assert by_rank[rn] == (w["v"], w["id"])
