@@ -655,3 +655,58 @@ def normalize_text_batch(
     col = pc.replace_substring_regex(col, r"\s+", " ")
     col = pc.utf8_trim_whitespace(col)
     return pa.table({id_col: batch[id_col], "norm_text": col})
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 1, shard_output_dir=None):
+    """Search-index build: token -> (document frequency, the full posting
+    list as a comma-joined doc-id string sorted ascending). A token posts
+    once per doc no matter how often it repeats (DISTINCT pairs), matching
+    `string_agg(doc_id, ',' ORDER BY doc_id)` over DISTINCT unnested
+    tokens in SQL.
+
+    Scale shape: map-side the batch flattens to DISTINCT fixed-width
+    (token, doc_id) pairs — the only thing that crosses the wire — and
+    ONE token-hash exchange co-locates each token's postings; the
+    shard-local assembly sorts once by (token, doc_id) and joins digits
+    per group (group count = vocabulary, not corpus). A stopword-grade
+    hot token concentrates its postings in one shard — set `min_df`/
+    stopword filtering upstream, or pass `shard_output_dir` so shards
+    stream straight to parquet (index segments), never the driver.
+    """
+    import pandas as pd
+
+    from ..shuffle import hash_exchange
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks, bounds, _ = _doc_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        docs = np.repeat(ids, np.diff(bounds))
+        df = pd.DataFrame({"token": toks.to_pandas(), "doc": docs})
+        df = df[df["token"] != ""].drop_duplicates()
+        return pa.table({"token": pa.array(df["token"].to_numpy(), pa.string()),
+                         "doc": df["doc"].to_numpy()})
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().drop_duplicates()  # pairs may repeat across blocks
+              .sort_values(["token", "doc"], kind="stable"))
+        df["doc"] = df["doc"].astype(str)
+        g = df.groupby("token", sort=False)["doc"]
+        out = pd.DataFrame({"df": g.size(), "postings": g.agg(",".join)})
+        out = out[out["df"] >= min_df].reset_index()
+        return pa.Table.from_pandas(
+            out, preserve_index=False,
+            schema=pa.schema([("token", pa.string()), ("df", pa.int64()),
+                              ("postings", pa.string())]))
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        pairs, batch_format="pyarrow")
+    out = hash_exchange(parts.to_arrow_refs(), ["token"], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    if out is None:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "postings": pa.array([], pa.string())})
+    return out

@@ -1226,6 +1226,14 @@ def q_global_sort(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """search-index build over documents: token -> (df, full ascending
+    posting list as a comma-joined string), DISTINCT per (token, doc)
+    (SQL string_agg ORDER BY parity; ops/text.inverted_index)."""
+    return text_ops.inverted_index(
+        _read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_vocab_bigrams(sf_dir: str):
     """top-50 corpus bigrams (within-doc adjacent token pairs), same
     exchange as the unigram vocab (ops/text.vocab_topk(ngram=2))."""
@@ -1704,6 +1712,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
     "global_sort": q_global_sort,
+    "inverted_index": q_inverted_index,
     "kmeans_invariant": q_kmeans_invariant,
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
@@ -2206,6 +2215,13 @@ ORACLE_SQL: dict[str, str] = {
     # the SQL twin recomputes the exact 3-round mix (HUGEINT products
     # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —
     # built from the same shuffle_hash_sql the engine documents
+    "inverted_index": (
+        "WITH toks AS (SELECT DISTINCT doc_id, "
+        "unnest(string_split_regex(trim(text), '\\s+')) AS token "
+        "FROM documents WHERE trim(text) <> '') "
+        "SELECT token, count(*) AS df, string_agg(CAST(doc_id AS VARCHAR), "
+        "',' ORDER BY doc_id) AS postings FROM toks GROUP BY token"
+    ),
     "global_sort": (
         "SELECT event_id, value, row_number() OVER "
         "(ORDER BY value DESC, event_id) AS rn FROM events"

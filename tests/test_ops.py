@@ -1850,3 +1850,30 @@ class TestGlobalSort:
         assert len(by_rank) == 40 and min(by_rank) == 1  # dense 1-based
         for rn, w in enumerate(want, start=1):
             assert by_rank[rn] == (w["v"], w["id"])
+
+
+class TestInvertedIndex:
+    def test_postings_distinct_sorted(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import inverted_index
+
+        ds = ray.data.from_items([
+            {"doc_id": 3, "text": "b a b b"},   # b posts once for doc 3
+            {"doc_id": 1, "text": "a c"},
+            {"doc_id": 2, "text": "  "},         # empty: no postings
+        ]).repartition(3)
+        out = inverted_index(ds)
+        got = {r["token"]: (r["df"], r["postings"])
+               for r in out.to_pylist()}
+        assert got == {"a": (2, "1,3"), "b": (1, "3"), "c": (1, "1")}
+
+    def test_min_df(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import inverted_index
+
+        ds = ray.data.from_items([
+            {"doc_id": 1, "text": "x y"}, {"doc_id": 2, "text": "x"}])
+        out = inverted_index(ds, min_df=2)
+        assert out["token"].to_pylist() == ["x"]
