@@ -256,3 +256,48 @@ def lag_deltas(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def funnel(
+    ds,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list,
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """k-step funnel (conversion analysis): per key, the earliest time of
+    step 0, then for each later step i the earliest step-i event AT OR
+    AFTER the key's step-(i-1) time (SQL `min(ts) ... WHERE ts >=
+    prev_step_ts` — inclusive, so a same-timestamp event converts). Keys
+    that never reach step 0 are excluded; a missed step leaves that and
+    every later column NULL. Returns one row per step-0 key:
+    (key, <step>_ts per step).
+
+    Same scale shape as the other window ops: rows are pruned map-side to
+    the step types and hash-sharded by key; ONE pandas body per shard
+    serves all its keys — per step it is a C map + boolean filter +
+    groupby-min, never a per-key Python loop.
+    """
+    steps = list(steps)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[type_col].isin(steps)][[key_col, type_col, ts_col]]
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        first = df[df[type_col] == steps[0]].groupby(key_col)[ts_col].min()
+        out = first.rename(f"{steps[0]}_ts").to_frame()
+        prev = first
+        for st in steps[1:]:
+            cand = df[df[type_col] == st]
+            t0 = cand[key_col].map(prev)
+            cur = (cand[cand[ts_col] >= t0]  # NaT prev compares False
+                   .groupby(key_col)[ts_col].min().reindex(out.index))
+            out[f"{st}_ts"] = cur
+            prev = cur
+        return out.reset_index()
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return _with_shard(pruned, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

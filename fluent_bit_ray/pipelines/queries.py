@@ -1213,6 +1213,22 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """3-step conversion funnel over events (click -> purchase -> error):
+    per user, earliest step time at-or-after the previous step's; missed
+    steps stay NULL (ops/windows.funnel — one pandas body per key shard,
+    SQL chained min-over-join parity). Input thinned to value <= 30 so
+    real conversion misses exist at sf0.01."""
+    from ..ops.windows import funnel
+
+    return funnel(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts", "value"])
+        .filter(expr="value <= 30"),
+        "user_id", "event_type", "ts",
+        steps=["click", "purchase", "error"],
+    )
+
+
 def q_global_sort(sf_dir: str):
     """distributed ORDER BY with the ENTIRE global rank oracle-checked:
     events by (value DESC, event_id ASC) -> 1-based row_number parity
@@ -1711,6 +1727,7 @@ QUERIES: dict[str, Callable] = {
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
+    "funnel": q_funnel,
     "global_sort": q_global_sort,
     "inverted_index": q_inverted_index,
     "kmeans_invariant": q_kmeans_invariant,
@@ -2221,6 +2238,22 @@ ORACLE_SQL: dict[str, str] = {
         "FROM documents WHERE trim(text) <> '') "
         "SELECT token, count(*) AS df, string_agg(CAST(doc_id AS VARCHAR), "
         "',' ORDER BY doc_id) AS postings FROM toks GROUP BY token"
+    ),
+    "funnel": (
+        "WITH ev AS (SELECT * FROM events WHERE value <= 30), "
+        "s0 AS (SELECT user_id, min(ts) AS click_ts FROM ev "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "s1 AS (SELECT s0.user_id, min(e.ts) AS purchase_ts FROM s0 "
+        "JOIN ev e ON e.user_id = s0.user_id AND "
+        "e.event_type = 'purchase' AND e.ts >= s0.click_ts "
+        "GROUP BY s0.user_id), "
+        "s2 AS (SELECT s1.user_id, min(e.ts) AS error_ts FROM s1 "
+        "JOIN ev e ON e.user_id = s1.user_id AND "
+        "e.event_type = 'error' AND e.ts >= s1.purchase_ts "
+        "GROUP BY s1.user_id) "
+        "SELECT s0.user_id, s0.click_ts, s1.purchase_ts, s2.error_ts "
+        "FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id "
+        "LEFT JOIN s2 ON s0.user_id = s2.user_id"
     ),
     "global_sort": (
         "SELECT event_id, value, row_number() OVER "

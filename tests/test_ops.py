@@ -1877,3 +1877,36 @@ class TestInvertedIndex:
             {"doc_id": 1, "text": "x y"}, {"doc_id": 2, "text": "x"}])
         out = inverted_index(ds, min_df=2)
         assert out["token"].to_pylist() == ["x"]
+
+
+class TestFunnel:
+    def test_steps_misses_and_inclusive_boundary(self):
+        import datetime as dt
+
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import funnel
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+        rows = [
+            # u1 converts: click@1 -> buy@3 (buy@0 is BEFORE click: ignored)
+            {"u": 1, "e": "click", "ts": t(1)},
+            {"u": 1, "e": "buy", "ts": t(0)},
+            {"u": 1, "e": "buy", "ts": t(3)},
+            # u2: same-timestamp buy converts (inclusive >=)
+            {"u": 2, "e": "click", "ts": t(5)},
+            {"u": 2, "e": "buy", "ts": t(5)},
+            # u3: click only
+            {"u": 3, "e": "click", "ts": t(2)},
+            # u4: buy but never clicked -> excluded entirely
+            {"u": 4, "e": "buy", "ts": t(9)},
+        ]
+        out = funnel(ray.data.from_items(rows).repartition(3),
+                     "u", "e", "ts", steps=["click", "buy"],
+                     num_shards=4).take_all()
+        got = {r["u"]: (r["click_ts"], r["buy_ts"]) for r in out}
+        assert set(got) == {1, 2, 3}
+        assert got[1] == (t(1), t(3))
+        assert got[2] == (t(5), t(5))
+        assert got[3][0] == t(2) and pd.isna(got[3][1])
