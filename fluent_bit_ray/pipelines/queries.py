@@ -1213,6 +1213,15 @@ def q_global_shuffle(sf_dir: str):
     )
 
 
+def q_entropy(sf_dir: str):
+    """byte-level Shannon entropy per doc (gibberish/compression quality
+    signal; ops/text.char_entropy_batch — one bincount over composite
+    (doc, byte) codes per batch, pure map, char parity on the ASCII
+    corpus checked by the SQL oracle)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: text_ops.char_entropy_batch(b), batch_format="pyarrow")
+
+
 def q_funnel(sf_dir: str):
     """3-step conversion funnel over events (click -> purchase -> error):
     per user, earliest step time at-or-after the previous step's; missed
@@ -1727,6 +1736,7 @@ QUERIES: dict[str, Callable] = {
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_shuffle": q_global_shuffle,
+    "entropy": q_entropy,
     "funnel": q_funnel,
     "global_sort": q_global_sort,
     "inverted_index": q_inverted_index,
@@ -2238,6 +2248,16 @@ ORACLE_SQL: dict[str, str] = {
         "FROM documents WHERE trim(text) <> '') "
         "SELECT token, count(*) AS df, string_agg(CAST(doc_id AS VARCHAR), "
         "',' ORDER BY doc_id) AS postings FROM toks GROUP BY token"
+    ),
+    "entropy": (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
+        "FROM documents WHERE length(text) > 0), "
+        "freq AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), "
+        "tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1) "
+        "SELECT f.doc_id, -sum((f.n / t.t) * log2(f.n / t.t)) AS entropy "
+        "FROM freq f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id "
+        "UNION ALL SELECT doc_id, NULL AS entropy FROM documents "
+        "WHERE length(text) = 0 OR text IS NULL"
     ),
     "funnel": (
         "WITH ev AS (SELECT * FROM events WHERE value <= 30), "

@@ -1910,3 +1910,23 @@ class TestFunnel:
         assert got[1] == (t(1), t(3))
         assert got[2] == (t(5), t(5))
         assert got[3][0] == t(2) and pd.isna(got[3][1])
+
+
+class TestCharEntropy:
+    def test_known_values_and_empty(self):
+        import math
+
+        from fluent_bit_ray.ops.text import char_entropy_batch
+
+        t = pa.table({"doc_id": [1, 2, 3, 4],
+                      "text": ["aaaa",          # 0 bits
+                               "ab",            # 1 bit
+                               "abcd",          # 2 bits
+                               ""]})            # empty -> NULL/NaN
+        out = char_entropy_batch(t)
+        got = dict(zip(out["doc_id"].to_pylist(),
+                       out["entropy"].to_pylist()))
+        assert got[1] == 0.0
+        assert math.isclose(got[2], 1.0)
+        assert math.isclose(got[3], 2.0)
+        assert got[4] is None or got[4] != got[4]  # null or NaN
