@@ -194,3 +194,181 @@ def connected_components(
                          comp_out: pa.array([], pa.int64())})
     out = pa.concat_tables(live)
     return out.rename_columns([node_out, comp_out])
+
+
+def _build_pr(src: str, dst: str, k: int, *tables):
+    """Split DISTINCT directed edges by hash(src)."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return [None] * k if k > 1 else None
+    t = pa.concat_tables(live, promote_options="default")
+    df = pd.DataFrame({
+        "src": t[src].to_numpy(zero_copy_only=False).astype(np.int64),
+        "dst": t[dst].to_numpy(zero_copy_only=False).astype(np.int64),
+    }).drop_duplicates()
+    s = _shard_of(df["src"], k)
+    out = []
+    for i in range(k):
+        part = df[s == i]
+        out.append(pa.table({"src": part["src"].to_numpy(),
+                             "dst": part["dst"].to_numpy()}))
+    return out if k > 1 else out[0]
+
+
+def _pr_adj(*parts):
+    """Merge one shard's edge parts; attach out-degree (complete per src
+    since the split keys on src)."""
+    live = [p for p in parts if p is not None and p.num_rows]
+    if not live:
+        return None
+    df = pa.concat_tables(live).to_pandas().drop_duplicates()
+    df["deg"] = df.groupby("src", sort=False)["src"].transform("size")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _pr_nodes(k: int, adj: Optional[pa.Table]):
+    """This shard's edges contribute their endpoint ids to the rank
+    shards (node set = src ∪ dst, sharded by hash(node))."""
+    empty = [None] * k if k > 1 else None
+    if adj is None:
+        return empty
+    nodes = pd.Series(np.unique(np.concatenate(
+        [adj["src"].to_numpy(), adj["dst"].to_numpy()])))
+    s = _shard_of(nodes, k)
+    nodes = nodes.to_numpy()
+    out = [pa.table({"node": nodes[s == i]}) for i in range(k)]
+    return out if k > 1 else out[0]
+
+
+def _pr_init(*parts):
+    live = [p for p in parts if p is not None and p.num_rows]
+    if not live:
+        return None, 0
+    nodes = np.unique(np.concatenate([p["node"].to_numpy() for p in live]))
+    return (pa.table({"node": nodes,
+                      "r": np.ones(len(nodes), dtype=np.float64)}),
+            int(len(nodes)))
+
+
+def _pr_contrib(k: int, adj: Optional[pa.Table],
+                ranks: Optional[pa.Table]):
+    """(dst, r/deg) per edge, pre-summed per dst, sharded by hash(dst)."""
+    empty = [None] * k if k > 1 else None
+    if adj is None or ranks is None:
+        return empty
+    df = adj.to_pandas().merge(ranks.to_pandas(), left_on="src",
+                               right_on="node", sort=False)
+    m = (df["r"] / df["deg"]).groupby(df["dst"]).sum()
+    nodes, vals = m.index.to_series(), m.to_numpy()
+    s = _shard_of(nodes, k)
+    nodes = nodes.to_numpy()
+    out = []
+    for i in range(k):
+        sel = s == i
+        out.append(pa.table({"node": nodes[sel], "c": vals[sel]})
+                   if sel.any() else None)
+    return out if k > 1 else out[0]
+
+
+def _pr_update(damping: float, ranks: Optional[pa.Table], *msg_tables):
+    if ranks is None:
+        return None
+    live = [m for m in msg_tables if m is not None and m.num_rows]
+    base = 1.0 - damping
+    old = ranks.to_pandas()
+    if live:
+        inc = (pa.concat_tables(live).to_pandas()
+               .groupby("node", sort=False)["c"].sum())
+        c = old["node"].map(inc).fillna(0.0).to_numpy()
+    else:
+        c = np.zeros(len(old), dtype=np.float64)
+    return pa.table({"node": old["node"].to_numpy(),
+                     "r": base + damping * c})
+
+
+def pagerank(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    node_out: str = "node",
+    rank_out: str = "rank",
+    num_shards: Optional[int] = None,
+) -> pa.Table:
+    """Fixed-iteration PageRank over a directed edge list (int64 node
+    ids), in the UNNORMALIZED form r = (1-d) + d * sum(r_in/deg_out)
+    with r0 = 1 — every value is relative to the uniform rank, and the
+    recursion is exactly SQL-expressible (a recursive CTE with one
+    aggregate per iteration), which is how the driver oracle checks it.
+    Dangling nodes (no out-edges) contribute nothing — their mass
+    leaks, the classic simple variant; symmetrize the edge list (or add
+    self-loops) when that matters.
+
+    Same aligned-shard scaffolding as `connected_components`: adjacency
+    sharded ONCE by hash(src) with complete per-src out-degrees; each
+    iteration ships per-dst PRE-SUMMED contribution rows (fixed-width
+    int64+float64) through one exchange; ranks never leave their shard.
+    Exactly `iters` rounds — no driver-side data, only per-shard node
+    counts cross to the driver once.
+    """
+    import ray
+
+    if hasattr(edges, "to_arrow_refs"):
+        refs = edges.to_arrow_refs()
+    elif isinstance(edges, pa.Table):
+        refs = [ray.put(edges)]
+    else:
+        refs = list(edges)
+    if not refs:
+        return pa.table({node_out: pa.array([], pa.int64()),
+                         rank_out: pa.array([], pa.float64())})
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    k = num_shards or max(2, min(cpus, len(refs) * 2, 32))
+
+    build = ray.remote(num_returns=k)(_build_pr)
+    merge = ray.remote(_pr_adj)
+    nodesplit = ray.remote(num_returns=k)(_pr_nodes)
+    init = ray.remote(num_returns=2)(_pr_init)
+    contrib = ray.remote(num_returns=k)(_pr_contrib)
+    update = ray.remote(_pr_update)
+
+    n_split = max(1, min(len(refs), 2 * cpus))
+    chunk = (len(refs) + n_split - 1) // n_split
+    parts: list[list] = [[] for _ in range(k)]
+    for i in range(0, len(refs), chunk):
+        outs = build.remote(src, dst, k, *refs[i : i + chunk])
+        if k == 1:
+            outs = [outs]
+        for s, r in enumerate(outs):
+            parts[s].append(r)
+    adj = [merge.remote(*p) for p in parts]
+
+    nparts: list[list] = [[] for _ in range(k)]
+    for s in range(k):
+        outs = nodesplit.remote(k, adj[s])
+        if k == 1:
+            outs = [outs]
+        for t, r in enumerate(outs):
+            nparts[t].append(r)
+    ranks, counts = [], []
+    for t in range(k):
+        r, c = init.remote(*nparts[t])
+        ranks.append(r)
+        counts.append(c)
+    ray.get(counts)  # materialize the node shards before iterating
+
+    for _ in range(iters):
+        msgs = [contrib.remote(k, adj[s], ranks[s]) for s in range(k)]
+        if k == 1:
+            msgs = [[m] for m in msgs]
+        ranks = [update.remote(damping, ranks[t],
+                               *[msgs[s][t] for s in range(k)])
+                 for t in range(k)]
+
+    live = [t for t in ray.get(ranks) if t is not None and t.num_rows]
+    if not live:
+        return pa.table({node_out: pa.array([], pa.int64()),
+                         rank_out: pa.array([], pa.float64())})
+    return pa.concat_tables(live).rename_columns([node_out, rank_out])

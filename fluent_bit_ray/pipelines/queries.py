@@ -1178,6 +1178,42 @@ def q_cc_clusters(sf_dir: str):
                                 node_out="doc_id", comp_out="component")
 
 
+def q_pagerank(sf_dir: str):
+    """fixed-iteration PageRank over the symmetric shared-affix doc graph
+    (10 iterations, d=0.85, unnormalized r0=1 form): iterative
+    distributed graph compute beyond CC — per-dst pre-summed
+    contribution rows are all that move each round
+    (ops/graph.pagerank). Oracle: the recursion unrolled as a DuckDB
+    recursive CTE with one aggregate per iteration."""
+    import numpy as np
+
+    from ..ops.graph import pagerank
+    from ..shuffle import hash_exchange
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(("p:" + s.str[:64])._append("s:" + s.str[-64:])),
+            "doc_id": np.concatenate([ids, ids]),
+        })
+
+    def star_sym(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
+        h, d = hub.to_numpy(), df["doc_id"].to_numpy()
+        return pa.table({"src": np.concatenate([h, d]),
+                         "dst": np.concatenate([d, h])})
+
+    refs = hash_exchange(
+        docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
+        ["key"], star_sym, return_refs=True)
+    return pagerank(refs, "src", "dst", damping=0.85, iters=10,
+                    node_out="doc_id", rank_out="pr")
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1729,6 +1765,7 @@ QUERIES: dict[str, Callable] = {
     "join_orders": q_join_orders,
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
+    "pagerank": q_pagerank,
     "q3_revenue": q_q3_revenue,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2376,6 +2413,34 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey "
         "AND l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderkey, o.o_orderdate"
+    ),
+    # The 10 fixed iterations are UNROLLED as a chain of plain CTEs
+    # (pr0..pr10) instead of WITH RECURSIVE: DuckDB 1.0.0 mis-evaluates
+    # non-recursive CTEs referenced from inside a recursive member (the
+    # UNION dedup of `edges` silently degrades to UNION ALL there),
+    # producing wrong ranks; the unrolled form matches a dense Python
+    # reference to 1e-16. Every node has an in-edge (the edge list is
+    # symmetrized), so no node drops out of the pr{i} chain.
+    "pagerank": (
+        "WITH star AS ("
+        "SELECT min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS s, "
+        "doc_id AS d FROM documents "
+        "UNION ALL "
+        "SELECT min(doc_id) OVER (PARTITION BY "
+        "substr(text, greatest(1, length(text) - 63), 64)) AS s, "
+        "doc_id AS d FROM documents"
+        "), edges AS (SELECT s AS src, d AS dst FROM star "
+        "UNION SELECT d, s FROM star"
+        "), deg AS (SELECT src, count(*) AS c FROM edges GROUP BY src"
+        "), pr0 AS (SELECT DISTINCT src AS node, 1.0 AS r FROM edges)"
+        + "".join(
+            ", pr{i} AS (SELECT e.dst AS node, "
+            "(1 - 0.85) + 0.85 * sum(p.r / d.c) AS r "
+            "FROM pr{j} p JOIN edges e ON e.src = p.node "
+            "JOIN deg d ON d.src = p.node GROUP BY e.dst)".format(i=i, j=i - 1)
+            for i in range(1, 11)
+        )
+        + " SELECT node AS doc_id, r AS pr FROM pr10"
     ),
     "cc_clusters": (
         # transitive closure of the shared-affix star graph: min reachable

@@ -1930,3 +1930,47 @@ class TestCharEntropy:
         assert math.isclose(got[2], 1.0)
         assert math.isclose(got[3], 2.0)
         assert got[4] is None or got[4] != got[4]  # null or NaN
+
+
+class TestPagerank:
+    def test_matches_dense_reference(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.graph import pagerank
+
+        edges = [(0, 1), (1, 0), (1, 2), (2, 0), (3, 0)]  # 3 dangles? no:
+        # every node has an out-edge except none (3 has one); 0,1,2 cycle
+        out = pagerank(
+            ray.data.from_items([{"src": a, "dst": b} for a, b in edges])
+            .repartition(3),
+            damping=0.85, iters=10, num_shards=3)
+        got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+
+        # dense reference with identical semantics
+        nodes = sorted({n for e in edges for n in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        deg = {n: sum(1 for a, _ in edges if a == n) for n in nodes}
+        r = {n: 1.0 for n in nodes}
+        for _ in range(10):
+            inc = {n: 0.0 for n in nodes}
+            for a, b in edges:
+                inc[b] += r[a] / deg[a]
+            r = {n: 0.15 + 0.85 * inc[n] for n in nodes}
+        assert set(got) == set(nodes)
+        for n in nodes:
+            assert abs(got[n] - r[n]) < 1e-12, (n, got[n], r[n])
+        # sanity: the hub (0) outranks the leaf (3)
+        assert got[0] > got[3]
+
+    def test_dangling_leaks_and_empty(self):
+        from fluent_bit_ray.ops.graph import pagerank
+
+        # 5 -> 6, 6 dangles: 6 receives, never sends
+        out = pagerank(pa.table({"src": [5], "dst": [6]}), iters=3)
+        got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+        base = 1.0 - 0.85
+        assert abs(got[5] - base) < 1e-12  # no in-edges: base only
+        assert abs(got[6] - (base + 0.85 * base)) < 1e-12
+        empty = pagerank(pa.table({"src": pa.array([], pa.int64()),
+                                   "dst": pa.array([], pa.int64())}))
+        assert empty.num_rows == 0
