@@ -248,6 +248,16 @@ def bench_hash_join() -> float:
     return time.time() - t0
 
 
+def bench_pagerank() -> float:
+    """iterative graph compute: 10 PageRank rounds over the affix graph
+    (per-dst pre-summed contribution exchange each round)."""
+    from fluent_bit_ray.pipelines.queries import q_pagerank
+
+    t0 = time.time()
+    q_pagerank(SF_DIR)  # returns a materialized pa.Table
+    return time.time() - t0
+
+
 def bench_warc_ingest() -> float:
     """full Common-Crawl loop: WARC files -> parse -> enrich -> aggregate
     (fixture pre-built untimed, like the forward bench)."""
@@ -277,6 +287,7 @@ BENCHES = {
     "global_shuffle": bench_global_shuffle,
     "asof_join": bench_asof_join,
     "hash_join": bench_hash_join,
+    "pagerank": bench_pagerank,
     "warc_ingest": bench_warc_ingest,
 }
 
