@@ -871,3 +871,143 @@ def rollup_sum(
         "v": pa.array([pc.sum(shards["v"]).as_py() or 0.0], pa.float64()),
     })
     return pa.concat_tables([done, grand]).rename_columns([k1, k2, out])
+
+
+def keyed_corr(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> pa.Table:
+    """Per-key Pearson correlation + least-squares regression of y on x
+    (SQL `corr(y, x)` / `regr_slope(y, x)` / `regr_intercept(y, x)` /
+    `regr_count(y, x)` per key) from MERGEABLE sufficient statistics:
+    each batch contributes per-key (n, Σx, Σy, Σxx, Σyy, Σxy) rows —
+    in-batch combined, summed through ONE key-hash exchange — and the
+    closed forms finish per shard. Rows where either coordinate is NULL
+    are excluded pairwise (the SQL regr_* semantics). Zero-variance keys
+    (n < 2 or Sxx == 0 / Syy == 0) yield NULL corr/slope/intercept like
+    the SQL aggregates.
+
+    Raw co-moments in float64 are exact-enough only when the columns'
+    magnitudes are moderate (|x|, |y| ≲ 1e6): cancellation error scales
+    with mean²/variance. For epoch-like columns shift to a small origin
+    first (the driver query uses seconds-of-day, not epoch seconds).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        # zero-mask null pairs instead of filtering rows so a key whose
+        # pairs are ALL null still groups (n=0 -> NULL stats, like SQL)
+        ok = pc.and_kleene(pc.is_valid(x), pc.is_valid(y))
+        zero = pa.scalar(0.0, pa.float64())
+        xv = pc.if_else(ok, x, zero)
+        yv = pc.if_else(ok, y, zero)
+        g = pa.table({
+            key_col: t[key_col],
+            "n": pc.cast(pc.fill_null(ok, False), pa.float64()),
+            "sx": xv, "sy": yv,
+            "sxx": pc.multiply(xv, xv), "syy": pc.multiply(yv, yv),
+            "sxy": pc.multiply(xv, yv),
+        }).group_by([key_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns(
+            [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns(
+            [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = combine(t).to_pandas()
+        n = df["n"].to_numpy()
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, syy, sxy = (df["sxx"].to_numpy(), df["syy"].to_numpy(),
+                         df["sxy"].to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cxx = sxx - sx * sx / n
+            cyy = syy - sy * sy / n
+            cxy = sxy - sx * sy / n
+            corr = cxy / np.sqrt(cxx * cyy)
+            slope = cxy / cxx
+            intercept = (sy - slope * sx) / n
+        bad = (n < 2) | (cxx <= 0)
+        corr[bad | (cyy <= 0)] = np.nan
+        slope[bad] = np.nan
+        intercept[bad] = np.nan
+        out = pd.DataFrame({
+            key_col: df[key_col],
+            "n_pairs": n.astype(np.int64),
+            "corr": corr, "slope": slope, "intercept": intercept,
+        })
+        # from_pandas turns the NaNs into Arrow NULLs, matching the SQL
+        # aggregates' NULLs for degenerate keys
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    refs = ds.select_columns([key_col, x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    merged = hash_exchange(refs, [key_col], finish, combine_fn=combine)
+    if merged is None:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "corr": pa.array([], pa.float64()),
+                         "slope": pa.array([], pa.float64()),
+                         "intercept": pa.array([], pa.float64())})
+    return merged
+
+
+def mode_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+) -> pa.Table:
+    """Per-key mode with a DETERMINISTIC tie-break: the most frequent
+    non-null value per key, ties resolved to the smallest value (SQL
+    `row_number() OVER (PARTITION BY key ORDER BY count DESC, value)`
+    = 1 — pinned ordering, unlike the engine-defined tie of `mode()`).
+
+    Map-side (key, value) count partials cross the wire — bounded by
+    per-batch distinct pairs, never raw rows; ONE key-hash exchange sums
+    them and elects each key's winner with a vectorized sort + first-row
+    pick per key.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        ok = pc.is_valid(v)
+        g = pa.table({
+            key_col: t[key_col].filter(ok), value_col: v.filter(ok),
+            "n": pa.array(np.ones(int(pc.sum(ok).as_py() or 0)),
+                          pa.int64()),
+        }).group_by([key_col, value_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, value_col, "n"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, value_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, value_col, "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = combine(t).to_pandas()
+        df = df.sort_values([key_col, "n", value_col],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        win = df[~df[key_col].duplicated()].reset_index(drop=True)
+        return pa.Table.from_pandas(
+            win.rename(columns={value_col: "mode", "n": "n_mode"}),
+            preserve_index=False)
+
+    refs = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    merged = hash_exchange(refs, [key_col], finish, combine_fn=combine)
+    if merged is None:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "mode": pa.array([], pa.string()),
+                         "n_mode": pa.array([], pa.int64())})
+    return merged

@@ -1214,6 +1214,39 @@ def q_pagerank(sf_dir: str):
                     node_out="doc_id", rank_out="pr")
 
 
+def q_corr_stats(sf_dir: str):
+    """per-user correlation + regression of event value on time-of-day
+    (mergeable sufficient-stat rows through ONE exchange; SQL corr /
+    regr_slope / regr_intercept / regr_count parity incl. NULL stats for
+    degenerate keys; ops/stats.keyed_corr). x = seconds-of-day, kept
+    small-magnitude on purpose — see the op docstring's precision note."""
+    from ..ops.stats import keyed_corr
+
+    def add_x(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        secs = (us // 1_000_000) % 86_400
+        return t.select(["user_id", "value"]).append_column(
+            "tod", pa.array(secs.astype(np.float64)))
+
+    return keyed_corr(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            add_x, batch_format="pyarrow"),
+        "user_id", "tod", "value",
+    )
+
+
+def q_mode_user(sf_dir: str):
+    """each user's most frequent event type, ties to the lexicographically
+    smallest (deterministic mode; (key,value) count partials through ONE
+    exchange; ops/stats.mode_per_key)."""
+    from ..ops.stats import mode_per_key
+
+    return mode_per_key(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type",
+    )
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1766,6 +1799,8 @@ QUERIES: dict[str, Callable] = {
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
     "pagerank": q_pagerank,
+    "corr_stats": q_corr_stats,
+    "mode_user": q_mode_user,
     "q3_revenue": q_q3_revenue,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2441,6 +2476,22 @@ ORACLE_SQL: dict[str, str] = {
             for i in range(1, 11)
         )
         + " SELECT node AS doc_id, r AS pr FROM pr10"
+    ),
+    "corr_stats": (
+        "SELECT user_id, regr_count(value, x) AS n_pairs, "
+        "corr(value, x) AS corr, regr_slope(value, x) AS slope, "
+        "regr_intercept(value, x) AS intercept FROM ("
+        "SELECT user_id, value, "
+        "CAST((epoch_us(ts) // 1000000) % 86400 AS DOUBLE) AS x "
+        "FROM events) GROUP BY user_id"
+    ),
+    "mode_user": (
+        "SELECT user_id, event_type AS mode, n AS n_mode FROM ("
+        "SELECT user_id, event_type, count(*) AS n, "
+        "row_number() OVER (PARTITION BY user_id "
+        "ORDER BY count(*) DESC, event_type) AS rn "
+        "FROM events WHERE event_type IS NOT NULL "
+        "GROUP BY user_id, event_type) WHERE rn = 1"
     ),
     "cc_clusters": (
         # transitive closure of the shared-affix star graph: min reachable

@@ -1974,3 +1974,62 @@ class TestPagerank:
         empty = pagerank(pa.table({"src": pa.array([], pa.int64()),
                                    "dst": pa.array([], pa.int64())}))
         assert empty.num_rows == 0
+
+
+class TestKeyedCorr:
+    def test_matches_numpy(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import keyed_corr
+
+        rng = np.random.RandomState(7)
+        k = rng.randint(0, 5, 400)
+        x = rng.rand(400) * 100
+        y = 3.0 * x + rng.rand(400) * 40
+        ds = ray.data.from_arrow(pa.table(
+            {"k": k, "x": x, "y": y})).repartition(5)
+        out = keyed_corr(ds, "k", "x", "y").to_pandas().set_index("k")
+        for kk in range(5):
+            sel = k == kk
+            assert out.loc[kk, "n_pairs"] == sel.sum()
+            assert abs(out.loc[kk, "corr"]
+                       - np.corrcoef(x[sel], y[sel])[0, 1]) < 1e-9
+            sl, ic = np.polyfit(x[sel], y[sel], 1)
+            assert abs(out.loc[kk, "slope"] - sl) < 1e-9
+            assert abs(out.loc[kk, "intercept"] - ic) < 1e-6
+
+    def test_null_pairs_and_degenerate(self):
+        from fluent_bit_ray.ops.stats import keyed_corr
+
+        t = pa.table({
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "x": [1.0, 2.0, None, 5.0, 1.0, 1.0],   # b: single pair
+            "y": [2.0, 4.0, 9.0, None, 3.0, 4.0],   # c: zero x-variance
+        })
+        import ray.data
+
+        out = keyed_corr(ray.data.from_arrow(t), "k", "x", "y")
+        d = {r["k"]: r for r in out.to_pylist()}
+        assert d["a"]["n_pairs"] == 2 and abs(d["a"]["corr"] - 1.0) < 1e-12
+        assert d["a"]["slope"] == 2.0 and d["a"]["intercept"] == 0.0
+        assert d["b"]["n_pairs"] == 0 and d["b"]["corr"] is None
+        assert d["c"]["corr"] is None and d["c"]["slope"] is None
+
+
+class TestModePerKey:
+    def test_mode_and_tiebreak(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import mode_per_key
+
+        t = pa.table({
+            "k": ["u1"] * 5 + ["u2"] * 4 + ["u3"],
+            "v": ["b", "b", "a", "c", "b",      # u1: b wins on count
+                  "z", "a", "z", "a",           # u2: tie -> smallest (a)
+                  None],                        # u3: only null -> no row
+        })
+        out = mode_per_key(ray.data.from_arrow(t).repartition(3), "k", "v")
+        d = {r["k"]: (r["mode"], r["n_mode"]) for r in out.to_pylist()}
+        assert d["u1"] == ("b", 3)
+        assert d["u2"] == ("a", 2)
+        assert "u3" not in d
