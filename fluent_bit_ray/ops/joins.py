@@ -494,3 +494,57 @@ def hash_join(
     if shard_output_dir is not None:
         return None
     return target.empty_table() if out is None else out
+
+
+def set_op(
+    left_ds,
+    right_ds,
+    cols: list[str],
+    op: str = "intersect",
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """Distributed SQL set operation with DISTINCT semantics:
+    ``intersect`` (rows in both sides) or ``except`` (rows in left and
+    not in right), over the full `cols` tuple. NULLs compare equal, as
+    in SQL set operations (NOT like join equality).
+
+    Both sides are reduced to per-batch DISTINCT (cols, side) rows
+    map-side, so only distinct tuples cross the wire; ONE hash exchange
+    on `cols` co-locates each tuple's two side flags and a vectorized
+    per-shard groupby decides membership. Corpus-sized outputs stream
+    via `shard_output_dir` like the other exchanges.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"set_op: unknown op {op!r}")
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            d = t.select(cols).group_by(cols).aggregate([])
+            return d.append_column(
+                "_side", pa.array(np.full(d.num_rows, side, np.int8)))
+        return fn
+
+    def combine(t: pa.Table) -> pa.Table:
+        return t.group_by(cols + ["_side"]).aggregate([])
+
+    def finish(t: pa.Table) -> pa.Table:
+        # Arrow groupby keeps NULL keys as groups and preserves types
+        # (a pandas round-trip would NaN-coerce all-null key shards)
+        mm = t.group_by(cols).aggregate(
+            [("_side", "min"), ("_side", "max")])
+        if op == "intersect":
+            keep = pc.and_(pc.equal(mm["_side_min"], 0),
+                           pc.equal(mm["_side_max"], 1))
+        else:
+            keep = pc.equal(mm["_side_max"], 0)
+        return mm.filter(keep).select(cols)
+
+    refs = list(
+        left_ds.select_columns(cols).map_batches(
+            tag(0), batch_format="pyarrow").to_arrow_refs()
+    ) + list(
+        right_ds.select_columns(cols).map_batches(
+            tag(1), batch_format="pyarrow").to_arrow_refs()
+    )
+    return hash_exchange(refs, cols, finish, combine_fn=combine,
+                         shard_output_dir=shard_output_dir)

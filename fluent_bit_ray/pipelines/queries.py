@@ -1247,6 +1247,33 @@ def q_mode_user(sf_dir: str):
     )
 
 
+def _hi_value_users(sf_dir: str, etype: str):
+    return (_read(sf_dir, "events", ["user_id", "event_type", "value"])
+            .filter(expr=f"event_type == '{etype}' and value >= 90")
+            .select_columns(["user_id"]))
+
+
+def q_users_intersect(sf_dir: str):
+    """distributed INTERSECT: users with a high-value click AND a
+    high-value purchase — distinct tuples only cross the wire, one
+    exchange (ops/joins.set_op)."""
+    from ..ops.joins import set_op
+
+    return set_op(_hi_value_users(sf_dir, "click"),
+                  _hi_value_users(sf_dir, "purchase"), ["user_id"],
+                  "intersect")
+
+
+def q_users_except(sf_dir: str):
+    """distributed EXCEPT: high-value clickers who never made a
+    high-value purchase (ops/joins.set_op)."""
+    from ..ops.joins import set_op
+
+    return set_op(_hi_value_users(sf_dir, "click"),
+                  _hi_value_users(sf_dir, "purchase"), ["user_id"],
+                  "except")
+
+
 def q_topn_per_key(sf_dir: str):
     """top-3 events per type by (value desc, event_id asc) — the scored
     top-n-per-key exchange (map-side prune caps traffic at n rows per key
@@ -1801,6 +1828,8 @@ QUERIES: dict[str, Callable] = {
     "pagerank": q_pagerank,
     "corr_stats": q_corr_stats,
     "mode_user": q_mode_user,
+    "users_intersect": q_users_intersect,
+    "users_except": q_users_except,
     "q3_revenue": q_q3_revenue,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
@@ -2484,6 +2513,20 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, value, "
         "CAST((epoch_us(ts) // 1000000) % 86400 AS DOUBLE) AS x "
         "FROM events) GROUP BY user_id"
+    ),
+    "users_intersect": (
+        "SELECT user_id FROM events "
+        "WHERE event_type = 'click' AND value >= 90 "
+        "INTERSECT "
+        "SELECT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value >= 90"
+    ),
+    "users_except": (
+        "SELECT user_id FROM events "
+        "WHERE event_type = 'click' AND value >= 90 "
+        "EXCEPT "
+        "SELECT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value >= 90"
     ),
     "mode_user": (
         "SELECT user_id, event_type AS mode, n AS n_mode FROM ("

@@ -2033,3 +2033,39 @@ class TestModePerKey:
         assert d["u1"] == ("b", 3)
         assert d["u2"] == ("a", 2)
         assert "u3" not in d
+
+
+class TestSetOp:
+    def _mk(self, rows):
+        import ray.data
+        return ray.data.from_arrow(pa.table({"k": rows})).repartition(2)
+
+    def test_intersect_and_except_distinct(self):
+        from fluent_bit_ray.ops.joins import set_op
+
+        a = self._mk(["x", "x", "y", "z", None])
+        b = self._mk(["y", "y", "w", None])
+        inter = set_op(a, b, ["k"], "intersect")
+        got = sorted(inter["k"].to_pylist(), key=lambda v: (v is None, v))
+        assert got == ["y", None]  # NULLs compare equal in SQL set ops
+        a2 = self._mk(["x", "x", "y", "z", None])
+        b2 = self._mk(["y", "y", "w", None])
+        exc = set_op(a2, b2, ["k"], "except")
+        assert sorted(exc["k"].to_pylist()) == ["x", "z"]
+
+    def test_multicol_and_empty(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import set_op
+
+        a = ray.data.from_arrow(pa.table(
+            {"k": ["a", "a", "b"], "v": [1, 2, 1]}))
+        b = ray.data.from_arrow(pa.table(
+            {"k": ["a", "b"], "v": [2, 9]}))
+        inter = set_op(a, b, ["k", "v"], "intersect")
+        assert inter.to_pylist() == [{"k": "a", "v": 2}]
+        empty = set_op(
+            ray.data.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                          "v": pa.array([], pa.int64())})),
+            b, ["k", "v"], "intersect")
+        assert empty is None or empty.num_rows == 0
