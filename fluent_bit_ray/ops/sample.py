@@ -301,3 +301,53 @@ def stratified_sample(
              strata_col: pa.array([], pa.string())}
         )
     return out.select([id_col, strata_col])
+
+
+def global_rank_features(
+    ds,
+    keys: list,
+    descending=None,
+    tiles: int = 8,
+    rank_col: str = "rn",
+):
+    """`global_sort` plus the rank-derived window features computed in
+    the SAME metadata-only pass: `pct_rank` = SQL percent_rank() (pass a
+    total order — with a unique tiebreaker rank() == row_number()) and
+    `tile` = SQL ntile(tiles) (first N%tiles buckets take the extra
+    row). Only per-block row counts reach the driver; each block derives
+    its rows' features from (offset, N) locally — data never re-ships
+    after the one sort exchange."""
+    import ray
+    import ray.data
+
+    s = ds.sort(keys, descending=descending if descending is not None
+                else [False] * len(keys))
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def add_feats(t: pa.Table, offset: int, total: int) -> pa.Table:
+        rn = offset + 1 + np.arange(t.num_rows, dtype=np.int64)
+        pct = ((rn - 1) / (total - 1) if total > 1
+               else np.zeros(t.num_rows, dtype=np.float64))
+        q, r = divmod(total, int(tiles))
+        split = r * (q + 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                rn <= split,
+                (rn - 1) // (q + 1) + 1,
+                r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
+            ).astype(np.int64)
+        return (t.append_column(rank_col, pa.array(rn))
+                 .append_column("pct_rank", pa.array(pct))
+                 .append_column("tile", pa.array(tile)))
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    total = int(sum(counts))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    out = [add_feats.remote(r, int(o), total)
+           for r, o in zip(refs, offsets[:-1])]
+    return ray.data.from_arrow_refs(out)

@@ -1253,6 +1253,19 @@ def _hi_value_users(sf_dir: str, etype: str):
             .select_columns(["user_id"]))
 
 
+def q_ntile_rank(sf_dir: str):
+    """global percent_rank + ntile(8) over events by (value DESC,
+    event_id): the window features derive from (offset, N) in the same
+    counts-only pass as the global rank — one sort exchange total
+    (ops/sample.global_rank_features)."""
+    from ..ops.sample import global_rank_features
+
+    return global_rank_features(
+        _read(sf_dir, "events", ["event_id", "value"]),
+        ["value", "event_id"], descending=[True, False], tiles=8,
+    )
+
+
 def q_users_intersect(sf_dir: str):
     """distributed INTERSECT: users with a high-value click AND a
     high-value purchase — distinct tuples only cross the wire, one
@@ -1828,6 +1841,7 @@ QUERIES: dict[str, Callable] = {
     "pagerank": q_pagerank,
     "corr_stats": q_corr_stats,
     "mode_user": q_mode_user,
+    "ntile_rank": q_ntile_rank,
     "users_intersect": q_users_intersect,
     "users_except": q_users_except,
     "q3_revenue": q_q3_revenue,
@@ -2513,6 +2527,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, value, "
         "CAST((epoch_us(ts) // 1000000) % 86400 AS DOUBLE) AS x "
         "FROM events) GROUP BY user_id"
+    ),
+    "ntile_rank": (
+        "SELECT event_id, value, "
+        "row_number() OVER w AS rn, "
+        "percent_rank() OVER w AS pct_rank, "
+        "ntile(8) OVER w AS tile FROM events "
+        "WINDOW w AS (ORDER BY value DESC, event_id)"
     ),
     "users_intersect": (
         "SELECT user_id FROM events "

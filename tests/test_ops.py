@@ -2069,3 +2069,38 @@ class TestSetOp:
                                           "v": pa.array([], pa.int64())})),
             b, ["k", "v"], "intersect")
         assert empty is None or empty.num_rows == 0
+
+
+class TestGlobalRankFeatures:
+    def test_matches_sql_semantics(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import global_rank_features
+
+        n, k = 103, 8  # 103 = 8*12+7: first 7 tiles get 13 rows
+        vals = (np.arange(n) * 37) % n  # a permutation
+        ds = ray.data.from_arrow(pa.table(
+            {"id": np.arange(n), "v": vals})).repartition(5)
+        out = (global_rank_features(ds, ["v"], descending=[True], tiles=k)
+               .to_pandas().sort_values("rn").reset_index(drop=True))
+        assert list(out["v"]) == sorted(vals, reverse=True)
+        assert list(out["rn"]) == list(range(1, n + 1))
+        assert np.allclose(out["pct_rank"],
+                           (np.arange(n)) / (n - 1))
+        # ntile: first n%k buckets take ceil(n/k), the rest floor(n/k)
+        sizes = out.groupby("tile").size()
+        assert list(sizes.index) == list(range(1, k + 1))
+        assert list(sizes) == [13] * 7 + [12]
+
+    def test_more_tiles_than_rows_and_single(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import global_rank_features
+
+        out = global_rank_features(
+            ray.data.from_arrow(pa.table({"v": [5, 1, 9]})),
+            ["v"], tiles=10).to_pandas().sort_values("rn")
+        assert list(out["tile"]) == [1, 2, 3]
+        one = global_rank_features(
+            ray.data.from_arrow(pa.table({"v": [4]})), ["v"]).to_pandas()
+        assert one["pct_rank"][0] == 0.0 and one["tile"][0] == 1
