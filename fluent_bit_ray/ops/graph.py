@@ -372,3 +372,270 @@ def pagerank(
         return pa.table({node_out: pa.array([], pa.int64()),
                          rank_out: pa.array([], pa.float64())})
     return pa.concat_tables(live).rename_columns([node_out, rank_out])
+
+
+def _tri_canon(src: str, dst: str, *tables):
+    """Canonical undirected edges: (a, b) = (min, max), self-loops out."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return None
+    t = pa.concat_tables(live, promote_options="default")
+    u = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    df = pd.DataFrame({"a": np.minimum(u, v),
+                       "b": np.maximum(u, v)}).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _tri_distinct(t: pa.Table) -> pa.Table:
+    return t.group_by(["a", "b"]).aggregate([])
+
+
+def _tri_deg_partial(t):
+    if t is None or not t.num_rows:
+        return None
+    a = t["a"].to_numpy()
+    vc = pd.Series(np.concatenate([a, t["b"].to_numpy()])).value_counts()
+    return pa.table({"node": vc.index.to_numpy().astype(np.int64),
+                     "deg": vc.to_numpy().astype(np.int64)})
+
+
+def _tri_tag_edges(which: str, t):
+    """Edge rows keyed on one endpoint, ready to union with deg rows."""
+    if t is None or not t.num_rows:
+        return None
+    cols = {"k": t[which], "a": t["a"], "b": t["b"]}
+    if "deg_a" in t.column_names:
+        cols["deg_a"] = t["deg_a"]
+    else:
+        cols["deg_a"] = pa.nulls(t.num_rows, pa.int64())
+    cols["deg"] = pa.nulls(t.num_rows, pa.int64())
+    cols["side"] = pa.array(np.zeros(t.num_rows, np.int8))
+    return pa.table(cols)
+
+
+def _tri_tag_degs(t):
+    if t is None or not t.num_rows:
+        return None
+    n = t.num_rows
+    return pa.table({
+        "k": t["node"], "a": pa.nulls(n, pa.int64()),
+        "b": pa.nulls(n, pa.int64()), "deg_a": pa.nulls(n, pa.int64()),
+        "deg": t["deg"], "side": pa.array(np.ones(n, np.int8)),
+    })
+
+
+def _tri_attach(out_col: str, t: pa.Table):
+    """Within a k-shard: map each edge row's k-endpoint degree on."""
+    df = t.to_pandas()
+    deg = df[df["side"] == 1].set_index("k")["deg"]
+    e = df[df["side"] == 0]
+    if not len(e):
+        return None
+    out = pd.DataFrame({"a": e["a"].to_numpy(np.int64),
+                        "b": e["b"].to_numpy(np.int64)})
+    if "deg_a" in e and e["deg_a"].notna().any():
+        out["deg_a"] = e["deg_a"].to_numpy(np.int64)
+    out[out_col] = e["k"].map(deg).to_numpy(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _tri_orient(t):
+    """Orient each canonical edge from its lower-(degree, id) endpoint —
+    the classic bound that keeps per-node out-degree O(sqrt(m))."""
+    if t is None or not t.num_rows:
+        return None
+    a, b = t["a"].to_numpy(), t["b"].to_numpy()
+    da, db = t["deg_a"].to_numpy(), t["deg_b"].to_numpy()
+    swap = db < da  # tie keeps (a, b): a < b canonically
+    return pa.table({"u": np.where(swap, b, a), "v": np.where(swap, a, b)})
+
+
+def _tri_wedges(t: pa.Table):
+    """All out-neighbor pairs per u (sharded by u): wedge (x, y, center)
+    with (x, y) id-canonical for the edge-set match."""
+    df = t.to_pandas().sort_values(["u", "v"], kind="mergesort")
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    new = np.ones(len(u), bool)
+    new[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(u)))
+    ends = np.repeat(starts + sizes, sizes)
+    idx = np.arange(len(u))
+    reps = ends - idx - 1
+    total = int(reps.sum())
+    if not total:
+        return None
+    i1 = np.repeat(idx, reps)
+    run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    off = np.arange(total) - np.repeat(run_starts, reps) + 1
+    i2 = i1 + off
+    return pa.table({"x": np.minimum(v[i1], v[i2]),
+                     "y": np.maximum(v[i1], v[i2]), "c": u[i1]})
+
+
+def _tri_tag_wedges(t):
+    if t is None or not t.num_rows:
+        return None
+    return t.append_column("side", pa.array(np.zeros(t.num_rows, np.int8)))
+
+
+def _tri_tag_match_edges(t):
+    if t is None or not t.num_rows:
+        return None
+    n = t.num_rows
+    return pa.table({"x": t["a"], "y": t["b"],
+                     "c": pa.nulls(n, pa.int64()),
+                     "side": pa.array(np.ones(n, np.int8))})
+
+
+def _tri_match(t: pa.Table):
+    """Matched wedge == closed triangle; emit pre-summed per-node +1s
+    for all three corners."""
+    df = t.to_pandas()
+    e = df[df["side"] == 1][["x", "y"]]
+    w = df[df["side"] == 0]
+    if not len(e) or not len(w):
+        return None
+    m = w.merge(e, on=["x", "y"], how="inner")
+    if not len(m):
+        return None
+    vc = pd.Series(np.concatenate(
+        [m["x"].to_numpy(np.int64), m["y"].to_numpy(np.int64),
+         m["c"].to_numpy(np.int64)])).value_counts()
+    return pa.table({"node": vc.index.to_numpy().astype(np.int64),
+                     "n": vc.to_numpy().astype(np.int64)})
+
+
+def triangle_counts(
+    edges,
+    src: str = "src",
+    dst: str = "dst",
+    node_out: str = "node",
+    tri_out: str = "triangles",
+) -> pa.Table:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as a (possibly duplicated, possibly both-orientation)
+    edge list — the clustering-coefficient numerator and the standard
+    graph-quality signal.
+
+    The MapReduce node-iterator with DEGREE ORIENTATION (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11 —
+    public algorithm, re-expressed as Ray object-store exchanges):
+    canonical-dedup the edges, attach both endpoint degrees (two keyed
+    exchanges of fixed-width rows), orient each edge from its lower
+    (deg, id) endpoint so per-node out-degree is O(sqrt(m)), generate
+    out-neighbor wedges per source (one exchange), close them against
+    the canonical edge set co-located by (x, y) hash (one exchange), and
+    sum per-corner +1s (final reduce). Every stage ships fixed-width
+    int64 rows; nothing corpus-sized touches the driver. Each triangle
+    is generated exactly once (at its lowest-(deg,id) corner), so
+    sum(counts) == 3 x global triangle count.
+    """
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    if hasattr(edges, "to_arrow_refs"):
+        refs = edges.to_arrow_refs()
+    elif isinstance(edges, pa.Table):
+        refs = [ray.put(edges)]
+    else:
+        refs = list(edges)
+    empty = pa.table({node_out: pa.array([], pa.int64()),
+                      tri_out: pa.array([], pa.int64())})
+    if not refs:
+        return empty
+
+    canon = ray.remote(_tri_canon)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_map = max(1, min(len(refs), 2 * cpus))
+    chunk = (len(refs) + n_map - 1) // n_map
+    canon_refs = [canon.remote(src, dst, *refs[i : i + chunk])
+                  for i in range(0, len(refs), chunk)]
+    e_refs = hash_exchange(canon_refs, ["a", "b"], _tri_distinct,
+                           combine_fn=_tri_distinct, return_refs=True)
+
+    deg_partial = ray.remote(_tri_deg_partial)
+    d_refs = hash_exchange([deg_partial.remote(r) for r in e_refs],
+                           ["node"],
+                           lambda t: t.group_by(["node"]).aggregate(
+                               [("deg", "sum")]).rename_columns(
+                               ["node", "deg"]),
+                           return_refs=True)
+
+    tag_e = ray.remote(_tri_tag_edges)
+    tag_d = ray.remote(_tri_tag_degs)
+    from functools import partial as _part
+
+    a1 = hash_exchange(
+        [tag_e.remote("a", r) for r in e_refs]
+        + [tag_d.remote(r) for r in d_refs],
+        ["k"], _part(_tri_attach, "deg_a"), return_refs=True)
+    a2 = hash_exchange(
+        [tag_e.remote("b", r) for r in a1]
+        + [tag_d.remote(r) for r in d_refs],
+        ["k"], _part(_tri_attach, "deg_b"), return_refs=True)
+
+    orient = ray.remote(_tri_orient)
+    o_refs = [orient.remote(r) for r in a2]
+    w_refs = hash_exchange(o_refs, ["u"], _tri_wedges, return_refs=True)
+
+    tag_w = ray.remote(_tri_tag_wedges)
+    tag_me = ray.remote(_tri_tag_match_edges)
+    parts = hash_exchange(
+        [tag_w.remote(r) for r in w_refs]
+        + [tag_me.remote(r) for r in e_refs],
+        ["x", "y"], _tri_match, return_refs=True)
+
+    out = hash_exchange(
+        parts, ["node"],
+        lambda t: t.group_by(["node"]).aggregate(
+            [("n", "sum")]).rename_columns(["node", "n"]))
+    if out is None or not out.num_rows:
+        return empty
+    return out.rename_columns([node_out, tri_out])
+
+
+def _clique_pairs(key_col: str, id_col: str, t: pa.Table):
+    """All within-group id pairs (a < b), vectorized run-length style."""
+    df = t.to_pandas().drop_duplicates([key_col, id_col]).sort_values(
+        [key_col, id_col], kind="mergesort")
+    k = df[key_col].to_numpy()
+    v = df[id_col].to_numpy().astype(np.int64)
+    new = np.ones(len(k), bool)
+    new[1:] = k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(k)))
+    ends = np.repeat(starts + sizes, sizes)
+    idx = np.arange(len(k))
+    reps = ends - idx - 1
+    total = int(reps.sum())
+    if not total:
+        return None
+    i1 = np.repeat(idx, reps)
+    run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    i2 = i1 + (np.arange(total) - np.repeat(run_starts, reps) + 1)
+    return pa.table({"src": v[i1], "dst": v[i2]})
+
+
+def clique_edges(ds, key_col: str, id_col: str):
+    """Project a (key, id) grouping into its within-group clique edge
+    list (a < b): the standard blocking->pair-graph step before
+    similarity verification or graph analytics. ONE key-hash exchange
+    co-locates each group; pair generation is run-length index
+    arithmetic, never a per-group Python loop. O(g^2) pairs per group —
+    callers bound the group size via the blocking key (e.g. include a
+    length bucket), same contract as the LSH band buckets in
+    ops/dedup.py. Returns per-shard Arrow refs for chaining."""
+    from functools import partial as _part
+
+    from ..shuffle import hash_exchange
+
+    return hash_exchange(
+        ds.select_columns([key_col, id_col]).to_arrow_refs(),
+        [key_col], _part(_clique_pairs, key_col, id_col),
+        return_refs=True)

@@ -1214,6 +1214,37 @@ def q_pagerank(sf_dir: str):
                     node_out="doc_id", rank_out="pr")
 
 
+def q_triangles(sf_dir: str):
+    """per-doc triangle participation over the union of two blocking
+    cliques ((lang,source,len/200) and (source,len/50) groups): the
+    degree-oriented MapReduce node-iterator — wedges are generated at
+    each triangle's lowest-(deg,id) corner only and closed against the
+    canonical edge set (ops/graph.triangle_counts over
+    ops/graph.clique_edges). Oracle: 3-way self-join triangle
+    enumeration with per-corner counts."""
+    import pandas as pd
+
+    from ..ops.graph import clique_edges, triangle_counts
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "lang", "source", "n_chars"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k1 = ("f1|" + df["lang"] + "|" + df["source"] + "|"
+              + (df["n_chars"] // 200).astype(str))
+        k2 = "f2|" + df["source"] + "|" + (df["n_chars"] // 50).astype(str)
+        return pa.table({
+            "key": pd.concat([k1, k2], ignore_index=True),
+            "doc_id": np.concatenate([df["doc_id"], df["doc_id"]]),
+        })
+
+    edges = clique_edges(
+        docs.map_batches(keyed, batch_format="pyarrow"), "key", "doc_id")
+    return triangle_counts(edges, "src", "dst",
+                           node_out="doc_id", tri_out="triangles")
+
+
 def q_corr_stats(sf_dir: str):
     """per-user correlation + regression of event value on time-of-day
     (mergeable sufficient-stat rows through ONE exchange; SQL corr /
@@ -1839,6 +1870,7 @@ QUERIES: dict[str, Callable] = {
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
     "pagerank": q_pagerank,
+    "triangles": q_triangles,
     "corr_stats": q_corr_stats,
     "mode_user": q_mode_user,
     "ntile_rank": q_ntile_rank,
@@ -2519,6 +2551,22 @@ ORACLE_SQL: dict[str, str] = {
             for i in range(1, 11)
         )
         + " SELECT node AS doc_id, r AS pr FROM pr10"
+    ),
+    "triangles": (
+        "WITH g AS ("
+        "SELECT doc_id, 'f1|' || lang || '|' || source || '|' || "
+        "CAST(n_chars // 200 AS VARCHAR) AS k FROM documents "
+        "UNION ALL "
+        "SELECT doc_id, 'f2|' || source || '|' || "
+        "CAST(n_chars // 50 AS VARCHAR) FROM documents"
+        "), und AS (SELECT DISTINCT a.doc_id AS x, b.doc_id AS y "
+        "FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id"
+        "), tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c "
+        "FROM und e1 JOIN und e2 ON e2.x = e1.y "
+        "JOIN und e3 ON e3.x = e1.x AND e3.y = e2.y) "
+        "SELECT doc_id, count(*) AS triangles FROM ("
+        "SELECT a AS doc_id FROM tri UNION ALL SELECT b FROM tri "
+        "UNION ALL SELECT c FROM tri) GROUP BY doc_id"
     ),
     "corr_stats": (
         "SELECT user_id, regr_count(value, x) AS n_pairs, "

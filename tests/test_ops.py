@@ -2104,3 +2104,50 @@ class TestGlobalRankFeatures:
         one = global_rank_features(
             ray.data.from_arrow(pa.table({"v": [4]})), ["v"]).to_pandas()
         assert one["pct_rank"][0] == 0.0 and one["tile"][0] == 1
+
+
+class TestTriangleCounts:
+    def test_matches_bruteforce_random(self):
+        import itertools
+
+        import ray.data
+
+        from fluent_bit_ray.ops.graph import triangle_counts
+
+        rng = np.random.RandomState(11)
+        n = 60
+        # dense-ish random graph, shipped with dups and both orientations
+        pairs = {(a, b) for a, b in zip(rng.randint(0, n, 700),
+                                        rng.randint(0, n, 700)) if a != b}
+        und = {(min(a, b), max(a, b)) for a, b in pairs}
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        ds = ray.data.from_items(
+            [{"src": a, "dst": b} for a, b in rows]).repartition(4)
+        out = triangle_counts(ds)
+        got = dict(zip(out["node"].to_pylist(),
+                       out["triangles"].to_pylist()))
+
+        adj = {v: set() for v in range(n)}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        ntri = 0
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                ntri += 1
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        assert got == want
+        assert sum(got.values()) == 3 * ntri
+
+    def test_no_triangles_and_empty(self):
+        from fluent_bit_ray.ops.graph import triangle_counts
+
+        # a path graph has no triangles
+        out = triangle_counts(pa.table({"src": [1, 2, 3],
+                                        "dst": [2, 3, 4]}))
+        assert out.num_rows == 0
+        empty = triangle_counts(pa.table({"src": pa.array([], pa.int64()),
+                                          "dst": pa.array([], pa.int64())}))
+        assert empty.num_rows == 0
