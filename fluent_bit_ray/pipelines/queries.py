@@ -1214,6 +1214,26 @@ def q_pagerank(sf_dir: str):
                     node_out="doc_id", rank_out="pr")
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """edit-distance fuzzy self-join on the docs' 16-char prefix (byte
+    Levenshtein <= 4, DuckDB levenshtein parity): lossless length-band
+    blocking exchange + the pair-vectorized DP verifier — never a
+    quadratic cross join (ops/fuzzy.fuzzy_self_join)."""
+    from ..ops.fuzzy import fuzzy_self_join
+
+    def pref(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "p": pc.utf8_slice_codeunits(t["text"], 0, 16),
+        })
+
+    return fuzzy_self_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            pref, batch_format="pyarrow"),
+        "doc_id", "p", max_dist=4,
+    )
+
+
 def q_triangles(sf_dir: str):
     """per-doc triangle participation over the union of two blocking
     cliques ((lang,source,len/200) and (source,len/50) groups): the
@@ -1870,6 +1890,7 @@ QUERIES: dict[str, Callable] = {
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
     "pagerank": q_pagerank,
+    "fuzzy_pairs": q_fuzzy_pairs,
     "triangles": q_triangles,
     "corr_stats": q_corr_stats,
     "mode_user": q_mode_user,
@@ -2551,6 +2572,13 @@ ORACLE_SQL: dict[str, str] = {
             for i in range(1, 11)
         )
         + " SELECT node AS doc_id, r AS pr FROM pr10"
+    ),
+    "fuzzy_pairs": (
+        "WITH s AS (SELECT doc_id, substr(text, 1, 16) AS p "
+        "FROM documents WHERE text IS NOT NULL) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "levenshtein(a.p, b.p) AS dist FROM s a JOIN s b "
+        "ON a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= 4"
     ),
     "triangles": (
         "WITH g AS ("

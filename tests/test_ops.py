@@ -2151,3 +2151,50 @@ class TestTriangleCounts:
         empty = triangle_counts(pa.table({"src": pa.array([], pa.int64()),
                                           "dst": pa.array([], pa.int64())}))
         assert empty.num_rows == 0
+
+
+class TestFuzzySelfJoin:
+    def test_levenshtein_kernel(self):
+        from fluent_bit_ray.ops.fuzzy import levenshtein_pairs
+
+        a = ["kitten", "", "abc", "中文", "flaw", "same"]
+        b = ["sitting", "abc", "", "中x", "lawn", "same"]
+        # byte-level distances (中=3 bytes, 文=3, x=1)
+        assert list(levenshtein_pairs(a, b)) == [3, 3, 3, 3, 2, 0]
+
+    def test_matches_bruteforce(self):
+        import itertools
+
+        import ray.data
+
+        from fluent_bit_ray.ops.fuzzy import fuzzy_self_join
+
+        rng = np.random.RandomState(3)
+        words = ["".join(rng.choice(list("abcd"), rng.randint(2, 12)))
+                 for _ in range(80)]
+        ds = ray.data.from_items(
+            [{"id": i, "s": w} for i, w in enumerate(words)]
+        ).repartition(4)
+        out = fuzzy_self_join(ds, "id", "s", max_dist=2)
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in (out.to_pylist() if out is not None else [])}
+
+        def lev(x, y):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                           d(i - 1, j - 1) + (x[i - 1] != y[j - 1]))
+            return d(len(x), len(y))
+
+        want = {}
+        for i, j in itertools.combinations(range(80), 2):
+            dd = lev(words[i], words[j])
+            if dd <= 2:
+                want[(i, j)] = dd
+        assert got == want
