@@ -1011,3 +1011,75 @@ def mode_per_key(
                          "mode": pa.array([], pa.string()),
                          "n_mode": pa.array([], pa.int64())})
     return merged
+
+
+def _skyline_2d(t: pa.Table, x_col: str, y_col: str):
+    """Vectorized 2D maximal-points kernel: sort by (x desc, y desc),
+    keep rows not dominated by a strictly-better-x prefix or a same-x
+    higher y. Equal duplicate points all survive (neither dominates)."""
+    if t is None or not t.num_rows:
+        return None
+    x = pc.cast(t[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+    y = pc.cast(t[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+    ok = ~(np.isnan(x) | np.isnan(y))
+    idx = np.flatnonzero(ok)
+    if not len(idx):
+        return None
+    order = idx[np.lexsort((-y[idx], -x[idx]))]
+    xs, ys = x[order], y[order]
+    new = np.ones(len(xs), bool)
+    new[1:] = xs[1:] != xs[:-1]
+    grp = np.cumsum(new) - 1
+    # per-group max y is the group's first y (y desc within group)
+    gmax = ys[new]
+    before = np.concatenate(([-np.inf],
+                             np.maximum.accumulate(gmax)[:-1]))[grp]
+    keep = (ys == gmax[grp]) & (ys > before)
+    return t.take(pa.array(np.sort(order[keep])))
+
+
+def skyline_2d(
+    ds,
+    x_col: str,
+    y_col: str,
+    fanin: int = 8,
+) -> pa.Table:
+    """Distributed 2D skyline (Pareto frontier, maximizing both
+    columns): rows no other row dominates (>= in both dims, > in at
+    least one). NULL/NaN coordinates never enter the frontier.
+
+    Local skylines are a true combiner (a locally dominated row is
+    globally dominated), so each block prunes first and only frontier
+    candidates move; candidates then merge up a fan-in tree of
+    skyline-of-union tasks, heavy_hitters-style — no all-to-all, the
+    driver sees one table. Scale contract (documented): the FRONTIER
+    fits a task heap — tight for correlated dims (the common case:
+    score vs recency); anti-correlated uniform 2D data has an expected
+    frontier of O(log n) but adversarial inputs can approach n.
+    """
+    import ray
+
+    local = ray.remote(_skyline_2d)
+    merge = ray.remote(
+        lambda x, y, *ts: _skyline_2d(
+            pa.concat_tables([p for p in ts if p is not None
+                              and p.num_rows], promote_options="default")
+            if any(p is not None and p.num_rows for p in ts) else None,
+            x, y))
+    refs = [local.remote(r, x_col, y_col) for r in ds.to_arrow_refs()]
+    while len(refs) > 1:
+        refs = [merge.remote(x_col, y_col, *refs[i : i + fanin])
+                for i in range(0, len(refs), fanin)]
+    out = ray.get(refs[0]) if refs else None
+    if out is None:
+        sch = _arrow_schema_of(ds)
+        return sch.empty_table() if sch is not None else pa.table({})
+    return out
+
+
+def _arrow_schema_of(ds):
+    try:
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+    except Exception:
+        return None

@@ -1214,6 +1214,27 @@ def q_pagerank(sf_dir: str):
                     node_out="doc_id", rank_out="pr")
 
 
+def q_skyline(sf_dir: str):
+    """Pareto frontier of purchases over (value, recency): rows no other
+    purchase beats on both — local skylines are a true combiner, then a
+    fan-in merge tree, no all-to-all (ops/stats.skyline_2d). Oracle: the
+    NOT EXISTS dominance definition."""
+    from ..ops.stats import skyline_2d
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "value": t["value"],
+            "ts_us": t["ts"].cast(pa.int64()),
+        })
+
+    purchases = (_read(sf_dir, "events", ["event_id", "event_type",
+                                          "ts", "value"])
+                 .filter(expr="event_type == 'purchase'")
+                 .map_batches(prep, batch_format="pyarrow"))
+    return skyline_2d(purchases, "value", "ts_us")
+
+
 def q_fuzzy_pairs(sf_dir: str):
     """edit-distance fuzzy self-join on the docs' 16-char prefix (byte
     Levenshtein <= 4, DuckDB levenshtein parity): lossless length-band
@@ -1890,6 +1911,7 @@ QUERIES: dict[str, Callable] = {
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
     "pagerank": q_pagerank,
+    "skyline": q_skyline,
     "fuzzy_pairs": q_fuzzy_pairs,
     "triangles": q_triangles,
     "corr_stats": q_corr_stats,
@@ -2572,6 +2594,14 @@ ORACLE_SQL: dict[str, str] = {
             for i in range(1, 11)
         )
         + " SELECT node AS doc_id, r AS pr FROM pr10"
+    ),
+    "skyline": (
+        "WITH p AS (SELECT event_id, value, epoch_us(ts) AS ts_us "
+        "FROM events WHERE event_type = 'purchase') "
+        "SELECT event_id, value, ts_us FROM p b WHERE NOT EXISTS ("
+        "SELECT 1 FROM p a WHERE a.value >= b.value "
+        "AND a.ts_us >= b.ts_us "
+        "AND (a.value > b.value OR a.ts_us > b.ts_us))"
     ),
     "fuzzy_pairs": (
         "WITH s AS (SELECT doc_id, substr(text, 1, 16) AS p "

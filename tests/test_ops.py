@@ -2198,3 +2198,39 @@ class TestFuzzySelfJoin:
             if dd <= 2:
                 want[(i, j)] = dd
         assert got == want
+
+
+class TestSkyline2D:
+    def test_matches_bruteforce(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import skyline_2d
+
+        rng = np.random.RandomState(5)
+        x = rng.randint(0, 40, 300).astype(float)
+        y = rng.randint(0, 40, 300).astype(float)
+        x[10], y[10] = x[20], y[20]  # duplicate point: both must survive
+        ds = ray.data.from_arrow(pa.table(
+            {"id": np.arange(300), "x": x, "y": y})).repartition(6)
+        out = skyline_2d(ds, "x", "y")
+        got = sorted(out["id"].to_pylist())
+
+        want = []
+        for i in range(300):
+            dom = ((x >= x[i]) & (y >= y[i])
+                   & ((x > x[i]) | (y > y[i])))
+            if not dom.any():
+                want.append(i)
+        assert got == sorted(want)
+        if 10 in want:
+            assert 20 in want
+
+    def test_nan_and_null_excluded(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import skyline_2d
+
+        t = pa.table({"id": [1, 2, 3], "x": [1.0, None, 9.0],
+                      "y": [1.0, 99.0, 9.0]})
+        out = skyline_2d(ray.data.from_arrow(t), "x", "y")
+        assert out["id"].to_pylist() == [3]
