@@ -1083,3 +1083,109 @@ def _arrow_schema_of(ds):
         return pa.schema(list(zip(s.names, s.types)))
     except Exception:
         return None
+
+
+def count_distinct_per_key(
+    ds,
+    key_col: str,
+    value_col: str,
+    out: str = "n_distinct",
+) -> pa.Table:
+    """Exact per-key COUNT(DISTINCT value), nulls excluded like SQL.
+    Map-side per-batch DISTINCT (key, value) pairs are all that cross
+    the wire (the exact twin of `hll_distinct_per_key` — use that
+    sketch when a key's distinct set is itself corpus-sized); ONE
+    key-hash exchange, per-shard re-distinct + group count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        # null values stay as their own distinct row so a key whose
+        # values are ALL null still groups (count 0, like SQL)
+        return t.select([key_col, value_col]).group_by(
+            [key_col, value_col]).aggregate([])
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.group_by([key_col, value_col]).aggregate([])
+        # Arrow "count" is valid-only: null value rows keep the key
+        # alive but do not count
+        g = d.group_by([key_col]).aggregate([(value_col, "count")])
+        return g.rename_columns([key_col, out])
+
+    refs = ds.select_columns([key_col, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    merged = hash_exchange(refs, [key_col], finish, combine_fn=partial)
+    if merged is None:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         out: pa.array([], pa.int64())})
+    return merged
+
+
+def cube_sum(
+    ds,
+    k1: str,
+    k2: str,
+    value_col: str,
+    out: str = "sum_value",
+) -> pa.Table:
+    """Two-key CUBE — sums at (k1, k2), (k1), (k2) and grand total in
+    one pass (SQL `GROUP BY CUBE(k1, k2)`, rolled keys NULL). Key
+    columns are assumed non-null, same contract as `rollup_sum`.
+
+    Map-side (k1, k2) partial sums feed TWO small exchanges of the same
+    partial refs: the k1-keyed one finishes the (k1, k2) and (k1)
+    levels exactly in-shard (grouping key ⊆ co-location key), the
+    k2-keyed one finishes (k2); the grand total folds from the k1
+    exchange's per-shard rows on the driver. Raw rows never re-ship —
+    only pre-combined partials, twice."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            k1: t[k1], k2: t[k2],
+            "v": pc.cast(t[value_col], pa.float64()),
+        }).group_by([k1, k2]).aggregate([("v", "sum")])
+        return g.rename_columns([k1, k2, "v"])
+
+    def finish_k1(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fine = df.groupby([k1, k2], sort=False, as_index=False)["v"].sum()
+        mid = df.groupby(k1, sort=False, as_index=False)["v"].sum()
+        mid[k2] = None
+        grand = pd.DataFrame({k1: [None], k2: [None],
+                              "v": [df["v"].sum()], "_partial": [1]})
+        fine["_partial"] = 0
+        mid["_partial"] = 0
+        return pa.Table.from_pandas(
+            pd.concat([fine, mid[[k1, k2, "v", "_partial"]], grand],
+                      ignore_index=True),
+            preserve_index=False)
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([k1, k2]).aggregate([("v", "sum")])
+        return g.rename_columns([k1, k2, "v"])
+
+    def finish_k2(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        m = df.groupby(k2, sort=False, as_index=False)["v"].sum()
+        m[k1] = None
+        return pa.Table.from_pandas(m[[k1, k2, "v"]],
+                                    preserve_index=False)
+
+    refs = ds.select_columns([k1, k2, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    m1 = hash_exchange(refs, [k1], finish_k1, combine_fn=combine)
+    m2 = hash_exchange(refs, [k2], finish_k2, combine_fn=combine)
+    if m1 is None:
+        return pa.table({k1: pa.array([], pa.string()),
+                         k2: pa.array([], pa.string()),
+                         out: pa.array([], pa.float64())})
+    part = pc.equal(m1["_partial"], 1)
+    shards = m1.filter(part)
+    done = m1.filter(pc.invert(part)).select([k1, k2, "v"])
+    grand = pa.table({
+        k1: pa.nulls(1, m1.schema.field(k1).type),
+        k2: pa.nulls(1, m1.schema.field(k2).type),
+        "v": pa.array([pc.sum(shards["v"]).as_py() or 0.0], pa.float64()),
+    })
+    pieces = [done, grand]
+    if m2 is not None:
+        pieces.insert(1, m2.cast(done.schema))
+    return pa.concat_tables(pieces).rename_columns([k1, k2, out])

@@ -1214,6 +1214,29 @@ def q_pagerank(sf_dir: str):
                     node_out="doc_id", rank_out="pr")
 
 
+def q_distinct_types(sf_dir: str):
+    """exact COUNT(DISTINCT event_type) per user — map-side distinct
+    pairs only cross the wire; the exact twin of hll_per_key
+    (ops/stats.count_distinct_per_key)."""
+    from ..ops.stats import count_distinct_per_key
+
+    return count_distinct_per_key(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        "user_id", "event_type", out="n_types")
+
+
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) over document n_chars: (k1,k2), both
+    single-key levels and the grand total from ONE set of map-side
+    partials re-keyed twice — raw rows never re-ship
+    (ops/stats.cube_sum)."""
+    from ..ops.stats import cube_sum
+
+    return cube_sum(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        "lang", "source", "n_chars", out="sum_chars")
+
+
 def q_skyline(sf_dir: str):
     """Pareto frontier of purchases over (value, recency): rows no other
     purchase beats on both — local skylines are a true combiner, then a
@@ -1911,6 +1934,8 @@ QUERIES: dict[str, Callable] = {
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
     "pagerank": q_pagerank,
+    "distinct_types": q_distinct_types,
+    "cube": q_cube,
     "skyline": q_skyline,
     "fuzzy_pairs": q_fuzzy_pairs,
     "triangles": q_triangles,
@@ -2594,6 +2619,14 @@ ORACLE_SQL: dict[str, str] = {
             for i in range(1, 11)
         )
         + " SELECT node AS doc_id, r AS pr FROM pr10"
+    ),
+    "distinct_types": (
+        "SELECT user_id, count(DISTINCT event_type) AS n_types "
+        "FROM events GROUP BY user_id"
+    ),
+    "cube": (
+        "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
+        "FROM documents GROUP BY CUBE(lang, source)"
     ),
     "skyline": (
         "WITH p AS (SELECT event_id, value, epoch_us(ts) AS ts_us "

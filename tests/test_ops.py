@@ -2234,3 +2234,47 @@ class TestSkyline2D:
                       "y": [1.0, 99.0, 9.0]})
         out = skyline_2d(ray.data.from_arrow(t), "x", "y")
         assert out["id"].to_pylist() == [3]
+
+
+class TestCountDistinctPerKey:
+    def test_exact(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import count_distinct_per_key
+
+        t = pa.table({
+            "k": ["a", "a", "a", "b", "b", "c"],
+            "v": ["x", "x", "y", "z", None, None],
+        })
+        out = count_distinct_per_key(
+            ray.data.from_arrow(t).repartition(3), "k", "v")
+        d = dict(zip(out["k"].to_pylist(), out["n_distinct"].to_pylist()))
+        assert d == {"a": 2, "b": 1, "c": 0}
+
+
+class TestCubeSum:
+    def test_matches_pandas_cube(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import cube_sum
+
+        rng = np.random.RandomState(2)
+        k1 = rng.choice(["p", "q", "r"], 200)
+        k2 = rng.choice(["x", "y"], 200)
+        v = rng.rand(200)
+        out = cube_sum(ray.data.from_arrow(pa.table(
+            {"k1": k1, "k2": k2, "v": v})).repartition(4), "k1", "k2", "v")
+        got = {(r["k1"], r["k2"]): r["sum_value"] for r in out.to_pylist()}
+
+        import itertools
+        want = {}
+        for a, b in itertools.product(["p", "q", "r"], ["x", "y"]):
+            want[(a, b)] = v[(k1 == a) & (k2 == b)].sum()
+        for a in ["p", "q", "r"]:
+            want[(a, None)] = v[k1 == a].sum()
+        for b in ["x", "y"]:
+            want[(None, b)] = v[k2 == b].sum()
+        want[(None, None)] = v.sum()
+        assert set(got) == set(want)
+        for key in want:
+            assert abs(got[key] - want[key]) < 1e-9, key
