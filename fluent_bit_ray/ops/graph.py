@@ -453,6 +453,25 @@ def _tri_orient(t):
     return pa.table({"u": np.where(swap, b, a), "v": np.where(swap, a, b)})
 
 
+def _run_pairs(new: np.ndarray):
+    """All (i1, i2) index pairs with i1 < i2 inside each run of a
+    sorted group column; `new` marks run starts. Vectorized run-length
+    index arithmetic shared by the wedge and clique kernels. Returns
+    None when no run has two members."""
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(new)))
+    ends = np.repeat(starts + sizes, sizes)
+    idx = np.arange(len(new))
+    reps = ends - idx - 1
+    total = int(reps.sum())
+    if not total:
+        return None
+    i1 = np.repeat(idx, reps)
+    run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
+    i2 = i1 + (np.arange(total) - np.repeat(run_starts, reps) + 1)
+    return i1, i2
+
+
 def _tri_wedges(t: pa.Table):
     """All out-neighbor pairs per u (sharded by u): wedge (x, y, center)
     with (x, y) id-canonical for the edge-set match."""
@@ -461,18 +480,10 @@ def _tri_wedges(t: pa.Table):
     v = df["v"].to_numpy()
     new = np.ones(len(u), bool)
     new[1:] = u[1:] != u[:-1]
-    starts = np.flatnonzero(new)
-    sizes = np.diff(np.append(starts, len(u)))
-    ends = np.repeat(starts + sizes, sizes)
-    idx = np.arange(len(u))
-    reps = ends - idx - 1
-    total = int(reps.sum())
-    if not total:
+    pairs = _run_pairs(new)
+    if pairs is None:
         return None
-    i1 = np.repeat(idx, reps)
-    run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
-    off = np.arange(total) - np.repeat(run_starts, reps) + 1
-    i2 = i1 + off
+    i1, i2 = pairs
     return pa.table({"x": np.minimum(v[i1], v[i2]),
                      "y": np.maximum(v[i1], v[i2]), "c": u[i1]})
 
@@ -608,17 +619,10 @@ def _clique_pairs(key_col: str, id_col: str, t: pa.Table):
     v = df[id_col].to_numpy().astype(np.int64)
     new = np.ones(len(k), bool)
     new[1:] = k[1:] != k[:-1]
-    starts = np.flatnonzero(new)
-    sizes = np.diff(np.append(starts, len(k)))
-    ends = np.repeat(starts + sizes, sizes)
-    idx = np.arange(len(k))
-    reps = ends - idx - 1
-    total = int(reps.sum())
-    if not total:
+    pairs = _run_pairs(new)
+    if pairs is None:
         return None
-    i1 = np.repeat(idx, reps)
-    run_starts = np.concatenate(([0], np.cumsum(reps)[:-1]))
-    i2 = i1 + (np.arange(total) - np.repeat(run_starts, reps) + 1)
+    i1, i2 = pairs
     return pa.table({"src": v[i1], "dst": v[i2]})
 
 

@@ -546,5 +546,10 @@ def set_op(
         right_ds.select_columns(cols).map_batches(
             tag(1), batch_format="pyarrow").to_arrow_refs()
     )
-    return hash_exchange(refs, cols, finish, combine_fn=combine,
-                         shard_output_dir=shard_output_dir)
+    out = hash_exchange(refs, cols, finish, combine_fn=combine,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    if out is None:
+        return _arrow_schema(left_ds.select_columns(cols)).empty_table()
+    return out

@@ -163,7 +163,8 @@ def global_shuffle(ds, id_col: str = "doc_id", seed: int = 0,
     return ray.data.from_arrow_refs(out)
 
 
-def global_sort(ds, keys: list, descending=None, rank_col: str = "rn"):
+def global_sort(ds, keys: list, descending=None, rank_col: str = "rn",
+                block_fn=None):
     """Distributed ORDER BY with a materialized 1-based global rank (SQL
     `row_number() OVER (ORDER BY ...)` — pass a total order, i.e. include
     a unique tiebreaker key, or ranks within ties are partition-dependent).
@@ -172,7 +173,12 @@ def global_sort(ds, keys: list, descending=None, rank_col: str = "rn"):
     sample sort is the one unavoidable exchange; the rank pass then
     touches only per-block row COUNTS (remote int tasks -> driver prefix
     sum -> per-block offset+arange), never re-shipping the data, and the
-    result chains object-store-to-object-store as a Dataset."""
+    result chains object-store-to-object-store as a Dataset.
+
+    `block_fn(t, offset, total)` — optional per-block hook run after the
+    rank column lands, for rank-derived features that need only the
+    block's global offset and the total row count (percent_rank, ntile);
+    `global_rank_features` is its one wrapper."""
     import ray
     import ray.data
 
@@ -185,13 +191,16 @@ def global_sort(ds, keys: list, descending=None, rank_col: str = "rn"):
         return t.num_rows
 
     @ray.remote
-    def add_rank(t: pa.Table, offset: int) -> pa.Table:
+    def add_rank(t: pa.Table, offset: int, total: int) -> pa.Table:
         rn = pa.array(offset + 1 + np.arange(t.num_rows, dtype=np.int64))
-        return t.append_column(rank_col, rn)
+        t = t.append_column(rank_col, rn)
+        return t if block_fn is None else block_fn(t, offset, total)
 
     counts = ray.get([nrows.remote(r) for r in refs])
+    total = int(sum(counts))
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    out = [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets[:-1])]
+    out = [add_rank.remote(r, int(o), total)
+           for r, o in zip(refs, offsets[:-1])]
     return ray.data.from_arrow_refs(out)
 
 
@@ -316,20 +325,10 @@ def global_rank_features(
     `tile` = SQL ntile(tiles) (first N%tiles buckets take the extra
     row). Only per-block row counts reach the driver; each block derives
     its rows' features from (offset, N) locally — data never re-ships
-    after the one sort exchange."""
-    import ray
-    import ray.data
+    after the one sort exchange. Thin wrapper over `global_sort`'s
+    block_fn hook (one rank-pass implementation, two ops)."""
 
-    s = ds.sort(keys, descending=descending if descending is not None
-                else [False] * len(keys))
-    refs = s.to_arrow_refs()
-
-    @ray.remote
-    def nrows(t: pa.Table) -> int:
-        return t.num_rows
-
-    @ray.remote
-    def add_feats(t: pa.Table, offset: int, total: int) -> pa.Table:
+    def feats(t: pa.Table, offset: int, total: int) -> pa.Table:
         rn = offset + 1 + np.arange(t.num_rows, dtype=np.int64)
         pct = ((rn - 1) / (total - 1) if total > 1
                else np.zeros(t.num_rows, dtype=np.float64))
@@ -341,13 +340,8 @@ def global_rank_features(
                 (rn - 1) // (q + 1) + 1,
                 r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
             ).astype(np.int64)
-        return (t.append_column(rank_col, pa.array(rn))
-                 .append_column("pct_rank", pa.array(pct))
+        return (t.append_column("pct_rank", pa.array(pct))
                  .append_column("tile", pa.array(tile)))
 
-    counts = ray.get([nrows.remote(r) for r in refs])
-    total = int(sum(counts))
-    offsets = np.concatenate(([0], np.cumsum(counts)))
-    out = [add_feats.remote(r, int(o), total)
-           for r, o in zip(refs, offsets[:-1])]
-    return ray.data.from_arrow_refs(out)
+    return global_sort(ds, keys, descending=descending,
+                       rank_col=rank_col, block_fn=feats)

@@ -1032,9 +1032,11 @@ def _skyline_2d(t: pa.Table, x_col: str, y_col: str):
     grp = np.cumsum(new) - 1
     # per-group max y is the group's first y (y desc within group)
     gmax = ys[new]
-    before = np.concatenate(([-np.inf],
-                             np.maximum.accumulate(gmax)[:-1]))[grp]
-    keep = (ys == gmax[grp]) & (ys > before)
+    # prefix max over strictly-better-x groups; the first group has no
+    # prefix, so gate on grp > 0 rather than a -inf sentinel (a real
+    # y == -inf point in the best-x group must stay on the frontier)
+    before = np.maximum.accumulate(gmax)[grp - 1]
+    keep = (ys == gmax[grp]) & ((grp == 0) | (ys > before))
     return t.take(pa.array(np.sort(order[keep])))
 
 

@@ -2070,6 +2070,23 @@ class TestSetOp:
             b, ["k", "v"], "intersect")
         assert empty is None or empty.num_rows == 0
 
+    def test_both_sides_empty_returns_typed_table(self):
+        # regression: hash_exchange yields None when no tuple survives;
+        # set_op must return an empty TYPED table (like hash_join), not
+        # None, or the driver's to_pandas(None) crashes
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import set_op
+
+        e1 = ray.data.from_arrow(pa.table(
+            {"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())}))
+        e2 = ray.data.from_arrow(pa.table(
+            {"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())}))
+        out = set_op(e1, e2, ["k", "v"], "intersect")
+        assert out is not None and out.num_rows == 0
+        assert out.schema.names == ["k", "v"]
+        assert out.schema.types == [pa.string(), pa.int64()]
+
 
 class TestGlobalRankFeatures:
     def test_matches_sql_semantics(self):
@@ -2234,6 +2251,19 @@ class TestSkyline2D:
                       "y": [1.0, 99.0, 9.0]})
         out = skyline_2d(ray.data.from_arrow(t), "x", "y")
         assert out["id"].to_pylist() == [3]
+
+    def test_neg_inf_point_stays_on_frontier(self):
+        # regression: the old -inf "no previous group" sentinel dropped
+        # a real y == -inf point in the best-x group even though no
+        # other row dominates it (e.g. log(0)-derived scores)
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import skyline_2d
+
+        t = pa.table({"id": [1, 2], "x": [5.0, 1.0],
+                      "y": [-np.inf, 0.0]})
+        out = skyline_2d(ray.data.from_arrow(t), "x", "y")
+        assert sorted(out["id"].to_pylist()) == [1, 2]
 
 
 class TestCountDistinctPerKey:
