@@ -204,6 +204,70 @@ def global_sort(ds, keys: list, descending=None, rank_col: str = "rn",
     return ray.data.from_arrow_refs(out)
 
 
+def _ws_topk(t: Optional[pa.Table], id_col: str, k: int):
+    """Top-k rows by (skey desc, id asc) — the A-ES selection rule; a
+    true combiner (per-block winners can only lose to other winners)."""
+    if t is None or not t.num_rows:
+        return None
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    skey = t["skey"].to_numpy(zero_copy_only=False)
+    # -inf marks ineligible rows (weight <= 0 / null); they must never
+    # surface even when k exceeds the eligible count (SQL WHERE w > 0)
+    order = np.lexsort((ids, -skey))
+    order = order[np.isfinite(skey[order])][:k]
+    if not len(order):
+        return None
+    return t.take(pa.array(np.sort(order)))
+
+
+def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
+                    k: int = 50, seed: int = 1, fanin: int = 8):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u = (shuffle_hash(id, seed) + 0.5) /
+    2^32 in (0,1) and the k largest u^(1/w) win — selection probability
+    proportional to weight, in log space as skey = ln(u) / w (monotone).
+    Rows with weight <= 0 or null never win (skey -inf), matching the
+    oracle's WHERE w > 0. The draw is a pure function of (id, seed) —
+    partition- and cluster-size-independent, SQL-reproducible via
+    shuffle_hash_sql — which is what makes a 100 TB sample auditable.
+
+    Scale shape: per-block scoring + per-block top-k (a true combiner:
+    O(k) rows leave each block), then a fan-in merge tree of the same
+    selection rule — no global sort, no all-to-all; the driver sees one
+    k-row table."""
+    import ray
+
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (shuffle_hash(ids, seed).astype(np.float64) + 0.5) / float(_M32)
+        ok = np.isfinite(w) & (w > 0)
+        skey = np.where(ok, np.log(u) / np.where(ok, w, 1.0), -np.inf)
+        t = pa.table({id_col: b[id_col],
+                      "skey": pa.array(skey, pa.float64())})
+        out = _ws_topk(t, id_col, k)
+        return out if out is not None else t
+
+    merge = ray.remote(
+        lambda *ts: _ws_topk(
+            pa.concat_tables([p for p in ts if p is not None and p.num_rows],
+                             promote_options="default")
+            if any(p is not None and p.num_rows for p in ts) else None,
+            id_col, k))
+    refs = (ds.select_columns([id_col, weight_col])
+            .map_batches(score, batch_format="pyarrow").to_arrow_refs())
+    local = ray.remote(lambda t: _ws_topk(t, id_col, k))
+    refs = [local.remote(r) for r in refs]
+    while len(refs) > 1:
+        refs = [merge.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    out = ray.get(refs[0]) if refs else None
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "skey": pa.array([], pa.float64())})
+    return out
+
+
 def _key_codes(col) -> np.ndarray:
     """Group codes for a key column of ANY dtype; null is its OWN group
     (pd.factorize use_na_sentinel=False — dictionary_encode+fill_null

@@ -594,6 +594,72 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bm25_scores(ds, terms: list, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 relevance of every document against a fixed query-term
+    list — the retrieval-style scorer used to mine topic-targeted
+    training data at corpus scale (tfidf_scores ranks by rarity mass;
+    this ranks by query match with saturation + length normalization).
+    idf uses the Lucene/Robertson form ln(1 + (N - df + .5)/(df + .5)),
+    which stays positive for df > N/2 terms.
+
+    Scale shape: phase 1 streams ONE tiny partial row per block (n_docs,
+    n_tokens, df per query term — per-term Arrow equality over the flat
+    token stream, per-doc reduceat, nothing Python-per-row) and reduces
+    the partials with a Dataset sum — bytes moved are O(blocks × terms).
+    Phase 2 is a pure scoring map over the same vectorized tf kernel:
+    corpus constants ride the closure (they are a handful of floats; no
+    re-shuffle, no broadcast table). Every doc appears, zero-match docs
+    score 0.0 — selection needs the full ranking.
+    """
+    terms = list(terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        cols = {"n_docs": pa.array([batch.num_rows], pa.int64()),
+                "n_tok": pa.array([int(n_tokens.sum())], pa.int64())}
+        for i, term in enumerate(terms):
+            eq = np.asarray(pc.equal(flat, term)).astype(np.int64) \
+                if len(flat) else np.zeros(0, np.int64)
+            per_doc = _per_doc_sum(eq, bounds)
+            cols[f"df_{i}"] = pa.array([int((per_doc > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stats = (ds.select_columns([text_col])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .sum(["n_docs", "n_tok"] + [f"df_{i}" for i in range(len(terms))]))
+    n = float(stats["sum(n_docs)"] or 0)
+    if n == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda t: t.append_column(
+                "bm25", pa.array(np.zeros(t.num_rows), pa.float64())),
+            batch_format="pyarrow")
+    avgdl = float(stats["sum(n_tok)"] or 0) / n
+    idf = np.array([
+        np.log(1.0 + (n - float(stats[f"sum(df_{i})"] or 0) + 0.5)
+               / (float(stats[f"sum(df_{i})"] or 0) + 0.5))
+        for i in range(len(terms))])
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        dl = n_tokens.astype(np.float64)
+        norm = k1 * (1.0 - b + (b * dl / avgdl if avgdl > 0 else 0.0))
+        total = np.zeros(batch.num_rows, np.float64)
+        for i, term in enumerate(terms):
+            eq = np.asarray(pc.equal(flat, term)).astype(np.int64) \
+                if len(flat) else np.zeros(0, np.int64)
+            tf = _per_doc_sum(eq, bounds).astype(np.float64)
+            den = tf + norm
+            total += idf[i] * np.divide(
+                tf * (k1 + 1.0), den, out=np.zeros_like(tf),
+                where=den > 0)  # den == 0 only at b == 1 with dl == 0
+        return pa.table({id_col: batch[id_col],
+                         "bm25": pa.array(total, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
 _URL_PARTS = (
     ("scheme", r"^([A-Za-z][A-Za-z0-9+.\-]*)://"),
     ("host", r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://)?([^/:?#]*)"),

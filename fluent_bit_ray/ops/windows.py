@@ -213,6 +213,67 @@ def running_totals(
     )
 
 
+def moving_avg(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 4,
+    num_shards: int = 16,
+):
+    """Per-key ROWS-frame moving average — `avg(val) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)`: the smoothing/trend feature over event telemetry. Completes
+    the window-shape coverage next to running_totals (unbounded frame),
+    lag_deltas (single-row offset) and sliding_window (time RANGE).
+
+    SQL AVG semantics: nulls inside the frame are excluded from both
+    numerator and denominator; a frame with only nulls yields NULL.
+
+    Same shard machinery as running_totals — one composite sort per
+    shard, then the frame sums come from prefix-sum differences clipped
+    at each key's first row (no per-key Python, no pandas .rolling).
+    Partitioning assumption (documented): one KEY's rows fit the shard.
+    """
+    w = int(window)
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(new)
+        reps = np.diff(np.concatenate((starts, [len(c)])))
+        pos = np.arange(len(c)) - np.repeat(starts, reps)
+
+        v = df[val_col].to_numpy(dtype=np.float64)
+        nn = ~np.isnan(v)
+        csE = np.concatenate(([0.0], np.cumsum(np.where(nn, v, 0.0))))
+        cnE = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        # frame start: w-1 rows back, clipped at the key's first row
+        lo = np.arange(len(c)) - np.minimum(pos, w - 1)
+        fsum = csE[np.arange(len(c)) + 1] - csE[lo]
+        fcnt = cnE[np.arange(len(c)) + 1] - cnE[lo]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(fcnt > 0, fsum / np.maximum(fcnt, 1), np.nan)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                "mov_avg": avg,
+            }
+        )
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
 def lag_deltas(
     ds,
     key_col: str = "user_id",

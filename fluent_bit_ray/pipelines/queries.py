@@ -1873,6 +1873,50 @@ def q_weblog_from_html(sf_dir: str):
     )
 
 
+def q_moving_avg(sf_dir: str):
+    """per-user ROWS-frame moving average of event values (4-row frame:
+    3 preceding + current; ops/windows.moving_avg — one composite sort
+    per key shard, frame sums by clipped prefix-sum differences). SQL
+    parity: avg(value) OVER (... ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW), nulls excluded from numerator AND denominator."""
+    from ..ops.windows import moving_avg
+
+    return moving_avg(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        window=4,
+    )
+
+
+def q_weighted_sample(sf_dir: str):
+    """deterministic weighted sample without replacement, 50 docs with
+    probability ~ n_chars+1 (Efraimidis–Spirakis top-k by ln(u)/w with
+    the seeded 32-bit mix as u; ops/sample.weighted_sample — per-block
+    combiner + fan-in merge, O(k) rows leave each block). The ENTIRE
+    selection and each winner's score are oracle-checked: the SQL twin
+    recomputes the same mix, key and top-50."""
+    from ..ops.sample import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.append_column(
+            "w", pc.cast(pc.add(t["n_chars"], 1), pa.float64())),
+        batch_format="pyarrow",
+    )
+    return weighted_sample(ds, "w", "doc_id", k=50, seed=20240818)
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 of every document against a fixed 3-term query
+    (ops/text.bm25_scores — one tiny stats partial per block + a pure
+    scoring map; per-term Arrow equality over the flat token stream).
+    Lucene idf form; k1=1.2, b=0.75."""
+    from ..ops.text import bm25_scores
+
+    return bm25_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        terms=["join", "hash", "filter"],
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -1971,6 +2015,9 @@ QUERIES: dict[str, Callable] = {
     "url_parts": q_url_parts,
     "warc_roundtrip": q_warc_roundtrip,
     "weblog_from_warc": q_weblog_from_warc,
+    "moving_avg": q_moving_avg,
+    "weighted_sample": q_weighted_sample,
+    "bm25": q_bm25,
 }
 
 
@@ -2728,6 +2775,43 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
+    ),
+    "moving_avg": (
+        "SELECT user_id, event_id, avg(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+        "AS mov_avg FROM events"
+    ),
+    # the SQL twin recomputes the same seeded mix, the same A-ES key
+    # ln(u)/w and the same (skey DESC, id) top-50 — full selection parity
+    "weighted_sample": (
+        "WITH h AS (SELECT doc_id, CAST(n_chars + 1 AS DOUBLE) AS w, "
+        + shuffle_hash_sql("doc_id", 20240818)
+        + " AS h FROM documents) "
+        "SELECT doc_id, ln((h + 0.5) / 4294967296.0) / w AS skey FROM h "
+        "WHERE w > 0 ORDER BY skey DESC, doc_id LIMIT 50"
+    ),
+    "bm25": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, len(t) AS dl, "
+        "len(list_filter(t, x -> x = 'join')) AS tf0, "
+        "len(list_filter(t, x -> x = 'hash')) AS tf1, "
+        "len(list_filter(t, x -> x = 'filter')) AS tf2 FROM toks), "
+        "st AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl, "
+        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0, "
+        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1, "
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2 FROM tf) "
+        "SELECT f.doc_id, "
+        "ln(1 + (st.n - st.df0 + 0.5) / (st.df0 + 0.5)) * (tf0 * 2.2) "
+        "/ (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) + "
+        "ln(1 + (st.n - st.df1 + 0.5) / (st.df1 + 0.5)) * (tf1 * 2.2) "
+        "/ (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) + "
+        "ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * (tf2 * 2.2) "
+        "/ (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) AS bm25 "
+        "FROM tf f, st"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

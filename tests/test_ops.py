@@ -2308,3 +2308,142 @@ class TestCubeSum:
         assert set(got) == set(want)
         for key in want:
             assert abs(got[key] - want[key]) < 1e-9, key
+
+
+class TestMovingAvg:
+    def _run(self, df, window=4, parts=3):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import moving_avg
+
+        ds = ray.data.from_pandas(pd.DataFrame(df)).repartition(parts)
+        out = moving_avg(ds, "user_id", "ts", "value", "event_id",
+                         window=window)
+        return (out.to_pandas()
+                .sort_values(["user_id", "event_id"])
+                .reset_index(drop=True))
+
+    def test_matches_pandas_rolling(self):
+        import pandas as pd
+
+        rng = np.random.RandomState(7)
+        n = 400
+        df = {
+            "user_id": rng.randint(0, 20, n),
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+            "value": np.where(rng.rand(n) < 0.15, np.nan, rng.rand(n) * 100),
+        }
+        got = self._run(df)
+        ref = (pd.DataFrame(df).sort_values(["user_id", "ts", "event_id"])
+               .reset_index(drop=True))
+        ref["mov_avg"] = (ref.groupby("user_id")["value"]
+                          .rolling(4, min_periods=1).mean()
+                          .reset_index(level=0, drop=True))
+        ref = ref.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        assert np.allclose(got["mov_avg"], ref["mov_avg"], equal_nan=True)
+
+    def test_all_null_frame_is_null(self):
+        import pandas as pd
+
+        df = {
+            "user_id": [1, 1, 1],
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "value": [np.nan, np.nan, 5.0],
+        }
+        got = self._run(df, window=2, parts=1)
+        assert np.isnan(got["mov_avg"][0]) and np.isnan(got["mov_avg"][1])
+        assert got["mov_avg"][2] == 5.0  # nulls excluded from denominator
+
+
+class TestWeightedSample:
+    def test_partition_independent_and_deterministic(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import weighted_sample
+
+        t = pa.table({"doc_id": np.arange(200, dtype=np.int64),
+                      "w": np.ones(200)})
+        a = weighted_sample(ray.data.from_arrow(t), "w", "doc_id",
+                            k=10, seed=3)
+        b = weighted_sample(ray.data.from_arrow(t).repartition(7), "w",
+                            "doc_id", k=10, seed=3)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        assert a["skey"].to_pylist() == b["skey"].to_pylist()
+
+    def test_nonpositive_weights_never_win_and_k_truncates(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import weighted_sample
+
+        t = pa.table({"doc_id": np.arange(8, dtype=np.int64),
+                      "w": [1.0, 0.0, -2.0, np.nan, 1.0, 1.0, 1.0, 1.0]})
+        out = weighted_sample(ray.data.from_arrow(t), "w", "doc_id",
+                              k=50, seed=1)
+        assert sorted(out["doc_id"].to_pylist()) == [0, 4, 5, 6, 7]
+
+    def test_weight_bias(self):
+        # one row with overwhelming weight wins essentially always:
+        # P(miss) = (1 - u)^(1/w) with w = 10^6 -> negligible
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import weighted_sample
+
+        n = 500
+        w = np.ones(n)
+        w[123] = 1e6
+        t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "w": w})
+        wins = 0
+        for seed in range(5):
+            out = weighted_sample(ray.data.from_arrow(t).repartition(4),
+                                  "w", "doc_id", k=1, seed=seed)
+            wins += out["doc_id"].to_pylist() == [123]
+        assert wins >= 4
+
+
+class TestBM25:
+    def _ref(self, docs, terms, k1=1.2, b=0.75):
+        import math
+
+        toks = [d.split() for d in docs]
+        n = len(docs)
+        avgdl = sum(len(t) for t in toks) / n
+        dfs = [sum(1 for t in toks if term in t) for term in terms]
+        out = []
+        for t in toks:
+            s = 0.0
+            for term, df in zip(terms, dfs):
+                tf = t.count(term)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                denom = tf + k1 * (1 - b + b * len(t) / avgdl)
+                s += idf * tf * (k1 + 1) / denom
+            out.append(s)
+        return out
+
+    def test_matches_reference(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import bm25_scores
+
+        docs = ["the cat sat", "the the the dog", "cat cat cat cat",
+                "", "  ", "dog and cat and mouse", "unrelated words here"]
+        t = pa.table({"doc_id": np.arange(len(docs), dtype=np.int64),
+                      "text": docs})
+        out = (bm25_scores(ray.data.from_arrow(t).repartition(3),
+                           terms=["cat", "dog"])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        ref = self._ref(docs, ["cat", "dog"])
+        assert np.allclose(out["bm25"], ref)
+        assert out["bm25"][3] == 0.0 and out["bm25"][6] == 0.0
+
+    def test_absent_term_scores_zero_contribution(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import bm25_scores
+
+        t = pa.table({"doc_id": [1, 2], "text": ["a b", "b c"]})
+        out = (bm25_scores(ray.data.from_arrow(t), terms=["zzz"])
+               .to_pandas())
+        assert (out["bm25"] == 0.0).all()
