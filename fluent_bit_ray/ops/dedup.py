@@ -757,6 +757,54 @@ def verify_pairs_jaccard(
 
 # ------------------------------------------------------------- line dedup
 
+def _explode_lines(b: pa.Table, text_col: str, id_col: str, min_len: int,
+                   extra: Optional[str] = None) -> pa.Table:
+    """Shared doc->line explode for the line-level cleaners: one row per
+    line with (doc id, line index, line, 64-bit line hash, keep_always
+    for sub-min_len lines), plus an optional carried column (`extra`,
+    e.g. the boilerplate grouping key). Vectorized: Arrow split + numpy
+    repeat, no per-doc Python."""
+    text = b[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
+    flat = pc.list_flatten(lines)
+    lens = np.asarray(pc.list_value_length(lines)).astype(np.int64)
+    ids = np.asarray(b[id_col]).astype(np.int64)
+    doc = np.repeat(ids, lens)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
+    keep = pc.less(pc.utf8_length(flat), min_len)
+    cols = {
+        id_col: pa.array(doc),
+        "idx": pa.array(idx),
+        "line": flat,
+        "line_hash": pa.array(_hash_string_array(flat).astype(np.int64)),
+        "keep_always": keep,
+    }
+    if extra is not None:
+        rep = np.repeat(np.arange(b.num_rows, dtype=np.int64), lens)
+        col = b[extra]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[extra] = col.take(pa.array(rep))
+    return pa.table(cols)
+
+
+def _rebuild_docs(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Shared line->doc reassembly: original line order within each doc,
+    newline-joined. Docs with zero surviving lines never reach here (no
+    empty husks by construction)."""
+    df = t.to_pandas().sort_values([id_col, "idx"])
+    g = (
+        df.groupby(id_col, sort=False)["line"]
+        .agg("\n".join)
+        .reset_index()
+        .rename(columns={"line": text_col})
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def line_dedup(
     ds,
     text_col: str = "text",
@@ -778,28 +826,7 @@ def line_dedup(
     from ..shuffle import hash_exchange
 
     def explode(b: pa.Table) -> pa.Table:
-        text = b[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        lines = pc.split_pattern(pc.fill_null(text, ""), "\n")
-        flat = pc.list_flatten(lines)
-        lens = np.asarray(pc.list_value_length(lines)).astype(np.int64)
-        ids = np.asarray(b[id_col]).astype(np.int64)
-        doc = np.repeat(ids, lens)
-        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-        keep = pc.less(pc.utf8_length(flat), min_len)
-        return pa.table(
-            {
-                id_col: pa.array(doc),
-                "idx": pa.array(idx),
-                "line": flat,
-                "line_hash": pa.array(
-                    _hash_string_array(flat).astype(np.int64)
-                ),
-                "keep_always": keep,
-            }
-        )
+        return _explode_lines(b, text_col, id_col, min_len)
 
     def elect(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -815,22 +842,68 @@ def line_dedup(
             out[[id_col, "idx", "line"]], preserve_index=False
         )
 
-    def rebuild(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values([id_col, "idx"])
-        g = (
-            df.groupby(id_col, sort=False)["line"]
-            .agg("\n".join)
-            .reset_index()
-            .rename(columns={"line": text_col})
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
     kept_refs = hash_exchange(
         exploded.to_arrow_refs(), ["line_hash"], elect, return_refs=True
     )
     kept_refs = [r for r in kept_refs if r is not None]
-    out = hash_exchange(kept_refs, [id_col], rebuild)
+    out = hash_exchange(
+        kept_refs, [id_col], lambda t: _rebuild_docs(t, text_col, id_col))
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         text_col: pa.array([], pa.string())})
+    return out.select([id_col, text_col])
+
+
+def boilerplate_lines(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 10,
+    min_docs: int = 3,
+):
+    """Per-group boilerplate removal (the C4/RefinedWeb cleaning step
+    line_dedup doesn't cover): a line of `min_len`+ characters appearing
+    in >= `min_docs` DISTINCT documents of the same group (site/source)
+    is template chrome — nav bars, cookie banners, footers — and EVERY
+    occurrence in that group is removed (line_dedup keeps the first;
+    boilerplate keeps none). Short lines always survive; docs whose
+    every line was removed disappear (no empty husks).
+
+    Scale shape mirrors line_dedup: vectorized explode, ONE exchange on
+    the 64-bit line hash (frequency election is collision-exact — the
+    group key is (group, line) itself), one exchange on doc id for the
+    order-preserving reassembly. The distinct-doc count per (group,
+    line) never leaves its shard.
+    """
+    from ..shuffle import hash_exchange
+
+    def elect(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        short = df[df["keep_always"]]
+        long = df[~df["keep_always"]]
+        if len(long):
+            nd = long.groupby([group_col, "line"], sort=False,
+                              dropna=False)[id_col].transform("nunique")
+            long = long[nd.to_numpy() < min_docs]
+        out = pd.concat([short, long], ignore_index=True)
+        return pa.Table.from_pandas(
+            out[[id_col, "idx", "line"]], preserve_index=False
+        )
+
+    exploded = ds.map_batches(
+        lambda b: _explode_lines(b, text_col, id_col, min_len,
+                                 extra=group_col),
+        batch_format="pyarrow", batch_size=None)
+    kept_refs = hash_exchange(
+        exploded.to_arrow_refs(), ["line_hash"], elect, return_refs=True
+    )
+    kept_refs = [r for r in kept_refs if r is not None]
+    out = hash_exchange(
+        kept_refs, [id_col], lambda t: _rebuild_docs(t, text_col, id_col))
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          text_col: pa.array([], pa.string())})

@@ -385,10 +385,12 @@ def hash_join(
     out_key: Optional[str] = None,
     shard_output_dir: Optional[str] = None,
 ) -> Optional[pa.Table]:
-    """General big-big equi-join (SQL `INNER` / `LEFT JOIN ... ON l.k =
-    r.k`), the row-producing sibling of the temporal joins above. Both
-    sides are fact-sized and the key may repeat on both (many-to-many
-    emits the full per-key cross product, like SQL).
+    """General big-big equi-join (SQL `INNER` / `LEFT` / `FULL OUTER
+    JOIN ... ON l.k = r.k`), the row-producing sibling of the temporal
+    joins above. Both sides are fact-sized and the key may repeat on
+    both (many-to-many emits the full per-key cross product, like SQL).
+    For `outer`, the single output key column is `COALESCE(l.k, r.k)`
+    and null-key rows from EITHER side surface unmatched.
 
     Plan: per-side map_batches projection renames the key to one shared
     column and prunes payload to exactly the emitted columns (`left_keep`
@@ -401,8 +403,9 @@ def hash_join(
 
     SQL null semantics (pandas would match NaN==NaN, so nulls are handled
     explicitly): a null key never matches — right null-key rows are
-    dropped on the map side; left null-key rows are dropped for `inner`
-    and emitted unmatched (all right columns null) for `left`.
+    dropped on the map side (kept-but-unmatched for `outer`); left
+    null-key rows are dropped for `inner` and emitted unmatched (all
+    right columns null) for `left`/`outer`.
 
     Partitioning assumption (same as asof_join): one KEY's rows from both
     sides fit the reduce shard; a many-to-many hot key additionally
@@ -410,8 +413,9 @@ def hash_join(
     form (`range_join_agg`) or pre-aggregate a side. For a small right
     side `stages/enrich.py` (broadcast) is the cheaper plan.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left' or 'outer', got {how!r}")
     overlap = set(left_keep.values()) & set(right_keep.values())
     if overlap:
         raise ValueError(f"output column collision across sides: {overlap}")
@@ -453,7 +457,10 @@ def hash_join(
             cols[dst] = t[src]
         cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
         cols["_jx"] = _xkey(t[right_key])
-        return pa.table(cols).filter(pc.is_valid(t[right_key]))
+        out = pa.table(cols)
+        if how != "outer":  # FULL OUTER keeps right null-key rows unmatched
+            out = out.filter(pc.is_valid(t[right_key]))
+        return out
 
     def finish(t: pa.Table) -> pa.Table:
         df = _ensure_cols(t.to_pandas(), [*l_out, *r_out])
@@ -463,11 +470,27 @@ def hash_join(
         lf = df.loc[is_left, ["_jx", *l_out]]
         rf = df.loc[~is_left, ["_jx", *r_out]]
         null_l = lf["_jx"].isna()
-        matched = lf[~null_l].merge(rf, on="_jx", how=how, sort=False)
-        if how == "left" and null_l.any():
+        null_r = rf["_jx"].isna()
+        matched = lf[~null_l].merge(
+            rf[~null_r], on="_jx", how=how, sort=False)
+        if how == "outer":
+            # the shared key surfaces as COALESCE(l.key, r.key): for
+            # right-only rows the left key payload is NaN but `_jx` IS
+            # the right key (cast), so fill from it
+            miss = matched[key_out].isna()
+            if miss.any():
+                matched.loc[miss, key_out] = matched.loc[miss, "_jx"]
+        if how != "inner" and null_l.any():
             # unmatched-by-definition rows re-enter with null right cols
             matched = pd.concat(
                 [matched, _ensure_cols(lf[null_l].copy(), r_out)],
+                ignore_index=True,
+            )
+        if how == "outer" and null_r.any():
+            # SQL: a null right key never matches — emit with all left
+            # columns (incl. the coalesced key) null
+            matched = pd.concat(
+                [matched, _ensure_cols(rf[null_r].copy(), l_out)],
                 ignore_index=True,
             )
         matched = matched[[*l_out, *r_out]]

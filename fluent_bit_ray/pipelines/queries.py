@@ -1917,6 +1917,66 @@ def q_bm25(sf_dir: str):
     )
 
 
+def q_join_outer(sf_dir: str):
+    """FULL OUTER equi-join: per-user click sums vs purchase sums —
+    users who clicked but never purchased (and vice versa) surface with
+    the other side null; the shared key is COALESCE(l, r)
+    (ops/joins.hash_join how='outer'; each side pre-aggregates with
+    map-side combine + hash reduce so only (user, sum) rows enter the
+    join exchange)."""
+    import ray.data
+
+    from ..ops.joins import hash_join
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def agg_side(et: str):
+        def partial(b: pa.Table) -> pa.Table:
+            m = pc.and_kleene(pc.equal(b["event_type"], et),
+                              pc.is_valid(b["value"]))
+            t = b.filter(pc.fill_null(m, False))
+            g = pa.table(
+                {"user_id": t["user_id"],
+                 "v": pc.cast(t["value"], pa.float64())}
+            ).group_by(["user_id"]).aggregate([("v", "sum")])
+            return g.rename_columns(["user_id", "v"])
+
+        part = ev.map_batches(partial, batch_format="pyarrow")
+        return ray.data.from_arrow(
+            hash_reduce_dataset_refs(part, ["user_id"], ["v"]))
+
+    return hash_join(
+        agg_side("click"), agg_side("purchase"), "user_id", "user_id",
+        {"v": "click_sum"}, {"v": "purchase_sum"}, how="outer")
+
+
+def q_boilerplate(sf_dir: str):
+    """per-source boilerplate-line removal (C4/RefinedWeb template
+    cleaning; ops/dedup.boilerplate_lines). The synthetic docs carry no
+    cross-doc lines, so the query deterministically injects a per-source
+    nav header and copyright footer around every doc (same injection in
+    the SQL twin, like the pii_redact oracle); lines appearing in >= 3
+    distinct docs of one source are then stripped EVERYWHERE and docs
+    reassemble in original line order."""
+    from ..ops.dedup import boilerplate_lines
+
+    def inject(b: pa.Table) -> pa.Table:
+        hdr = pc.binary_join_element_wise(
+            "NAV MENU FOR ", b["source"], "")
+        ftr = pc.binary_join_element_wise(
+            "COPYRIGHT FOOTER ", b["source"], "")
+        text = pc.binary_join_element_wise(
+            hdr, pc.fill_null(b["text"], ""), ftr, "\n")
+        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+                         "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"]
+               ).map_batches(inject, batch_format="pyarrow")
+    return boilerplate_lines(ds, "source", "text", "doc_id",
+                             min_len=10, min_docs=3)
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2018,6 +2078,8 @@ QUERIES: dict[str, Callable] = {
     "moving_avg": q_moving_avg,
     "weighted_sample": q_weighted_sample,
     "bm25": q_bm25,
+    "join_outer": q_join_outer,
+    "boilerplate": q_boilerplate,
 }
 
 
@@ -2812,6 +2874,35 @@ ORACLE_SQL: dict[str, str] = {
         "ln(1 + (st.n - st.df2 + 0.5) / (st.df2 + 0.5)) * (tf2 * 2.2) "
         "/ (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / st.avgdl)) AS bm25 "
         "FROM tf f, st"
+    ),
+    "join_outer": (
+        "WITH c AS (SELECT user_id, sum(value) AS click_sum FROM events "
+        "WHERE event_type = 'click' AND value IS NOT NULL "
+        "GROUP BY user_id), "
+        "p AS (SELECT user_id, sum(value) AS purchase_sum FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL "
+        "GROUP BY user_id) "
+        "SELECT coalesce(c.user_id, p.user_id) AS user_id, c.click_sum, "
+        "p.purchase_sum FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+    ),
+    # same deterministic template injection as the engine query; a line
+    # in >= 3 distinct docs of one source is boilerplate and every
+    # occurrence is removed (short lines always survive)
+    "boilerplate": (
+        "WITH d AS (SELECT doc_id, source, "
+        "'NAV MENU FOR ' || source || chr(10) || coalesce(text, '') || "
+        "chr(10) || 'COPYRIGHT FOOTER ' || source AS text FROM documents), "
+        "l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls "
+        "FROM d), "
+        "x AS (SELECT doc_id, source, unnest(ls) AS line, "
+        "generate_subscripts(ls, 1) AS idx FROM l), "
+        "freq AS (SELECT source, line FROM x WHERE length(line) >= 10 "
+        "GROUP BY source, line HAVING count(DISTINCT doc_id) >= 3), "
+        "kept AS (SELECT x.* FROM x LEFT JOIN freq f "
+        "ON x.source = f.source AND x.line = f.line "
+        "WHERE f.line IS NULL) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
+        "FROM kept GROUP BY doc_id"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

@@ -2447,3 +2447,87 @@ class TestBM25:
         out = (bm25_scores(ray.data.from_arrow(t), terms=["zzz"])
                .to_pandas())
         assert (out["bm25"] == 0.0).all()
+
+
+class TestFullOuterJoin:
+    def _mk(self, rows, key_type=pa.int64()):
+        import ray.data
+        return ray.data.from_arrow(pa.table(
+            {"k": pa.array([r[0] for r in rows], key_type),
+             "v": pa.array([r[1] for r in rows], pa.int64())})).repartition(2)
+
+    def test_outer_matches_duckdb(self):
+        import duckdb
+
+        from fluent_bit_ray.ops.joins import hash_join
+
+        left = [(1, 10), (1, 11), (2, 20), (None, 99), (5, 50)]
+        right = [(1, 100), (3, 300), (None, 999), (5, 500), (5, 501)]
+        out = hash_join(self._mk(left), self._mk(right), "k", "k",
+                        {"v": "lv"}, {"v": "rv"}, how="outer")
+        got = (out.to_pandas().sort_values(["k", "lv", "rv"])
+               .reset_index(drop=True))
+        exp = duckdb.sql("""
+            WITH l AS (SELECT * FROM (VALUES (1,10),(1,11),(2,20),
+                       (NULL,99),(5,50)) t(k, v)),
+                 r AS (SELECT * FROM (VALUES (1,100),(3,300),(NULL,999),
+                       (5,500),(5,501)) t(k, v))
+            SELECT coalesce(l.k, r.k) AS k, l.v AS lv, r.v AS rv
+            FROM l FULL OUTER JOIN r ON l.k = r.k
+        """).df().sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+        assert len(got) == len(exp)
+        for c in ("k", "lv", "rv"):
+            a = got[c].astype("float64")
+            b = exp[c].astype("float64")
+            assert ((a == b) | (a.isna() & b.isna())).all(), c
+
+    def test_outer_string_key_coalesce(self):
+        from fluent_bit_ray.ops.joins import hash_join
+
+        out = hash_join(self._mk([("a", 1)], pa.string()),
+                        self._mk([("b", 2)], pa.string()),
+                        "k", "k", {"v": "lv"}, {"v": "rv"}, how="outer")
+        d = {r["k"]: (r["lv"], r["rv"]) for r in out.to_pylist()}
+        assert d == {"a": (1, None), "b": (None, 2)}
+
+
+class TestBoilerplateLines:
+    def test_strips_per_group_frequent_lines(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import boilerplate_lines
+
+        hdr = "SHARED HEADER LINE"
+        docs, srcs, ids = [], [], []
+        for s in ("sa", "sb"):
+            for i in range(3):
+                ids.append(len(ids))
+                srcs.append(s)
+                docs.append(f"{hdr}\nunique body {s} {i} xxxx\nok")
+        # sb only has the header in 2 docs -> below min_docs=3, kept
+        docs[5] = f"unique body sb 2 xxxx\nok"
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "source": srcs, "text": docs})
+        out = boilerplate_lines(
+            ray.data.from_arrow(t).repartition(3), "source",
+            min_len=10, min_docs=3)
+        d = dict(zip(out["doc_id"].to_pylist(), out["text"].to_pylist()))
+        # sa: header in 3 docs -> stripped everywhere ("ok" is short, kept)
+        for i in (0, 1, 2):
+            assert d[i] == f"unique body sa {i} xxxx\nok"
+        # sb: header only in 2 docs -> kept
+        assert d[3].startswith(hdr) and d[4].startswith(hdr)
+        assert d[5] == "unique body sb 2 xxxx\nok"
+
+    def test_fully_boilerplate_doc_disappears(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import boilerplate_lines
+
+        line = "THE ONLY LINE EVERY DOC HAS"
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "source": ["s", "s", "s"],
+                      "text": [line, line, line]})
+        out = boilerplate_lines(ray.data.from_arrow(t), "source",
+                                min_len=10, min_docs=3)
+        assert out.num_rows == 0
