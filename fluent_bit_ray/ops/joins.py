@@ -519,6 +519,110 @@ def hash_join(
     return target.empty_table() if out is None else out
 
 
+def interval_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    tile_us: int = 60_000_000,
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """Interval-OVERLAP equi-key join (SQL `l.k = r.k AND l.s <= r.e AND
+    r.s <= l.e`, closed intervals): pairs every left interval with every
+    right interval of the same key that overlaps it — the
+    interval-vs-interval sibling of range_join's point-vs-window. Rows
+    with a null key/id/bound or end < start never join (SQL semantics).
+
+    Plan: each side flat-maps its interval onto the fixed time TILES it
+    touches (vectorized repeat + offset arithmetic), ONE hash exchange
+    on (key, tile) co-locates candidates, and a shard-local pd.merge +
+    overlap filter emits pairs. A pair overlapping in several tiles is
+    counted ONCE without a dedup exchange: only its OWNER tile — the
+    tile containing max(l.s, r.s), which both sides of any overlapping
+    pair necessarily cover — emits it.
+
+    Partitioning assumptions (documented): one (key, tile)'s rows fit
+    the reduce shard, and `tile_us` is chosen near the typical interval
+    length — replication per row is O(interval_length / tile_us), while
+    a too-large tile degrades toward per-key colocation.
+    """
+    from ..shuffle import hash_exchange
+
+    def prep(side_flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            valid = pc.and_(
+                pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[id_col])),
+                pc.and_(pc.is_valid(t[start_col]), pc.is_valid(t[end_col])),
+            )
+            t = t.filter(valid)
+            s = pc.cast(t[start_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            e = pc.cast(t[end_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            ok = e >= s
+            s, e = s[ok], e[ok]
+            k = t[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)[ok]
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)[ok]
+            t0 = s // tile_us
+            cnt = e // tile_us - t0 + 1
+            rep = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            intra = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+                starts, cnt)
+            return pa.table({
+                "k": pa.array(k[rep]),
+                "tile": pa.array(t0[rep] + intra),
+                "side": pa.array(
+                    np.full(len(rep), side_flag, np.int8)),
+                "id": pa.array(ids[rep]),
+                "s": pa.array(s[rep]),
+                "e": pa.array(e[rep]),
+            })
+        return fn
+
+    empty = pa.schema([
+        (key_col, pa.int64()), ("l_id", pa.int64()),
+        ("r_id", pa.int64()), ("overlap_us", pa.int64()),
+    ]).empty_table()
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lf = df[df["side"] == 1]
+        rf = df[df["side"] == 0]
+        m = lf.merge(rf, on=["k", "tile"], suffixes=("_l", "_r"),
+                     sort=False)
+        if not len(m):
+            return empty
+        ls, le = m["s_l"].to_numpy(), m["e_l"].to_numpy()
+        rs, re_ = m["s_r"].to_numpy(), m["e_r"].to_numpy()
+        keep = ((ls <= re_) & (rs <= le)
+                & (np.maximum(ls, rs) // tile_us
+                   == m["tile"].to_numpy()))
+        m = m[keep]
+        return pa.table({
+            key_col: pa.array(m["k"].to_numpy()),
+            "l_id": pa.array(m["id_l"].to_numpy()),
+            "r_id": pa.array(m["id_r"].to_numpy()),
+            "overlap_us": pa.array(
+                np.minimum(m["e_l"].to_numpy(), m["e_r"].to_numpy())
+                - np.maximum(m["s_l"].to_numpy(), m["s_r"].to_numpy())),
+        })
+
+    refs = (
+        left_ds.map_batches(prep(1), batch_format="pyarrow").to_arrow_refs()
+        + right_ds.map_batches(prep(0), batch_format="pyarrow").to_arrow_refs()
+    )
+    out = hash_exchange(refs, ["k", "tile"], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    return empty if out is None else out
+
+
 def set_op(
     left_ds,
     right_ds,

@@ -319,6 +319,66 @@ def lag_deltas(
     )
 
 
+def rank_per_key(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str = "event_id",
+    descending: bool = True,
+    num_shards: int = 16,
+):
+    """Per-key rank() AND dense_rank() over `val_col` for EVERY row —
+    the full ranked output the selection ops (topn_per_key) don't emit:
+    `rank()/dense_rank() OVER (PARTITION BY key ORDER BY val DESC)`.
+    Ties share a rank; rank() then skips (gaps), dense_rank() doesn't.
+    Null values rank last (as one tied group), like SQL NULLS LAST.
+
+    Same shard machinery as the other window ops (one pandas body per
+    key shard, composite lexsort, run-length rank arithmetic — no
+    per-key Python). Partitioning assumption: one KEY's rows fit the
+    shard."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        v = df[val_col].to_numpy(dtype=np.float64)
+        # SQL DESC NULLS LAST: nulls form one trailing tied group
+        vkey = np.where(np.isnan(v), -np.inf if descending else np.inf, v)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, -vkey if descending else vkey, codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        vs = vkey[order]
+        new_key = np.ones(len(c), dtype=bool)
+        new_key[1:] = c[1:] != c[:-1]
+        key_starts = np.flatnonzero(new_key)
+        key_reps = np.diff(np.concatenate((key_starts, [len(c)])))
+        pos = np.arange(len(c)) - np.repeat(key_starts, key_reps)
+        new_val = new_key.copy()
+        new_val[1:] |= vs[1:] != vs[:-1]
+        # rank(): 1 + position-within-key of the value group's first row
+        grp_start_pos = pos[new_val]
+        grp_reps = np.diff(np.concatenate(
+            (np.flatnonzero(new_val), [len(c)])))
+        rnk = np.repeat(grp_start_pos, grp_reps) + 1
+        # dense_rank(): per-key-resetting cumsum of value-group starts
+        nv = new_val.astype(np.int64)
+        cs = np.cumsum(nv)
+        drnk = cs - np.repeat(cs[key_starts] - 1, key_reps)
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                val_col: df[val_col],
+                "rnk": rnk.astype(np.int64),
+                "drnk": drnk.astype(np.int64),
+            }
+        )
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
 def funnel(
     ds,
     key_col: str,

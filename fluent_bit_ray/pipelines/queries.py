@@ -1977,6 +1977,50 @@ def q_boilerplate(sf_dir: str):
                              min_len=10, min_docs=3)
 
 
+def q_interval_join(sf_dir: str):
+    """interval-OVERLAP join per user: click activity windows [ts, ts +
+    value MINUTES] paired with error windows of the same user that
+    overlap them (ops/joins.interval_join — (key, time-tile) exchange,
+    owner-tile dedup so multi-tile pairs count once; 1 h tiles, near the
+    typical window length per the op's sizing contract)."""
+    from ..ops.joins import interval_join
+
+    def windows(et: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.and_kleene(pc.equal(b["event_type"], et),
+                              pc.is_valid(b["value"]))
+            t = b.filter(pc.fill_null(m, False))
+            s = pc.cast(t["ts"], pa.int64())
+            dur = pc.cast(pc.floor(pc.multiply(
+                pc.cast(t["value"], pa.float64()),
+                pa.scalar(60_000_000.0))), pa.int64())
+            return pa.table({"user_id": t["user_id"],
+                             "event_id": t["event_id"],
+                             "s": s, "e": pc.add(s, dur)})
+
+        return _read(sf_dir, "events",
+                     ["user_id", "event_id", "event_type", "ts", "value"]
+                     ).map_batches(fn, batch_format="pyarrow")
+
+    return interval_join(windows("click"), windows("error"),
+                         "user_id", "s", "e", "event_id",
+                         tile_us=3_600_000_000)
+
+
+def q_rank_per_key(sf_dir: str):
+    """rank() AND dense_rank() per event type over value for EVERY row
+    (ops/windows.rank_per_key — run-length rank arithmetic per key
+    shard; ties share, rank() gaps, dense_rank() doesn't)."""
+    from ..ops.windows import rank_per_key
+
+    return rank_per_key(
+        _read(sf_dir, "events", ["event_type", "event_id", "value"])
+        .map_batches(lambda t: t.filter(pc.is_valid(t["value"])),
+                     batch_format="pyarrow"),
+        "event_type", "value", "event_id", descending=True,
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2080,6 +2124,8 @@ QUERIES: dict[str, Callable] = {
     "bm25": q_bm25,
     "join_outer": q_join_outer,
     "boilerplate": q_boilerplate,
+    "interval_join": q_interval_join,
+    "rank_per_key": q_rank_per_key,
 }
 
 
@@ -2903,6 +2949,25 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE f.line IS NULL) "
         "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text "
         "FROM kept GROUP BY doc_id"
+    ),
+    "interval_join": (
+        "WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
+        "FROM events WHERE event_type = 'click' AND value IS NOT NULL), "
+        "r AS (SELECT user_id, event_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e "
+        "FROM events WHERE event_type = 'error' AND value IS NOT NULL) "
+        "SELECT l.user_id AS user_id, l.event_id AS l_id, "
+        "r.event_id AS r_id, "
+        "least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us "
+        "FROM l JOIN r ON l.user_id = r.user_id "
+        "AND l.s <= r.e AND r.s <= l.e"
+    ),
+    "rank_per_key": (
+        "SELECT event_type, event_id, value, "
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk "
+        "FROM events WHERE value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

@@ -2531,3 +2531,93 @@ class TestBoilerplateLines:
         out = boilerplate_lines(ray.data.from_arrow(t), "source",
                                 min_len=10, min_docs=3)
         assert out.num_rows == 0
+
+
+class TestIntervalJoin:
+    def test_matches_bruteforce_with_multi_tile_spans(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import interval_join
+
+        rng = np.random.RandomState(11)
+        n = 120
+        tile = 100  # tiny tiles so intervals span MANY tiles
+        ks = rng.randint(0, 5, n)
+        s = rng.randint(0, 2000, n).astype(np.int64)
+        e = s + rng.randint(0, 900, n)  # up to 10 tiles per interval
+
+        def mk(lo, hi):
+            return ray.data.from_arrow(pa.table({
+                "k": ks[lo:hi].astype(np.int64), "id":
+                np.arange(lo, hi, dtype=np.int64),
+                "s": s[lo:hi], "e": e[lo:hi]})).repartition(3)
+
+        out = interval_join(mk(0, 60), mk(60, n), "k", "s", "e", "id",
+                            tile_us=tile)
+        got = sorted(zip(out["l_id"].to_pylist(), out["r_id"].to_pylist(),
+                         out["overlap_us"].to_pylist()))
+        want = []
+        for i in range(60):
+            for j in range(60, n):
+                if ks[i] == ks[j] and s[i] <= e[j] and s[j] <= e[i]:
+                    want.append((i, j, min(e[i], e[j]) - max(s[i], s[j])))
+        assert got == sorted(want)  # each pair exactly ONCE (owner tile)
+
+    def test_inverted_and_empty(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import interval_join
+
+        l = ray.data.from_arrow(pa.table(
+            {"k": [1, 1], "id": [1, 2], "s": [10, 50], "e": [5, 60]}))
+        r = ray.data.from_arrow(pa.table(
+            {"k": [1], "id": [9], "s": [0], "e": [100]}))
+        out = interval_join(l, r, "k", "s", "e", "id", tile_us=16)
+        # id=1 has e < s -> dropped; id=2 overlaps
+        assert out["l_id"].to_pylist() == [2]
+        empty = interval_join(
+            ray.data.from_arrow(pa.table(
+                {"k": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()), "e": pa.array([], pa.int64())})),
+            r, "k", "s", "e", "id")
+        assert empty.num_rows == 0
+        assert empty.schema.names == ["k", "l_id", "r_id", "overlap_us"]
+
+
+class TestRankPerKey:
+    def test_matches_duckdb_rank_semantics(self):
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import rank_per_key
+
+        rng = np.random.RandomState(3)
+        n = 300
+        t = pa.table({
+            "key": rng.choice(["a", "b", "c"], n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.randint(0, 20, n).astype(np.float64),  # many ties
+        })
+        out = (rank_per_key(ray.data.from_arrow(t).repartition(4),
+                            "key", "value", "event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        duckdb.register("t", t.to_pandas())
+        exp = duckdb.sql(
+            "SELECT key, event_id, value, rank() OVER w AS rnk, "
+            "dense_rank() OVER w AS drnk FROM t "
+            "WINDOW w AS (PARTITION BY key ORDER BY value DESC)"
+        ).df().sort_values("event_id").reset_index(drop=True)
+        assert (out["rnk"].to_numpy() == exp["rnk"].to_numpy()).all()
+        assert (out["drnk"].to_numpy() == exp["drnk"].to_numpy()).all()
+
+    def test_nulls_rank_last_as_one_group(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import rank_per_key
+
+        t = pa.table({"key": ["a"] * 4, "event_id": [1, 2, 3, 4],
+                      "value": [5.0, None, None, 7.0]})
+        out = (rank_per_key(ray.data.from_arrow(t), "key", "value")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        assert list(out["rnk"]) == [2, 3, 3, 1]
+        assert list(out["drnk"]) == [2, 3, 3, 1]
