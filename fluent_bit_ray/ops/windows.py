@@ -379,6 +379,83 @@ def rank_per_key(
     )
 
 
+def transition_counts(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_shards: int = 16,
+):
+    """Markov transition matrix over keyed event streams: global counts
+    of consecutive (from_type, to_type) pairs within each key's
+    time-ordered stream (deterministic (ts, id) tie order) — the user-
+    journey / state-machine telemetry aggregate. A key's first event has
+    no predecessor and contributes nothing; transitions never cross
+    keys.
+
+    Scale shape: the lag pairing runs in the usual key-shard pandas body
+    (one composite sort per shard, shifted view with per-key firsts
+    nulled), each shard emits pre-combined (from, to, n) partials, and a
+    tiny hash reduce merges them — the wide exchange moves event rows
+    once; the second exchange moves only |types|^2-bounded partials."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, codes))
+        tv = df[type_col].to_numpy()[order]
+        c = codes[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        prev = np.concatenate(([None], tv[:-1]))
+        keep = ~first
+        out = pd.DataFrame({"from_type": prev[keep], "to_type": tv[keep]})
+        g = (out.groupby(["from_type", "to_type"], sort=False,
+                         dropna=False).size().rename("n").reset_index())
+        return g
+
+    partials = _with_shard(ds, key_col, num_shards).groupby(
+        "_shard").map_groups(per_shard, batch_format="pandas")
+    return hash_reduce_dataset_refs(
+        partials, ["from_type", "to_type"], ["n"])
+
+
+def collect_per_key(
+    ds,
+    key_col: str = "user_id",
+    val_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    sep: str = ">",
+    num_shards: int = 16,
+):
+    """Ordered per-key collect: each key's values joined in event-time
+    order into one string (SQL `string_agg(val, sep ORDER BY ts, id)`)
+    — the session-path / user-journey export. One key-shard pandas body:
+    composite sort, then a single groupby join; null values render as
+    empty segments? No — SQL string_agg SKIPS nulls, and so does this
+    (dropped before the join). Partitioning assumption: one KEY's rows
+    fit the shard."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, codes))
+        df = df.iloc[order]
+        df = df[df[val_col].notna()]
+        g = (df.groupby(key_col, sort=False, dropna=False)[val_col]
+             .agg(sep.join).rename("seq").reset_index())
+        return g
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
 def funnel(
     ds,
     key_col: str,

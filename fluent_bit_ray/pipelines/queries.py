@@ -2021,6 +2021,29 @@ def q_rank_per_key(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams: global
+    (from_type, to_type) frequencies of consecutive events in each
+    user's (ts, id)-ordered stream (ops/windows.transition_counts —
+    key-shard lag pairing + tiny hash reduce of pre-combined
+    partials)."""
+    from ..ops.windows import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                 "event_id"]))
+
+
+def q_user_paths(sf_dir: str):
+    """ordered per-user event-type path string (session-journey export;
+    ops/windows.collect_per_key — string_agg ORDER BY parity)."""
+    from ..ops.windows import collect_per_key
+
+    return collect_per_key(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts",
+                                 "event_id"]))
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2126,6 +2149,8 @@ QUERIES: dict[str, Callable] = {
     "boilerplate": q_boilerplate,
     "interval_join": q_interval_join,
     "rank_per_key": q_rank_per_key,
+    "transitions": q_transitions,
+    "user_paths": q_user_paths,
 }
 
 
@@ -2968,6 +2993,17 @@ ORACLE_SQL: dict[str, str] = {
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk "
         "FROM events WHERE value IS NOT NULL "
         "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"
+    ),
+    "transitions": (
+        "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT prev AS from_type, event_type AS to_type, count(*) AS n "
+        "FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type"
+    ),
+    "user_paths": (
+        "SELECT user_id, string_agg(event_type, '>' "
+        "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
     ),
     # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
     # (their invariants are oracle-checked via *_invariant above)

@@ -2621,3 +2621,68 @@ class TestRankPerKey:
                .to_pandas().sort_values("event_id").reset_index(drop=True))
         assert list(out["rnk"]) == [2, 3, 3, 1]
         assert list(out["drnk"]) == [2, 3, 3, 1]
+
+
+class TestTransitionCounts:
+    def test_matches_duckdb(self):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import transition_counts
+
+        rng = np.random.RandomState(9)
+        n = 400
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 15, n),
+            "event_type": rng.choice(["a", "b", "c", "d"], n),
+            "ts": pd.to_datetime(rng.randint(0, 10**5, n), unit="s"),
+            "event_id": np.arange(n),
+        })
+        out = transition_counts(
+            ray.data.from_pandas(df).repartition(4))
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for r in out.to_pylist()}
+        duckdb.register("ev", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM ev) "
+            "SELECT prev, event_type, count(*) n FROM o "
+            "WHERE prev IS NOT NULL GROUP BY prev, event_type").df()
+        want = {(r.prev, r.event_type): r.n for r in exp.itertuples()}
+        assert got == want
+
+    def test_single_event_keys_contribute_nothing(self):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import transition_counts
+
+        df = pd.DataFrame({
+            "user_id": [1, 2, 3],
+            "event_type": ["a", "b", "c"],
+            "ts": pd.to_datetime([1, 2, 3], unit="s"),
+            "event_id": [1, 2, 3],
+        })
+        out = transition_counts(ray.data.from_pandas(df))
+        assert out.num_rows == 0
+
+
+class TestCollectPerKey:
+    def test_order_and_ties(self):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import collect_per_key
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["z", "a", "m", "q"],
+            # equal ts for the first two -> event_id breaks the tie
+            "ts": pd.to_datetime([5, 5, 9, 1], unit="s"),
+            "event_id": [2, 1, 3, 1],
+        })
+        out = collect_per_key(ray.data.from_pandas(df).repartition(2))
+        d = dict(zip(out.to_pandas()["user_id"],
+                     out.to_pandas()["seq"]))
+        assert d == {1: "a>z>m", 2: "q"}
