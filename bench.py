@@ -258,6 +258,45 @@ def bench_pagerank() -> float:
     return time.time() - t0
 
 
+def bench_bm25() -> float:
+    """two-phase retrieval scoring: stats partials + Dataset sum, then a
+    pure scoring map over the flat token stream."""
+    from fluent_bit_ray.pipelines.queries import q_bm25
+
+    t0 = time.time()
+    _consume(q_bm25(SF_DIR))
+    return time.time() - t0
+
+
+def bench_boilerplate() -> float:
+    """line-level template cleaning: explode -> (group, line) frequency
+    election -> order-preserving reassembly (two exchanges)."""
+    from fluent_bit_ray.pipelines.queries import q_boilerplate
+
+    t0 = time.time()
+    q_boilerplate(SF_DIR)  # returns a materialized pa.Table
+    return time.time() - t0
+
+
+def bench_interval_join() -> float:
+    """(key, time-tile) exchange + owner-tile dedup overlap join."""
+    from fluent_bit_ray.pipelines.queries import q_interval_join
+
+    t0 = time.time()
+    q_interval_join(SF_DIR)  # returns a materialized pa.Table
+    return time.time() - t0
+
+
+def bench_rank_per_key() -> float:
+    """full per-key rank()/dense_rank() output via key-shard run-length
+    rank arithmetic."""
+    from fluent_bit_ray.pipelines.queries import q_rank_per_key
+
+    t0 = time.time()
+    _consume(q_rank_per_key(SF_DIR))
+    return time.time() - t0
+
+
 def bench_warc_ingest() -> float:
     """full Common-Crawl loop: WARC files -> parse -> enrich -> aggregate
     (fixture pre-built untimed, like the forward bench)."""
@@ -288,6 +327,10 @@ BENCHES = {
     "asof_join": bench_asof_join,
     "hash_join": bench_hash_join,
     "pagerank": bench_pagerank,
+    "bm25": bench_bm25,
+    "boilerplate": bench_boilerplate,
+    "interval_join": bench_interval_join,
+    "rank_per_key": bench_rank_per_key,
     "warc_ingest": bench_warc_ingest,
 }
 
