@@ -533,15 +533,24 @@ def interval_join(
     r.s <= l.e`, closed intervals): pairs every left interval with every
     right interval of the same key that overlaps it — the
     interval-vs-interval sibling of range_join's point-vs-window. Rows
-    with a null key/id/bound or end < start never join (SQL semantics).
+    with a null key/id/bound never join (SQL comparison semantics);
+    INVERTED intervals (e < s) are kept, because the SQL predicate can
+    still match them (e.g. l=[100,50] vs r=[40,200]) — tiles are
+    assigned over the row's SPAN [min(s,e), max(s,e)] while the raw
+    (s, e) values feed the predicate, so engine output equals the SQL
+    join on any input.
 
-    Plan: each side flat-maps its interval onto the fixed time TILES it
+    Plan: each side flat-maps its span onto the fixed time TILES it
     touches (vectorized repeat + offset arithmetic), ONE hash exchange
     on (key, tile) co-locates candidates, and a shard-local pd.merge +
     overlap filter emits pairs. A pair overlapping in several tiles is
     counted ONCE without a dedup exchange: only its OWNER tile — the
-    tile containing max(l.s, r.s), which both sides of any overlapping
-    pair necessarily cover — emits it.
+    tile containing max(l.s, r.s) — emits it. Proof both sides cover
+    that tile whenever the predicate holds: take max = l.s (symmetric
+    otherwise); l.s lies in l's span as an endpoint, and for r,
+    l.s <= r.e <= max(r.s, r.e) and l.s >= r.s >= min(r.s, r.e), so
+    l.s lies in r's span; spans cover contiguous tile ranges, hence
+    both cover the tile of max(l.s, r.s).
 
     Partitioning assumptions (documented): one (key, tile)'s rows fit
     the reduce shard, and `tile_us` is chosen near the typical interval
@@ -561,16 +570,12 @@ def interval_join(
                 zero_copy_only=False)
             e = pc.cast(t[end_col], pa.int64()).to_numpy(
                 zero_copy_only=False)
-            ok = e >= s
-            s, e = s[ok], e[ok]
-            k = t[key_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)[ok]
-            ids = t[id_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)[ok]
-            t0 = s // tile_us
-            cnt = e // tile_us - t0 + 1
+            k = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            t0 = np.minimum(s, e) // tile_us
+            cnt = np.maximum(s, e) // tile_us - t0 + 1
             rep = np.repeat(np.arange(len(s), dtype=np.int64), cnt)
-            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
             intra = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
                 starts, cnt)
             return pa.table({

@@ -246,7 +246,10 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
         t = pa.table({id_col: b[id_col],
                       "skey": pa.array(skey, pa.float64())})
         out = _ws_topk(t, id_col, k)
-        return out if out is not None else t
+        # a block with NO eligible rows still must emit the op's schema,
+        # but zero rows — returning the scored block whole would break
+        # the O(k)-rows-leave-each-block combiner contract
+        return out if out is not None else t.slice(0, 0)
 
     merge = ray.remote(
         lambda *ts: _ws_topk(
@@ -256,12 +259,12 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
             id_col, k))
     refs = (ds.select_columns([id_col, weight_col])
             .map_batches(score, batch_format="pyarrow").to_arrow_refs())
-    local = ray.remote(lambda t: _ws_topk(t, id_col, k))
-    refs = [local.remote(r) for r in refs]
     while len(refs) > 1:
         refs = [merge.remote(*refs[i:i + fanin])
                 for i in range(0, len(refs), fanin)]
-    out = ray.get(refs[0]) if refs else None
+    # final local top-k: a single-block dataset never enters the merge
+    # loop, and one block may concatenate several per-batch score outputs
+    out = _ws_topk(ray.get(refs[0]), id_col, k) if refs else None
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "skey": pa.array([], pa.float64())})

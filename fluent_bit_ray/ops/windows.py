@@ -411,7 +411,11 @@ def transition_counts(
         first = np.ones(len(c), dtype=bool)
         first[1:] = c[1:] != c[:-1]
         prev = np.concatenate(([None], tv[:-1]))
-        keep = ~first
+        # SQL lag() can't distinguish "first row of the key" from "the
+        # previous event's type was NULL" — WHERE prev IS NOT NULL drops
+        # both, so transitions FROM a null type are dropped here too
+        # (transitions TO a null type are kept: GROUP BY keeps NULL groups)
+        keep = ~first & pd.notna(prev)
         out = pd.DataFrame({"from_type": prev[keep], "to_type": tv[keep]})
         g = (out.groupby(["from_type", "to_type"], sort=False,
                          dropna=False).size().rename("n").reset_index())
@@ -435,10 +439,10 @@ def collect_per_key(
     """Ordered per-key collect: each key's values joined in event-time
     order into one string (SQL `string_agg(val, sep ORDER BY ts, id)`)
     — the session-path / user-journey export. One key-shard pandas body:
-    composite sort, then a single groupby join; null values render as
-    empty segments? No — SQL string_agg SKIPS nulls, and so does this
-    (dropped before the join). Partitioning assumption: one KEY's rows
-    fit the shard."""
+    composite sort, then a single groupby join. SQL string_agg SKIPS
+    null values but GROUP BY still emits the group — a key whose values
+    are ALL null appears with seq = NULL, and so it does here.
+    Partitioning assumption: one KEY's rows fit the shard."""
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
@@ -446,9 +450,12 @@ def collect_per_key(
         ids = df[id_col].to_numpy()
         order = np.lexsort((ids, ns, codes))
         df = df.iloc[order]
-        df = df[df[val_col].notna()]
-        g = (df.groupby(key_col, sort=False, dropna=False)[val_col]
+        keys = df[[key_col]].drop_duplicates()
+        g = (df[df[val_col].notna()]
+             .groupby(key_col, sort=False, dropna=False)[val_col]
              .agg(sep.join).rename("seq").reset_index())
+        g = keys.merge(g, on=key_col, how="left")
+        g["seq"] = g["seq"].astype("string")
         return g
 
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(

@@ -1933,14 +1933,15 @@ def q_join_outer(sf_dir: str):
 
     def agg_side(et: str):
         def partial(b: pa.Table) -> pa.Table:
+            from ..shuffle import _group_sum
+
             m = pc.and_kleene(pc.equal(b["event_type"], et),
                               pc.is_valid(b["value"]))
             t = b.filter(pc.fill_null(m, False))
-            g = pa.table(
+            return _group_sum(pa.table(
                 {"user_id": t["user_id"],
                  "v": pc.cast(t["value"], pa.float64())}
-            ).group_by(["user_id"]).aggregate([("v", "sum")])
-            return g.rename_columns(["user_id", "v"])
+            ), ["user_id"], ["v"])
 
         part = ev.map_batches(partial, batch_format="pyarrow")
         return ray.data.from_arrow(

@@ -2573,8 +2573,11 @@ class TestIntervalJoin:
         r = ray.data.from_arrow(pa.table(
             {"k": [1], "id": [9], "s": [0], "e": [100]}))
         out = interval_join(l, r, "k", "s", "e", "id", tile_us=16)
-        # id=1 has e < s -> dropped; id=2 overlaps
-        assert out["l_id"].to_pylist() == [2]
+        # id=1 is INVERTED (e < s) yet still matches the SQL predicate
+        # (l.s=10 <= r.e=100 AND r.s=0 <= l.e=5); id=2 overlaps normally
+        got = sorted(zip(out["l_id"].to_pylist(),
+                         out["overlap_us"].to_pylist()))
+        assert got == [(1, -5), (2, 10)]
         empty = interval_join(
             ray.data.from_arrow(pa.table(
                 {"k": pa.array([], pa.int64()), "id": pa.array([], pa.int64()),
@@ -2582,6 +2585,15 @@ class TestIntervalJoin:
             r, "k", "s", "e", "id")
         assert empty.num_rows == 0
         assert empty.schema.names == ["k", "l_id", "r_id", "overlap_us"]
+        # a NON-empty block that filters to zero rows map-side (all bounds
+        # null) must not crash the repeat/offset arithmetic
+        allnull = interval_join(
+            ray.data.from_arrow(pa.table(
+                {"k": [1, 2], "id": [1, 2],
+                 "s": pa.array([None, None], pa.int64()),
+                 "e": pa.array([None, None], pa.int64())})),
+            r, "k", "s", "e", "id", tile_us=16)
+        assert allnull.num_rows == 0
 
 
 class TestRankPerKey:
@@ -2667,6 +2679,34 @@ class TestTransitionCounts:
         out = transition_counts(ray.data.from_pandas(df))
         assert out.num_rows == 0
 
+    def test_null_event_types_match_sql_lag(self):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import transition_counts
+
+        # [None, 'a', None]: SQL's WHERE prev IS NOT NULL drops the
+        # (NULL->'a') pair (lag can't tell it from a first row) but
+        # KEEPS ('a'->NULL) — GROUP BY retains NULL groups
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": [None, "a", None, "b", "b"],
+            "ts": pd.to_datetime([1, 2, 3, 1, 2], unit="s"),
+            "event_id": [1, 2, 3, 4, 5],
+        })
+        out = transition_counts(ray.data.from_pandas(df).repartition(2))
+        got = {(r["from_type"], r["to_type"]): r["n"]
+               for r in out.to_pylist()}
+        duckdb.register("evn", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM evn) "
+            "SELECT prev, event_type, count(*) n FROM o "
+            "WHERE prev IS NOT NULL GROUP BY prev, event_type").df()
+        want = {(r.prev, r.event_type): r.n for r in exp.itertuples()}
+        assert got == want == {("a", None): 1, ("b", "b"): 1}
+
 
 class TestCollectPerKey:
     def test_order_and_ties(self):
@@ -2686,3 +2726,24 @@ class TestCollectPerKey:
         d = dict(zip(out.to_pandas()["user_id"],
                      out.to_pandas()["seq"]))
         assert d == {1: "a>z>m", 2: "q"}
+
+    def test_all_null_values_key_kept_with_null_seq(self):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import collect_per_key
+
+        # string_agg skips nulls but GROUP BY still emits the group:
+        # user 2 (all-null values) must appear with seq NULL, user 1's
+        # null value is skipped mid-sequence
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["a", None, "b", None, None],
+            "ts": pd.to_datetime([1, 2, 3, 1, 2], unit="s"),
+            "event_id": [1, 2, 3, 4, 5],
+        })
+        out = collect_per_key(ray.data.from_pandas(df).repartition(2))
+        p = out.to_pandas()
+        d = dict(zip(p["user_id"], p["seq"]))
+        assert d[1] == "a>b"
+        assert 2 in d and pd.isna(d[2])
