@@ -1191,3 +1191,149 @@ def cube_sum(
     if m2 is not None:
         pieces.insert(1, m2.cast(done.schema))
     return pa.concat_tables(pieces).rename_columns([k1, k2, out])
+
+
+# ------------------------------------------------------- count-min sketch
+
+
+def _cms_hash(base: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row `row`'s column index for each item: the shared 64-bit content
+    hash xor'd with a per-row odd constant, splitmix-finalized, mod w —
+    d independent-enough hash functions from ONE string-hash pass."""
+    from .dedup import _U64, _splitmix64
+
+    with np.errstate(over="ignore"):
+        k = _U64((2 * row + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+        return (_splitmix64(base ^ k) % _U64(width)).astype(np.int64)
+
+
+def cms_sketch(ds, item_col: str, width: int = 8192, depth: int = 5,
+               tokenize: bool = False):
+    """Count-min sketch of item frequencies (Cormode & Muthukrishnan '05):
+    a d×w counter matrix; each item increments one counter per row,
+    point-estimate = min over rows. Estimates NEVER undercount, and
+    overcount by at most e/w·N with probability 1-e^-d per query — the
+    third mergeable sketch next to Misra-Gries (heavy hitters) and HLL
+    (distinct counts), covering frequency POINT queries over keys too
+    numerous to count exactly.
+
+    Scale shape: per block, items collapse to value_counts first (each
+    distinct string hashed once, one vectorized bincount scatter per
+    row), so a block emits at most d×w fixed-width (slot, cnt) rows;
+    ONE slot-keyed exchange sums partials — the sketch, not the corpus,
+    crosses the wire. Returns ((d*w)-slot count table, total items).
+    """
+    from .dedup import _hash_string_array
+    from .text import _doc_tokens
+    from ..shuffle import _group_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if tokenize:
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        vc = items.value_counts()
+        vals = vc.field("values")
+        cnts = np.asarray(vc.field("counts")).astype(np.int64)
+        if len(cnts) == 0:
+            return pa.table({"slot": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        base = _hash_string_array(vals)
+        mat = np.zeros(depth * width, dtype=np.int64)
+        for j in range(depth):
+            np.add.at(mat, j * width + _cms_hash(base, j, width), cnts)
+        nz = np.flatnonzero(mat)
+        return pa.table({"slot": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(mat[nz], pa.int64())})
+
+    parts = ds.select_columns([item_col]).map_batches(
+        partial, batch_format="pyarrow")
+    merged = hash_exchange(
+        parts.to_arrow_refs(), ["slot"],
+        lambda t: _group_sum(t, ["slot"], ["cnt"]),
+        combine_fn=lambda t: _group_sum(t, ["slot"], ["cnt"]),
+    )
+    mat = np.zeros(depth * width, dtype=np.int64)
+    if merged is not None and merged.num_rows:
+        mat[merged["slot"].to_numpy(zero_copy_only=False)] = (
+            merged["cnt"].to_numpy(zero_copy_only=False))
+    # every row of the matrix counts every item exactly once
+    total = int(mat[:width].sum())
+    return mat.reshape(depth, width), total
+
+
+def cms_estimate(mat: np.ndarray, items: pa.Array) -> np.ndarray:
+    """Point-estimate counts for `items` against a cms_sketch matrix:
+    min over rows, vectorized for the whole probe array."""
+    from .dedup import _hash_string_array
+
+    depth, width = mat.shape
+    base = _hash_string_array(items)
+    est = np.full(len(base), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        np.minimum(est, mat[j, _cms_hash(base, j, width)], out=est)
+    return est
+
+
+def cms_error_check(ds, item_col: str, probes: int = 100,
+                    width: int = 8192, depth: int = 5,
+                    tokenize: bool = False) -> pa.Table:
+    """Invariant table for the driver oracle: the sketch's estimates for
+    the `probes` highest-exact-count items (exact counts via the same
+    token-keyed exchange the vocabulary uses) must satisfy, with zero
+    violations on this deterministic corpus+seed:
+    - est >= exact (count-min NEVER undercounts — a hard guarantee);
+    - est <= exact + ceil(e/width * N) (the standard CMS error bound).
+    One row: (n_probes, under_violations, over_violations, total_items)
+    — total_items is the exact corpus token/item count, SQL-matched."""
+    from ..shuffle import _group_sum
+    from .text import _doc_tokens
+
+    mat, n_total = cms_sketch(ds, item_col, width=width, depth=depth,
+                              tokenize=tokenize)
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        if tokenize:
+            items, _, _ = _doc_tokens(b[item_col])
+            items = items.filter(pc.not_equal(items, ""))
+        else:
+            items = b[item_col]
+            if isinstance(items, pa.ChunkedArray):
+                items = items.combine_chunks()
+            items = items.drop_null()
+        vc = items.value_counts()
+        return pa.table({"key": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    exact = hash_exchange(
+        ds.select_columns([item_col]).map_batches(
+            exact_partial, batch_format="pyarrow").to_arrow_refs(),
+        ["key"],
+        lambda t: _group_sum(t, ["key"], ["cnt"]),
+        combine_fn=lambda t: _group_sum(t, ["key"], ["cnt"]),
+    )
+    if exact is None or exact.num_rows == 0:
+        return pa.table({"n_probes": pa.array([0], pa.int64()),
+                         "under_violations": pa.array([0], pa.int64()),
+                         "over_violations": pa.array([0], pa.int64()),
+                         "total_items": pa.array([0], pa.int64())})
+    order = pc.sort_indices(
+        exact, sort_keys=[("cnt", "descending"), ("key", "ascending")])
+    top = exact.take(order[:probes])
+    keys = top["key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    est = cms_estimate(mat, keys)
+    true = top["cnt"].to_numpy(zero_copy_only=False)
+    bound = int(np.ceil(np.e / width * n_total))
+    return pa.table({
+        "n_probes": pa.array([len(true)], pa.int64()),
+        "under_violations": pa.array([int((est < true).sum())], pa.int64()),
+        "over_violations": pa.array(
+            [int((est > true + bound).sum())], pa.int64()),
+        "total_items": pa.array([n_total], pa.int64()),
+    })

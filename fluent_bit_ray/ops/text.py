@@ -810,3 +810,105 @@ def char_entropy_batch(batch: pa.Table, text_col: str = "text",
         id_col: batch[id_col],
         "entropy": pa.array(np.where(tot == 0, np.nan, ent)),
     })
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 5):
+    """Pointwise mutual information of within-doc adjacent token pairs —
+    the classic collocation / phrase-detection signal (word2vec-style
+    phrase merging): pmi(w1,w2) = ln(P(w1,w2) / (P(w1)·P(w2))) with
+    P(w1,w2) = c(w1,w2)/N_bigrams and P(w) = c(w)/N_tokens. Only pairs
+    with c(w1,w2) >= min_count are scored (the standard noise floor —
+    rare-pair PMI is dominated by sampling error). Returns
+    (w1, w2, cnt, pmi), one row per qualifying pair.
+
+    Scale shape: the unigram vocabulary merges through one token-keyed
+    exchange (same heap contract as unigram_logprob/tfidf: the distinct
+    vocab of even a web corpus fits a worker); bigram counts merge
+    through a second (w1,w2)-keyed exchange whose IN-SHARD min_count
+    truncation bounds the output. N_bigrams rides that same exchange as
+    one null-key total row per shard — real tokens are never null (the
+    whitespace split yields non-empty strings), so the sentinel cannot
+    collide — and the scoring pass is one vectorized index_in + log
+    over the truncated pair table.
+    """
+    from ..shuffle import _group_sum, hash_exchange
+
+    empty = pa.table({
+        "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64()),
+    })
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        flat, _, _ = _doc_tokens(b[text_col])
+        vc = flat.filter(pc.not_equal(flat, "")).value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def uni_merge(t: pa.Table) -> pa.Table:
+        return _group_sum(t, ["token"], ["cnt"])
+
+    vocab = hash_exchange(
+        ds.map_batches(uni_partial, batch_format="pyarrow").to_arrow_refs(),
+        ["token"], uni_merge, combine_fn=uni_merge)
+    if vocab is None or vocab.num_rows == 0:
+        return empty
+    nu = float(pc.sum(vocab["cnt"]).as_py())
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        flat, bounds, n_tokens = _doc_tokens(b[text_col])
+        raw = np.diff(bounds)
+        counts = np.maximum(raw - 1, 0)
+        counts[n_tokens == 0] = 0
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        starts = np.repeat(bounds[:-1], counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(offs, counts))
+        g = pa.table({
+            "w1": flat.take(pa.array(starts, pa.int64())),
+            "w2": flat.take(pa.array(starts + 1, pa.int64())),
+        }).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "cnt"]).set_column(
+            2, "cnt", pc.cast(g["count_all"], pa.int64()))
+
+    def big_merge(t: pa.Table) -> pa.Table:
+        g = _group_sum(t, ["w1", "w2"], ["cnt"])
+        shard_total = pc.sum(g["cnt"]).as_py() or 0
+        keep = g.filter(pc.greater_equal(g["cnt"], min_count))
+        sentinel = pa.table({
+            "w1": pa.array([None], pa.string()),
+            "w2": pa.array([None], pa.string()),
+            "cnt": pa.array([int(shard_total)], pa.int64()),
+        })
+        return pa.concat_tables([keep, sentinel])
+
+    pairs = hash_exchange(
+        ds.map_batches(big_partial, batch_format="pyarrow").to_arrow_refs(),
+        ["w1", "w2"],
+        big_merge,
+        combine_fn=lambda t: _group_sum(t, ["w1", "w2"], ["cnt"]),
+    )
+    if pairs is None:
+        return empty
+    isnull = pc.is_null(pairs["w1"])
+    nb = float(pc.sum(pairs.filter(isnull)["cnt"]).as_py() or 0)
+    pairs = pairs.filter(pc.invert(isnull))
+    if pairs.num_rows == 0 or nb == 0:
+        return empty
+    tok = vocab["token"]
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    cn = vocab["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    i1 = np.asarray(pc.index_in(pairs["w1"], value_set=tok)).astype(np.int64)
+    i2 = np.asarray(pc.index_in(pairs["w2"], value_set=tok)).astype(np.int64)
+    c = pairs["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # expression shape mirrors the SQL oracle exactly: ln of the ratio of
+    # the pair probability to the product of the marginals
+    pmi = np.log((c / nb) / ((cn[i1] / nu) * (cn[i2] / nu)))
+    return pa.table({
+        "w1": pairs["w1"], "w2": pairs["w2"], "cnt": pairs["cnt"],
+        "pmi": pa.array(pmi, pa.float64()),
+    })

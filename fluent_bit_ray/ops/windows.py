@@ -506,3 +506,102 @@ def funnel(
     return _with_shard(pruned, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def window_dedup(
+    ds,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    window_us: int = 60_000_000,
+    num_shards: int = 16,
+):
+    """Duplicate-event suppression: keep only the FIRST event per (key,
+    type, tumbling window floor(epoch_us(ts)/window)) — the classic
+    "suppress repeated identical messages within N seconds" log filter.
+    SQL parity: `QUALIFY row_number() OVER (PARTITION BY key, type,
+    epoch_us(ts) // window ORDER BY ts, id) = 1`, including null keys
+    and types (PARTITION BY groups nulls together) and null timestamps
+    (a null bucket groups all of a key's null-ts rows; within it every
+    ts is null, so the id breaks the order, as in SQL).
+
+    Scale shape: the usual key-shard pandas body — one composite
+    lexsort per shard, a first-of-group boolean mask; survivors stream
+    out with their original columns. Partitioning assumption: one KEY's
+    rows fit the shard (the window sub-split only shrinks groups)."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        ck, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ct, _ = pd.factorize(df[type_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        # NaT's int64 sentinel lands every null-ts row of a (key, type)
+        # in one impossible bucket — exactly SQL's NULL-bucket group
+        cb = ns // (window_us * 1000)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ns, cb, ct, ck))
+        ck, ct, cb = ck[order], ct[order], cb[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = ((ck[1:] != ck[:-1]) | (ct[1:] != ct[:-1])
+                     | (cb[1:] != cb[:-1]))
+        return _finish(df.iloc[order[first]])
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
+def late_events(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    allowed_us: int = 86_400_000_000,
+    num_shards: int = 16,
+):
+    """Out-of-order-arrival detection — the batch analog of a streaming
+    watermark: arrival order is `id_col`; an event is LATE when its
+    event time trails the key's running-max event time over strictly
+    earlier arrivals by MORE than allowed_us. Returns (key, id,
+    lateness_us) for the late rows only. SQL parity: `max(epoch_us(ts))
+    OVER (PARTITION BY key ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)` as the watermark, `WHERE t < watermark -
+    allowed`; null event times are never late and never advance the
+    watermark (window max ignores NULLs), and a key's first arrival has
+    no watermark (NULL comparison -> excluded).
+
+    Scale shape: one key-shard pandas body — lexsort by (key, arrival),
+    per-key integer cummax as the watermark, shifted one row; pure
+    vectorized compare, late rows only leave the shard. All arithmetic
+    is exact int64 (epoch-us exceeds float64's integer range, so a
+    float path would be off by ±1 µs on a fraction of rows)."""
+
+    SENT = np.iinfo(np.int64).min  # "no valid event time seen yet"
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, codes))
+        df = df.iloc[order]
+        c = codes[order]
+        valid = df[ts_col].notna().to_numpy()
+        # NaT's int64 value IS the sentinel (int64 min // 1000 keeps it
+        # far below any real time); null rows never advance the cummax
+        us = np.where(valid, _epoch_ns(df[ts_col]).to_numpy() // 1000,
+                      SENT)
+        cm = pd.Series(us).groupby(c).cummax().to_numpy()
+        prior = np.empty(len(c), dtype=np.int64)
+        prior[1:] = cm[:-1]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        prior[first] = SENT
+        late = valid & (prior != SENT) & (us < prior - allowed_us)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy()[late],
+            id_col: ids[order][late],
+            "lateness_us": prior[late] - us[late],
+        })
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -1471,6 +1471,66 @@ def q_vocab_bigrams(sf_dir: str):
     )
 
 
+def q_window_dedup(sf_dir: str):
+    """duplicate-event suppression: first event per (user, type, 1 h
+    tumbling window) survives, repeats inside the window are dropped
+    (ops/windows.window_dedup — key-shard lexsort + first-of-group
+    mask; row_number() QUALIFY parity)."""
+    from ..ops.windows import window_dedup
+
+    return window_dedup(
+        _read(sf_dir, "events",
+              ["event_id", "ts", "user_id", "event_type", "value"]),
+        window_us=3_600_000_000)
+
+
+def q_late_events(sf_dir: str):
+    """late-arrival detection under a deterministic shuffled arrival
+    order (arrival = knuth-multiplicative hash of event_id, same
+    expression in the SQL twin — the synthetic events arrive in event-
+    time order, so the permutation makes out-of-orderness real): events
+    whose time trails the per-user running-max watermark by > 1 day
+    (ops/windows.late_events — per-key NaN-skipping cummax + ffill,
+    late rows only leave the shard)."""
+    from ..ops.windows import late_events
+
+    def arrival(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = (ids * 2654435761) % 4294967296
+        return pa.table({"user_id": b["user_id"],
+                         "arr": pa.array(arr, pa.int64()), "ts": b["ts"]})
+
+    out = late_events(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]
+              ).map_batches(arrival, batch_format="pyarrow"),
+        id_col="arr", allowed_us=86_400_000_000)
+    return out
+
+
+def q_cms_counts(sf_dir: str):
+    """count-min sketch frequency estimates over the corpus token stream,
+    verified against exact counts for the top-100 tokens: never an
+    undercount, never past the e/w·N bound (ops/stats.cms_error_check —
+    per-block value_counts + bincount scatter, one slot-keyed exchange;
+    the sketch, not the corpus, crosses the wire)."""
+    from ..ops.stats import cms_error_check
+
+    return cms_error_check(
+        _read(sf_dir, "documents", ["text"]), "text",
+        probes=100, tokenize=True)
+
+
+def q_pmi(sf_dir: str):
+    """PMI collocations over the documents corpus: every within-doc
+    adjacent token pair seen >= 8 times, scored ln(P(pair) /
+    (P(w1)P(w2))) against the corpus's own unigram model
+    (ops/text.pmi_collocations — two keyed exchanges, in-shard
+    min_count truncation, null-key sentinel rows carry the bigram
+    total)."""
+    return text_ops.pmi_collocations(
+        _read(sf_dir, "documents", ["text"]), min_count=8)
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG-style overlapping chunking (64-token windows, 16 overlap):
     chunk indices, offsets AND the joined chunk text all SQL-oracled
@@ -2136,6 +2196,10 @@ QUERIES: dict[str, Callable] = {
     "hll_distinct": q_hll_distinct,
     "hll_per_key": q_hll_per_key,
     "vocab_bigrams": q_vocab_bigrams,
+    "pmi": q_pmi,
+    "cms_counts": q_cms_counts,
+    "window_dedup": q_window_dedup,
+    "late_events": q_late_events,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2562,6 +2626,56 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE len(t) >= 2)) "
         "SELECT token, count(*)::BIGINT AS cnt FROM grams GROUP BY token "
         "ORDER BY cnt DESC, token LIMIT 50"
+    ),
+    "window_dedup": (
+        "SELECT event_id, ts, user_id, event_type, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
+        "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) = 1"
+    ),
+    "late_events": (
+        "WITH o AS (SELECT user_id, "
+        "(event_id * 2654435761) % 4294967296 AS arr, epoch_us(ts) AS t, "
+        "max(epoch_us(ts)) OVER (PARTITION BY user_id "
+        "ORDER BY (event_id * 2654435761) % 4294967296 "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
+        "FROM events) "
+        "SELECT user_id, arr, pm - t AS lateness_us FROM o "
+        "WHERE t < pm - 86400000000"
+    ),
+    "cms_counts": (
+        # the sketch itself has no SQL twin; the oracle pins the exact
+        # token total and the ZERO-violation contracts (under: hard
+        # guarantee; over: the e/w*N bound on this deterministic corpus)
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "uni AS (SELECT unnest(t) AS w FROM toks) "
+        "SELECT least(100, (SELECT count(DISTINCT w) FROM uni))::BIGINT "
+        "AS n_probes, 0::BIGINT AS under_violations, "
+        "0::BIGINT AS over_violations, "
+        "(SELECT count(*) FROM uni)::BIGINT AS total_items"
+    ),
+    "pmi": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "uni AS (SELECT unnest(t) AS w FROM toks), "
+        "ucnt AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w), "
+        "nu AS (SELECT count(*)::DOUBLE AS n FROM uni), "
+        "big AS (SELECT t[i] AS w1, t[i + 1] AS w2 "
+        "FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks "
+        "WHERE len(t) >= 2)), "
+        "nb AS (SELECT count(*)::DOUBLE AS n FROM big), "
+        "bc AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM big "
+        "GROUP BY w1, w2 HAVING count(*) >= 8) "
+        "SELECT bc.w1, bc.w2, bc.cnt, "
+        "ln((bc.cnt / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))) AS pmi "
+        "FROM bc, nb, nu, ucnt u1, ucnt u2 "
+        "WHERE u1.w = bc.w1 AND u2.w = bc.w2"
     ),
     "chunk_docs": (
         "WITH toks AS (SELECT doc_id, "

@@ -2747,3 +2747,194 @@ class TestCollectPerKey:
         d = dict(zip(p["user_id"], p["seq"]))
         assert d[1] == "a>b"
         assert 2 in d and pd.isna(d[2])
+
+
+class TestPmiCollocations:
+    def test_matches_hand_model(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import pmi_collocations
+
+        ds = ray.data.from_arrow(pa.table({
+            "text": ["a b a b c", "a b x", "", None, "a b", "   "],
+        })).repartition(3)
+        out = pmi_collocations(ds, min_count=2)
+        assert out.num_rows == 1
+        r = out.to_pylist()[0]
+        # Nu=10 (a=4,b=4,c=1,x=1), Nb=7, c(a,b)=4:
+        # pmi = ln((4/7)/((4/10)*(4/10)))
+        assert (r["w1"], r["w2"], r["cnt"]) == ("a", "b", 4)
+        assert abs(r["pmi"] - np.log((4 / 7) / (0.4 * 0.4))) < 1e-12
+
+    def test_min_count_and_empty(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import pmi_collocations
+
+        ds = ray.data.from_arrow(pa.table({"text": ["a b", "c d"]}))
+        out = pmi_collocations(ds, min_count=2)
+        assert out.num_rows == 0
+        assert out.schema.names == ["w1", "w2", "cnt", "pmi"]
+        empty = pmi_collocations(
+            ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())})),
+            min_count=1)
+        assert empty.num_rows == 0
+
+    def test_block_invariance(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import pmi_collocations
+
+        rng = np.random.RandomState(5)
+        words = np.array(["red", "blue", "fish", "one", "two"])
+        docs = [" ".join(rng.choice(words, rng.randint(0, 12)))
+                for _ in range(80)]
+        t = pa.table({"text": docs})
+        a = pmi_collocations(ray.data.from_arrow(t), min_count=3)
+        b = pmi_collocations(
+            ray.data.from_arrow(t).repartition(7), min_count=3)
+        key = lambda tt: sorted(map(tuple, tt.to_pandas().values.tolist()))
+        assert key(a) == key(b)
+        assert a.num_rows > 0
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_bound(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import (cms_estimate, cms_sketch)
+
+        rng = np.random.RandomState(0)
+        toks = rng.zipf(1.5, 30000)
+        toks = toks[toks < 10**6].astype(str)
+        ds = ray.data.from_arrow(pa.table({"w": toks})).repartition(6)
+        mat, n = cms_sketch(ds, "w", width=2048, depth=5)
+        assert n == len(toks)
+        import collections
+        exact = collections.Counter(toks.tolist())
+        probe = pa.array(list(exact.keys())[:500])
+        est = cms_estimate(mat, probe)
+        true = np.array([exact[p] for p in probe.to_pylist()])
+        assert (est >= true).all()  # hard CMS guarantee
+
+    def test_error_check_pins_zero(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import cms_error_check
+
+        rng = np.random.RandomState(3)
+        docs = [" ".join(rng.choice(["a", "b", "c", "dog", "cat"],
+                                    rng.randint(1, 40)))
+                for _ in range(200)]
+        ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(4)
+        out = cms_error_check(ds, "text", probes=100, tokenize=True)
+        r = out.to_pylist()[0]
+        assert r["under_violations"] == 0
+        assert r["over_violations"] == 0
+        assert r["n_probes"] == 5  # only 5 distinct tokens exist
+        assert r["total_items"] == sum(len(d.split()) for d in docs)
+
+    def test_merge_is_block_invariant(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import cms_sketch
+
+        t = pa.table({"w": [str(i % 37) for i in range(4000)]})
+        m1, n1 = cms_sketch(ray.data.from_arrow(t), "w", width=512, depth=4)
+        m2, n2 = cms_sketch(ray.data.from_arrow(t).repartition(9), "w",
+                            width=512, depth=4)
+        assert n1 == n2 == 4000
+        assert (m1 == m2).all()
+
+
+class TestWindowDedup:
+    def test_matches_duckdb_qualify(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import window_dedup
+
+        rng = np.random.RandomState(7)
+        n = 500
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 8, n),
+            "event_type": rng.choice(["a", "b", None], n),
+            "ts": pd.to_datetime(rng.randint(0, 10**4, n), unit="s"),
+            "value": rng.rand(n),
+        })
+        out = window_dedup(ray.data.from_pandas(df).repartition(4),
+                           window_us=600_000_000).to_pandas()
+        duckdb.register("ev", df)
+        exp = duckdb.sql(
+            "SELECT event_id FROM ev QUALIFY row_number() OVER ("
+            "PARTITION BY user_id, event_type, epoch_us(ts) // 600000000 "
+            "ORDER BY ts, event_id) = 1").df()
+        assert sorted(out["event_id"]) == sorted(exp["event_id"])
+
+    def test_null_ts_group_together(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import window_dedup
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 1],
+            "event_type": ["x", "x", "x", "y"],
+            "ts": pd.to_datetime([None, None, 5_000_000_000, None]),
+            "value": [0.0, 0.0, 0.0, 0.0],
+        })
+        out = window_dedup(ray.data.from_pandas(df), window_us=1_000_000)
+        # (1,x,NULL-bucket) keeps id 1 (lowest id); (1,x,real bucket)
+        # keeps id 3; (1,y,NULL) keeps id 4
+        assert sorted(out.to_pandas()["event_id"]) == [1, 3, 4]
+
+
+class TestLateEvents:
+    def test_matches_duckdb_watermark(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import late_events
+
+        rng = np.random.RandomState(11)
+        n = 600
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 10, n),
+            "arr": rng.permutation(n).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+        })
+        out = late_events(ray.data.from_pandas(df).repartition(5),
+                          id_col="arr", allowed_us=100_000_000_000
+                          ).to_pandas()
+        duckdb.register("eva", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT user_id, arr, epoch_us(ts) t, "
+            "max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY arr "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pm FROM eva) "
+            "SELECT user_id, arr, pm - t AS lateness_us FROM o "
+            "WHERE t < pm - 100000000000").df()
+        k = lambda d: sorted(map(tuple, d[["user_id", "arr", "lateness_us"]]
+                                 .values.tolist()))
+        assert k(out) == k(exp)
+        assert len(exp) > 0
+
+    def test_null_ts_never_late_never_advances(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import late_events
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1],
+            "arr": [1, 2, 3, 4],
+            "ts": pd.to_datetime([10**9, None, 10, 10**9 + 5], unit="s"),
+        })
+        out = late_events(ray.data.from_pandas(df), id_col="arr",
+                          allowed_us=1_000_000).to_pandas()
+        # arr=2 (null ts): not late; arr=3: late vs arr=1's watermark
+        # (the null row between them must not reset it); arr=4: on time
+        assert sorted(out["arr"]) == [3]
