@@ -605,3 +605,53 @@ def late_events(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def counter_rate(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_shards: int = 16,
+):
+    """Per-sample counter rate with reset detection — the Prometheus
+    rate() shape over a monotonic-counter metric, batch form: for each
+    row (ordered by ts, id within its key), rate = (v - prev_v) / dt_sec
+    — unless the counter RESET (v < prev_v, a process restart), in which
+    case the counter restarted from 0 and rate = v / dt_sec. A key's
+    first row, a null v or prev_v, and dt == 0 all yield NULL (SQL CASE
+    parity). Returns (key, id, rate).
+
+    Scale shape: the usual key-shard pandas body — composite lexsort,
+    shifted views, pure float vector math; dt comes from exact int64 µs
+    converted once."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        us = _epoch_ns(df[ts_col]).to_numpy() // 1000
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, us, codes))
+        df = df.iloc[order]
+        c = codes[order]
+        t = us[order]
+        v = df[val_col].to_numpy(dtype=np.float64)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        pv = np.concatenate(([np.nan], v[:-1]))
+        pt = np.concatenate(([0], t[:-1]))
+        pv[first] = np.nan
+        dt = (t - pt) / 1e6
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # NaN v or pv propagates to NaN; v < pv (reset) restarts at 0
+            raw = np.where(v < pv, v, v - pv) / dt
+        rate = np.where(first | (dt == 0), np.nan, raw)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            id_col: ids[order],
+            "rate": rate,
+        })
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

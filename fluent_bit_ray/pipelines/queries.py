@@ -1471,6 +1471,48 @@ def q_vocab_bigrams(sf_dir: str):
     )
 
 
+def q_geoip(sf_dir: str):
+    """GeoIP-style range-table enrichment: each event's synthetic IPv4
+    (knuth hash of event_id, same expression in the SQL twin) is mapped
+    to the country of the non-overlapping [lo, hi] range containing it,
+    LEFT semantics — misses stay null (stages/enrich.range_lookup_enrich
+    — ranges sorted + ray.put once, ONE searchsorted per batch, no
+    shuffle). The 100 synthetic ranges leave deterministic gaps so both
+    hits and misses are exercised."""
+    from ..stages.enrich import range_lookup_enrich
+
+    ks = np.arange(100, dtype=np.int64)
+    lo = ks * 40_000_000 + (ks * ks % 7_000_000)
+    hi = lo + 10_000_000 + (ks % 13) * 1_000_000
+    ranges = pa.table({
+        "lo": pa.array(lo), "hi": pa.array(hi),
+        "country": pa.array(["C%d" % k for k in ks]),
+    })
+
+    def ipify(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (ids * 2654435761) % 4294967296
+        return pa.table({"event_id": b["event_id"],
+                         "ip": pa.array(ip, pa.int64())})
+
+    return range_lookup_enrich(
+        _read(sf_dir, "events", ["event_id"]
+              ).map_batches(ipify, batch_format="pyarrow"),
+        "ip", ranges, "lo", "hi", ["country"])
+
+
+def q_counter_rate(sf_dir: str):
+    """Prometheus-style counter rate() with reset detection per user:
+    (v - prev_v) / dt_sec ordered by (ts, id), a counter DECREASE means
+    a restart-from-zero (rate = v / dt); first samples, null values and
+    dt = 0 yield NULL (ops/windows.counter_rate — key-shard lexsort +
+    shifted views, exact int64 µs)."""
+    from ..ops.windows import counter_rate
+
+    return counter_rate(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
 def q_window_dedup(sf_dir: str):
     """duplicate-event suppression: first event per (user, type, 1 h
     tumbling window) survives, repeats inside the window are dropped
@@ -2200,6 +2242,8 @@ QUERIES: dict[str, Callable] = {
     "cms_counts": q_cms_counts,
     "window_dedup": q_window_dedup,
     "late_events": q_late_events,
+    "geoip": q_geoip,
+    "counter_rate": q_counter_rate,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2626,6 +2670,27 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE len(t) >= 2)) "
         "SELECT token, count(*)::BIGINT AS cnt FROM grams GROUP BY token "
         "ORDER BY cnt DESC, token LIMIT 50"
+    ),
+    "geoip": (
+        "WITH dims AS (SELECT k, "
+        "k * 40000000 + (k * k % 7000000) AS lo, "
+        "k * 40000000 + (k * k % 7000000) + 10000000 + (k % 13) * 1000000 "
+        "AS hi, 'C' || CAST(k AS VARCHAR) AS country "
+        "FROM (SELECT unnest(range(100)) AS k)), "
+        "ev AS (SELECT event_id, "
+        "(event_id * 2654435761) % 4294967296 AS ip FROM events) "
+        "SELECT ev.event_id, ev.ip, d.country FROM ev "
+        "LEFT JOIN dims d ON ev.ip >= d.lo AND ev.ip <= d.hi"
+    ),
+    "counter_rate": (
+        "WITH o AS (SELECT user_id, event_id, value AS v, "
+        "lag(value) OVER w AS pv, epoch_us(ts) AS t, "
+        "lag(epoch_us(ts)) OVER w AS pt FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, event_id, "
+        "CASE WHEN pt IS NULL OR t = pt OR v IS NULL OR pv IS NULL "
+        "THEN NULL WHEN v < pv THEN v / ((t - pt) / 1000000.0) "
+        "ELSE (v - pv) / ((t - pt) / 1000000.0) END AS rate FROM o"
     ),
     "window_dedup": (
         "SELECT event_id, ts, user_id, event_type, value FROM events "

@@ -278,3 +278,59 @@ class HostEnricher:
         else:
             out[self.under] = None
         return out
+
+
+def range_lookup_enrich(ds, value_col: str, ranges: "pa.Table",
+                        lo_col: str, hi_col: str,
+                        payload_cols: Optional[list] = None):
+    """GeoIP-style range-table enrichment: map an integer value (an IPv4
+    address as uint32, a port, a numeric id) to the payload of the
+    NON-OVERLAPPING closed range [lo, hi] that contains it — the classic
+    GeoIP/ASN longest-match lookup, batch form. LEFT semantics: a value
+    in no range (or null) gets null payload columns, mirroring
+    `LEFT JOIN dims ON v BETWEEN lo AND hi`.
+
+    Scale shape: the range table is sorted once by `lo` and broadcast
+    with ray.put (GeoIP dims are a few hundred MB at most — the same
+    fits-a-heap contract as the kube-cache dict above); each batch does
+    ONE searchsorted against the lo array plus a hi bound check — no
+    shuffle, no per-row Python. Ranges MUST be non-overlapping (a GeoIP
+    table is); overlaps would need an interval tree — use
+    ops/joins.interval_join for that regime.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    if payload_cols is None:
+        payload_cols = [c for c in ranges.column_names
+                        if c not in (lo_col, hi_col)]
+    order = pc.sort_indices(ranges, sort_keys=[(lo_col, "ascending")])
+    ranges = ranges.take(order)
+    ref = ray.put((
+        ranges[lo_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        ranges[hi_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        ranges.select(payload_cols).combine_chunks(),
+    ))
+
+    def lookup(b: pa.Table) -> pa.Table:
+        lo, hi, payload = ray.get(ref)
+        col = b[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = np.asarray(pc.is_valid(col))
+        v = np.where(valid,
+                     col.to_numpy(zero_copy_only=False).astype(np.int64), 0)
+        idx = np.searchsorted(lo, v, side="right") - 1
+        safe = np.maximum(idx, 0)
+        hit = valid & (idx >= 0) & (v <= hi[safe])
+        take = pa.array(np.where(hit, safe, -1), pa.int64())
+        take = pc.if_else(pc.greater_equal(take, 0), take,
+                          pa.scalar(None, pa.int64()))
+        out = b
+        for name in payload_cols:
+            out = out.append_column(name, payload[name].take(take))
+        return out
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

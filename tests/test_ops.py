@@ -2938,3 +2938,113 @@ class TestLateEvents:
         # arr=2 (null ts): not late; arr=3: late vs arr=1's watermark
         # (the null row between them must not reset it); arr=4: on time
         assert sorted(out["arr"]) == [3]
+
+
+class TestRangeLookupEnrich:
+    def test_hits_misses_and_nulls(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import range_lookup_enrich
+
+        ranges = pa.table({
+            "lo": [100, 300, 50],        # deliberately unsorted
+            "hi": [199, 399, 80],
+            "country": ["mid", "high", "low"],
+        })
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([150, 100, 199, 200, 99, 300, 399, 1, 80,
+                           None], pa.int64()),
+        })).repartition(3)
+        out = range_lookup_enrich(ds, "v", ranges, "lo", "hi"
+                                  ).to_pandas().set_index("v")["country"]
+        assert out[150] == "mid" and out[100] == "mid" and out[199] == "mid"
+        assert out[300] == "high" and out[399] == "high"
+        assert out[80] == "low"
+        import pandas as pd
+        assert pd.isna(out[200]) and pd.isna(out[99]) and pd.isna(out[1])
+        assert pd.isna(out[pd.NA] if pd.NA in out.index else
+                       out[out.index.isna()].iloc[0])
+
+    def test_matches_sql_between_join(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import range_lookup_enrich
+
+        rng = np.random.RandomState(2)
+        lo = np.sort(rng.choice(10**6, 40, replace=False)) * 100
+        hi = lo + rng.randint(1, 95, 40) * 100  # gaps, non-overlapping
+        dims = pd.DataFrame({"lo": lo, "hi": hi,
+                             "name": [f"r{i}" for i in range(40)]})
+        vals = pd.DataFrame({"v": rng.randint(0, 10**8, 2000)})
+        out = range_lookup_enrich(
+            ray.data.from_pandas(vals).repartition(4), "v",
+            pa.Table.from_pandas(dims), "lo", "hi").to_pandas()
+        duckdb.register("dims", dims)
+        duckdb.register("vals", vals)
+        exp = duckdb.sql("SELECT v, d.name FROM vals LEFT JOIN dims d "
+                         "ON v >= d.lo AND v <= d.hi").df()
+        k = lambda d: sorted(map(tuple, d[["v", "name"]].astype(object)
+                                 .where(d[["v", "name"]].notna(), None)
+                                 .values.tolist()))
+        assert k(out) == k(exp)
+
+
+class TestCounterRate:
+    def test_matches_duckdb_case(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import counter_rate
+
+        rng = np.random.RandomState(6)
+        n = 400
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 9, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 10**5, n), unit="s"),
+            # mostly increasing counter with occasional resets and nulls
+            "value": np.where(rng.rand(n) < 0.08, np.nan,
+                              np.abs(rng.randn(n)).cumsum()
+                              * np.where(rng.rand(n) < 0.05, 0.01, 1.0)),
+        })
+        out = counter_rate(ray.data.from_pandas(df).repartition(4)
+                           ).to_pandas()
+        duckdb.register("evr", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT user_id, event_id, value v, "
+            "lag(value) OVER w pv, epoch_us(ts) t, "
+            "lag(epoch_us(ts)) OVER w pt FROM evr "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, CASE WHEN pt IS NULL OR t = pt "
+            "OR v IS NULL OR pv IS NULL THEN NULL "
+            "WHEN v < pv THEN v / ((t - pt) / 1000000.0) "
+            "ELSE (v - pv) / ((t - pt) / 1000000.0) END rate FROM o").df()
+        m = out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        e = exp.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        assert len(m) == len(e) == n
+        mr, er = m["rate"].to_numpy(), e["rate"].to_numpy()
+        both_nan = np.isnan(mr) & np.isnan(er)
+        assert (both_nan | (mr == er)).all()
+
+    def test_reset_and_dt_zero(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import counter_rate
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 1],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([0, 10, 20, 20, 30], unit="s"),
+            "value": [100.0, 150.0, 3.0, 3.0, 9.0],
+        })
+        out = (counter_rate(ray.data.from_pandas(df)).to_pandas()
+               .set_index("event_id")["rate"])
+        assert np.isnan(out[1])          # first sample
+        assert out[2] == 5.0             # (150-100)/10
+        assert out[3] == 0.3             # RESET: 3/10
+        assert np.isnan(out[4])          # dt == 0
+        assert out[5] == 0.6             # (9-3)/10
