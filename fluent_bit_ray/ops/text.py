@@ -912,3 +912,44 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5):
         "w1": pairs["w1"], "w2": pairs["w2"], "cnt": pairs["cnt"],
         "pmi": pa.array(pmi, pa.float64()),
     })
+
+
+def log_templates(ds, text_col: str = "text", min_count: int = 1):
+    """Drain-lite log-template mining: every message collapses to its
+    TEMPLATE by masking the variable fragments — `0x`-hex runs first
+    (`0x[0-9a-fA-F]+` -> `<HEX>`), then digit runs (`[0-9]+` -> `<NUM>`)
+    — and templates are counted corpus-wide; the classic first pass of
+    log-pattern analysis (Drain/Spell lineage, deterministic masked-
+    token form so a SQL regexp_replace twin reproduces it exactly).
+    Null messages form the SQL GROUP BY null group. Returns
+    (template, cnt) for templates with cnt >= min_count.
+
+    Scale shape: two Arrow regex kernels + per-block value_counts, ONE
+    template-keyed exchange of (template, partial-count) rows — the
+    template set, not the log stream, crosses the wire."""
+    from ..shuffle import _group_sum, hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = pc.replace_substring_regex(col, r"0x[0-9a-fA-F]+", "<HEX>")
+        t = pc.replace_substring_regex(t, r"[0-9]+", "<NUM>")
+        # Arrow value_counts already counts null as its own value — the
+        # SQL GROUP BY null group comes through with no special casing
+        vc = t.value_counts()
+        return pa.table({"template": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = _group_sum(t, ["template"], ["cnt"])
+        return g.filter(pc.greater_equal(g["cnt"], min_count))
+
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),
+        ["template"], merge,
+        combine_fn=lambda t: _group_sum(t, ["template"], ["cnt"]))
+    if out is None:
+        return pa.table({"template": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    return out

@@ -1471,6 +1471,78 @@ def q_vocab_bigrams(sf_dir: str):
     )
 
 
+def q_log_templates(sf_dir: str):
+    """Drain-lite log-template mining over deterministic synthesized
+    request lines ('<type> user=<uid> item=<eid> ms=<eid mod 997>',
+    same construction in the SQL twin): digit runs mask to <NUM>, and
+    the corpus collapses to one template per event type with exact
+    counts (ops/text.log_templates — two Arrow regex kernels +
+    value_counts partials, one template-keyed exchange)."""
+    from ..ops.text import log_templates
+
+    def mk_lines(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        line = pc.binary_join_element_wise(
+            pc.cast(b["event_type"], pa.string()),
+            " user=", pc.cast(b["user_id"], pa.string()),
+            " item=", pc.cast(b["event_id"], pa.string()),
+            " ms=", pc.cast(pa.array(ids % 997, pa.int64()), pa.string()),
+            "")
+        return pa.table({"text": line})
+
+    return log_templates(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"]
+              ).map_batches(mk_lines, batch_format="pyarrow"))
+
+
+def q_tail_sampling(sf_dir: str):
+    """Tail-based sampling (the OpenTelemetry trace-sampling shape,
+    batch form): keep EVERY event of users who ever hit a SEVERE error
+    ('error' with value > 250 — every user has some error, so severity
+    keeps the trigger set selective), plus a deterministic 1-in-16 hash
+    sample (seeded shuffle_hash of event_id, SQL-reproducible) of
+    everything else. The trigger-user set is collected through map-side
+    uniques and ray.put-broadcast; the stream side is a pure is_in +
+    hash-mask map — zero shuffle."""
+    import ray
+
+    from ..ops.sample import shuffle_hash
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+
+    def errs(b: pa.Table) -> pa.Table:
+        m = pc.and_kleene(pc.equal(b["event_type"], "error"),
+                          pc.greater(b["value"], 250.0))
+        m = pc.fill_null(m, False)
+        col = b.filter(m)["user_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"user_id": col.unique().drop_null()})
+
+    tabs = [t for t in ray.get(
+        ev.map_batches(errs, batch_format="pyarrow").to_arrow_refs())
+        if t is not None and t.num_rows]
+    uset = None
+    if tabs:
+        cat = pa.concat_tables(tabs, promote_options="default")["user_id"]
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        uset = cat.unique()
+    uref = ray.put(uset)
+
+    def keep(b: pa.Table) -> pa.Table:
+        us = ray.get(uref)
+        hit = (pc.fill_null(pc.is_in(b["user_id"], value_set=us), False)
+               if us is not None else pa.array([False] * b.num_rows))
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        samp = shuffle_hash(ids, 20240818) % 16 == 0
+        return b.select(["event_id", "user_id", "event_type"]).filter(
+            pc.or_(hit, pa.array(samp)))
+
+    return ev.map_batches(keep, batch_format="pyarrow")
+
+
 def q_geoip(sf_dir: str):
     """GeoIP-style range-table enrichment: each event's synthetic IPv4
     (knuth hash of event_id, same expression in the SQL twin) is mapped
@@ -2244,6 +2316,8 @@ QUERIES: dict[str, Callable] = {
     "late_events": q_late_events,
     "geoip": q_geoip,
     "counter_rate": q_counter_rate,
+    "log_templates": q_log_templates,
+    "tail_sampling": q_tail_sampling,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2670,6 +2744,22 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE len(t) >= 2)) "
         "SELECT token, count(*)::BIGINT AS cnt FROM grams GROUP BY token "
         "ORDER BY cnt DESC, token LIMIT 50"
+    ),
+    "log_templates": (
+        "WITH lines AS (SELECT event_type || ' user=' || "
+        "CAST(user_id AS VARCHAR) || ' item=' || "
+        "CAST(event_id AS VARCHAR) || ' ms=' || "
+        "CAST(event_id % 997 AS VARCHAR) AS text FROM events) "
+        "SELECT regexp_replace(regexp_replace(text, '0x[0-9a-fA-F]+', "
+        "'<HEX>', 'g'), '[0-9]+', '<NUM>', 'g') AS template, "
+        "count(*)::BIGINT AS cnt FROM lines GROUP BY template"
+    ),
+    "tail_sampling": (
+        "SELECT event_id, user_id, event_type FROM events "
+        "WHERE user_id IN (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'error' AND value > 250) OR ("
+        + shuffle_hash_sql("event_id", 20240818)
+        + ") % 16 = 0"
     ),
     "geoip": (
         "WITH dims AS (SELECT k, "

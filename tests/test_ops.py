@@ -3048,3 +3048,65 @@ class TestCounterRate:
         assert out[3] == 0.3             # RESET: 3/10
         assert np.isnan(out[4])          # dt == 0
         assert out[5] == 0.6             # (9-3)/10
+
+
+class TestLogTemplates:
+    def test_masks_and_counts(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import log_templates
+
+        ds = ray.data.from_arrow(pa.table({"text": [
+            "GET /item/42 took 13 ms", "GET /item/7 took 1500 ms",
+            "err at 0xDEADbeef code 500", "err at 0x1f code 404",
+            None, None,
+        ]})).repartition(3)
+        out = {r["template"]: r["cnt"]
+               for r in log_templates(ds).to_pylist()}
+        assert out == {
+            "GET /item/<NUM> took <NUM> ms": 2,
+            "err at <HEX> code <NUM>": 2,
+            None: 2,  # SQL GROUP BY null group
+        }
+
+    def test_min_count_and_hex_order(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import log_templates
+
+        # hex masking must run BEFORE digit masking or 0x1f would
+        # become 0x<NUM>f; a lone "0x" with no digits stays literal
+        ds = ray.data.from_arrow(pa.table({"text": [
+            "a 0x1f", "a 0xff", "b 9", "plain 0x stays",
+        ]}))
+        out = {r["template"]: r["cnt"]
+               for r in log_templates(ds, min_count=2).to_pylist()}
+        assert out == {"a <HEX>": 2}
+
+
+class TestTailSamplingQuery:
+    def test_trigger_users_complete_and_sample_deterministic(
+            self, ray_session, sf_dir):
+        import duckdb
+
+        from fluent_bit_ray.pipelines.queries import QUERIES, ORACLE_SQL
+
+        t = QUERIES["tail_sampling"](sf_dir)
+        df = t.to_pandas() if hasattr(t, "to_pandas") else t
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+        exp = con.sql(ORACLE_SQL["tail_sampling"]).df()
+        assert len(df) == len(exp)
+        # every event of every triggered user is present
+        trig = set(con.sql(
+            "SELECT DISTINCT user_id FROM events WHERE "
+            "event_type = 'error' AND value > 250").df()["user_id"])
+        n_trig_events = con.sql(
+            "SELECT count(*) FROM events WHERE user_id IN (SELECT "
+            "DISTINCT user_id FROM events WHERE event_type = 'error' "
+            "AND value > 250)").fetchone()[0]
+        assert (df["user_id"].isin(trig).sum()) == n_trig_events
+        # and the sample is a strict subset, i.e. output < input
+        total = con.sql("SELECT count(*) FROM events").fetchone()[0]
+        assert len(df) < total
