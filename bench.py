@@ -308,6 +308,46 @@ def bench_warc_ingest() -> float:
     return time.time() - t0
 
 
+def bench_geoip() -> float:
+    """broadcast range-table (GeoIP) enrichment: one searchsorted per
+    batch, zero shuffle."""
+    from fluent_bit_ray.pipelines.queries import q_geoip
+
+    t0 = time.time()
+    _consume(q_geoip(SF_DIR))
+    return time.time() - t0
+
+
+def bench_log_templates() -> float:
+    """Drain-lite template mining: two Arrow regex kernels + one
+    template-keyed exchange."""
+    from fluent_bit_ray.pipelines.queries import q_log_templates
+
+    t0 = time.time()
+    _consume(q_log_templates(SF_DIR))
+    return time.time() - t0
+
+
+def bench_window_dedup() -> float:
+    """first-per-(key,type,window) duplicate suppression via key-shard
+    lexsort."""
+    from fluent_bit_ray.pipelines.queries import q_window_dedup
+
+    t0 = time.time()
+    _consume(q_window_dedup(SF_DIR))
+    return time.time() - t0
+
+
+def bench_pmi() -> float:
+    """PMI collocations: unigram + bigram keyed exchanges with in-shard
+    truncation."""
+    from fluent_bit_ray.pipelines.queries import q_pmi
+
+    t0 = time.time()
+    _consume(q_pmi(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -332,6 +372,10 @@ BENCHES = {
     "interval_join": bench_interval_join,
     "rank_per_key": bench_rank_per_key,
     "warc_ingest": bench_warc_ingest,
+    "geoip": bench_geoip,
+    "log_templates": bench_log_templates,
+    "window_dedup": bench_window_dedup,
+    "pmi": bench_pmi,
 }
 
 
