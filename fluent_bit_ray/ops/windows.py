@@ -655,3 +655,87 @@ def counter_rate(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def resample_ffill(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    step_us: int = 86_400_000_000,
+    num_shards: int = 16,
+):
+    """Per-key time-series resampling with forward fill (gap filling —
+    the metrics-dashboard densify step): each key gets one row per
+    `step_us` bucket from its first to its last observation; a bucket's
+    value is the LAST observation in it (by ts, id), and empty or
+    null-valued buckets carry the most recent non-null bucket value
+    forward (leading gaps stay NULL). Null-ts rows contribute nothing
+    (SQL: their bucket is NULL and never joins the generated series).
+    Returns (key, bucket, value).
+
+    SQL twin: generate_series over each key's [min, max] bucket LEFT
+    JOIN the last-per-bucket observations (IS NOT DISTINCT FROM so a
+    null key fills its own series, as here), then `last_value(v IGNORE
+    NULLS) OVER (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED
+    PRECEDING)`.
+
+    Scale shape: one key-shard pandas body — last-per-bucket via
+    composite lexsort + group-tail mask, the dense series from repeat/
+    arange arithmetic, the fill one global maximum.accumulate over
+    last-valid indices with a segment-start floor (no per-key Python).
+    Partitioning assumption: one KEY's dense series fits the shard."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        valid = df[ts_col].notna().to_numpy()
+        df = df[valid]
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col],
+                                 "bucket": np.array([], np.int64),
+                                 "value": np.array([], np.float64)})
+        codes, uniq = pd.factorize(df[key_col], use_na_sentinel=False)
+        us = _epoch_ns(df[ts_col]).to_numpy() // 1000
+        b = us // step_us
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, us, b, codes))
+        c, bo = codes[order], b[order]
+        last = np.ones(len(c), dtype=bool)
+        last[:-1] = (c[1:] != c[:-1]) | (bo[1:] != bo[:-1])
+        obs_k, obs_b = c[last], bo[last]
+        obs_v = df[val_col].to_numpy(dtype=np.float64)[order][last]
+        # per-key bucket ranges (obs_k is sorted; one slot per key)
+        nk = int(obs_k.max()) + 1
+        mn = np.full(nk, np.iinfo(np.int64).max)
+        mx = np.full(nk, np.iinfo(np.int64).min)
+        np.minimum.at(mn, obs_k, obs_b)
+        np.maximum.at(mx, obs_k, obs_b)
+        keys_present = np.flatnonzero(mx >= mn)
+        cnt = mx[keys_present] - mn[keys_present] + 1
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        total = int(offs[-1])
+        key_rep = np.repeat(keys_present, cnt)
+        buckets = (np.arange(total, dtype=np.int64)
+                   - np.repeat(offs[:-1], cnt)
+                   + np.repeat(mn[keys_present], cnt))
+        # scatter observations into their dense positions
+        slot_of = np.zeros(nk, dtype=np.int64)
+        slot_of[keys_present] = np.arange(len(keys_present))
+        pos = offs[slot_of[obs_k]] + (obs_b - mn[obs_k])
+        vals = np.full(total, np.nan)
+        vals[pos] = obs_v
+        # forward fill, floored at each key's segment start
+        idx = np.where(np.isnan(vals), -1, np.arange(total))
+        ff = np.maximum.accumulate(idx)
+        seg_start = np.repeat(offs[:-1], cnt)
+        ok = ff >= seg_start  # -1 and carries from the previous key fail
+        filled = np.where(ok, vals[np.where(ok, ff, 0)], np.nan)
+        return pd.DataFrame({
+            key_col: uniq[key_rep],
+            "bucket": buckets,
+            "value": filled,
+        })
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

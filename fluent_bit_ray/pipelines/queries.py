@@ -1471,6 +1471,19 @@ def q_vocab_bigrams(sf_dir: str):
     )
 
 
+def q_resample(sf_dir: str):
+    """per-user daily resample with forward fill (dashboard densify):
+    one row per day from each user's first to last event, value = the
+    day's last observation carried forward through gaps
+    (ops/windows.resample_ffill — key-shard last-per-bucket mask +
+    repeat/arange dense series + one maximum.accumulate fill)."""
+    from ..ops.windows import resample_ffill
+
+    return resample_ffill(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]),
+        step_us=86_400_000_000)
+
+
 def q_log_templates(sf_dir: str):
     """Drain-lite log-template mining over deterministic synthesized
     request lines ('<type> user=<uid> item=<eid> ms=<eid mod 997>',
@@ -2318,6 +2331,7 @@ QUERIES: dict[str, Callable] = {
     "counter_rate": q_counter_rate,
     "log_templates": q_log_templates,
     "tail_sampling": q_tail_sampling,
+    "resample": q_resample,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2744,6 +2758,24 @@ ORACLE_SQL: dict[str, str] = {
         "WHERE len(t) >= 2)) "
         "SELECT token, count(*)::BIGINT AS cnt FROM grams GROUP BY token "
         "ORDER BY cnt DESC, token LIMIT 50"
+    ),
+    "resample": (
+        "WITH ev AS (SELECT user_id, event_id, value, "
+        "epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS t "
+        "FROM events WHERE ts IS NOT NULL), "
+        "obs AS (SELECT user_id, b, value FROM ("
+        "SELECT user_id, b, value, row_number() OVER ("
+        "PARTITION BY user_id, b ORDER BY t DESC, event_id DESC) AS rn "
+        "FROM ev) WHERE rn = 1), "
+        "rng AS (SELECT user_id, "
+        "unnest(generate_series(min(b), max(b))) AS bucket "
+        "FROM ev GROUP BY user_id), "
+        "j AS (SELECT rng.user_id, rng.bucket, obs.value AS v FROM rng "
+        "LEFT JOIN obs ON rng.user_id IS NOT DISTINCT FROM obs.user_id "
+        "AND rng.bucket = obs.b) "
+        "SELECT user_id, bucket, last_value(v IGNORE NULLS) OVER ("
+        "PARTITION BY user_id ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) AS value FROM j"
     ),
     "log_templates": (
         "WITH lines AS (SELECT event_type || ' user=' || "

@@ -3110,3 +3110,68 @@ class TestTailSamplingQuery:
         # and the sample is a strict subset, i.e. output < input
         total = con.sql("SELECT count(*) FROM events").fetchone()[0]
         assert len(df) < total
+
+
+class TestResampleFfill:
+    def test_hand_model(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import resample_ffill
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 1],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([0, 5 * 86400, 5 * 86400 + 10,
+                                  2 * 86400, None], unit="s"),
+            "value": [10.0, None, 20.0, 7.0, 99.0],
+        })
+        out = (resample_ffill(ray.data.from_pandas(df).repartition(3))
+               .to_pandas().sort_values(["user_id", "bucket"]))
+        got = list(map(tuple, out.values.tolist()))
+        # user 1: days 0..5, gap days carry 10.0 forward; day 5's LAST
+        # obs (id 3) wins over the null-valued id 2; null-ts row ignored
+        assert got == [(1, 0, 10.0), (1, 1, 10.0), (1, 2, 10.0),
+                       (1, 3, 10.0), (1, 4, 10.0), (1, 5, 20.0),
+                       (2, 2, 7.0)]
+
+    def test_matches_duckdb_series_fill(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import resample_ffill
+
+        rng = np.random.RandomState(4)
+        n = 400
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 12, n),
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 40 * 86400, n), unit="s"),
+            "value": np.where(rng.rand(n) < 0.15, np.nan, rng.rand(n)),
+        })
+        out = resample_ffill(ray.data.from_pandas(df).repartition(4),
+                             step_us=86_400_000_000).to_pandas()
+        duckdb.register("evz", df)
+        exp = duckdb.sql("""
+            WITH ev AS (SELECT user_id, event_id, value,
+              epoch_us(ts) // 86400000000 AS b, epoch_us(ts) AS t
+              FROM evz WHERE ts IS NOT NULL),
+            obs AS (SELECT user_id, b, value FROM (
+              SELECT user_id, b, value, row_number() OVER (
+                PARTITION BY user_id, b ORDER BY t DESC, event_id DESC)
+                AS rn FROM ev) WHERE rn = 1),
+            rng AS (SELECT user_id,
+              unnest(generate_series(min(b), max(b))) AS bucket
+              FROM ev GROUP BY user_id),
+            j AS (SELECT rng.user_id, rng.bucket, obs.value AS v FROM rng
+              LEFT JOIN obs ON rng.user_id IS NOT DISTINCT FROM obs.user_id
+              AND rng.bucket = obs.b)
+            SELECT user_id, bucket, last_value(v IGNORE NULLS) OVER (
+              PARTITION BY user_id ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS value FROM j""").df()
+        k = lambda d: sorted(
+            (int(a), int(b), None if pd.isna(v) else round(v, 12))
+            for a, b, v in d[["user_id", "bucket", "value"]].values)
+        assert k(out) == k(exp)
+        assert len(exp) > n  # densified
