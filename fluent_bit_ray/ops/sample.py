@@ -107,6 +107,21 @@ def shuffle_hash(ids: np.ndarray, seed: int) -> np.ndarray:
     return x.astype(np.int64)
 
 
+def knuth_hash(ids: np.ndarray) -> np.ndarray:
+    """Plain Knuth multiplicative 32-bit hash (no seed/finalizer) — the
+    deterministic id->pseudo-random-uint32 map the geoip/late_events
+    driver queries synthesize IPs and arrival orders from. Kept next to
+    shuffle_hash so the engine expression and its SQL twin live in ONE
+    place (see knuth_hash_sql)."""
+    return (ids.astype(np.int64) * 2654435761) % 4294967296
+
+
+def knuth_hash_sql(id_expr: str) -> str:
+    """knuth_hash as a DuckDB scalar expression (BIGINT-safe: the product
+    of a uint32-range id and 2654435761 stays under 2^63)."""
+    return f"({id_expr} * 2654435761) % 4294967296"
+
+
 def shuffle_hash_sql(id_expr: str, seed: int) -> str:
     """The exact shuffle_hash computation as a DuckDB scalar expression
     pipeline (for oracle SQL). Products run in HUGEINT because

@@ -1298,13 +1298,13 @@ def cms_error_check(ds, item_col: str, probes: int = 100,
 
     def exact_partial(b: pa.Table) -> pa.Table:
         if tokenize:
-            items, _, _ = _doc_tokens(b[item_col])
-            items = items.filter(pc.not_equal(items, ""))
-        else:
-            items = b[item_col]
-            if isinstance(items, pa.ChunkedArray):
-                items = items.combine_chunks()
-            items = items.drop_null()
+            from .text import token_count_partial
+            return token_count_partial(b[item_col]).rename_columns(
+                ["key", "cnt"])
+        items = b[item_col]
+        if isinstance(items, pa.ChunkedArray):
+            items = items.combine_chunks()
+        items = items.drop_null()
         vc = items.value_counts()
         return pa.table({"key": vc.field("values"),
                          "cnt": pc.cast(vc.field("counts"), pa.int64())})

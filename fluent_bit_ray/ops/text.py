@@ -86,6 +86,17 @@ def _per_doc_sum(values: np.ndarray, bounds: np.ndarray) -> np.ndarray:
     return cs[bounds[1:]] - cs[bounds[:-1]]
 
 
+def token_count_partial(col) -> pa.Table:
+    """Map-side unigram partial: whitespace-tokenize a string column and
+    value_count the non-empty tokens. The shared first stage of
+    unigram_logprob, pmi_collocations and the CMS exact check — one
+    tokenizer contract, one place to fix it. Returns (token, cnt)."""
+    flat, _, _ = _doc_tokens(col)
+    vc = flat.filter(pc.not_equal(flat, "")).value_counts()
+    return pa.table({"token": vc.field("values"),
+                     "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features: length, punct ratio, stopword ratio,
     mean token length — the C4/Gopher-style cheap filters, all Arrow/numpy
@@ -450,15 +461,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     from ..shuffle import hash_exchange
 
     def partial(batch: pa.Table) -> pa.Table:
-        flat, _, _ = _doc_tokens(batch[text_col])
-        flat = flat.filter(pc.not_equal(flat, ""))
-        vc = flat.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "cnt": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
+        return token_count_partial(batch[text_col])
 
     def _sum(t: pa.Table) -> pa.Table:
         g = t.group_by(["token"]).aggregate([("cnt", "sum")])
@@ -821,15 +824,16 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5):
     rare-pair PMI is dominated by sampling error). Returns
     (w1, w2, cnt, pmi), one row per qualifying pair.
 
-    Scale shape: the unigram vocabulary merges through one token-keyed
-    exchange (same heap contract as unigram_logprob/tfidf: the distinct
-    vocab of even a web corpus fits a worker); bigram counts merge
-    through a second (w1,w2)-keyed exchange whose IN-SHARD min_count
-    truncation bounds the output. N_bigrams rides that same exchange as
-    one null-key total row per shard — real tokens are never null (the
-    whitespace split yields non-empty strings), so the sentinel cannot
-    collide — and the scoring pass is one vectorized index_in + log
-    over the truncated pair table.
+    Scale shape: ONE corpus scan and ONE w1-keyed exchange carry both
+    count families — the single tokenization pass emits unigram rows as
+    (w, null, cnt) alongside bigram rows (w1, w2, cnt); grouping by
+    (w1, w2) inside a w1-hashed shard is exact because every copy of a
+    pair shares its w1. The distinct vocab + min_count-truncated pairs
+    fit a worker heap (same contract as unigram_logprob/tfidf).
+    N_bigrams rides the same exchange as one (null, null) total row per
+    shard — real tokens are never null (the whitespace split yields
+    non-empty strings), so neither sentinel family collides — and the
+    scoring pass is one vectorized index_in + log over the pair table.
     """
     from ..shuffle import _group_sum, hash_exchange
 
@@ -838,32 +842,20 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5):
         "cnt": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64()),
     })
 
-    def uni_partial(b: pa.Table) -> pa.Table:
-        flat, _, _ = _doc_tokens(b[text_col])
-        vc = flat.filter(pc.not_equal(flat, "")).value_counts()
-        return pa.table({"token": vc.field("values"),
-                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
-
-    def uni_merge(t: pa.Table) -> pa.Table:
-        return _group_sum(t, ["token"], ["cnt"])
-
-    vocab = hash_exchange(
-        ds.map_batches(uni_partial, batch_format="pyarrow").to_arrow_refs(),
-        ["token"], uni_merge, combine_fn=uni_merge)
-    if vocab is None or vocab.num_rows == 0:
-        return empty
-    nu = float(pc.sum(vocab["cnt"]).as_py())
-
-    def big_partial(b: pa.Table) -> pa.Table:
+    def both_partial(b: pa.Table) -> pa.Table:
         flat, bounds, n_tokens = _doc_tokens(b[text_col])
+        vc = flat.filter(pc.not_equal(flat, "")).value_counts()
+        uni = pa.table({
+            "w1": vc.field("values"),
+            "w2": pa.nulls(len(vc), pa.string()),
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+        })
         raw = np.diff(bounds)
         counts = np.maximum(raw - 1, 0)
         counts[n_tokens == 0] = 0
         total = int(counts.sum())
         if total == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
+            return uni
         offs = np.concatenate(([0], np.cumsum(counts)))[:-1]
         starts = np.repeat(bounds[:-1], counts) + (
             np.arange(total, dtype=np.int64) - np.repeat(offs, counts))
@@ -871,31 +863,42 @@ def pmi_collocations(ds, text_col: str = "text", min_count: int = 5):
             "w1": flat.take(pa.array(starts, pa.int64())),
             "w2": flat.take(pa.array(starts + 1, pa.int64())),
         }).group_by(["w1", "w2"]).aggregate([([], "count_all")])
-        return g.rename_columns(["w1", "w2", "cnt"]).set_column(
+        big = g.rename_columns(["w1", "w2", "cnt"]).set_column(
             2, "cnt", pc.cast(g["count_all"], pa.int64()))
+        return pa.concat_tables([uni, big])
 
-    def big_merge(t: pa.Table) -> pa.Table:
+    def merge(t: pa.Table) -> pa.Table:
         g = _group_sum(t, ["w1", "w2"], ["cnt"])
-        shard_total = pc.sum(g["cnt"]).as_py() or 0
-        keep = g.filter(pc.greater_equal(g["cnt"], min_count))
+        is_uni = pc.is_null(g["w2"])
+        uni = g.filter(is_uni)
+        big = g.filter(pc.invert(is_uni))
+        shard_total = pc.sum(big["cnt"]).as_py() or 0
+        keep = big.filter(pc.greater_equal(big["cnt"], min_count))
         sentinel = pa.table({
             "w1": pa.array([None], pa.string()),
             "w2": pa.array([None], pa.string()),
             "cnt": pa.array([int(shard_total)], pa.int64()),
         })
-        return pa.concat_tables([keep, sentinel])
+        return pa.concat_tables([uni, keep, sentinel])
 
-    pairs = hash_exchange(
-        ds.map_batches(big_partial, batch_format="pyarrow").to_arrow_refs(),
-        ["w1", "w2"],
-        big_merge,
+    merged = hash_exchange(
+        ds.map_batches(both_partial, batch_format="pyarrow").to_arrow_refs(),
+        ["w1"],
+        merge,
         combine_fn=lambda t: _group_sum(t, ["w1", "w2"], ["cnt"]),
     )
-    if pairs is None:
+    if merged is None:
         return empty
-    isnull = pc.is_null(pairs["w1"])
-    nb = float(pc.sum(pairs.filter(isnull)["cnt"]).as_py() or 0)
-    pairs = pairs.filter(pc.invert(isnull))
+    sent = pc.is_null(merged["w1"])
+    nb = float(pc.sum(merged.filter(sent)["cnt"]).as_py() or 0)
+    rest = merged.filter(pc.invert(sent))
+    is_uni = pc.is_null(rest["w2"])
+    vocab = pa.table({"token": rest.filter(is_uni)["w1"],
+                      "cnt": rest.filter(is_uni)["cnt"]})
+    pairs = rest.filter(pc.invert(is_uni))
+    if vocab.num_rows == 0:
+        return empty
+    nu = float(pc.sum(vocab["cnt"]).as_py())
     if pairs.num_rows == 0 or nb == 0:
         return empty
     tok = vocab["token"]

@@ -629,23 +629,30 @@ def counter_rate(
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
-        us = _epoch_ns(df[ts_col]).to_numpy() // 1000
+        tvalid = df[ts_col].notna().to_numpy()
+        # null ts sorts LAST within its key (DuckDB ASC NULLS LAST) and
+        # yields NULL rate for itself and any row lagging from it — NaT's
+        # raw int64-min would instead sort it FIRST and fabricate a rate.
+        us = np.where(tvalid, _epoch_ns(df[ts_col]).to_numpy() // 1000,
+                      np.iinfo(np.int64).max)
         ids = df[id_col].to_numpy()
         order = np.lexsort((ids, us, codes))
         df = df.iloc[order]
         c = codes[order]
         t = us[order]
+        tv = tvalid[order]
         v = df[val_col].to_numpy(dtype=np.float64)
         first = np.ones(len(c), dtype=bool)
         first[1:] = c[1:] != c[:-1]
         pv = np.concatenate(([np.nan], v[:-1]))
         pt = np.concatenate(([0], t[:-1]))
+        ptv = np.concatenate(([False], tv[:-1]))
         pv[first] = np.nan
         dt = (t - pt) / 1e6
         with np.errstate(invalid="ignore", divide="ignore"):
             # NaN v or pv propagates to NaN; v < pv (reset) restarts at 0
             raw = np.where(v < pv, v, v - pv) / dt
-        rate = np.where(first | (dt == 0), np.nan, raw)
+        rate = np.where(first | ~tv | ~ptv | (dt == 0), np.nan, raw)
         return pd.DataFrame({
             key_col: df[key_col].to_numpy(),
             id_col: ids[order],

@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..ops.sample import shuffle_hash_sql
+from ..ops.sample import knuth_hash_sql, shuffle_hash_sql
 from ..parsers import Parser
 from ..router import Route, Router
 from ..stages import (
@@ -1575,10 +1575,10 @@ def q_geoip(sf_dir: str):
     })
 
     def ipify(b: pa.Table) -> pa.Table:
+        from ..ops.sample import knuth_hash
         ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ip = (ids * 2654435761) % 4294967296
         return pa.table({"event_id": b["event_id"],
-                         "ip": pa.array(ip, pa.int64())})
+                         "ip": pa.array(knuth_hash(ids), pa.int64())})
 
     return range_lookup_enrich(
         _read(sf_dir, "events", ["event_id"]
@@ -1622,10 +1622,11 @@ def q_late_events(sf_dir: str):
     from ..ops.windows import late_events
 
     def arrival(b: pa.Table) -> pa.Table:
+        from ..ops.sample import knuth_hash
         ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        arr = (ids * 2654435761) % 4294967296
         return pa.table({"user_id": b["user_id"],
-                         "arr": pa.array(arr, pa.int64()), "ts": b["ts"]})
+                         "arr": pa.array(knuth_hash(ids), pa.int64()),
+                         "ts": b["ts"]})
 
     out = late_events(
         _read(sf_dir, "events", ["event_id", "ts", "user_id"]
@@ -2800,7 +2801,7 @@ ORACLE_SQL: dict[str, str] = {
         "AS hi, 'C' || CAST(k AS VARCHAR) AS country "
         "FROM (SELECT unnest(range(100)) AS k)), "
         "ev AS (SELECT event_id, "
-        "(event_id * 2654435761) % 4294967296 AS ip FROM events) "
+        + knuth_hash_sql("event_id") + " AS ip FROM events) "
         "SELECT ev.event_id, ev.ip, d.country FROM ev "
         "LEFT JOIN dims d ON ev.ip >= d.lo AND ev.ip <= d.hi"
     ),
@@ -2821,9 +2822,9 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "late_events": (
         "WITH o AS (SELECT user_id, "
-        "(event_id * 2654435761) % 4294967296 AS arr, epoch_us(ts) AS t, "
+        + knuth_hash_sql("event_id") + " AS arr, epoch_us(ts) AS t, "
         "max(epoch_us(ts)) OVER (PARTITION BY user_id "
-        "ORDER BY (event_id * 2654435761) % 4294967296 "
+        "ORDER BY " + knuth_hash_sql("event_id") + " "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
         "FROM events) "
         "SELECT user_id, arr, pm - t AS lateness_us FROM o "

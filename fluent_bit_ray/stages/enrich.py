@@ -320,11 +320,16 @@ def range_lookup_enrich(ds, value_col: str, ranges: "pa.Table",
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         valid = np.asarray(pc.is_valid(col))
-        v = np.where(valid,
-                     col.to_numpy(zero_copy_only=False).astype(np.int64), 0)
-        idx = np.searchsorted(lo, v, side="right") - 1
-        safe = np.maximum(idx, 0)
-        hit = valid & (idx >= 0) & (v <= hi[safe])
+        # fill_null BEFORE to_numpy: a nullable int column would otherwise
+        # detour through float64 (NaN) and round values above 2^53.
+        v = pc.fill_null(col, 0).cast(pa.int64()).to_numpy()
+        if len(lo) == 0:
+            hit = np.zeros(len(b), dtype=bool)
+            safe = np.zeros(len(b), dtype=np.int64)
+        else:
+            idx = np.searchsorted(lo, v, side="right") - 1
+            safe = np.maximum(idx, 0)
+            hit = valid & (idx >= 0) & (v <= hi[safe])
         take = pa.array(np.where(hit, safe, -1), pa.int64())
         take = pc.if_else(pc.greater_equal(take, 0), take,
                           pa.scalar(None, pa.int64()))

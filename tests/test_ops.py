@@ -2990,6 +2990,42 @@ class TestRangeLookupEnrich:
                                  .values.tolist()))
         assert k(out) == k(exp)
 
+    def test_empty_ranges_all_null(self, ray_session):
+        # LEFT semantics with an EMPTY dims table: every payload is null
+        # (previously IndexError'd on hi[0] of a zero-length array)
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import range_lookup_enrich
+
+        ranges = pa.table({
+            "lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+            "country": pa.array([], pa.string()),
+        })
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([1, None, 5], pa.int64())}))
+        out = range_lookup_enrich(ds, "v", ranges, "lo", "hi").to_pandas()
+        assert len(out) == 3 and out["country"].isna().all()
+
+    def test_nullable_values_above_2pow53_stay_exact(self, ray_session):
+        # one null in the column must NOT force an int64->float64 detour:
+        # 2^53+1 would round to 2^53 and match the WRONG range
+        import ray.data
+
+        from fluent_bit_ray.stages.enrich import range_lookup_enrich
+
+        big = 2 ** 53
+        ranges = pa.table({
+            "lo": pa.array([big, big + 1], pa.int64()),
+            "hi": pa.array([big, big + 1], pa.int64()),
+            "name": ["exact", "plus_one"],
+        })
+        ds = ray.data.from_arrow(pa.table({
+            "v": pa.array([big + 1, None], pa.int64())}))
+        out = range_lookup_enrich(ds, "v", ranges, "lo", "hi"
+                                  ).to_pandas()
+        hit = out[out["v"].notna()]["name"].iloc[0]
+        assert hit == "plus_one"
+
 
 class TestCounterRate:
     def test_matches_duckdb_case(self, ray_session):
@@ -3048,6 +3084,40 @@ class TestCounterRate:
         assert out[3] == 0.3             # RESET: 3/10
         assert np.isnan(out[4])          # dt == 0
         assert out[5] == 0.6             # (9-3)/10
+
+    def test_null_ts_sorts_last_and_yields_null(self, ray_session):
+        # SQL parity: ASC NULLS LAST — a null-ts row must not become the
+        # key's "first" sample via NaT's int64-min epoch and fabricate a
+        # rate for the real rows (the previous behavior)
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import counter_rate
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime([10, None, 20, None, None], unit="s"),
+            "value": [100.0, 150.0, 200.0, 1.0, 2.0],
+        })
+        out = (counter_rate(ray.data.from_pandas(df)).to_pandas()
+               .set_index("event_id")["rate"])
+        duckdb.register("evnull", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT user_id, event_id, value v, "
+            "lag(value) OVER w pv, epoch_us(ts) t, "
+            "lag(epoch_us(ts)) OVER w pt FROM evnull "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, CASE WHEN pt IS NULL OR t = pt "
+            "OR v IS NULL OR pv IS NULL THEN NULL "
+            "WHEN v < pv THEN v / ((t - pt) / 1000000.0) "
+            "ELSE (v - pv) / ((t - pt) / 1000000.0) END rate FROM o"
+        ).df().set_index("event_id")["rate"]
+        for eid in df["event_id"]:
+            m, e = out[eid], exp[eid]
+            assert (np.isnan(m) and np.isnan(e)) or m == e
+        assert out[3] == 10.0  # the one real rate: (200-100)/10s
 
 
 class TestLogTemplates:
