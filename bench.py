@@ -339,12 +339,32 @@ def bench_window_dedup() -> float:
 
 
 def bench_pmi() -> float:
-    """PMI collocations: unigram + bigram keyed exchanges with in-shard
-    truncation."""
+    """PMI collocations: one tokenize pass, one w1-keyed exchange carries
+    unigram + bigram counts."""
     from fluent_bit_ray.pipelines.queries import q_pmi
 
     t0 = time.time()
     _consume(q_pmi(SF_DIR))
+    return time.time() - t0
+
+
+def bench_skew_join() -> float:
+    """salted skew join: hot key spread over 8 salts, dim rows replicated
+    per salt, one (key, salt) exchange."""
+    from fluent_bit_ray.pipelines.queries import q_skew_join
+
+    t0 = time.time()
+    _consume(q_skew_join(SF_DIR))
+    return time.time() - t0
+
+
+def bench_cohort() -> float:
+    """first-touch cohort retention: one user-keyed exchange, per-shard
+    exact distinct cells."""
+    from fluent_bit_ray.pipelines.queries import q_cohort_retention
+
+    t0 = time.time()
+    _consume(q_cohort_retention(SF_DIR))
     return time.time() - t0
 
 
@@ -376,6 +396,8 @@ BENCHES = {
     "log_templates": bench_log_templates,
     "window_dedup": bench_window_dedup,
     "pmi": bench_pmi,
+    "skew_join": bench_skew_join,
+    "cohort": bench_cohort,
 }
 
 

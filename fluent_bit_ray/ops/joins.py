@@ -368,10 +368,23 @@ def semi_join_exchange(
     return empty if out is None else out
 
 
+def _pa_type(typ) -> pa.DataType:
+    """Ray schema type -> Arrow type: pandas-block datasets report numpy
+    dtypes (and pandas extension dtypes like Int64) instead of Arrow."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    npd = getattr(typ, "numpy_dtype", typ)  # Int64Dtype -> int64
+    try:
+        return pa.from_numpy_dtype(npd)
+    except (pa.ArrowNotImplementedError, TypeError, ValueError):
+        return pa.string()  # object columns are strings in practice
+
+
 def _arrow_schema(ds) -> pa.Schema:
     sch = ds.schema()
     base = getattr(sch, "base_schema", sch)
-    return pa.schema(list(zip(base.names, base.types)))
+    return pa.schema(
+        [pa.field(n, _pa_type(t)) for n, t in zip(base.names, base.types)])
 
 
 def hash_join(
@@ -685,3 +698,155 @@ def set_op(
     if out is None:
         return _arrow_schema(left_ds.select_columns(cols)).empty_table()
     return out
+
+
+def hot_keys(ds, key_col: str, min_count: int, per_batch_k: int = 16):
+    """Cheap hot-key detector for the skew join: per-batch value_counts
+    keeps only each block's `per_batch_k` most frequent keys (fixed
+    per-block state), the driver sums those partials and returns keys
+    whose summed LOWER-BOUND count reaches `min_count`. A key above
+    min_count corpus-wide that is hot in most blocks is caught (the
+    skew-join use case); a borderline key that is missed merely stays on
+    the ordinary shuffle path — detection affects the PLAN, never the
+    result. Reads only the key column."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = col.drop_null().value_counts()
+        cnt = pc.cast(vc.field("counts"), pa.int64())
+        tab = pa.table({"k": vc.field("values"), "cnt": cnt})
+        order = pc.sort_indices(tab, sort_keys=[("cnt", "descending")])
+        return tab.take(order[:per_batch_k])
+
+    parts = [t for t in ray.get(
+        ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "k" in t.column_names]
+    if not parts:
+        return None  # caller supplies an empty array of the key's type
+    tot = pa.concat_tables(parts).group_by(["k"]).aggregate([("cnt", "sum")])
+    hot = tot.filter(pc.greater_equal(tot["cnt_sum"], min_count))
+    col = hot["k"]
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_keep: dict[str, str],
+    right_keep: dict[str, str],
+    out_key: Optional[str] = None,
+    min_hot_count: int = 100_000,
+    salts: int = 8,
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """Skew-safe big-fact × dim INNER equi-join — the salted variant of
+    `hash_join` for Zipf-distributed keys, where one hot key would
+    otherwise funnel a large fraction of the fact table through a single
+    reduce shard (the classic straggler at 100 TB).
+
+    Plan: (0) `hot_keys` scans the LEFT key column only and returns the
+    keys above `min_hot_count`; (1) both sides stream through ONE
+    (key, salt) exchange — a hot LEFT row gets salt = row-index % salts
+    (spreading the hot key over `salts` shards), a hot RIGHT row is
+    REPLICATED once per salt so every salted shard can complete its
+    matches locally; cold rows ride salt 0 unchanged. Shard-local
+    pd.merge on (key, salt) — replicas can never cross-match because the
+    salt is part of the merge key. Result is row-for-row identical to
+    `hash_join(..., how="inner")` / SQL INNER JOIN; only the partitioning
+    differs. Each fact row still moves exactly once; the replication cost
+    is |hot right rows| × salts (dim-sized, bounded by design — for a
+    hot-on-BOTH-sides many-to-many the cross product itself is the
+    problem, use range_join_agg).
+
+    Null semantics: a null key never matches; null-key rows are dropped
+    map-side on both sides (INNER)."""
+    overlap = set(left_keep.values()) & set(right_keep.values())
+    if overlap:
+        raise ValueError(f"output column collision across sides: {overlap}")
+    import ray
+
+    key_out = out_key or left_key
+    l_sch, r_sch = _arrow_schema(left_ds), _arrow_schema(right_ds)
+    key_typ = l_sch.field(left_key).type
+    numeric_key = pa.types.is_integer(key_typ) or pa.types.is_floating(key_typ)
+
+    def _xkey(col):
+        # same canonical-dtype trick as hash_join: pandas hashes int64
+        # and float64 differently and a null flips the block dtype
+        return pc.cast(col, pa.float64()) if numeric_key else col
+
+    hot = hot_keys(left_ds, left_key, min_hot_count)
+    if hot is None:
+        hot = pa.array([], key_typ)
+    hot_ref = ray.put(hot)
+
+    fields = [pa.field(key_out, key_typ)]
+    fields += [pa.field(d, l_sch.field(s).type) for s, d in left_keep.items()]
+    fields += [pa.field(d, r_sch.field(s).type) for s, d in right_keep.items()]
+    target = pa.schema(fields)
+    l_out = [key_out, *left_keep.values()]
+    r_out = list(right_keep.values())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[left_key]))
+        cols: dict = {key_out: t[left_key]}
+        for s, d in left_keep.items():
+            cols[d] = t[s]
+        is_hot = np.asarray(pc.is_in(t[left_key], value_set=ray.get(hot_ref)))
+        salt = np.where(is_hot,
+                        np.arange(t.num_rows, dtype=np.int64) % salts, 0)
+        cols["_side"] = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        cols["_salt"] = pa.array(salt, pa.int64())
+        cols["_jx"] = _xkey(t[left_key])
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[right_key]))
+        is_hot = np.asarray(pc.is_in(t[right_key], value_set=ray.get(hot_ref)))
+        n = t.num_rows
+        # replicate hot rows once per salt; cold rows once with salt 0
+        reps = np.where(is_hot, salts, 1).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+        offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        salt = np.arange(len(idx), dtype=np.int64) - np.repeat(offs, reps)
+        t = t.take(pa.array(idx, pa.int64()))
+        cols = {key_out: t[right_key]}
+        for s, d in right_keep.items():
+            cols[d] = t[s]
+        cols["_side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        cols["_salt"] = pa.array(salt, pa.int64())
+        cols["_jx"] = _xkey(t[right_key])
+        return pa.table(cols)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = _ensure_cols(t.to_pandas(), [*l_out, *r_out])
+        is_left = df["_side"].to_numpy() == 1
+        lf = df.loc[is_left, ["_jx", "_salt", *l_out]]
+        rf = df.loc[~is_left, ["_jx", "_salt", *r_out]]
+        m = lf.merge(rf, on=["_jx", "_salt"], how="inner", sort=False)
+        m = m[[*l_out, *r_out]]
+        for f in target:
+            if pd.api.types.is_float_dtype(m[f.name]):
+                if pa.types.is_integer(f.type):
+                    m[f.name] = m[f.name].astype("Int64")
+                elif not pa.types.is_floating(f.type):
+                    col = m[f.name]
+                    m[f.name] = col.astype(object).where(col.notna(), None)
+        return pa.Table.from_pandas(m, preserve_index=False, schema=target)
+
+    refs = (
+        left_ds.map_batches(prep_left, batch_format="pyarrow").to_arrow_refs()
+        + right_ds.map_batches(prep_right,
+                               batch_format="pyarrow").to_arrow_refs()
+    )
+    out = hash_exchange(refs, ["_jx", "_salt"], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    return target.empty_table() if out is None else out

@@ -1337,3 +1337,69 @@ def cms_error_check(ds, item_col: str, probes: int = 100,
             [int((est > true + bound).sum())], pa.int64()),
         "total_items": pa.array([n_total], pa.int64()),
     })
+
+
+def histogram_fixed_bins(ds, val_col: str, bins: int = 32):
+    """Two-pass global equi-width histogram — the profiling primitive the
+    single-pass sketches above can't give exactly: bin bounds depend on
+    the GLOBAL min/max, so pass 1 tree-reduces per-block (min, max)
+    partials to two scalars, and pass 2 bins every block against the
+    broadcast bounds with one np.bincount (fixed `bins`-long state per
+    block) and sums the tiny per-block count vectors on the driver. No
+    row-level shuffle at any point; the only data movement is bins×blocks
+    count rows.
+
+    Bucket math mirrors the SQL twin operation-for-operation so float64
+    results are bit-identical: w = (mx - mn) / bins;
+    b = min(floor((v - mn) / w), bins - 1); the mx == mn corpus collapses
+    to bucket 0. Nulls are excluded; an empty/all-null input returns an
+    empty table. Returns (bucket, cnt)."""
+    import ray
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        col = t[val_col]
+        mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+        if mn is None:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": pa.array([float(mn)]),
+                         "mx": pa.array([float(mx)])})
+
+    view = ds.select_columns([val_col])
+    mm = [t for t in ray.get(view.map_batches(
+        mm_partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "mn" in t.column_names]
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if not mm:
+        return empty
+    allmm = pa.concat_tables(mm)
+    mn = pc.min(allmm["mn"]).as_py()
+    mx = pc.max(allmm["mx"]).as_py()
+    w = (mx - mn) / float(bins)
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        if w == 0:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((v - mn) / w).astype(np.int64), bins - 1)
+        cnt = np.bincount(b, minlength=bins)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    parts = [t for t in ray.get(view.map_batches(
+        bin_partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "bucket" in t.column_names]
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts).group_by(["bucket"]).aggregate(
+        [("cnt", "sum")])
+    return out.rename_columns(["bucket", "cnt"])

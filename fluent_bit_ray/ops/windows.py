@@ -746,3 +746,71 @@ def resample_ffill(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def cohort_retention(
+    ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 604_800_000_000,
+    num_shards: int = 32,
+):
+    """First-touch cohort retention — the product-analytics heatmap: each
+    user joins the cohort of their FIRST event's epoch bucket (week by default,
+    any `bucket_us`), and the cell (cohort_bucket, bucket_offset) counts
+    the DISTINCT cohort users active that many buckets after first touch. Null user or ts rows drop
+    (SQL: JOIN USING(user_id) never matches null; epoch_us(NULL) bucket
+    never joins the cohort).
+
+    Scale shape: ONE user-keyed hash exchange of pruned fixed-width
+    (user, week) rows co-locates each user's full history, so the shard
+    computes first-week, offsets and the per-(cohort, offset) DISTINCT
+    user contribution locally — a user lives in exactly one shard, so the
+    per-shard distinct counts sum exactly (no second distinct pass). The
+    driver merge is a tiny group-sum over shards × live (cohort, offset)
+    cells. Returns (cohort_week, week_offset, users)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_exchange
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[user_col].notna() & df[ts_col].notna()
+        df = df[m]
+        # int64 floor-div matches SQL epoch_us(ts) // week_us exactly
+        w = _epoch_ns(df[ts_col]).to_numpy() // 1000 // bucket_us
+        return pd.DataFrame({user_col: df[user_col].to_numpy(), "w": w})
+
+    def per_shard(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        codes, _ = pd.factorize(df[user_col], use_na_sentinel=False)
+        w = df["w"].to_numpy()
+        order = np.lexsort((w, codes))
+        c, ws = codes[order], w[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        # sorted by (user, week): the user's first row IS their min week
+        cohort = np.repeat(ws[first], np.diff(
+            np.flatnonzero(np.concatenate((first, [True])))))
+        off = ws - cohort
+        cells = pd.DataFrame({"cohort_bucket": cohort,
+                              "bucket_offset": off,
+                              "u": c}).drop_duplicates()
+        g = (cells.groupby(["cohort_bucket", "bucket_offset"], sort=False)
+             .size().reset_index(name="users"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    merged = hash_exchange(parts.to_arrow_refs(), [user_col], per_shard)
+    empty = pa.table({"cohort_bucket": pa.array([], pa.int64()),
+                      "bucket_offset": pa.array([], pa.int64()),
+                      "users": pa.array([], pa.int64())})
+    if merged is None:
+        return empty
+    out = merged.group_by(["cohort_bucket", "bucket_offset"]).aggregate(
+        [("users", "sum")])
+    return pa.table({
+        "cohort_bucket": out["cohort_bucket"],
+        "bucket_offset": out["bucket_offset"],
+        "users": pc.cast(out["users_sum"], pa.int64()),
+    })

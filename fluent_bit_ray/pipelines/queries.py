@@ -2233,6 +2233,77 @@ def q_user_paths(sf_dir: str):
                                  "event_id"]))
 
 
+def q_histogram(sf_dir: str):
+    """32-bin GLOBAL equi-width histogram of event values — the two-pass
+    profile primitive: pass 1 tree-reduces per-block (min, max) to two
+    scalars, pass 2 bins every block against the broadcast bounds with
+    one np.bincount and sums the tiny count vectors
+    (ops/stats.histogram_fixed_bins — no row shuffle at any point; the
+    bucket float math mirrors the SQL twin operation-for-operation)."""
+    from ..ops.stats import histogram_fixed_bins
+
+    return histogram_fixed_bins(
+        _read(sf_dir, "events", ["value"]), "value", bins=32)
+
+
+def q_cohort_retention(sf_dir: str):
+    """first-touch cohort retention heatmap at daily grain: users
+    grouped by the epoch day of their FIRST event; each (cohort_bucket,
+    bucket_offset) cell counts distinct cohort users active that many
+    days later (ops/windows.cohort_retention — ONE user-keyed exchange,
+    per-shard exact distincts that sum because a user lives in exactly
+    one shard)."""
+    from ..ops.windows import cohort_retention
+
+    return cohort_retention(_read(sf_dir, "events", ["user_id", "ts"]),
+                            bucket_us=86_400_000_000)
+
+
+_SKEW_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_skew_join(sf_dir: str):
+    """skew-safe salted join under a deliberately Zipf-broken key: 75%
+    of events collapse onto one 'HOT' key (CASE expression shared with
+    the SQL twin), the rest spread over ~250 (type, user bucket) keys.
+    ops/joins.skew_join detects the hot key from a key-column-only scan,
+    spreads its fact rows over 8 salts and replicates the dim row per
+    salt — ONE (key, salt) exchange, no hot-shard straggler; the result
+    is row-identical to the plain INNER JOIN the oracle runs."""
+    import ray.data
+
+    from ..ops.joins import skew_join
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = (ids % 4) < 3
+        uid = b["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        uvalid = np.asarray(pc.is_valid(uid))
+        u50 = pc.fill_null(uid, 0).cast(pa.int64()).to_numpy() % 50
+        u50s = pc.cast(pa.array(u50, pa.int64(), mask=~uvalid), pa.string())
+        et = b["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tail = pc.binary_join_element_wise(et, u50s, "_")
+        k = pc.if_else(pa.array(hot), pa.scalar("HOT", pa.string()), tail)
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    dim_k = ["HOT"] + [f"{t}_{i}" for ti, t in enumerate(_SKEW_TYPES)
+                       for i in range(50)]
+    dim_g = [-1] + [ti * 50 + i for ti in range(len(_SKEW_TYPES))
+                    for i in range(50)]
+    dim = ray.data.from_arrow(pa.table({
+        "k": pa.array(dim_k, pa.string()),
+        "grp": pa.array(dim_g, pa.int64()),
+    }))
+    left = _read(sf_dir, "events", ["event_id", "user_id", "event_type"]
+                 ).map_batches(keyed, batch_format="pyarrow")
+    return skew_join(left, dim, "k", "k", {"event_id": "event_id"},
+                     {"grp": "grp"}, min_hot_count=500, salts=8)
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2333,6 +2404,9 @@ QUERIES: dict[str, Callable] = {
     "log_templates": q_log_templates,
     "tail_sampling": q_tail_sampling,
     "resample": q_resample,
+    "histogram": q_histogram,
+    "cohort_retention": q_cohort_retention,
+    "skew_join": q_skew_join,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2829,6 +2903,33 @@ ORACLE_SQL: dict[str, str] = {
         "FROM events) "
         "SELECT user_id, arr, pm - t AS lateness_us FROM o "
         "WHERE t < pm - 86400000000"
+    ),
+    "histogram": (
+        "WITH b AS (SELECT min(value) mn, max(value) mx FROM events "
+        "WHERE value IS NOT NULL) "
+        "SELECT CASE WHEN mx = mn THEN 0 ELSE "
+        "LEAST(CAST(floor((value - mn) / ((mx - mn) / 32.0)) AS BIGINT), "
+        "31) END AS bucket, count(*) AS cnt "
+        "FROM events, b WHERE value IS NOT NULL GROUP BY 1"
+    ),
+    "cohort_retention": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS w "
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id) "
+        "SELECT f.cw AS cohort_bucket, e.w - f.cw AS bucket_offset, "
+        "count(DISTINCT e.user_id) AS users "
+        "FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+    ),
+    "skew_join": (
+        "WITH dim AS (SELECT 'HOT' AS k, -1 AS grp "
+        "UNION ALL SELECT et || '_' || CAST(i AS VARCHAR), ei * 50 + i "
+        "FROM (SELECT unnest(['click','view','purchase','signup','error'])"
+        " AS et, unnest([0,1,2,3,4]) AS ei), "
+        "(SELECT unnest(range(50)) AS i)), "
+        "ev AS (SELECT event_id, CASE WHEN event_id % 4 < 3 THEN 'HOT' "
+        "ELSE event_type || '_' || CAST(user_id % 50 AS VARCHAR) END AS k "
+        "FROM events) "
+        "SELECT ev.event_id, ev.k, d.grp FROM ev JOIN dim d ON ev.k = d.k"
     ),
     "cms_counts": (
         # the sketch itself has no SQL twin; the oracle pins the exact

@@ -3245,3 +3245,140 @@ class TestResampleFfill:
             for a, b, v in d[["user_id", "bucket", "value"]].values)
         assert k(out) == k(exp)
         assert len(exp) > n  # densified
+
+
+class TestSkewJoin:
+    def _duck(self, lf, rf):
+        import duckdb
+        duckdb.register("skl", lf)
+        duckdb.register("skr", rf)
+        return duckdb.sql(
+            "SELECT l.k, l.lv, r.rv FROM skl l JOIN skr r ON l.k = r.k"
+        ).df()
+
+    @staticmethod
+    def _key(d):
+        return sorted(map(tuple, d[["k", "lv", "rv"]].astype(object)
+                          .values.tolist()))
+
+    def test_matches_plain_inner_join_with_hot_key(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import skew_join
+
+        rng = np.random.RandomState(3)
+        n = 4000
+        # 70% of fact rows on key 0 (the hot key), the rest over 1..199
+        k = np.where(rng.rand(n) < 0.7, 0, rng.randint(1, 200, n))
+        lf = pd.DataFrame({"k": k, "lv": np.arange(n, dtype=np.int64)})
+        # dim with a MANY-row hot key: replication must not dup or drop
+        rf = pd.DataFrame({"k": np.r_[0, 0, np.arange(1, 200)],
+                           "rv": np.arange(201, dtype=np.int64)})
+        out = skew_join(
+            ray.data.from_pandas(lf).repartition(5),
+            ray.data.from_pandas(rf).repartition(3),
+            "k", "k", {"lv": "lv"}, {"rv": "rv"},
+            min_hot_count=500, salts=4).to_pandas()
+        exp = self._duck(lf, rf)
+        assert self._key(out) == self._key(exp)
+        # the hot key really was detected (sanity that the salted path ran)
+        from fluent_bit_ray.ops.joins import hot_keys
+        hot = hot_keys(ray.data.from_pandas(lf), "k", 500)
+        assert 0 in hot.to_pylist()
+
+    def test_no_hot_keys_and_nulls(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import skew_join
+
+        lf = pd.DataFrame({"k": pd.array([1, 2, None, 3, 2], dtype="Int64"),
+                           "lv": np.arange(5, dtype=np.int64)})
+        rf = pd.DataFrame({"k": pd.array([2, 3, None, 9], dtype="Int64"),
+                           "rv": np.arange(4, dtype=np.int64)})
+        out = skew_join(
+            ray.data.from_pandas(lf).repartition(2),
+            ray.data.from_pandas(rf),
+            "k", "k", {"lv": "lv"}, {"rv": "rv"},
+            min_hot_count=10**9, salts=8).to_pandas()
+        exp = self._duck(lf, rf)  # null keys never match
+        assert self._key(out) == self._key(exp) and len(out) == 3
+
+
+class TestHistogramFixedBins:
+    def test_matches_duckdb_width_math(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import histogram_fixed_bins
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame({"v": np.where(rng.rand(3000) < 0.05, np.nan,
+                                         rng.randn(3000) * 37.0 + 11.0)})
+        out = histogram_fixed_bins(
+            ray.data.from_pandas(df).repartition(6), "v", bins=16
+        ).to_pandas().sort_values("bucket").reset_index(drop=True)
+        duckdb.register("hv", df)
+        exp = duckdb.sql(
+            "WITH b AS (SELECT min(v) mn, max(v) mx FROM hv "
+            "WHERE v IS NOT NULL) SELECT CASE WHEN mx = mn THEN 0 ELSE "
+            "LEAST(CAST(floor((v - mn) / ((mx - mn) / 16.0)) AS BIGINT), "
+            "15) END AS bucket, count(*) AS cnt FROM hv, b "
+            "WHERE v IS NOT NULL GROUP BY 1 ORDER BY 1").df()
+        assert out["bucket"].tolist() == exp["bucket"].tolist()
+        assert out["cnt"].tolist() == exp["cnt"].tolist()
+        assert out["cnt"].sum() == df["v"].notna().sum()
+
+    def test_constant_and_all_null(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import histogram_fixed_bins
+
+        const = histogram_fixed_bins(
+            ray.data.from_pandas(pd.DataFrame({"v": [5.0] * 40})), "v",
+            bins=8).to_pandas()
+        assert const["bucket"].tolist() == [0]
+        assert const["cnt"].tolist() == [40]
+        nul = histogram_fixed_bins(
+            ray.data.from_pandas(pd.DataFrame({"v": [np.nan] * 7})), "v",
+            bins=8).to_pandas()
+        assert len(nul) == 0
+
+
+class TestCohortRetention:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import cohort_retention
+
+        rng = np.random.RandomState(11)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 120, n).astype(np.float64),
+            "ts": pd.to_datetime(rng.randint(0, 40 * 86400, n), unit="s"),
+        })
+        df.loc[rng.rand(n) < 0.03, "user_id"] = np.nan   # null users drop
+        df.loc[rng.rand(n) < 0.03, "ts"] = pd.NaT        # null ts drop
+        out = cohort_retention(
+            ray.data.from_pandas(df).repartition(7),
+            bucket_us=86_400_000_000 * 7).to_pandas()
+        duckdb.register("coh", df)
+        exp = duckdb.sql(
+            "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w "
+            "FROM coh WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY user_id) "
+            "SELECT f.cw AS cohort_bucket, e.w - f.cw AS bucket_offset, "
+            "count(DISTINCT e.user_id) AS users FROM e JOIN f "
+            "USING (user_id) GROUP BY 1, 2").df()
+        k = lambda d: sorted(map(tuple, d[
+            ["cohort_bucket", "bucket_offset", "users"]
+        ].astype(np.int64).values.tolist()))
+        assert k(out) == k(exp)
+        # every user's offset-0 cell exists: sum of cohort sizes = users
+        z = out[out["bucket_offset"] == 0]["users"].sum()
+        assert z == df.dropna(subset=["user_id", "ts"])["user_id"].nunique()
