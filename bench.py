@@ -358,6 +358,16 @@ def bench_skew_join() -> float:
     return time.time() - t0
 
 
+def bench_url_dedup() -> float:
+    """URL canonicalization dedup: 4 Arrow RE2 kernels + one canon-keyed
+    exchange of (canon, min, cnt) partials."""
+    from fluent_bit_ray.pipelines.queries import q_url_dedup
+
+    t0 = time.time()
+    _consume(q_url_dedup(SF_DIR))
+    return time.time() - t0
+
+
 def bench_cohort() -> float:
     """first-touch cohort retention: one user-keyed exchange, per-shard
     exact distinct cells."""
@@ -398,6 +408,7 @@ BENCHES = {
     "pmi": bench_pmi,
     "skew_join": bench_skew_join,
     "cohort": bench_cohort,
+    "url_dedup": bench_url_dedup,
 }
 
 

@@ -956,3 +956,31 @@ def log_templates(ds, text_col: str = "text", min_count: int = 1):
         return pa.table({"template": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
     return out
+
+
+_URL_CANON_RULES: tuple = (
+    (r"#.*$", ""),            # fragment
+    (r"[?&]utm_[^&#]*", ""),  # tracking params, wherever they sit
+    (r"\?$", ""),             # dangling '?' once every param is gone
+)
+
+
+def url_canonicalize_batch(batch: pa.Table, url_col: str = "url",
+                           out_col: str = "canon") -> pa.Table:
+    """URL canonicalization — the web-corpus dedup key: lowercase, strip
+    `#fragment`, strip `utm_*` tracking params, strip a dangling `?`.
+    One Arrow RE2 `replace_substring_regex` pass per rule, and the SQL
+    twin applies the IDENTICAL patterns in the identical order via
+    `regexp_replace(..., 'g')` — both engines are RE2, so the rule list
+    is parity by construction. Scope (documented): the whole URL is
+    lowercased (host case never matters; these corpora carry case-free
+    paths), and a utm param FIRST in a multi-param query leaves a
+    '&'-led tail in both engine and twin — canonicalization is a rule
+    list, not a URL parser. Nulls canonicalize to ''."""
+    col = batch[url_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.utf8_lower(pc.fill_null(col, ""))
+    for pat, repl in _URL_CANON_RULES:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return batch.append_column(out_col, col)

@@ -2304,6 +2304,79 @@ def q_skew_join(sf_dir: str):
                      {"grp": "grp"}, min_hot_count=500, salts=8)
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization dedup — the web-corpus recrawl collapse:
+    deterministic messy variants (utm params, #fragment, case — same
+    CASE expression as the SQL twin) canonicalize via the shared RE2
+    rule list (ops/text.url_canonicalize_batch), then ONE canon-keyed
+    exchange keeps min(doc_id) + variant count per canonical URL."""
+    from ..ops.text import url_canonicalize_batch
+    from ..shuffle import hash_exchange
+
+    def decorate(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pc.cast(pa.array((ids // 4) % 97, pa.int64()), pa.string())
+        p = pc.cast(pa.array(ids // 4, pa.int64()), pa.string())
+        base = pc.binary_join_element_wise(
+            "https://Host", h, ".Example.com/p/", p, "")
+        v = ids % 4
+        suf = np.select(
+            [v == 1, v == 2, v == 3],
+            ["?utm_source=x&utm_campaign=y", "#Frag", "?a=1&utm_medium=z"],
+            default="")
+        url = pc.binary_join_element_wise(
+            base, pa.array(suf, pa.string()), "")
+        return pa.table({"doc_id": b["doc_id"], "url": url})
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["canon"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({"canon": g["canon"], "first_doc": g["doc_id_min"],
+                         "variants": pc.cast(g["doc_id_count"], pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["canon"]).aggregate(
+            [("first_doc", "min"), ("variants", "sum")])
+        return pa.table({"url": g["canon"], "first_doc": g["first_doc_min"],
+                         "variants": pc.cast(g["variants_sum"], pa.int64())})
+
+    parts = (_read(sf_dir, "documents", ["doc_id"])
+             .map_batches(decorate, batch_format="pyarrow")
+             .map_batches(url_canonicalize_batch, batch_format="pyarrow"))
+    out = hash_exchange(parts.to_arrow_refs(), ["canon"], merge,
+                        combine_fn=combine)
+    if out is None:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "first_doc": pa.array([], pa.int64()),
+                         "variants": pa.array([], pa.int64())})
+    return out
+
+
+def q_schema_union(sf_dir: str):
+    """schema-drift UNION ALL (the log-pipeline deploy reality): the
+    event stream arrives as two generations — gen A (even ids) carries
+    (event_id, user_id, value), gen B (odd ids) carries
+    (event_id, event_type) — ops/schema.union_evolved unifies the
+    schema from metadata only, null-fills each side in one zero-shuffle
+    alignment map and chains the streams."""
+    from ..ops.schema import union_evolved
+
+    def gen(cols, parity):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["event_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            m = ids.to_numpy(zero_copy_only=False).astype(np.int64) % 2
+            return t.filter(pa.array(m == parity))
+        return _read(sf_dir, "events", cols).map_batches(
+            fn, batch_format="pyarrow")
+
+    return union_evolved([
+        gen(["event_id", "user_id", "value"], 0),
+        gen(["event_id", "event_type"], 1),
+    ])
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2407,6 +2480,8 @@ QUERIES: dict[str, Callable] = {
     "histogram": q_histogram,
     "cohort_retention": q_cohort_retention,
     "skew_join": q_skew_join,
+    "url_dedup": q_url_dedup,
+    "schema_union": q_schema_union,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -2930,6 +3005,27 @@ ORACLE_SQL: dict[str, str] = {
         "ELSE event_type || '_' || CAST(user_id % 50 AS VARCHAR) END AS k "
         "FROM events) "
         "SELECT ev.event_id, ev.k, d.grp FROM ev JOIN dim d ON ev.k = d.k"
+    ),
+    "url_dedup": (
+        "WITH u AS (SELECT doc_id, 'https://Host' || "
+        "CAST((doc_id // 4) % 97 AS VARCHAR) || '.Example.com/p/' || "
+        "CAST(doc_id // 4 AS VARCHAR) || CASE doc_id % 4 "
+        "WHEN 1 THEN '?utm_source=x&utm_campaign=y' WHEN 2 THEN '#Frag' "
+        "WHEN 3 THEN '?a=1&utm_medium=z' ELSE '' END AS url "
+        "FROM documents), "
+        "c AS (SELECT doc_id, regexp_replace(regexp_replace("
+        "regexp_replace(lower(url), '#.*$', '', 'g'), "
+        "'[?&]utm_[^&#]*', '', 'g'), '\\?$', '', 'g') AS canon FROM u) "
+        "SELECT canon AS url, min(doc_id) AS first_doc, "
+        "count(*) AS variants FROM c GROUP BY 1"
+    ),
+    "schema_union": (
+        "SELECT event_id, user_id, value, "
+        "CAST(NULL AS VARCHAR) AS event_type "
+        "FROM events WHERE event_id % 2 = 0 "
+        "UNION ALL SELECT event_id, CAST(NULL AS BIGINT), "
+        "CAST(NULL AS DOUBLE), event_type FROM events "
+        "WHERE event_id % 2 = 1"
     ),
     "cms_counts": (
         # the sketch itself has no SQL twin; the oracle pins the exact

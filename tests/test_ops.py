@@ -3382,3 +3382,73 @@ class TestCohortRetention:
         # every user's offset-0 cell exists: sum of cohort sizes = users
         z = out[out["bucket_offset"] == 0]["users"].sum()
         assert z == df.dropna(subset=["user_id", "ts"])["user_id"].nunique()
+
+
+class TestUrlCanonicalize:
+    def test_rules_match_duckdb_regexp_chain(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from fluent_bit_ray.ops.text import url_canonicalize_batch
+
+        urls = [
+            "https://EX.com/A?utm_source=s&b=2#frag",  # utm-first tail
+            "https://ex.com/a?b=2&utm_medium=m",
+            "https://ex.com/a#only-frag",
+            "https://ex.com/a?utm_only=1",
+            "https://ex.com/a",
+            "HTTPS://UPPER.ORG/P?UTM_X=1",             # rules run on lower()
+            None,
+            "",
+        ]
+        out = url_canonicalize_batch(
+            pa.table({"url": pa.array(urls, pa.string())}))
+        duckdb.register("uc", pd.DataFrame({"url": urls}))
+        exp = duckdb.sql(
+            "SELECT regexp_replace(regexp_replace(regexp_replace("
+            "lower(coalesce(url, '')), '#.*$', '', 'g'), "
+            "'[?&]utm_[^&#]*', '', 'g'), '\\?$', '', 'g') AS canon FROM uc"
+        ).df()["canon"].tolist()
+        assert out["canon"].to_pylist() == exp
+        # spot semantics: fragment and dangling '?' gone, case folded
+        got = dict(zip(urls, out["canon"].to_pylist()))
+        assert got["https://ex.com/a#only-frag"] == "https://ex.com/a"
+        assert got["https://ex.com/a?utm_only=1"] == "https://ex.com/a"
+        assert got["HTTPS://UPPER.ORG/P?UTM_X=1"] == "https://upper.org/p"
+        assert got[None] == ""
+
+
+class TestUnionEvolved:
+    def test_null_fill_and_int_promotion(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.schema import union_evolved
+
+        a = ray.data.from_arrow(pa.table({
+            "id": pa.array([1, 2], pa.int32()),      # promotes to int64
+            "v": pa.array([1.5, 2.5], pa.float64()),
+        })).repartition(2)
+        b = ray.data.from_arrow(pa.table({
+            "id": pa.array([3, 4], pa.int64()),
+            "tag": pa.array(["x", "y"], pa.string()),
+        }))
+        out = union_evolved([a, b]).to_pandas()
+        assert sorted(out.columns) == ["id", "tag", "v"]
+        assert sorted(out["id"].tolist()) == [1, 2, 3, 4]
+        byid = out.set_index("id")
+        import pandas as pd
+        assert pd.isna(byid.loc[1, "tag"]) and pd.isna(byid.loc[3, "v"])
+        assert byid.loc[3, "tag"] == "x" and byid.loc[1, "v"] == 1.5
+
+    def test_three_way_and_single(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.schema import union_evolved
+
+        parts = [ray.data.from_arrow(pa.table({c: pa.array([i], pa.int64())}))
+                 for i, c in enumerate("abc")]
+        out = union_evolved(parts).to_pandas()
+        assert len(out) == 3 and sorted(out.columns) == ["a", "b", "c"]
+        assert out["a"].notna().sum() == 1
+        one = union_evolved([parts[0]]).to_pandas()
+        assert one["a"].tolist() == [0]
