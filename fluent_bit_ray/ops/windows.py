@@ -814,3 +814,121 @@ def cohort_retention(
         "bucket_offset": out["bucket_offset"],
         "users": pc.cast(out["users_sum"], pa.int64()),
     })
+
+
+def interval_merge(
+    ds,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    num_shards: int = 32,
+):
+    """Gaps-and-islands interval coalescing per key: overlapping or
+    touching [s, e] intervals (next.s <= running max(e)) merge into one
+    span; returns (key, span_start, span_end, n_intervals) per island —
+    the downtime/coverage-consolidation op. SQL parity: running
+    max(e) OVER (... ROWS ... 1 PRECEDING), island = cumulative count of
+    `s > prev_max` breaks, then GROUP BY (key, island).
+
+    Key-shard pandas body like every window op: lexsort (key, s, e),
+    segment-reset running max via np.maximum.accumulate on a
+    key-offset composite, island ids by cumsum of breaks — no per-key
+    Python. Null key forms its own group; null s or e rows are the
+    caller's contract to exclude (SQL twin filters them)."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        s = df[start_col].to_numpy()
+        e = df[end_col].to_numpy()
+        order = np.lexsort((e, s, codes))
+        df = df.iloc[order]
+        c, ss, ee = codes[order], s[order], e[order]
+        n = len(c)
+        first = np.ones(n, dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        # running max of e with reset at key starts: lift each key's run
+        # far above the previous key's in a composite space, accumulate,
+        # then project back — same trick as the searchsorted windows
+        if n:
+            lo = min(int(ee.min()), int(ss.min()))
+            hi = max(int(ee.max()), int(ss.max()))
+            span = (hi - lo) + 1
+            lift = c.astype(np.int64) * span
+            cm = np.maximum.accumulate(ee - lo + lift) - lift + lo
+            prev_max = np.empty(n, dtype=np.int64)
+            prev_max[1:] = cm[:-1]
+            new_island = first | (ss > prev_max)
+        else:
+            new_island = first
+        island = np.cumsum(new_island)
+        g = (pd.DataFrame({key_col: df[key_col].to_numpy(),
+                           "_i": island, "s": ss, "e": ee})
+             .groupby([key_col, "_i"], sort=False, dropna=False)
+             .agg(span_start=("s", "min"), span_end=("e", "max"),
+                  n_intervals=("s", "size"))
+             .reset_index()[[key_col, "span_start", "span_end",
+                             "n_intervals"]])
+        return g
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
+def last_touch_attribution(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    touch_value: str = "click",
+    num_shards: int = 16,
+):
+    """Last-touch attribution — for every event, the id of the same
+    key's most recent `touch_value` event at or before it (a touch
+    attributes to itself): the marketing/attribution LOCF. SQL parity:
+    `last_value(CASE WHEN type = touch THEN id END IGNORE NULLS)
+    OVER (PARTITION BY key ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`;
+    null ts sorts LAST within its key (ASC NULLS LAST). Returns
+    (key, id, touch_id) with touch_id null before a key's first touch.
+
+    Key-shard pandas body: lexsort, forward-fill of the touch row's
+    POSITION via np.maximum.accumulate with per-key reset (position
+    -1 sentinel), one take — no per-key Python."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        tvalid = df[ts_col].notna().to_numpy()
+        us = np.where(tvalid, _epoch_ns(df[ts_col]).to_numpy() // 1000,
+                      np.iinfo(np.int64).max)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, us, codes))
+        df = df.iloc[order]
+        c = codes[order]
+        ids = ids[order]
+        n = len(c)
+        is_touch = (df[type_col] == touch_value).to_numpy()
+        pos = np.where(is_touch, np.arange(n, dtype=np.int64), -1)
+        first = np.ones(n, dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        # per-key reset: lift positions by key * (n+1) so accumulate
+        # never carries a touch across keys, then project back
+        lift = c.astype(np.int64) * (n + 1)
+        filled = np.maximum.accumulate(np.where(pos >= 0, pos + lift, -1))
+        filled = filled - lift
+        touch_pos = np.where((filled >= 0) & (filled < n), filled, -1)
+        # float64 + NaN (not nullable Int64): the nullable-BIGINT window
+        # result round-trips as float64 through pandas, and ids < 2^53
+        # stay exact — matches the oracle frame byte-for-byte
+        touch_id = np.where(
+            touch_pos >= 0,
+            ids[np.maximum(touch_pos, 0)].astype(np.float64), np.nan)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy(),
+            id_col: ids,
+            "touch_id": touch_id,
+        })
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

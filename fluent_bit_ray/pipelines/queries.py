@@ -2377,6 +2377,46 @@ def q_schema_union(sf_dir: str):
     ])
 
 
+def q_interval_merge(sf_dir: str):
+    """gaps-and-islands interval coalescing: each event becomes the
+    interval [ts, ts + value*600 seconds] (up to ~3.4 days, so real
+    merging happens against the ~days-apart per-user event spacing);
+    overlapping/touching same-user intervals merge into coverage spans
+    (ops/windows.interval_merge — key-shard lexsort + segment-reset
+    running max; running-max window + island-cumsum parity)."""
+    from ..ops.windows import interval_merge
+
+    def mk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["ts"]),
+                             pc.is_valid(t["value"])))
+        s = pc.cast(t["ts"], pa.int64())  # timestamp[us] -> epoch µs
+        v = t["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        dur = np.floor(v.to_numpy(zero_copy_only=False) * 600_000_000
+                       ).astype(np.int64)
+        e = pc.add(s, pa.array(dur, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "s": s, "e": e})
+
+    return interval_merge(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]
+              ).map_batches(mk, batch_format="pyarrow"))
+
+
+def q_attribution(sf_dir: str):
+    """last-touch attribution: every event carries the id of its user's
+    most recent 'click' at or before it (LOCF; a click attributes to
+    itself, pre-first-click events stay null)
+    (ops/windows.last_touch_attribution — key-shard lexsort +
+    per-key-reset maximum.accumulate position fill; last_value IGNORE
+    NULLS parity, null ts sorts last)."""
+    from ..ops.windows import last_touch_attribution
+
+    return last_touch_attribution(
+        _read(sf_dir, "events",
+              ["user_id", "ts", "event_type", "event_id"]))
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2482,6 +2522,8 @@ QUERIES: dict[str, Callable] = {
     "skew_join": q_skew_join,
     "url_dedup": q_url_dedup,
     "schema_union": q_schema_union,
+    "interval_merge": q_interval_merge,
+    "attribution": q_attribution,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3026,6 +3068,26 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL SELECT event_id, CAST(NULL AS BIGINT), "
         "CAST(NULL AS DOUBLE), event_type FROM events "
         "WHERE event_id % 2 = 1"
+    ),
+    "interval_merge": (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+        "CAST(floor(value * 600000000) AS BIGINT) AS e FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+        "o AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+        "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+        " AS pm FROM iv), "
+        "g AS (SELECT user_id, s, e, sum(CASE WHEN pm IS NULL OR s > pm "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY s, e "
+        "ROWS UNBOUNDED PRECEDING) AS isl FROM o) "
+        "SELECT user_id, min(s) AS span_start, max(e) AS span_end, "
+        "CAST(count(*) AS BIGINT) AS n_intervals FROM g "
+        "GROUP BY user_id, isl"
+    ),
+    "attribution": (
+        "SELECT user_id, event_id, last_value("
+        "CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS touch_id FROM events"
     ),
     "cms_counts": (
         # the sketch itself has no SQL twin; the oracle pins the exact

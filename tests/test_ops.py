@@ -3452,3 +3452,107 @@ class TestUnionEvolved:
         assert out["a"].notna().sum() == 1
         one = union_evolved([parts[0]]).to_pandas()
         assert one["a"].tolist() == [0]
+
+
+class TestIntervalMerge:
+    def test_matches_duckdb_islands(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import interval_merge
+
+        rng = np.random.RandomState(17)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 80, n),
+            "s": rng.randint(0, 100_000, n).astype(np.int64),
+        })
+        df["e"] = df["s"] + rng.randint(0, 3000, n)
+        out = interval_merge(
+            ray.data.from_pandas(df).repartition(9)).to_pandas()
+        duckdb.register("iv", df)
+        exp = duckdb.sql(
+            "WITH o AS (SELECT user_id, s, e, max(e) OVER ("
+            "PARTITION BY user_id ORDER BY s, e ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING) AS pm FROM iv), "
+            "g AS (SELECT user_id, s, e, sum(CASE WHEN pm IS NULL OR "
+            "s > pm THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM o) "
+            "SELECT user_id, min(s) AS span_start, max(e) AS span_end, "
+            "count(*) AS n_intervals FROM g GROUP BY user_id, isl").df()
+        k = lambda d: sorted(map(tuple, d[
+            ["user_id", "span_start", "span_end", "n_intervals"]
+        ].astype(np.int64).values.tolist()))
+        assert k(out) == k(exp)
+        # spans per key never overlap and cover every interval
+        assert out["n_intervals"].sum() == n
+
+    def test_touching_and_contained(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import interval_merge
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2],
+            "s": [0, 10, 3, 40, 5],
+            "e": [10, 20, 7, 50, 6],   # [3,7] contained; [10,20] touches
+        })
+        out = interval_merge(ray.data.from_pandas(df)).to_pandas()
+        got = sorted(map(tuple, out[
+            ["user_id", "span_start", "span_end", "n_intervals"]
+        ].values.tolist()))
+        assert got == [(1, 0, 20, 3), (1, 40, 50, 1), (2, 5, 6, 1)]
+
+
+class TestLastTouchAttribution:
+    def test_matches_duckdb_locf(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import last_touch_attribution
+
+        rng = np.random.RandomState(23)
+        n = 5000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 60, n),
+            "ts": pd.to_datetime(rng.randint(0, 10 * 86400, n), unit="s"),
+            "event_type": rng.choice(["click", "view", "buy"], n,
+                                     p=[0.1, 0.7, 0.2]),
+            "event_id": np.arange(n, dtype=np.int64),
+        })
+        df.loc[rng.rand(n) < 0.02, "ts"] = pd.NaT  # null ts sorts last
+        out = last_touch_attribution(
+            ray.data.from_pandas(df).repartition(8)).to_pandas()
+        duckdb.register("att", df)
+        exp = duckdb.sql(
+            "SELECT user_id, event_id, last_value(CASE WHEN event_type = "
+            "'click' THEN event_id END IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS touch_id FROM att").df()
+        m = out.set_index("event_id")["touch_id"]
+        x = exp.set_index("event_id")["touch_id"]
+        assert len(out) == n
+        assert ((m.isna() == x.reindex(m.index).isna()) & (
+            (m.fillna(-1) == x.reindex(m.index).fillna(-1)))).all()
+
+    def test_self_touch_and_pre_first(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import last_touch_attribution
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime([1, 2, 3, 1], unit="s"),
+            "event_type": ["view", "click", "view", "view"],
+            "event_id": [10, 11, 12, 20],
+        })
+        out = last_touch_attribution(
+            ray.data.from_pandas(df)).to_pandas().set_index("event_id")
+        assert pd.isna(out.loc[10, "touch_id"])     # before first click
+        assert out.loc[11, "touch_id"] == 11        # click attributes self
+        assert out.loc[12, "touch_id"] == 11
+        assert pd.isna(out.loc[20, "touch_id"])     # user with no click
