@@ -427,3 +427,40 @@ def global_rank_features(
 
     return global_sort(ds, keys, descending=descending,
                        rank_col=rank_col, block_fn=feats)
+
+
+def reservoir_per_key(
+    ds,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    n: int = 5,
+) -> Optional[pa.Table]:
+    """Deterministic n-per-key uniform sample: each key keeps the n rows
+    minimizing (knuth_hash(id), id) — hash-order selection is uniform
+    over ids, reproducible across runs and block layouts (unlike a true
+    reservoir, whose result depends on arrival order), and exactly
+    SQL-twinable (row_number() over the same hash order). Reuses the
+    scored top-n machinery with score = -hash: the map-side prune caps
+    each block's traffic at n rows per key, only survivors shuffle."""
+    from ..shuffle import hash_exchange
+
+    def add_h(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key_col: b[key_col],
+            id_col: b[id_col],
+            "_negh": pa.array(-knuth_hash(ids), pa.int64()),
+        })
+
+    pruned = ds.select_columns([key_col, id_col]).map_batches(
+        lambda b: _topn_by_score(add_h(b), key_col, id_col, "_negh", n),
+        batch_format="pyarrow",
+    )
+    keep = lambda t: _topn_by_score(t, key_col, id_col, "_negh", n)
+    out = hash_exchange(
+        pruned.to_arrow_refs(), [key_col], lambda t: keep(t).drop(["_negh"]),
+        combine_fn=keep,
+    )
+    if out is None:
+        return None
+    return out

@@ -984,3 +984,75 @@ def url_canonicalize_batch(batch: pa.Table, url_col: str = "url",
     for pat, repl in _URL_CANON_RULES:
         col = pc.replace_substring_regex(col, pat, repl)
     return batch.append_column(out_col, col)
+
+
+def tokenize_ids(ds, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 256):
+    """Vocabulary-indexed tokenization — the corpus -> token-id encode
+    step of a training-data build: ids 0..k-1 are the top-k corpus
+    tokens in (count desc, token asc) rank order, every other token maps
+    to the OOV id k. Per non-empty doc: the order-preserving
+    space-joined id sequence plus token/OOV counts (empty docs encode to
+    nothing, like the other token ops).
+
+    Phase 1 reuses vocab_topk's exchange (only (distinct token, partial
+    count) rows move); the k-row vocab broadcasts once via ray.put.
+    Phase 2 is a pure map: index_in against the broadcast token array IS
+    the id (the vocab arrives rank-ordered), ids render with one Arrow
+    int->string cast, and the per-doc join is pc.binary_join over a
+    ListArray rebuilt from the flat bounds — no Python row loop.
+    """
+    import ray
+
+    vocab = vocab_topk(ds, text_col=text_col, k=k)
+    tok = vocab["token"]
+    if isinstance(tok, pa.ChunkedArray):
+        tok = tok.combine_chunks()
+    vref = ray.put(tok)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        tokens = ray.get(vref)
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=tokens), k)
+        ).astype(np.int64)
+        id_str = pc.cast(pa.array(idx, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), id_str)
+        joined = pc.binary_join(lists, " ")
+        n_oov = _per_doc_sum((idx == k).astype(np.int64), bounds)
+        live = n_tokens > 0
+        mask = pa.array(live)
+        return pa.table({
+            id_col: batch[id_col].filter(mask),
+            "n_tokens": pa.array(n_tokens[live], pa.int64()),
+            "n_oov": pa.array(n_oov[live], pa.int64()),
+            "ids": joined.filter(mask),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def token_coverage(ds, text_col: str = "text", k: int = 100) -> pa.Table:
+    """Zipf head-coverage curve: for the top-k corpus tokens in
+    (count desc, token asc) rank order, the cumulative fraction of ALL
+    corpus tokens that ranks 1..r cover — the curve that sizes a
+    vocabulary (how big must k be for 95% coverage). Reuses the
+    vocab_topk exchange for the head and an exact scalar aggregate for
+    the denominator, so only (distinct token, partial count) rows and
+    one number ever move; the k-row cumsum happens on the driver."""
+    vocab = vocab_topk(ds, text_col=text_col, k=k)
+
+    def _tot(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(_doc_tokens(b[text_col])[2].sum())], pa.int64())})
+
+    total = ds.map_batches(_tot, batch_format="pyarrow").sum("n")
+    cnt = vocab["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(cnt, dtype=np.int64)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(cnt) + 1, dtype=np.int64)),
+        "token": vocab["token"],
+        "cnt": pa.array(cnt, pa.int64()),
+        "coverage": pa.array(cum / float(total or 1), pa.float64()),
+    })

@@ -932,3 +932,57 @@ def last_touch_attribution(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_shards: int = 32,
+):
+    """Per-key time-weighted average — the TWAP/gauge-averaging op: each
+    value holds from its event until the key's next event, so
+    twap = sum(v_i * (t_{i+1} - t_i)) / (t_last - t_first) over the
+    key's (ts, id)-ordered valid events. Keys whose valid events span
+    zero time (single event, or all at one instant) are omitted — no
+    interval to average over. Rows with null ts or value are excluded
+    up front (their hold semantics are undefined). SQL parity:
+    lead(t) OVER (PARTITION BY key ORDER BY t, id), GROUP BY key,
+    HAVING max(t) > min(t); the id tiebreak pins WHICH equal-ts value
+    holds the nonzero interval to the next distinct timestamp.
+
+    Key-shard pandas body like the other window ops: one lexsort
+    (id, t, key), a shifted-diff for the hold durations (zeroed at key
+    boundaries), one groupby-sum — no per-key Python."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[ts_col].notna() & df[val_col].notna()]
+        if not len(df):
+            return pd.DataFrame({key_col: pd.Series([], dtype=np.int64),
+                                 "twap": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        t = _epoch_ns(df[ts_col]).to_numpy() // 1000
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        c, tt = codes[order], t[order]
+        v = df[val_col].to_numpy()[order]
+        n = len(c)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = c[:-1] == c[1:]
+        dt = np.zeros(n, dtype=np.float64)
+        dt[:-1] = tt[1:] - tt[:-1]
+        dt[~same] = 0.0
+        g = (pd.DataFrame({key_col: df[key_col].to_numpy()[order],
+                           "_w": v * dt, "_dt": dt})
+             .groupby(key_col, sort=False, dropna=False)
+             .agg(w=("_w", "sum"), span=("_dt", "sum"))
+             .reset_index())
+        g = g[g["span"] > 0]
+        return pd.DataFrame({key_col: g[key_col],
+                             "twap": g["w"] / g["span"]})
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -2417,6 +2417,47 @@ def q_attribution(sf_dir: str):
               ["user_id", "ts", "event_type", "event_id"]))
 
 
+def q_tokenize_ids(sf_dir: str):
+    """vocabulary-indexed tokenization: top-16 corpus tokens become ids
+    0..15 in (count desc, token asc) rank order, everything else the OOV
+    id 16; per non-empty doc the order-preserving space-joined id
+    sequence + token/OOV counts (ops/text.tokenize_ids — vocab exchange
+    broadcast once, then a pure index_in + binary_join map)."""
+    return text_ops.tokenize_ids(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=16)
+
+
+def q_token_coverage(sf_dir: str):
+    """Zipf head-coverage curve: cumulative fraction of all corpus
+    tokens covered by the top-16 vocabulary ranks (ops/text.
+    token_coverage — vocab exchange + one exact scalar total)."""
+    return text_ops.token_coverage(
+        _read(sf_dir, "documents", ["text"]), k=16)
+
+
+def q_reservoir_sample(sf_dir: str):
+    """deterministic 4-per-user uniform sample by (knuth_hash(event_id),
+    event_id) order — the reproducible per-key reservoir analog
+    (ops/sample.reservoir_per_key: map-side prune caps traffic at n rows
+    per key per block, survivors-only exchange)."""
+    from ..ops.sample import reservoir_per_key
+
+    return reservoir_per_key(
+        _read(sf_dir, "events", ["user_id", "event_id"]),
+        "user_id", "event_id", n=4)
+
+
+def q_twap(sf_dir: str):
+    """per-user time-weighted average of value (each value holds until
+    the user's next event; zero-span users omitted) — the TWAP/gauge
+    averaging op (ops/windows.time_weighted_avg — key-shard lexsort +
+    shifted diff; lead() window parity with (ts, event_id) tiebreak)."""
+    from ..ops.windows import time_weighted_avg
+
+    return time_weighted_avg(
+        _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"]))
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2524,6 +2565,10 @@ QUERIES: dict[str, Callable] = {
     "schema_union": q_schema_union,
     "interval_merge": q_interval_merge,
     "attribution": q_attribution,
+    "tokenize_ids": q_tokenize_ids,
+    "token_coverage": q_token_coverage,
+    "reservoir_sample": q_reservoir_sample,
+    "twap": q_twap,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3088,6 +3133,57 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
         "OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS touch_id FROM events"
+    ),
+    "tokenize_ids": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT unnest(t) AS token FROM toks), "
+        "v AS (SELECT token, row_number() OVER (ORDER BY cnt DESC, token) "
+        "- 1 AS id FROM (SELECT token, count(*)::BIGINT AS cnt FROM flat "
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 16)), "
+        "tc AS (SELECT doc_id, t FROM toks WHERE len(t) > 0), "
+        "g AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i "
+        "FROM tc), "
+        "j AS (SELECT g.doc_id, g.i, coalesce(v.id, 16) AS id FROM g "
+        "LEFT JOIN v ON g.t[g.i] = v.token) "
+        "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+        "sum(CASE WHEN id = 16 THEN 1 ELSE 0 END)::BIGINT AS n_oov, "
+        "string_agg(id::VARCHAR, ' ' ORDER BY i) AS ids "
+        "FROM j GROUP BY doc_id"
+    ),
+    "token_coverage": (
+        "WITH toks AS (SELECT "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT unnest(t) AS token FROM toks), "
+        "tot AS (SELECT count(*)::DOUBLE AS c FROM flat), "
+        "top AS (SELECT token, count(*)::BIGINT AS cnt FROM flat "
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 16) "
+        "SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank, "
+        "token, cnt, sum(cnt) OVER (ORDER BY cnt DESC, token "
+        "ROWS UNBOUNDED PRECEDING) / (SELECT c FROM tot) AS coverage "
+        "FROM top"
+    ),
+    "reservoir_sample": (
+        "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY "
+        + knuth_hash_sql("event_id") + ", event_id) AS rn FROM events) "
+        "WHERE rn <= 4"
+    ),
+    "twap": (
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+        "value AS v FROM events WHERE ts IS NOT NULL "
+        "AND value IS NOT NULL), "
+        "l AS (SELECT user_id, v, t, lead(t) OVER (PARTITION BY user_id "
+        "ORDER BY t, event_id) AS nt FROM e) "
+        "SELECT user_id, sum(CASE WHEN nt IS NULL THEN 0 "
+        "ELSE v * (nt - t) END) / (max(t) - min(t)) AS twap "
+        "FROM l GROUP BY user_id HAVING max(t) > min(t)"
     ),
     "cms_counts": (
         # the sketch itself has no SQL twin; the oracle pins the exact

@@ -3556,3 +3556,182 @@ class TestLastTouchAttribution:
         assert out.loc[11, "touch_id"] == 11        # click attributes self
         assert out.loc[12, "touch_id"] == 11
         assert pd.isna(out.loc[20, "touch_id"])     # user with no click
+
+
+class TestTokenizeIds:
+    def test_rank_order_oov_and_empty(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import tokenize_ids
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["b b b a a c", "a rare b", "   ", "c a"],
+        })
+        # counts: a=4 b=4 c=2 rare=1 -> k=2 vocab [(a,0),(b,1)], OOV=2
+        out = (tokenize_ids(ray.data.from_arrow(docs).repartition(3), k=2)
+               .to_pandas().set_index("doc_id").sort_index())
+        assert out.loc[1, "ids"] == "1 1 1 0 0 2"
+        assert out.loc[2, "ids"] == "0 2 1"
+        assert 3 not in out.index                   # empty doc dropped
+        assert out.loc[4, "ids"] == "2 0"
+        assert out.loc[1, "n_tokens"] == 6 and out.loc[1, "n_oov"] == 1
+        assert out.loc[2, "n_oov"] == 1 and out.loc[4, "n_oov"] == 1
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.ops.text import tokenize_ids
+
+        rng = np.random.RandomState(5)
+        words = np.array(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+        texts = [" ".join(rng.choice(words, rng.randint(0, 12)))
+                 for _ in range(400)]
+        docs = pa.table({"doc_id": pa.array(range(400), pa.int64()),
+                         "text": texts})
+        out = (tokenize_ids(ray.data.from_arrow(docs).repartition(5), k=3)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        duckdb.register("tdocs", docs)
+        exp = duckdb.sql("""
+            WITH toks AS (SELECT doc_id, CASE WHEN
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN []
+              ELSE string_split_regex(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END
+              AS t FROM tdocs),
+            flat AS (SELECT unnest(t) AS token FROM toks),
+            v AS (SELECT token, row_number() OVER
+              (ORDER BY cnt DESC, token) - 1 AS id FROM
+              (SELECT token, count(*)::BIGINT AS cnt FROM flat
+               GROUP BY token ORDER BY cnt DESC, token LIMIT 3)),
+            tc AS (SELECT doc_id, t FROM toks WHERE len(t) > 0),
+            g AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+              FROM tc),
+            j AS (SELECT g.doc_id, g.i, coalesce(v.id, 3) AS id FROM g
+              LEFT JOIN v ON g.t[g.i] = v.token)
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+              sum(CASE WHEN id = 3 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+              string_agg(id::VARCHAR, ' ' ORDER BY i) AS ids
+            FROM j GROUP BY doc_id ORDER BY doc_id""").df()
+        assert out["ids"].tolist() == exp["ids"].tolist()
+        assert out["n_oov"].tolist() == exp["n_oov"].tolist()
+
+
+class TestTokenCoverage:
+    def test_cumulative_shares(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import token_coverage
+
+        docs = pa.table({
+            "text": ["a a a a b b c", "a b c d", ""],
+        })
+        out = token_coverage(
+            ray.data.from_arrow(docs).repartition(2), k=3).to_pandas()
+        # counts: a=5 b=3 c=2 d=1, total 11
+        assert out["token"].tolist() == ["a", "b", "c"]
+        assert out["rank"].tolist() == [1, 2, 3]
+        assert out["cnt"].tolist() == [5, 3, 2]
+        assert np.allclose(out["coverage"], [5 / 11, 8 / 11, 10 / 11])
+
+
+class TestReservoirPerKey:
+    def test_deterministic_and_uniform_contract(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import reservoir_per_key
+
+        rng = np.random.RandomState(3)
+        n = 3000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 40, n),
+            "event_id": np.arange(n, dtype=np.int64),
+        })
+        a = reservoir_per_key(
+            ray.data.from_pandas(df).repartition(4),
+            "user_id", "event_id", n=5).to_pandas()
+        b = reservoir_per_key(
+            ray.data.from_pandas(df).repartition(11),
+            "user_id", "event_id", n=5).to_pandas()
+        k = lambda d: sorted(map(tuple, d[
+            ["user_id", "event_id"]].values.tolist()))
+        assert k(a) == k(b)                 # block-layout independent
+        duckdb.register("rsv", df)
+        exp = duckdb.sql(
+            "SELECT user_id, event_id FROM (SELECT user_id, event_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY "
+            "(event_id * 2654435761) % 4294967296, event_id) AS rn "
+            "FROM rsv) WHERE rn <= 5").df()
+        assert k(a) == k(exp)
+        assert a.groupby("user_id").size().max() <= 5
+
+    def test_small_groups_kept_whole(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import reservoir_per_key
+
+        df = pd.DataFrame({"user_id": [1, 1, 2],
+                           "event_id": [10, 11, 20]})
+        out = reservoir_per_key(
+            ray.data.from_pandas(df), "user_id", "event_id", n=5
+        ).to_pandas()
+        assert len(out) == 3
+
+
+class TestTimeWeightedAvg:
+    def test_hand_case_and_tiebreak(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import time_weighted_avg
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "ts": pd.to_datetime([0, 10, 30, 5, 7, 7], unit="s"),
+            "value": [2.0, 4.0, 9.0, 1.0, 5.0, 8.0],
+            "event_id": [1, 2, 3, 4, 6, 5],
+        })
+        out = time_weighted_avg(
+            ray.data.from_pandas(df).repartition(3)
+        ).to_pandas().set_index("user_id")
+        # user1: 2*10 + 4*20 over span 30 -> 100/30
+        assert np.isclose(out.loc[1, "twap"], 100 / 30)
+        assert 2 not in out.index           # single event: no span
+        assert 3 not in out.index           # equal-ts only: zero span
+        assert len(out) == 1
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import time_weighted_avg
+
+        rng = np.random.RandomState(9)
+        n = 4000
+        df = pd.DataFrame({
+            "user_id": rng.randint(0, 50, n),
+            "ts": pd.to_datetime(rng.randint(0, 86400, n), unit="s"),
+            "value": rng.rand(n) * 100,
+            "event_id": np.arange(n, dtype=np.int64),
+        })
+        df.loc[rng.rand(n) < 0.02, "ts"] = pd.NaT
+        df.loc[rng.rand(n) < 0.02, "value"] = np.nan
+        out = time_weighted_avg(
+            ray.data.from_pandas(df).repartition(7)
+        ).to_pandas().sort_values("user_id").reset_index(drop=True)
+        duckdb.register("twv", df)
+        exp = duckdb.sql(
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
+            "value AS v FROM twv WHERE ts IS NOT NULL AND value IS NOT "
+            "NULL), l AS (SELECT user_id, v, t, lead(t) OVER (PARTITION "
+            "BY user_id ORDER BY t, event_id) AS nt FROM e) "
+            "SELECT user_id, sum(CASE WHEN nt IS NULL THEN 0 ELSE "
+            "v * (nt - t) END) / (max(t) - min(t)) AS twap FROM l "
+            "GROUP BY user_id HAVING max(t) > min(t) ORDER BY user_id"
+        ).df()
+        assert out["user_id"].tolist() == exp["user_id"].tolist()
+        assert np.allclose(out["twap"], exp["twap"])
