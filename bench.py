@@ -378,6 +378,26 @@ def bench_cohort() -> float:
     return time.time() - t0
 
 
+def bench_tokenize_ids() -> float:
+    """vocab-indexed tokenization: vocab exchange + broadcast, then a
+    pure index_in + binary_join encode map."""
+    from fluent_bit_ray.pipelines.queries import q_tokenize_ids
+
+    t0 = time.time()
+    _consume(q_tokenize_ids(SF_DIR))
+    return time.time() - t0
+
+
+def bench_interval_merge() -> float:
+    """gaps-and-islands interval coalescing: one key-shard exchange,
+    segment-reset running max per shard."""
+    from fluent_bit_ray.pipelines.queries import q_interval_merge
+
+    t0 = time.time()
+    _consume(q_interval_merge(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -409,6 +429,8 @@ BENCHES = {
     "skew_join": bench_skew_join,
     "cohort": bench_cohort,
     "url_dedup": bench_url_dedup,
+    "tokenize_ids": bench_tokenize_ids,
+    "interval_merge": bench_interval_merge,
 }
 
 
