@@ -1320,3 +1320,70 @@ def corpus_diff(
     )
     return hash_exchange(refs, [id_col], finish,
                          shard_output_dir=shard_output_dir)
+
+
+def split_leakage(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: Optional[dict] = None,
+) -> pa.Table:
+    """Cross-split contamination audit — the train/val/test leakage check
+    of a corpus build: exact-duplicate text groups whose members land in
+    MORE THAN ONE deterministic hash split (such duplicates leak eval
+    data into training). Composes the exact-dedup exchange with
+    hash_split: per-block partials pre-combine to one (text, min id,
+    total, per-split counts) row per distinct text per block, the 8-byte
+    content-hash exchange co-locates candidates, and the shard regroups
+    by the ACTUAL text (collision-exact) keeping groups spanning >1
+    split. Returns (group_id = min doc_id, n_docs, n_splits)."""
+    from ..shuffle import hash_exchange
+    from .sample import hash_split_batch
+
+    labels = list(splits or {"train": 0.98, "val": 0.01, "test": 0.01})
+    ncols = [f"n_{i}" for i in range(len(labels))]
+
+    def _regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["text_hash", text_col]).aggregate(
+            [("gid", "min"), ("n", "sum")] + [(c, "sum") for c in ncols]
+        )
+        ren = {"gid_min": "gid", "n_sum": "n"}
+        ren.update({f"{c}_sum": c for c in ncols})
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = add_text_hash(b, text_col)
+        sp = hash_split_batch(b, id_col, splits)["split"]
+        if isinstance(sp, pa.ChunkedArray):
+            sp = sp.combine_chunks()
+        cols = {
+            "text_hash": b["text_hash"],
+            text_col: b[text_col],
+            "gid": b[id_col],
+            "n": pa.array(np.ones(len(b), np.int64)),
+        }
+        for i, lab in enumerate(labels):
+            cols[ncols[i]] = pc.cast(pc.equal(sp, lab), pa.int64())
+        return _regroup(pa.table(cols))
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = _regroup(t)
+        nsplits = np.zeros(g.num_rows, dtype=np.int64)
+        for c in ncols:
+            nsplits += (g[c].to_numpy(zero_copy_only=False) > 0)
+        mask = pa.array(nsplits > 1)
+        return pa.table({
+            "group_id": g["gid"].filter(mask),
+            "n_docs": g["n"].filter(mask),
+            "n_splits": pa.array(nsplits[nsplits > 1], pa.int64()),
+        })
+
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),
+        ["text_hash"], finish, combine_fn=_regroup,
+    )
+    if out is None:
+        return pa.table({"group_id": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_splits": pa.array([], pa.int64())})
+    return out

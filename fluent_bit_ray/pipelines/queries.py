@@ -2458,6 +2458,15 @@ def q_twap(sf_dir: str):
         _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"]))
 
 
+def q_split_leakage(sf_dir: str):
+    """cross-split contamination audit over the clone-augmented corpus:
+    exact-duplicate text groups spanning >1 deterministic hash split —
+    eval data leaking into train (ops/dedup.split_leakage — exact-dedup
+    exchange composed with hash_split; per-block partials carry per-split
+    counts, the shard regroups by the actual text, collision-exact)."""
+    return dedup.split_leakage(_augmented_docs_ds(sf_dir))
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2569,6 +2578,7 @@ QUERIES: dict[str, Callable] = {
     "token_coverage": q_token_coverage,
     "reservoir_sample": q_reservoir_sample,
     "twap": q_twap,
+    "split_leakage": q_split_leakage,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3174,6 +3184,17 @@ ORACLE_SQL: dict[str, str] = {
         "row_number() OVER (PARTITION BY user_id ORDER BY "
         + knuth_hash_sql("event_id") + ", event_id) AS rn FROM events) "
         "WHERE rn <= 4"
+    ),
+    "split_leakage": (
+        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        "s AS (SELECT doc_id, text, CASE WHEN h < 4209067950 THEN 'train' "
+        "WHEN h < 4252017623 THEN 'val' ELSE 'test' END AS split FROM "
+        "(SELECT doc_id, text, "
+        "((doc_id % 4294967296) * 2654435761) % 4294967296 AS h FROM aug)) "
+        "SELECT min(doc_id) AS group_id, count(*)::BIGINT AS n_docs, "
+        "count(DISTINCT split)::BIGINT AS n_splits FROM s GROUP BY text "
+        "HAVING count(DISTINCT split) > 1"
     ),
     "twap": (
         "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "

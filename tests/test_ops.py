@@ -3735,3 +3735,49 @@ class TestTimeWeightedAvg:
         ).df()
         assert out["user_id"].tolist() == exp["user_id"].tolist()
         assert np.allclose(out["twap"], exp["twap"])
+
+
+class TestSplitLeakage:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import split_leakage
+
+        rng = np.random.RandomState(7)
+        # many duplicate texts across scattered ids so splits really mix
+        texts = [f"doc {i % 37}" for i in range(2000)]
+        df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64),
+                           "text": texts})
+        out = split_leakage(
+            ray.data.from_pandas(df).repartition(8),
+            splits={"train": 0.5, "val": 0.25, "test": 0.25}).to_pandas()
+        duckdb.register("lk", df)
+        exp = duckdb.sql(
+            "WITH s AS (SELECT doc_id, text, CASE "
+            "WHEN h < 2147483648 THEN 'train' "
+            "WHEN h < 3221225472 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT doc_id, text, "
+            "((doc_id % 4294967296) * 2654435761) % 4294967296 AS h "
+            "FROM lk)) "
+            "SELECT min(doc_id) AS group_id, count(*) AS n_docs, "
+            "count(DISTINCT split) AS n_splits FROM s GROUP BY text "
+            "HAVING count(DISTINCT split) > 1").df()
+        k = lambda d: sorted(map(tuple, d[
+            ["group_id", "n_docs", "n_splits"]
+        ].astype(np.int64).values.tolist()))
+        assert k(out) == k(exp)
+        assert len(out) > 0          # dups this dense must leak
+
+    def test_single_split_groups_excluded(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import split_leakage
+
+        # unique texts can never span >1 split
+        df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                           "text": [f"unique {i}" for i in range(50)]})
+        out = split_leakage(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 0
