@@ -2467,6 +2467,43 @@ def q_split_leakage(sf_dir: str):
     return dedup.split_leakage(_augmented_docs_ds(sf_dir))
 
 
+def q_profile_columns(sf_dir: str):
+    """per-column dataset profile over every events column — row/null
+    counts and min/max as per-block Arrow partials folded on the driver,
+    exact distinct counts via ONE (col, value)-keyed exchange of
+    per-block-distinct pairs (ops/profile.profile_columns; the sketch
+    twin for corpus-cardinality columns is ops/stats.hll_distinct)."""
+    from ..ops.profile import profile_columns
+
+    return profile_columns(
+        _read(sf_dir, "events"),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def q_dq_audit(sf_dir: str):
+    """Deequ-style constraint audit over events: null / closed-range /
+    enum-drift (allowed list deliberately missing 'error' — stale enum) /
+    uniqueness-surplus / referential check against a deliberately STALE
+    dim snapshot (customers with key < 100), broadcast once and probed
+    with vectorized is_in (ops/profile.dq_audit — violation tallies are
+    fixed-width per-block partials; only the unique checks exchange)."""
+    from ..ops.profile import dq_audit
+
+    ck = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )["c_custkey"]
+    stale = pc.filter(ck, pc.less(ck, 100)).combine_chunks()
+    return dq_audit(
+        _read(sf_dir, "events"),
+        null_cols=["user_id"],
+        range_checks={"value": (0.0, 400.0)},
+        enum_checks={"event_type": ["click", "view", "purchase", "signup"]},
+        unique_cols=["event_id", "props"],
+        ref_checks={"user_id": stale},
+    )
+
+
 QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
@@ -2579,6 +2616,8 @@ QUERIES: dict[str, Callable] = {
     "reservoir_sample": q_reservoir_sample,
     "twap": q_twap,
     "split_leakage": q_split_leakage,
+    "profile_columns": q_profile_columns,
+    "dq_audit": q_dq_audit,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3195,6 +3234,46 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT min(doc_id) AS group_id, count(*)::BIGINT AS n_docs, "
         "count(DISTINCT split)::BIGINT AS n_splits FROM s GROUP BY text "
         "HAVING count(DISTINCT split) > 1"
+    ),
+    "profile_columns": (
+        "SELECT 'event_id' AS col, count(*) AS n_rows, "
+        "count(*) - count(event_id) AS null_cnt, "
+        "count(DISTINCT event_id) AS distinct_cnt, "
+        "CAST(min(event_id) AS DOUBLE) AS min_num, "
+        "CAST(max(event_id) AS DOUBLE) AS max_num, "
+        "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str "
+        "FROM events "
+        "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), "
+        "count(DISTINCT ts), CAST(epoch_us(min(ts)) AS DOUBLE), "
+        "CAST(epoch_us(max(ts)) AS DOUBLE), NULL, NULL FROM events "
+        "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), "
+        "count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE), "
+        "CAST(max(user_id) AS DOUBLE), NULL, NULL FROM events "
+        "UNION ALL SELECT 'event_type', count(*), "
+        "count(*) - count(event_type), count(DISTINCT event_type), "
+        "NULL, NULL, min(event_type), max(event_type) FROM events "
+        "UNION ALL SELECT 'value', count(*), count(*) - count(value), "
+        "count(DISTINCT value), min(value), max(value), NULL, NULL "
+        "FROM events "
+        "UNION ALL SELECT 'props', count(*), count(*) - count(props), "
+        "count(DISTINCT props), NULL, NULL, min(props), max(props) "
+        "FROM events"
+    ),
+    "dq_audit": (
+        "SELECT 'enum:event_type' AS check_name, count(*)::BIGINT AS "
+        "violations FROM events WHERE event_type IS NULL OR event_type "
+        "NOT IN ('click','view','purchase','signup') "
+        "UNION ALL SELECT 'null:user_id', count(*)::BIGINT FROM events "
+        "WHERE user_id IS NULL "
+        "UNION ALL SELECT 'range:value', count(*)::BIGINT FROM events "
+        "WHERE value IS NULL OR value < 0.0 OR value > 400.0 "
+        "UNION ALL SELECT 'ref:user_id', count(*)::BIGINT FROM events e "
+        "WHERE user_id IS NULL OR NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = e.user_id AND c.c_custkey < 100) "
+        "UNION ALL SELECT 'unique:event_id', "
+        "(count(event_id) - count(DISTINCT event_id))::BIGINT FROM events "
+        "UNION ALL SELECT 'unique:props', "
+        "(count(props) - count(DISTINCT props))::BIGINT FROM events"
     ),
     "twap": (
         "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, "
