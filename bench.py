@@ -398,6 +398,26 @@ def bench_interval_merge() -> float:
     return time.time() - t0
 
 
+def bench_profile() -> float:
+    """per-column profiler: partial-stats fold + one (col,value)-keyed
+    distinct exchange over all 6 events columns."""
+    from fluent_bit_ray.pipelines.queries import q_profile_columns
+
+    t0 = time.time()
+    _consume(q_profile_columns(SF_DIR))
+    return time.time() - t0
+
+
+def bench_dq_audit() -> float:
+    """constraint audit: vectorized per-block violation tallies +
+    broadcast ref probe; unique checks exchange."""
+    from fluent_bit_ray.pipelines.queries import q_dq_audit
+
+    t0 = time.time()
+    _consume(q_dq_audit(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -431,6 +451,8 @@ BENCHES = {
     "url_dedup": bench_url_dedup,
     "tokenize_ids": bench_tokenize_ids,
     "interval_merge": bench_interval_merge,
+    "profile_columns": bench_profile,
+    "dq_audit": bench_dq_audit,
 }
 
 
