@@ -506,6 +506,132 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_count_partial(col) -> pa.Table:
+    """Map-side bigram partial: adjacent SAME-DOC token pairs counted per
+    block — dictionary-encode the flat token stream once, composite-code
+    the (prev, next) id pairs into one int64, np.unique with counts, no
+    Python loop. Returns (u, w, cnt)."""
+    flat, bounds, _ = _doc_tokens(col)
+    n = len(flat)
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "w": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    d = flat.dictionary_encode()
+    codes = np.asarray(d.indices, dtype=np.int64)
+    # a bigram starts at every flat slot except each doc's LAST token
+    # (empty docs hold one '' placeholder = their own last token, so they
+    # and 1-token docs contribute nothing)
+    starts = np.ones(n, dtype=bool)
+    starts[bounds[1:] - 1] = False
+    i = np.nonzero(starts)[0]
+    if not len(i):
+        return empty
+    k = len(d.dictionary)
+    comp = codes[i] * k + codes[i + 1]
+    uniq, cnt = np.unique(comp, return_counts=True)
+    return pa.table({
+        "u": d.dictionary.take(pa.array(uniq // k, pa.int64())),
+        "w": d.dictionary.take(pa.array(uniq % k, pa.int64())),
+        "cnt": pa.array(cnt.astype(np.int64)),
+    })
+
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                   k_smooth: float = 0.5):
+    """Per-doc mean conditional bigram negative log-likelihood under the
+    corpus's own add-k-smoothed bigram model — the step up from
+    `unigram_logprob` toward the CCNet/KenLM quality signal (public
+    method): P(w|u) = (c(u,w) + k) / (c(u,·) + k·V) with V the corpus
+    vocabulary size, so repetitive/templated prose scores low NLL and
+    token-salad scores high even when its unigrams are common.
+
+    Phases: (1) bigram counts via the composite-code partials above +
+    ONE (u,w)-keyed exchange; prefix totals c(u,·) are a vocabulary-sized
+    group-by over that table, not another pass; (2) V from the shared
+    unigram exchange; (3) a pure scoring map — tokens mapped to vocab ids
+    once, bigram lookups by binary search over the broadcast sorted
+    composite codes, one reduceat mean per doc. Docs with <2 tokens are
+    omitted (no bigram likelihood). Partitioning assumption (documented,
+    same as tfidf/unigram): the corpus BIGRAM table fits a worker heap —
+    the scale knob is min-count pruning at the exchange, which changes
+    pruned bigrams to the unseen-mass k/(c(u)+kV) path."""
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    def _sum_big(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "w"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["u", "w", "cnt"])
+
+    parts = ds.map_batches(
+        lambda b: bigram_count_partial(b[text_col]), batch_format="pyarrow"
+    )
+    big = hash_exchange(parts.to_arrow_refs(), ["u", "w"], _sum_big,
+                        combine_fn=_sum_big)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "nll": pa.array([], pa.float64())})
+    if big is None or big.num_rows == 0:
+        return empty
+
+    def _sum_tok(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["token", "cnt"])
+
+    uni = hash_exchange(
+        ds.map_batches(lambda b: token_count_partial(b[text_col]),
+                       batch_format="pyarrow").to_arrow_refs(),
+        ["token"], _sum_tok, combine_fn=_sum_tok)
+    vocab = uni["token"].combine_chunks()
+    v_size = float(len(vocab))
+
+    # vocab-id-indexed model arrays (collision-free composite = u_id*V+w_id)
+    u_id = np.asarray(
+        pc.index_in(big["u"], value_set=vocab), dtype=np.int64)
+    w_id = np.asarray(
+        pc.index_in(big["w"], value_set=vocab), dtype=np.int64)
+    comp = u_id * len(vocab) + w_id
+    order = np.argsort(comp)
+    comp_sorted = comp[order]
+    cnt_sorted = big["cnt"].to_numpy(zero_copy_only=False).astype(
+        np.float64)[order]
+    prefix = np.zeros(len(vocab), dtype=np.float64)
+    np.add.at(prefix, u_id, big["cnt"].to_numpy(zero_copy_only=False))
+    model = ray.put((vocab, comp_sorted, cnt_sorted, prefix))
+    kk = float(k_smooth)
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, comps, cnts, pref = ray.get(model)
+        flat, bounds, n_tokens = _doc_tokens(batch[text_col])
+        n = len(flat)
+        nb = np.diff(bounds) - 1  # bigrams per doc (raw >= 1 always)
+        live = nb > 0
+        if not live.any():
+            return empty
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(flat, value_set=toks), -1),
+            dtype=np.int64)
+        starts = np.ones(n, dtype=bool)
+        starts[bounds[1:] - 1] = False
+        i = np.nonzero(starts)[0]
+        c_comp = idx[i] * len(toks) + idx[i + 1]
+        pos = np.searchsorted(comps, c_comp)
+        pos_c = np.minimum(pos, len(comps) - 1)
+        hit = comps[pos_c] == c_comp
+        c = np.where(hit, cnts[pos_c], 0.0)
+        cu = pref[np.maximum(idx[i], 0)]
+        nll_big = -np.log((c + kk) / (cu + kk * v_size))
+        bbounds = np.concatenate(([0], np.cumsum(np.maximum(nb, 0))))
+        sums = _per_doc_sum(nll_big, bbounds)
+        return pa.table({
+            id_col: batch[id_col].filter(pa.array(live)),
+            "nll": pa.array(sums[live] / nb[live], pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
                  min_df: int = 1):
     """Per-doc TF-IDF mass: sum over token occurrences of ln(N / df(token))

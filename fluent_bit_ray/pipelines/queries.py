@@ -517,6 +517,19 @@ def q_unigram_logprob(sf_dir: str):
     )
 
 
+def q_bigram_nll(sf_dir: str):
+    """KenLM-style step up from the unigram proxy: per-doc mean
+    CONDITIONAL bigram negative log-likelihood under the corpus's own
+    add-0.5-smoothed bigram model — token-salad scores high even when its
+    unigrams are common (ops/text.bigram_logprob — composite-code bigram
+    partials + one (u,w)-keyed exchange, prefix totals as a vocab-sized
+    group-by, broadcast model probed by binary search in the scoring
+    map)."""
+    return text_ops.bigram_logprob(
+        _read(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
 def q_vocab_topk(sf_dir: str):
     """Corpus-wide top-100 tokens by (count desc, token asc): map-side
     value_counts partials -> token-keyed hash exchange -> shard-local
@@ -2532,6 +2545,7 @@ QUERIES: dict[str, Callable] = {
     "vocab_topk": q_vocab_topk,
     "pack_chunks": q_pack_chunks,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_nll": q_bigram_nll,
     "minhash_dedup": q_minhash_dedup,
     "simhash": q_simhash,
     "minhash_invariant": q_minhash_invariant,
@@ -2761,6 +2775,23 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT f.doc_id, avg(-ln(v.cnt / t.n)) AS nll "
         "FROM flat f JOIN vocab v USING (token), tot t "
         "GROUP BY f.doc_id"
+    ),
+    "bigram_nll": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+        "ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT unnest(t) AS w FROM toks), "
+        "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM flat), "
+        "big AS (SELECT doc_id, t[i] AS u, t[i + 1] AS w "
+        "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks "
+        "WHERE len(t) >= 2)), "
+        "bc AS (SELECT u, w, count(*)::BIGINT AS c FROM big GROUP BY u, w), "
+        "pf AS (SELECT u, sum(c)::BIGINT AS cu FROM bc GROUP BY u) "
+        "SELECT b.doc_id, avg(-ln((bc.c + 0.5) / (pf.cu + 0.5 * v.v))) "
+        "AS nll FROM big b JOIN bc ON b.u = bc.u AND b.w = bc.w "
+        "JOIN pf ON b.u = pf.u, v GROUP BY b.doc_id"
     ),
     "vocab_topk": (
         "WITH toks AS (SELECT "

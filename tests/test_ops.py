@@ -1568,6 +1568,72 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestBigramLogprob:
+    def test_matches_hand_model(self, ray_session):
+        import math
+
+        import ray.data
+
+        from fluent_bit_ray.ops.text import bigram_logprob
+
+        # corpus: "a b a" | "a b" | "c" | "" ->
+        # bigrams: (a,b):2 (b,a):1; prefixes: a:2 b:1; V = 3 (a,b,c)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b a", "a  b", "c", "  "], pa.string()),
+        }))
+        out = {r["doc_id"]: r["nll"]
+               for r in bigram_logprob(ds, k_smooth=0.5).take_all()}
+        # docs 2 (one token) and 3 (empty) omitted
+        assert set(out) == {0, 1}
+        p_ab = (2 + 0.5) / (2 + 0.5 * 3)
+        p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+        assert out[0] == pytest.approx(
+            (-math.log(p_ab) - math.log(p_ba)) / 2)
+        assert out[1] == pytest.approx(-math.log(p_ab))
+
+    def test_matches_duckdb_and_block_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.text import bigram_logprob
+
+        rng = np.random.RandomState(11)
+        words = ["the", "cat", "sat", "on", "mat", "dog", "ran", "x9"]
+        docs = [" ".join(rng.choice(words, rng.randint(0, 9)))
+                for _ in range(120)]
+        docs[5], docs[17] = "", "solo"
+        df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64),
+                           "text": docs})
+        one = bigram_logprob(
+            ray.data.from_pandas(df)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        many = bigram_logprob(
+            ray.data.from_pandas(df).repartition(7)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(one, many, rtol=1e-12, atol=1e-12)
+        duckdb.register("documents", df)
+        exp = duckdb.sql(
+            "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []"
+            " ELSE string_split_regex(trim(text), '\\s+') END AS t "
+            "FROM documents), "
+            "flat AS (SELECT unnest(t) AS w FROM toks), "
+            "v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM flat), "
+            "big AS (SELECT doc_id, t[i] AS u, t[i + 1] AS w FROM "
+            "(SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks "
+            "WHERE len(t) >= 2)), "
+            "bc AS (SELECT u, w, count(*)::BIGINT AS c FROM big "
+            "GROUP BY u, w), "
+            "pf AS (SELECT u, sum(c)::BIGINT AS cu FROM bc GROUP BY u) "
+            "SELECT b.doc_id, avg(-ln((bc.c + 0.5) / (pf.cu + 0.5 * v.v)))"
+            " AS nll FROM big b JOIN bc ON b.u = bc.u AND b.w = bc.w "
+            "JOIN pf ON b.u = pf.u, v GROUP BY b.doc_id ORDER BY doc_id"
+        ).df()
+        assert len(one) == len(exp)
+        assert np.allclose(one["nll"], exp["nll"], rtol=1e-10, atol=1e-10)
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestDecontaminate:
     """Benchmark decontamination: train windows matched against the bench
