@@ -1403,3 +1403,142 @@ def histogram_fixed_bins(ds, val_col: str, bins: int = 32):
     out = pa.concat_tables(parts).group_by(["bucket"]).aggregate(
         [("cnt", "sum")])
     return out.rename_columns(["bucket", "cnt"])
+
+
+def global_quantiles(ds, val_col: str, qs=(0.25, 0.5, 0.75, 0.95),
+                     names=("p25", "p50", "p75", "p95"), bins: int = 512,
+                     band_limit: int = 65536, max_passes: int = 12,
+                     materialize: bool = True):
+    """EXACT global (unkeyed) quantiles by distributed iterative selection
+    — the scale path to order statistics that neither `keyed_quantiles`
+    (co-locates whole keys) nor `global_sort` (ships every row) should be
+    used for: NO row ever leaves its block. Each refinement pass sends
+    only per-edge counts (one sorted-block searchsorted per block, a few
+    KB of int64s), the driver narrows each wanted rank's half-open value
+    interval to the bin its order statistic falls in, and once an
+    interval holds <= band_limit rows a final filter pass pulls just that
+    band for an exact driver-side finish. With 512 bins a pass shrinks a
+    rank's candidate set ~512x, so a 10^12-row corpus resolves in ~4
+    counting passes; the `linspace`-collapse guard resolves intervals one
+    float ULP wide (<= one representable value) without a pull.
+
+    Interpolation matches SQL `quantile_cont`: h = (n-1)q between order
+    statistics floor(h)/ceil(h). Nulls and NaNs are excluded (DuckDB
+    sorts NaN above every number — documented divergence on NaN-bearing
+    columns). Returns ONE row with a float64 column per quantile name;
+    empty/all-null input returns an empty table. `materialize=True` pins
+    the pruned single-column view for the multi-pass re-read (the kmeans
+    iterative-input pattern)."""
+    empty = pa.table({nm: pa.array([], pa.float64()) for nm in names})
+    view = ds.select_columns([val_col])
+    if materialize:
+        view = view.materialize()
+
+    def _clean(t: pa.Table) -> np.ndarray:
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]
+
+    def nm_partial(t: pa.Table) -> pa.Table:
+        v = _clean(t)
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    parts = [t for t in view.map_batches(
+        nm_partial, batch_format="pyarrow").take_all()]
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        return empty
+    gmin = min(r["mn"] for r in parts)
+    gmax = max(r["mx"] for r in parts)
+
+    # 0-based order-statistic ranks required by quantile_cont
+    hs = [(float(q) * (n - 1)) for q in qs]
+    ranks = sorted({int(np.floor(h)) for h in hs}
+                   | {int(np.ceil(h)) for h in hs})
+    # per rank: half-open [lo, hi) known to contain it, and #{v < lo}
+    top = np.nextafter(gmax, np.inf)
+    state = {k: {"lo": gmin, "hi": top, "cb": 0, "inside": n, "val": None}
+             for k in ranks}
+
+    def count_pass(edges: np.ndarray) -> np.ndarray:
+        e = edges  # closure-captured; a few KB
+
+        def cp(t: pa.Table) -> pa.Table:
+            v = np.sort(_clean(t))
+            c = np.searchsorted(v, e, side="left").astype(np.int64)
+            return pa.table({"i": pa.array(np.arange(len(e), dtype=np.int64)),
+                             "cnt": pa.array(c)})
+
+        tot = np.zeros(len(e), dtype=np.int64)
+        for r in view.map_batches(cp, batch_format="pyarrow").take_all():
+            tot[r["i"]] += r["cnt"]
+        return tot
+
+    for _ in range(max_passes):
+        active = [k for k, s in state.items()
+                  if s["val"] is None and s["inside"] > band_limit]
+        if not active:
+            break
+        seqs = {}
+        all_edges = []
+        for k in active:
+            s = state[k]
+            grid = np.linspace(s["lo"], s["hi"], bins + 1)
+            grid = np.unique(np.clip(grid, s["lo"], s["hi"]))
+            if len(grid) <= 2:
+                # interval one ULP wide: lo is the only representable
+                # value in [lo, hi) -> resolved exactly
+                s["val"] = s["lo"]
+                continue
+            seqs[k] = grid
+            all_edges.append(grid)
+        if not seqs:
+            break
+        edges = np.unique(np.concatenate(all_edges))
+        counts = dict(zip(edges.tolist(), count_pass(edges).tolist()))
+        for k, grid in seqs.items():
+            s = state[k]
+            c = np.array([counts[e] for e in grid.tolist()], dtype=np.int64)
+            j = int(np.searchsorted(c, k, side="right")) - 1  # max c[j]<=k
+            s["lo"], s["hi"] = float(grid[j]), float(grid[j + 1])
+            s["cb"], s["inside"] = int(c[j]), int(c[j + 1] - c[j])
+
+    pending = [k for k, s in state.items() if s["val"] is None]
+    if pending:
+        bands = [(k, state[k]["lo"], state[k]["hi"]) for k in pending]
+
+        def pull(t: pa.Table) -> pa.Table:
+            v = _clean(t)
+            ids, vals = [], []
+            for bi, (_, lo, hi) in enumerate(bands):
+                sel = v[(v >= lo) & (v < hi)]
+                ids.append(np.full(len(sel), bi, dtype=np.int64))
+                vals.append(sel)
+            return pa.table({"b": pa.array(np.concatenate(ids)
+                                           if ids else []),
+                             "v": pa.array(np.concatenate(vals)
+                                           if vals else [])})
+
+        rows = view.map_batches(pull, batch_format="pyarrow").take_all()
+        byband = {bi: [] for bi in range(len(bands))}
+        for r in rows:
+            byband[r["b"]].append(r["v"])
+        for bi, (k, _, _) in enumerate(bands):
+            band = np.sort(np.array(byband[bi], dtype=np.float64))
+            state[k]["val"] = float(band[k - state[k]["cb"]])
+
+    vals = {k: state[k]["val"] for k in ranks}
+    out = {}
+    for nm, h in zip(names, hs):
+        k0, k1 = int(np.floor(h)), int(np.ceil(h))
+        out[nm] = pa.array(
+            [vals[k0] + (h - k0) * (vals[k1] - vals[k0])], pa.float64())
+    return pa.table(out)

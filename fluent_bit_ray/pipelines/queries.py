@@ -1418,6 +1418,20 @@ def q_percentiles(sf_dir: str):
     )
 
 
+def q_global_quantiles(sf_dir: str):
+    """EXACT global quantiles of 60k lineitem prices by distributed
+    iterative selection — counting passes narrow each order statistic's
+    value interval, no row ever leaves its block
+    (ops/stats.global_quantiles; bins/band_limit sized so sf0.01 really
+    exercises ~2 refinement passes before the band pull)."""
+    from ..ops.stats import global_quantiles
+
+    return global_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice", qs=(0.25, 0.5, 0.75, 0.95),
+        names=("p25", "p50", "p75", "p95"), bins=32, band_limit=1000)
+
+
 def q_global_shuffle(sf_dir: str):
     """seeded deterministic global shuffle: the ENTIRE permutation (global
     rank per doc) is oracle-checked — the SQL twin recomputes the same
@@ -2595,6 +2609,7 @@ QUERIES: dict[str, Callable] = {
     "semi_join_shuffled": q_semi_join_shuffled,
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
+    "global_quantiles": q_global_quantiles,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -3697,6 +3712,12 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
+    ),
+    "global_quantiles": (
+        "SELECT quantile_cont(l_extendedprice, 0.25) AS p25, "
+        "quantile_cont(l_extendedprice, 0.5) AS p50, "
+        "quantile_cont(l_extendedprice, 0.75) AS p75, "
+        "quantile_cont(l_extendedprice, 0.95) AS p95 FROM lineitem"
     ),
     "moving_avg": (
         "SELECT user_id, event_id, avg(value) OVER (PARTITION BY user_id "

@@ -1568,6 +1568,68 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestGlobalQuantiles:
+    def test_matches_numpy_with_refinement_passes(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import global_quantiles
+
+        rng = np.random.RandomState(5)
+        v = np.concatenate([rng.lognormal(3, 2, 4000),
+                            rng.rand(2000) * 1e-3, [7.5] * 500])
+        t = pa.table({"x": pa.array(v)})
+        # band_limit 50 forces several counting passes before the pull
+        out = global_quantiles(
+            ray.data.from_arrow(t).repartition(6), "x",
+            qs=(0.1, 0.5, 0.9), names=("p10", "p50", "p90"),
+            bins=16, band_limit=50).to_pylist()[0]
+        exp = np.quantile(v, [0.1, 0.5, 0.9], method="linear")
+        assert out["p10"] == pytest.approx(exp[0], rel=1e-12)
+        assert out["p50"] == pytest.approx(exp[1], rel=1e-12)
+        assert out["p90"] == pytest.approx(exp[2], rel=1e-12)
+
+    def test_heavy_duplicates_ulp_guard(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import global_quantiles
+
+        # one value dominates: intervals collapse to a single ULP and must
+        # resolve WITHOUT a band pull larger than band_limit
+        v = np.concatenate([np.full(5000, 42.0), [1.0, 99.0]])
+        t = pa.table({"x": pa.array(v)})
+        out = global_quantiles(
+            ray.data.from_arrow(t).repartition(4), "x",
+            qs=(0.5,), names=("p50",), bins=8, band_limit=10,
+            max_passes=80).to_pylist()[0]
+        assert out["p50"] == 42.0
+
+    def test_nulls_and_empty(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import global_quantiles
+
+        t = pa.table({"x": pa.array([None, 3.0, None, 1.0, 2.0])})
+        out = global_quantiles(ray.data.from_arrow(t), "x",
+                               qs=(0.5,), names=("p50",)).to_pylist()[0]
+        assert out["p50"] == 2.0
+        allnull = pa.table({"x": pa.array([None, None], pa.float64())})
+        assert global_quantiles(ray.data.from_arrow(allnull), "x",
+                                qs=(0.5,), names=("p50",)).num_rows == 0
+
+    def test_block_layout_invariance(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import global_quantiles
+
+        rng = np.random.RandomState(9)
+        t = pa.table({"x": pa.array(rng.randn(3000))})
+        kw = dict(qs=(0.25, 0.75), names=("a", "b"), bins=8, band_limit=40)
+        one = global_quantiles(ray.data.from_arrow(t), "x", **kw).to_pylist()
+        many = global_quantiles(ray.data.from_arrow(t).repartition(11),
+                                "x", **kw).to_pylist()
+        assert one == many
+
+
 class TestBigramLogprob:
     def test_matches_hand_model(self, ray_session):
         import math
