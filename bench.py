@@ -418,6 +418,26 @@ def bench_dq_audit() -> float:
     return time.time() - t0
 
 
+def bench_global_quantiles() -> float:
+    """distributed exact selection: iterative counting passes + band
+    pull, no row leaves its block."""
+    from fluent_bit_ray.pipelines.queries import q_global_quantiles
+
+    t0 = time.time()
+    _consume(q_global_quantiles(SF_DIR))
+    return time.time() - t0
+
+
+def bench_bigram_nll() -> float:
+    """bigram-LM quality scoring: two model exchanges + broadcast +
+    binary-search scoring map."""
+    from fluent_bit_ray.pipelines.queries import q_bigram_nll
+
+    t0 = time.time()
+    _consume(q_bigram_nll(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -453,6 +473,8 @@ BENCHES = {
     "interval_merge": bench_interval_merge,
     "profile_columns": bench_profile,
     "dq_audit": bench_dq_audit,
+    "global_quantiles": bench_global_quantiles,
+    "bigram_nll": bench_bigram_nll,
 }
 
 
