@@ -464,3 +464,62 @@ def reservoir_per_key(
     if out is None:
         return None
     return out
+
+
+def mixture_sample_batch(
+    batch: pa.Table,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 77,
+    default_rate: float = 1.0,
+) -> pa.Table:
+    """Training-data mixture weighting (the Pile/DoReMi-style source
+    rates, public method): each row is emitted floor(rate(source)) times,
+    plus one more iff shuffle_hash(id, seed) falls under the fractional
+    part's integer cut — so rate 0.25 deterministically subsamples,
+    rate 2.5 duplicates into epochs, rate 0 drops. Adds an int64 `epoch`
+    column (0..n-1) so duplicated rows stay distinct. Pure per-batch map,
+    zero shuffle; reproducible across runs AND block layouts because the
+    decision hashes the ID, never the position. Unknown/null sources use
+    `default_rate`; null ids hash as 0 (documented). The integer cut
+    (frac * 2^32) makes the comparison exactly reproducible in SQL via
+    shuffle_hash_sql."""
+    srcs = list(rates)
+    base = np.array([int(np.floor(rates[s])) for s in srcs], dtype=np.int64)
+    cut = np.array(
+        [int((rates[s] - np.floor(rates[s])) * 4294967296) for s in srcs],
+        dtype=np.int64,
+    )
+    dbase = int(np.floor(default_rate))
+    dcut = int((default_rate - np.floor(default_rate)) * 4294967296)
+
+    idx = np.asarray(
+        pc.fill_null(
+            pc.index_in(batch[source_col], value_set=pa.array(srcs)), -1
+        )
+    ).astype(np.int64)
+    known = idx >= 0
+    row_base = np.where(known, base[np.maximum(idx, 0)], dbase)
+    row_cut = np.where(known, cut[np.maximum(idx, 0)], dcut)
+    ids = np.asarray(
+        pc.fill_null(pc.cast(batch[id_col], pa.int64()), 0)
+    ).astype(np.int64)
+    h = shuffle_hash(ids, seed)
+    n = row_base + (h < row_cut)
+    take = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    starts = np.repeat(np.cumsum(n) - n, n)
+    epoch = np.arange(int(n.sum()), dtype=np.int64) - starts
+    out = batch.take(pa.array(take))
+    return out.append_column("epoch", pa.array(epoch, pa.int64()))
+
+
+def mixture_sample(ds, source_col: str, rates: dict[str, float],
+                   id_col: str = "doc_id", seed: int = 77,
+                   default_rate: float = 1.0):
+    """Dataset wrapper: pure per-batch map, streaming end-to-end."""
+    return ds.map_batches(
+        lambda b: mixture_sample_batch(b, source_col, rates, id_col, seed,
+                                       default_rate),
+        batch_format="pyarrow",
+    )

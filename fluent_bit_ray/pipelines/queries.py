@@ -2494,6 +2494,24 @@ def q_split_leakage(sf_dir: str):
     return dedup.split_leakage(_augmented_docs_ds(sf_dir))
 
 
+_MIX_RATES = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def q_mixture(sf_dir: str):
+    """training-data mixture weighting by source rate (Pile/DoReMi-style
+    weights): src0 at 2.5 (duplicated into epochs), src1 at 0.25
+    (deterministic hash subsample), src2 at 0 (dropped), the other 17
+    sources at 1.0 — a pure per-batch map, zero shuffle, layout-
+    independent because the keep/dup decision hashes the doc id
+    (ops/sample.mixture_sample; the integer fractional cut makes the
+    comparison exactly reproducible in SQL)."""
+    from ..ops.sample import mixture_sample
+
+    return mixture_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        "source", _MIX_RATES, id_col="doc_id", seed=77)
+
+
 def q_profile_columns(sf_dir: str):
     """per-column dataset profile over every events column — row/null
     counts and min/max as per-block Arrow partials folded on the driver,
@@ -2647,6 +2665,7 @@ QUERIES: dict[str, Callable] = {
     "split_leakage": q_split_leakage,
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
+    "mixture": q_mixture,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3304,6 +3323,19 @@ ORACLE_SQL: dict[str, str] = {
         "UNION ALL SELECT 'props', count(*), count(*) - count(props), "
         "count(DISTINCT props), NULL, NULL, min(props), max(props) "
         "FROM events"
+    ),
+    "mixture": (
+        "WITH r AS (SELECT doc_id, source, "
+        "CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 "
+        "WHEN 'src2' THEN 0 ELSE 1 END AS base, "
+        "CASE source WHEN 'src0' THEN 2147483648 "
+        "WHEN 'src1' THEN 1073741824 WHEN 'src2' THEN 0 ELSE 0 END AS cut "
+        "FROM documents), "
+        "c AS (SELECT doc_id, source, base + CASE WHEN "
+        + shuffle_hash_sql("doc_id", 77) + " < cut THEN 1 ELSE 0 END AS n "
+        "FROM r) "
+        "SELECT doc_id, source, unnest(range(n)) AS epoch FROM c "
+        "WHERE n > 0"
     ),
     "dq_audit": (
         "SELECT 'enum:event_type' AS check_name, count(*)::BIGINT AS "

@@ -1568,6 +1568,58 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestMixtureSample:
+    def test_rates_semantics(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import mixture_sample, shuffle_hash
+
+        n = 2000
+        t = pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array((["a", "b", "c", "d"] * (n // 4))),
+        })
+        rates = {"a": 2.0, "b": 0.5, "c": 0.0}
+        out = mixture_sample(
+            ray.data.from_arrow(t).repartition(5), "source", rates,
+            seed=9).to_pandas()
+        # a: every row exactly twice, epochs {0,1}
+        a = out[out["source"] == "a"]
+        assert len(a) == 2 * (n // 4)
+        assert set(a["epoch"]) == {0, 1}
+        assert a.groupby("doc_id").size().eq(2).all()
+        # c dropped entirely; d (unlisted) passes through once
+        assert (out["source"] == "c").sum() == 0
+        d = out[out["source"] == "d"]
+        assert len(d) == n // 4 and (d["epoch"] == 0).all()
+        # b: exactly the ids whose hash falls under the 0.5 cut
+        b_ids = np.arange(n)[np.arange(n) % 4 == 1]
+        keep = b_ids[shuffle_hash(b_ids, 9) < 2147483648]
+        assert sorted(out[out["source"] == "b"]["doc_id"]) == sorted(keep)
+
+    def test_layout_independence_and_null_source(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.sample import mixture_sample
+
+        t = pa.table({
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "source": pa.array(["x" if i % 3 else None for i in range(300)]),
+        })
+        one = mixture_sample(ray.data.from_arrow(t), "source",
+                             {"x": 0.25}, default_rate=1.0).to_pandas()
+        many = mixture_sample(ray.data.from_arrow(t).repartition(7),
+                              "source", {"x": 0.25},
+                              default_rate=1.0).to_pandas()
+        key = ["doc_id", "epoch"]
+        pd.testing.assert_frame_equal(
+            one.sort_values(key).reset_index(drop=True),
+            many.sort_values(key).reset_index(drop=True))
+        # null sources took the default rate 1.0 (kept once)
+        assert (one["source"].isna().sum() == 100)
+
+
 class TestGlobalQuantiles:
     def test_matches_numpy_with_refinement_passes(self, ray_session):
         import ray.data
