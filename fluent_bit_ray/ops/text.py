@@ -1084,6 +1084,62 @@ def log_templates(ds, text_col: str = "text", min_count: int = 1):
     return out
 
 
+def template_novelty(ds, text_col: str = "text", ts_col: str = "ts",
+                     bucket_us: int = 86_400_000_000):
+    """Per-window template counts with FIRST-SEEN novelty flags — the
+    "new error signature this window" alerting pass layered on the
+    Drain-lite masking above: every message collapses to its template
+    (hex runs then digit runs masked), is counted per (time bucket,
+    template), and a row is flagged `is_new` iff its bucket is that
+    template's earliest. Null-timestamp rows form a null bucket that is
+    never new and never advances first-seen (SQL min() semantics).
+
+    Scale shape: masking + one Arrow group_by per block emit
+    (bucket, template, cnt) partials; ONE template-keyed exchange
+    co-locates each template's whole window history, so first-seen is a
+    shard-local group-min — the (template x window) matrix, not the log
+    stream, crosses the wire. Returns (bucket, template, cnt, is_new)."""
+    from ..shuffle import _group_sum, hash_exchange
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = pc.replace_substring_regex(col, r"0x[0-9a-fA-F]+", "<HEX>")
+        t = pc.replace_substring_regex(t, r"[0-9]+", "<NUM>")
+        from .profile import _as_comparable
+
+        # exact epoch-µs whatever the storage unit (s/ms/us/ns)
+        ts, _ = _as_comparable(b[ts_col])
+        bucket = pc.divide(ts, bucket_us)
+        g = pa.table({"bucket": bucket, "template": t}).group_by(
+            ["bucket", "template"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "template", "cnt"])
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = _group_sum(t, ["template", "bucket"], ["cnt"])
+        df = g.to_pandas()
+        first = df.loc[df["bucket"].notna()].groupby(
+            "template", dropna=False)["bucket"].min()
+        fb = df["template"].map(first)
+        df["is_new"] = (df["bucket"].notna() & fb.notna()
+                        & (df["bucket"] == fb))
+        return pa.Table.from_pandas(
+            df[["bucket", "template", "cnt", "is_new"]],
+            preserve_index=False)
+
+    out = hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),
+        ["template"], merge,
+        combine_fn=lambda t: _group_sum(t, ["template", "bucket"], ["cnt"]))
+    if out is None:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "template": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64()),
+                         "is_new": pa.array([], pa.bool_())})
+    return out
+
+
 _URL_CANON_RULES: tuple = (
     (r"#.*$", ""),            # fragment
     (r"[?&]utm_[^&#]*", ""),  # tracking params, wherever they sit

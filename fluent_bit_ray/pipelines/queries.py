@@ -1535,6 +1535,31 @@ def q_log_templates(sf_dir: str):
               ).map_batches(mk_lines, batch_format="pyarrow"))
 
 
+def q_template_novelty(sf_dir: str):
+    """new-signature alerting over the same synthesized request lines as
+    log_templates: per (day bucket, template) counts with is_new flagged
+    on each template's FIRST-seen bucket (ops/text.template_novelty —
+    per-block masked group_by partials, ONE template-keyed exchange so
+    first-seen is a shard-local group-min)."""
+    from ..ops.text import template_novelty
+
+    def mk_lines(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        line = pc.binary_join_element_wise(
+            pc.cast(b["event_type"], pa.string()),
+            " user=", pc.cast(b["user_id"], pa.string()),
+            " item=", pc.cast(b["event_id"], pa.string()),
+            " ms=", pc.cast(pa.array(ids % 997, pa.int64()), pa.string()),
+            "")
+        return pa.table({"text": line, "ts": b["ts"]})
+
+    return template_novelty(
+        _read(sf_dir, "events",
+              ["event_id", "user_id", "event_type", "ts"]
+              ).map_batches(mk_lines, batch_format="pyarrow"),
+        bucket_us=86_400_000_000)
+
+
 def q_tail_sampling(sf_dir: str):
     """Tail-based sampling (the OpenTelemetry trace-sampling shape,
     batch form): keep EVERY event of users who ever hit a SEVERE error
@@ -2666,6 +2691,7 @@ QUERIES: dict[str, Callable] = {
     "profile_columns": q_profile_columns,
     "dq_audit": q_dq_audit,
     "mixture": q_mixture,
+    "template_novelty": q_template_novelty,
     "chunk_docs": q_chunk_docs,
     "udf_filter": q_udf_filter,
     "weblog_aggregate": q_weblog_aggregate,
@@ -3136,6 +3162,20 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT regexp_replace(regexp_replace(text, '0x[0-9a-fA-F]+', "
         "'<HEX>', 'g'), '[0-9]+', '<NUM>', 'g') AS template, "
         "count(*)::BIGINT AS cnt FROM lines GROUP BY template"
+    ),
+    "template_novelty": (
+        "WITH lines AS (SELECT epoch_us(ts) // 86400000000 AS bucket, "
+        "regexp_replace(regexp_replace(event_type || ' user=' || "
+        "CAST(user_id AS VARCHAR) || ' item=' || "
+        "CAST(event_id AS VARCHAR) || ' ms=' || "
+        "CAST(event_id % 997 AS VARCHAR), '0x[0-9a-fA-F]+', '<HEX>', 'g'),"
+        " '[0-9]+', '<NUM>', 'g') AS template FROM events), "
+        "g AS (SELECT bucket, template, count(*)::BIGINT AS cnt "
+        "FROM lines GROUP BY 1, 2), "
+        "f AS (SELECT template, min(bucket) AS fb FROM g GROUP BY 1) "
+        "SELECT g.bucket, g.template, g.cnt, "
+        "(g.bucket IS NOT NULL AND g.bucket = f.fb) AS is_new "
+        "FROM g JOIN f USING (template)"
     ),
     "tail_sampling": (
         "SELECT event_id, user_id, event_type FROM events "

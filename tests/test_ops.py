@@ -1568,6 +1568,69 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestTemplateNovelty:
+    def test_first_seen_flags_and_null_ts(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.text import template_novelty
+
+        us = 1_000_000
+        df = pd.DataFrame({
+            "text": ["GET /a id=1", "GET /a id=2", "POST /b 0xdead",
+                     "GET /a id=9", "POST /b 0xbeef", "GET /a id=3"],
+            "ts": pd.to_datetime(
+                [0, 5, 5, 12, 12, None], unit="s"),
+        })
+        out = template_novelty(
+            ray.data.from_pandas(df).repartition(3),
+            bucket_us=10 * us).to_pandas()
+        out = out.sort_values(["template", "bucket"]).reset_index(drop=True)
+        a = out[out["template"] == "GET /a id=<NUM>"]
+        # buckets: 0 (ts 0,5), 1 (ts 12), null (ts None)
+        assert a[a["bucket"] == 0]["cnt"].item() == 2
+        assert a[a["bucket"] == 0]["is_new"].item()
+        assert not a[a["bucket"] == 1]["is_new"].item()
+        nullrow = a[a["bucket"].isna()]
+        assert len(nullrow) == 1 and not nullrow["is_new"].item()
+        b = out[out["template"] == "POST /b <HEX>"]
+        assert b[b["bucket"] == 0]["is_new"].item()
+        assert not b[b["bucket"] == 1]["is_new"].item()
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.text import template_novelty
+
+        rng = np.random.RandomState(13)
+        n = 800
+        df = pd.DataFrame({
+            "text": [f"{w} code={rng.randint(100)}"
+                     for w in rng.choice(["alpha", "beta", "gamma"], n)],
+            "ts": pd.to_datetime(rng.randint(0, 50, n), unit="s"),
+        })
+        out = template_novelty(
+            ray.data.from_pandas(df).repartition(6),
+            bucket_us=10_000_000).to_pandas()
+        duckdb.register("t", df)
+        exp = duckdb.sql(
+            "WITH lines AS (SELECT epoch_us(ts) // 10000000 AS bucket, "
+            "regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS template "
+            "FROM t), "
+            "g AS (SELECT bucket, template, count(*)::BIGINT AS cnt "
+            "FROM lines GROUP BY 1, 2), "
+            "f AS (SELECT template, min(bucket) AS fb FROM g GROUP BY 1) "
+            "SELECT g.bucket, g.template, g.cnt, g.bucket = f.fb AS is_new "
+            "FROM g JOIN f USING (template)").df()
+        key = ["template", "bucket"]
+        pd.testing.assert_frame_equal(
+            out.sort_values(key).reset_index(drop=True),
+            exp.sort_values(key).reset_index(drop=True),
+            check_dtype=False)
+
+
 class TestMixtureSample:
     def test_rates_semantics(self, ray_session):
         import ray.data
