@@ -224,3 +224,116 @@ def kmeans_invariants(
             "clusters_ok": pa.array([int(1 <= used <= k)], pa.int64()),
         }
     )
+
+
+def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):
+    """Distributed PCA over an embedding column — the dimensionality-
+    reduction step of an embedding curation pipeline (dedup/ANN at lower
+    d, whitening before clustering). Classic MapReduce sufficient-stats
+    shape: each block emits ONE (n, column-sum[d], gram d x d) partial —
+    fixed-width regardless of rows — the driver sums partials, forms the
+    POPULATION covariance (matches SQL var_pop), and eigendecomposes the
+    tiny d x d matrix locally. No vector ever leaves its block.
+
+    Determinism: component signs are pinned (largest-|coefficient| entry
+    positive) so the fit is reproducible; float partial-sum order is the
+    only per-layout wobble (~1e-12, same contract as kmeans_fit).
+
+    Returns (mean[d], components[n_components, d] row-major,
+    eigvals_all[d] descending, info)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        X = _batch_matrix(t, vec_col)
+        g = X.T @ X
+        return pa.table({
+            "n": pa.array([len(X)], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()]),
+            "g": pa.array([g.reshape(-1).tolist()]),
+        })
+
+    rows = ds.select_columns([vec_col]).map_batches(
+        part, batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"], np.float64) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"], np.float64) for r in rows], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = eigvals[order]
+    comps = eigvecs[:, order].T  # rows = components
+    # pin signs: the largest-|coefficient| entry of each component > 0
+    piv = np.argmax(np.abs(comps), axis=1)
+    signs = np.sign(comps[np.arange(d), piv])
+    signs[signs == 0] = 1.0
+    comps = comps * signs[:, None]
+    info = {"n": int(n), "explained": eigvals[:n_components].tolist(),
+            "trace": float(eigvals.sum())}
+    return mean, comps[:n_components], eigvals, info
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  out_col: str = "pc"):
+    """Project every vector onto the fitted components: model broadcast
+    ONCE via ray.put, one GEMM per block, output (id, pc list<double>).
+    Pure map — streams at read speed."""
+    import ray
+
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+
+    def proj(t: pa.Table) -> pa.Table:
+        mu, W = ray.get(ref)
+        X = _batch_matrix(t, vec_col)
+        P = (X - mu[None, :]) @ W.T
+        return pa.table({id_col: t[id_col],
+                         out_col: pa.array(P.tolist())})
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def pca_invariants(ds, vec_col: str = "embedding",
+                   n_components: int = 8, tol: float = 1e-6) -> pa.Table:
+    """SQL-pinnable PCA contract (the kmeans_invariant pattern, but with
+    a REAL cross-engine number): `trace_cov` reports the SUM OF ALL
+    EIGENVALUES, which the DuckDB twin recomputes INDEPENDENTLY as the
+    sum of per-dimension var_pop — they agree iff the distributed
+    sufficient-stats covariance is right. The violation counters pin the
+    linear-algebra contracts: components orthonormal, eigenvalues
+    descending, and the projected data's per-component variance equal to
+    its eigenvalue (verified by a second distributed pass over the
+    PROJECTIONS' sufficient stats)."""
+    mean, comps, eigvals, info = pca_fit(ds, vec_col, n_components)
+    k, d = comps.shape
+    gram = comps @ comps.T
+    n_orth = int((np.abs(gram - np.eye(k)) > 1e-8).sum())
+    n_desc = int((np.diff(eigvals) > 1e-12).sum())
+
+    proj = pca_transform(ds, mean, comps, vec_col=vec_col)
+
+    def pstats(t: pa.Table) -> pa.Table:
+        P = np.asarray(t["pc"].to_pylist(), dtype=np.float64)
+        return pa.table({
+            "n": pa.array([len(P)], pa.int64()),
+            "s": pa.array([P.sum(axis=0).tolist()]),
+            "q": pa.array([(P * P).sum(axis=0).tolist()]),
+        })
+
+    rows = proj.map_batches(pstats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"], np.float64) for r in rows], axis=0)
+    q = np.sum([np.asarray(r["q"], np.float64) for r in rows], axis=0)
+    pvar = q / n - (s / n) ** 2
+    n_pvar = int((np.abs(pvar - eigvals[:k]) > tol).sum())
+    return pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "trace_cov": pa.array([float(eigvals.sum())], pa.float64()),
+        "n_orth_violations": pa.array([n_orth], pa.int64()),
+        "n_pvar_violations": pa.array([n_pvar], pa.int64()),
+        "n_eig_order_violations": pa.array([n_desc], pa.int64()),
+    })

@@ -1872,6 +1872,21 @@ def q_kmeans_invariant(sf_dir: str):
     )
 
 
+def q_pca_invariant(sf_dir: str):
+    """distributed PCA contract with a REAL cross-engine number: the
+    reported trace (sum of all eigenvalues from the sufficient-stats
+    covariance) must equal DuckDB's independent sum of per-dimension
+    var_pop; orthonormality / descending-eigenvalue / projected-variance
+    violation counters pin the rest (ops/cluster.pca_fit /
+    pca_invariants — fixed-width (n, sum, gram) partials, driver-side
+    d x d eigendecomposition, broadcast projection pass)."""
+    from ..ops.cluster import pca_invariants
+
+    return pca_invariants(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        n_components=8)
+
+
 def q_pivot(sf_dir: str):
     """long-to-wide pivot: per user, value sums by event type as columns
     (SQL conditional-aggregation parity incl. NULL for absent categories;
@@ -2659,6 +2674,7 @@ QUERIES: dict[str, Callable] = {
     "global_sort": q_global_sort,
     "inverted_index": q_inverted_index,
     "kmeans_invariant": q_kmeans_invariant,
+    "pca_invariant": q_pca_invariant,
     "percentiles_sketch": q_percentiles_sketch,
     "tfidf": q_tfidf,
     "normalize": q_normalize,
@@ -3509,6 +3525,19 @@ ORACLE_SQL: dict[str, str] = {
     "kmeans_invariant": (
         "SELECT count(*) AS n_points, 0 AS n_bad_argmin, "
         "0 AS n_inertia_increases, 1 AS clusters_ok FROM embeddings"
+    ),
+    # trace_cov is a REAL cross-engine check: DuckDB independently sums
+    # per-dimension population variances; the engine reports the sum of
+    # its covariance eigenvalues — equal iff the distributed covariance
+    # is right (value-hash rounds to 1e-6)
+    "pca_invariant": (
+        "SELECT (SELECT count(*) FROM embeddings) AS n_vectors, "
+        "(SELECT sum(v) FROM (SELECT var_pop(x) AS v FROM "
+        "(SELECT unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS j FROM embeddings) "
+        "GROUP BY j)) AS trace_cov, "
+        "0 AS n_orth_violations, 0 AS n_pvar_violations, "
+        "0 AS n_eig_order_violations"
     ),
     # the SQL twin recomputes the exact 3-round mix (HUGEINT products
     # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —

@@ -1568,6 +1568,54 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestPCA:
+    def _ds(self, X):
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(len(X), dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in X.astype(np.float32)]),
+        }))
+
+    def test_recovers_dominant_axes(self, ray_session):
+        from fluent_bit_ray.ops.cluster import pca_fit
+
+        rng = np.random.RandomState(4)
+        # variance 25 along axis 0, 4 along axis 1, noise elsewhere
+        n, d = 600, 12
+        X = rng.randn(n, d) * 0.01
+        X[:, 0] += rng.randn(n) * 5.0
+        X[:, 1] += rng.randn(n) * 2.0
+        X += 3.0  # non-zero mean must be removed
+        mean, comps, eig, info = pca_fit(self._ds(X).repartition(5),
+                                         n_components=2)
+        assert np.allclose(mean, X.astype(np.float32).mean(axis=0),
+                           atol=1e-5)
+        assert abs(comps[0, 0]) > 0.999 and abs(comps[1, 1]) > 0.999
+        assert eig[0] == pytest.approx(X[:, 0].var(), rel=1e-3)
+        exp = np.linalg.eigvalsh(np.cov(X.astype(np.float32).T, bias=True))
+        assert np.allclose(np.sort(eig), exp, atol=1e-6)
+
+    def test_projection_variance_and_block_invariance(self, ray_session):
+        from fluent_bit_ray.ops.cluster import (pca_fit, pca_invariants,
+                                                pca_transform)
+
+        rng = np.random.RandomState(8)
+        X = rng.randn(400, 6) @ rng.randn(6, 6)
+        inv = pca_invariants(self._ds(X).repartition(4),
+                             n_components=4).to_pylist()[0]
+        assert inv["n_vectors"] == 400
+        assert inv["n_orth_violations"] == 0
+        assert inv["n_pvar_violations"] == 0
+        assert inv["n_eig_order_violations"] == 0
+        m1, c1, e1, _ = pca_fit(self._ds(X), n_components=3)
+        m2, c2, e2, _ = pca_fit(self._ds(X).repartition(9), n_components=3)
+        assert np.allclose(c1, c2, atol=1e-9)
+        assert np.allclose(e1, e2, atol=1e-9)
+        p = pca_transform(self._ds(X), m1, c1).to_pandas()
+        assert len(p) == 400 and len(p["pc"].iloc[0]) == 3
+
+
 class TestTemplateNovelty:
     def test_first_seen_flags_and_null_ts(self, ray_session):
         import pandas as pd
