@@ -1542,3 +1542,74 @@ def global_quantiles(ds, val_col: str, qs=(0.25, 0.5, 0.75, 0.95),
         out[nm] = pa.array(
             [vals[k0] + (h - k0) * (vals[k1] - vals[k0])], pa.float64())
     return pa.table(out)
+
+
+def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
+    """Robust per-key anomaly gate: flag rows where
+    |value - median(key)| > thresh * MAD(key) — the median-absolute-
+    deviation twin of `keyed_outliers`' mean/stddev z-score, immune to the
+    outliers it is hunting (a single spike inflates stddev but not MAD).
+    Multiplication (not division) keeps the MAD == 0 constant-key case
+    exact and SQL-identical: any deviation flags.
+
+    Scale shape: TWO keyed-quantile exchanges of pruned fixed-width pairs
+    (medians, then medians of absolute deviations) with the tiny per-key
+    stat tables ray.put-broadcast between passes, then a pure vectorized
+    flag map — nothing corpus-sized moves. Null values are dropped
+    (documented; the SQL twin filters them); null keys group together.
+    Returns every surviving row + (med, mad, is_outlier)."""
+    import ray
+
+    def _bcast(t: pa.Table, stat: str):
+        keys = t[key_col].combine_chunks() if isinstance(
+            t[key_col], pa.ChunkedArray) else t[key_col]
+        return ray.put((keys, t[stat].to_numpy(zero_copy_only=False)))
+
+    med_t = keyed_quantiles(ds, key_col, value_col, qs=(0.5,),
+                            names=("med",))
+    med_ref = _bcast(med_t, "med")
+
+    def attach_ad(t: pa.Table) -> pa.Table:
+        keys, med = ray.get(med_ref)
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(t[key_col], value_set=keys), -1)
+        ).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = np.where(idx >= 0, med[np.maximum(idx, 0)], np.nan)
+        return pa.table({key_col: t[key_col],
+                         "ad": pa.array(np.abs(v - m))})
+
+    mad_t = keyed_quantiles(
+        ds.select_columns([key_col, value_col]).map_batches(
+            attach_ad, batch_format="pyarrow"),
+        key_col, "ad", qs=(0.5,), names=("mad",))
+    mad_ref = _bcast(mad_t, "mad")
+
+    def flag(t: pa.Table) -> pa.Table:
+        keys, med = ray.get(med_ref)
+        mkeys, mad = ray.get(mad_ref)  # own key order: separate exchange
+        live = pc.is_valid(t[value_col])
+        t = t.filter(live)
+        if t.num_rows == 0:
+            return t.append_column(
+                "med", pa.array([], pa.float64())).append_column(
+                "mad", pa.array([], pa.float64())).append_column(
+                "is_outlier", pa.array([], pa.bool_()))
+        idx = np.asarray(
+            pc.fill_null(pc.index_in(t[key_col], value_set=keys), -1)
+        ).astype(np.int64)
+        midx = np.asarray(
+            pc.fill_null(pc.index_in(t[key_col], value_set=mkeys), -1)
+        ).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # keys without stats (null keys under index_in, all-null-value
+        # keys) get NaN stats and never flag
+        m = np.where(idx >= 0, med[np.maximum(idx, 0)], np.nan)
+        s = np.where(midx >= 0, mad[np.maximum(midx, 0)], np.nan)
+        out = np.abs(v - m) > thresh * s
+        return t.append_column(
+            "med", pa.array(m)).append_column(
+            "mad", pa.array(s)).append_column(
+            "is_outlier", pa.array(out))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

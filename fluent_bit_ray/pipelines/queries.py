@@ -1418,6 +1418,19 @@ def q_percentiles(sf_dir: str):
     )
 
 
+def q_mad_outliers(sf_dir: str):
+    """robust per-user anomaly gate: |value - median| > 3 * MAD — the
+    median-absolute-deviation twin of the stddev z-score `outliers`
+    query, immune to the spikes it hunts (ops/stats.mad_outliers — two
+    keyed-quantile exchanges of pruned pairs with ray.put-broadcast stat
+    tables between passes, then a pure flag map)."""
+    from ..ops.stats import mad_outliers
+
+    return mad_outliers(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        "user_id", "value", thresh=3.0)
+
+
 def q_global_quantiles(sf_dir: str):
     """EXACT global quantiles of 60k lineitem prices by distributed
     iterative selection — counting passes narrow each order statistic's
@@ -2668,6 +2681,7 @@ QUERIES: dict[str, Callable] = {
     "topn_per_key": q_topn_per_key,
     "percentiles": q_percentiles,
     "global_quantiles": q_global_quantiles,
+    "mad_outliers": q_mad_outliers,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -3813,6 +3827,17 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
+    ),
+    "mad_outliers": (
+        "WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med "
+        "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+        "d AS (SELECT e.event_id, e.user_id, e.value, m.med "
+        "FROM events e JOIN m USING (user_id) WHERE e.value IS NOT NULL), "
+        "md AS (SELECT user_id, quantile_cont(abs(value - med), 0.5) "
+        "AS mad FROM d GROUP BY user_id) "
+        "SELECT d.event_id, d.user_id, d.value, d.med, md.mad, "
+        "abs(d.value - d.med) > 3.0 * md.mad AS is_outlier "
+        "FROM d JOIN md USING (user_id)"
     ),
     "global_quantiles": (
         "SELECT quantile_cont(l_extendedprice, 0.25) AS p25, "

@@ -1568,6 +1568,66 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestMadOutliers:
+    def test_spike_flags_and_constant_key(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import mad_outliers
+
+        t = pa.table({
+            "event_id": pa.array(np.arange(12, dtype=np.int64)),
+            "k": pa.array(["a"] * 7 + ["b"] * 5),
+            "v": pa.array([1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 100.0,
+                           5.0, 5.0, 5.0, 5.0, 5.1]),
+        })
+        out = mad_outliers(ray.data.from_arrow(t).repartition(3),
+                           "k", "v").to_pandas().set_index("event_id")
+        # key a: med 2, MAD of |v-2| = {1,0,1,0,1,0,98} -> 1; only the
+        # 100.0 spike exceeds 3*1 (robust: the spike doesn't mask itself)
+        a = out[out["k"] == "a"]
+        assert a["is_outlier"].sum() == 1 and out.loc[6, "is_outlier"]
+        assert a["med"].eq(2.0).all() and a["mad"].eq(1.0).all()
+        # key b: MAD == 0 (constant); ANY deviation flags via the
+        # multiplication form
+        b = out[out["k"] == "b"]
+        assert b["mad"].eq(0.0).all()
+        assert b["is_outlier"].sum() == 1 and out.loc[11, "is_outlier"]
+
+    def test_matches_duckdb_null_safe(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import mad_outliers
+
+        rng = np.random.RandomState(21)
+        n = 600
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "k": rng.randint(0, 12, n).astype(np.int64),
+            "v": rng.randn(n) * 10,
+        })
+        df.loc[df.index % 13 == 0, "v"] = np.nan
+        out = mad_outliers(ray.data.from_pandas(df).repartition(5),
+                           "k", "v").to_pandas()
+        duckdb.register("t", df)
+        exp = duckdb.sql(
+            "WITH m AS (SELECT k, quantile_cont(v, 0.5) AS med FROM t "
+            "WHERE v IS NOT NULL GROUP BY k), "
+            "d AS (SELECT t.event_id, t.k, t.v, m.med FROM t "
+            "JOIN m USING (k) WHERE t.v IS NOT NULL), "
+            "md AS (SELECT k, quantile_cont(abs(v - med), 0.5) AS mad "
+            "FROM d GROUP BY k) "
+            "SELECT d.event_id, d.k, d.v, d.med, md.mad, "
+            "abs(d.v - d.med) > 3.0 * md.mad AS is_outlier "
+            "FROM d JOIN md USING (k) ORDER BY event_id").df()
+        out = out.sort_values("event_id").reset_index(drop=True)
+        assert len(out) == len(exp)
+        assert (out["is_outlier"] == exp["is_outlier"]).all()
+        assert np.allclose(out["med"], exp["med"])
+        assert np.allclose(out["mad"], exp["mad"])
+
+
 class TestPCA:
     def _ds(self, X):
         import ray.data
