@@ -643,3 +643,148 @@ def clique_edges(ds, key_col: str, id_col: str):
         ds.select_columns([key_col, id_col]).to_arrow_refs(),
         [key_col], _part(_clique_pairs, key_col, id_col),
         return_refs=True)
+
+
+# --------------------------------------------------------- BFS layers
+
+def _bfs_init(seeds: np.ndarray, adj: Optional[pa.Table]):
+    """dist=0 rows for the seeds owned by this shard (a seed lives in the
+    shard that owns its adjacency rows). Returns (dists, frontier)."""
+    if adj is None or adj.num_rows == 0:
+        return None, None
+    u = np.unique(adj["u"].to_numpy(zero_copy_only=False))
+    present = np.intersect1d(u, np.asarray(seeds, dtype=np.int64))
+    if not len(present):
+        return None, None
+    t = pa.table({"node": pa.array(present, pa.int64()),
+                  "d": pa.array(np.zeros(len(present), np.int64))})
+    return t, t
+
+
+def _bfs_msgs(k: int, adj: Optional[pa.Table],
+              frontier: Optional[pa.Table]):
+    """Messages (v, d(u)+1) from LAST ROUND'S FRONTIER only — settled
+    nodes never re-send, so total message volume across the whole run is
+    O(E), not O(E * diameter)."""
+    empty = [None] * k if k > 1 else None
+    if adj is None or frontier is None or frontier.num_rows == 0:
+        return empty
+    df = adj.to_pandas().merge(frontier.to_pandas(), left_on="u",
+                               right_on="node", sort=False)
+    if not len(df):
+        return empty
+    df["nd"] = df["d"] + 1
+    m = df.groupby("v", sort=False)["nd"].min()  # combine per target
+    nodes, ds = m.index.to_series(), m.to_numpy()
+    s = _shard_of(nodes, k)
+    nodes = nodes.to_numpy()
+    out = []
+    for i in range(k):
+        sel = s == i
+        out.append(pa.table({"node": nodes[sel],
+                             "d": ds[sel].astype(np.int64)})
+                   if sel.any() else None)
+    return out if k > 1 else out[0]
+
+
+def _bfs_update(dists: Optional[pa.Table], *msg_tables):
+    """min-merge incoming distances; newly-reached or lowered nodes form
+    the next frontier. Returns (dists, frontier, n_changed)."""
+    live = [m for m in msg_tables if m is not None and m.num_rows]
+    if not live:
+        return dists, None, 0
+    inc = (pa.concat_tables(live).to_pandas()
+           .groupby("node", sort=False)["d"].min())
+    if dists is None:
+        t = pa.table({"node": inc.index.to_numpy(),
+                      "d": inc.to_numpy().astype(np.int64)})
+        return t, t, t.num_rows
+    old = dists.to_pandas().set_index("node")["d"]
+    merged = pd.concat([old, inc]).groupby(level=0).min()
+    oldr = old.reindex(merged.index)
+    lowered = merged < oldr.fillna(np.inf)
+    changed_idx = merged.index[lowered.to_numpy()]
+    if not len(changed_idx):
+        return dists, None, 0
+    t = pa.table({"node": merged.index.to_numpy(),
+                  "d": merged.to_numpy().astype(np.int64)})
+    f = pa.table({"node": changed_idx.to_numpy(),
+                  "d": merged.loc[changed_idx].to_numpy().astype(np.int64)})
+    return t, f, int(len(changed_idx))
+
+
+def bfs_layers(
+    edges,
+    seeds,
+    src: str = "src",
+    dst: str = "dst",
+    node_out: str = "node",
+    dist_out: str = "dist",
+    num_shards: Optional[int] = None,
+    max_rounds: int = 64,
+) -> pa.Table:
+    """Multi-source BFS hop distance over an undirected edge list — the
+    frontier-expansion sibling of `connected_components` on the SAME
+    aligned-shard scaffolding (seed-set expansion: "everything within N
+    hops of these docs/users"). Per round only the nodes whose distance
+    changed last round send (dist+1) messages to their neighbors' shards,
+    so total traffic is O(E) fixed-width int64 rows over the whole run
+    and rounds = max reached distance. Output covers exactly the nodes
+    reachable from the seeds through the edge list (a seed absent from
+    the graph is absent from the output — the documented contract; the
+    SQL recursive twin keeps in-graph seeds only too)."""
+    import ray
+
+    if hasattr(edges, "to_arrow_refs"):
+        refs = edges.to_arrow_refs()
+    elif isinstance(edges, pa.Table):
+        refs = [ray.put(edges)]
+    else:
+        refs = list(edges)
+    empty = pa.table({node_out: pa.array([], pa.int64()),
+                      dist_out: pa.array([], pa.int64())})
+    if not refs:
+        return empty
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    k = num_shards or max(2, min(cpus, len(refs) * 2, 32))
+
+    build = ray.remote(num_returns=k)(_build_adj)
+    merge = ray.remote(_merge_adj)
+    init = ray.remote(num_returns=2)(_bfs_init)
+    gen = ray.remote(num_returns=k)(_bfs_msgs)
+    upd = ray.remote(num_returns=3)(_bfs_update)
+
+    n_split = max(1, min(len(refs), 2 * cpus))
+    chunk = (len(refs) + n_split - 1) // n_split
+    parts: list[list] = [[] for _ in range(k)]
+    for i in range(0, len(refs), chunk):
+        outs = build.remote(src, dst, k, *refs[i : i + chunk])
+        if k == 1:
+            outs = [outs]
+        for s, r in enumerate(outs):
+            parts[s].append(r)
+    adj = [merge.remote(*p) for p in parts]
+    dists, frontier = [], []
+    for a in adj:
+        d, f = init.remote(seeds, a)
+        dists.append(d)
+        frontier.append(f)
+
+    for _ in range(max_rounds):
+        msgs = [gen.remote(k, adj[s], frontier[s]) for s in range(k)]
+        if k == 1:
+            msgs = [[m] for m in msgs]
+        changed_refs = []
+        for t in range(k):
+            dists[t], frontier[t], ch = upd.remote(
+                dists[t], *[msgs[s][t] for s in range(k)])
+            changed_refs.append(ch)
+        if sum(ray.get(changed_refs)) == 0:
+            break
+
+    live = [t for t in ray.get(dists) if t is not None and t.num_rows]
+    if not live:
+        return empty
+    return pa.concat_tables(live).rename_columns([node_out, dist_out])

@@ -1191,6 +1191,40 @@ def q_cc_clusters(sf_dir: str):
                                 node_out="doc_id", comp_out="component")
 
 
+def q_bfs_layers(sf_dir: str):
+    """seed-set expansion over the SAME shared-affix star graph as
+    cc_clusters: hop distance from docs 0..9 via multi-source BFS —
+    frontier-only (dist+1) messages over aligned shards, O(E) total
+    traffic, rounds = max reached distance (ops/graph.bfs_layers;
+    layers 0..~4 exercised: seed -> hub -> star member -> cross-star)."""
+    import numpy as np
+
+    from ..ops.graph import bfs_layers
+    from ..shuffle import hash_exchange
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        s = t["text"].to_pandas()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(("p:" + s.str[:64])._append("s:" + s.str[-64:])),
+            "doc_id": np.concatenate([ids, ids]),
+        })
+
+    def star(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
+        return pa.table({"src": hub.to_numpy(),
+                         "dst": df["doc_id"].to_numpy()})
+
+    refs = hash_exchange(
+        docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
+        ["key"], star, return_refs=True)
+    return bfs_layers(refs, seeds=range(10), src="src", dst="dst",
+                      node_out="doc_id", dist_out="dist")
+
+
 def q_pagerank(sf_dir: str):
     """fixed-iteration PageRank over the symmetric shared-affix doc graph
     (10 iterations, d=0.85, unnormalized r0=1 form): iterative
@@ -2663,6 +2697,7 @@ QUERIES: dict[str, Callable] = {
     "join_orders": q_join_orders,
     "join_left_miss": q_join_left_miss,
     "cc_clusters": q_cc_clusters,
+    "bfs_layers": q_bfs_layers,
     "pagerank": q_pagerank,
     "distinct_types": q_distinct_types,
     "cube": q_cube,
@@ -3813,6 +3848,26 @@ ORACLE_SQL: dict[str, str] = {
         "UNION "
         "SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.n"
         ") SELECT n AS doc_id, min(l) AS component FROM reach GROUP BY n"
+    ),
+    "bfs_layers": (
+        # min hop distance from seed docs 0..9 over the same star graph;
+        # (node, d) pairs are bounded by the d < 12 cap so the recursive
+        # UNION terminates on cycles
+        "WITH RECURSIVE star AS ("
+        "SELECT min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS s, "
+        "doc_id AS d FROM documents "
+        "UNION ALL "
+        "SELECT min(doc_id) OVER (PARTITION BY "
+        "substr(text, greatest(1, length(text) - 63), 64)) AS s, "
+        "doc_id AS d FROM documents"
+        "), edges AS ("
+        "SELECT s, d FROM star UNION SELECT d, s FROM star"
+        "), r(n, dd) AS ("
+        "SELECT doc_id, 0 FROM documents WHERE doc_id < 10 "
+        "UNION "
+        "SELECT e.d, r.dd + 1 FROM r JOIN edges e ON e.s = r.n "
+        "WHERE r.dd < 12"
+        ") SELECT n AS doc_id, min(dd) AS dist FROM r GROUP BY n"
     ),
     "range_join": (
         "SELECT l.user_id, l.event_id, count(r.ts) AS n_in_range, "

@@ -1568,6 +1568,62 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestBfsLayers:
+    def test_long_chain_many_rounds(self, ray_session):
+        from fluent_bit_ray.ops.graph import bfs_layers
+
+        # 0-1-2-...-59 chain: distance == node id; needs 59 frontier
+        # rounds, so the frontier-only message path really iterates
+        e = pa.table({"src": pa.array(np.arange(59, dtype=np.int64)),
+                      "dst": pa.array(np.arange(1, 60, dtype=np.int64))})
+        out = bfs_layers(e, seeds=[0]).to_pandas().sort_values("node")
+        assert list(out["node"]) == list(range(60))
+        assert list(out["dist"]) == list(range(60))
+
+    def test_multi_source_and_unreachable(self, ray_session):
+        from fluent_bit_ray.ops.graph import bfs_layers
+
+        # two components: 0-1-2-3 and 10-11; seeds 3 and 10
+        e = pa.table({"src": pa.array([0, 1, 2, 10], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 11], pa.int64())})
+        out = {r["node"]: r["dist"]
+               for r in bfs_layers(e, seeds=[3, 10]).to_pylist()}
+        assert out == {3: 0, 2: 1, 1: 2, 0: 3, 10: 0, 11: 1}
+
+    def test_matches_brute_force_random_graph(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from fluent_bit_ray.ops.graph import bfs_layers
+
+        rng = np.random.RandomState(17)
+        n, m = 200, 400
+        src = rng.randint(0, n, m).astype(np.int64)
+        dst = rng.randint(0, n, m).astype(np.int64)
+        seeds = [0, 7, 13]
+        out = {r["node"]: r["dist"] for r in bfs_layers(
+            ray.data.from_arrow(pa.table({"src": src, "dst": dst})
+                                ).repartition(5),
+            seeds=seeds).to_pylist()}
+        # driver-side reference BFS
+        adj = collections.defaultdict(set)
+        for a, b in zip(src, dst):
+            adj[a].add(b)
+            adj[b].add(a)
+        ref, q = {s: 0 for s in seeds if s in adj}, [
+            s for s in seeds if s in adj]
+        while q:
+            nxt = []
+            for u in q:
+                for v in adj[u]:
+                    if v not in ref:
+                        ref[v] = ref[u] + 1
+                        nxt.append(v)
+            q = nxt
+        assert out == ref
+
+
 class TestMadOutliers:
     def test_spike_flags_and_constant_key(self, ray_session):
         import ray.data
