@@ -1613,3 +1613,77 @@ def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
             "is_outlier", pa.array(out))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def basket_lift(ds, key_col: str, item_col: str, min_support: int = 1):
+    """Market-basket association mining: for every unordered item pair
+    (a < b), the number of baskets (distinct `key_col` values) containing
+    BOTH, and the lift = P(a,b) / (P(a)·P(b)) against basket-level
+    independence — the classic co-occurrence signal (Apriori's first
+    level). Null keys/items are excluded (SQL DISTINCT-join parity).
+
+    Scale shape: per-block DISTINCT (key, item) pairs cross ONE key-hash
+    exchange so each basket is whole in one shard; within a shard the
+    pair generation is a C-level pandas self-join bounded by basket
+    width² (item vocabularies are small — event types, tags), and only
+    (a, b, cnt) / (item, cnt) / basket-count partials reach the driver.
+    Returns (a, b, n_ab, lift) with n_ab >= min_support."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = pa.table({"k": t[key_col], "i": t[item_col]}).group_by(
+            ["k", "i"]).aggregate([])
+        mask = pc.and_(pc.is_valid(d["k"]), pc.is_valid(d["i"]))
+        return d.filter(mask)
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.group_by(["k", "i"]).aggregate([]).to_pandas()
+        pairs = df.merge(df, on="k")
+        pairs = pairs[pairs["i_x"] < pairs["i_y"]]
+        pc_ = pairs.groupby(["i_x", "i_y"], sort=False).size()
+        ic = df.groupby("i", sort=False)["k"].size()
+        # an explicit kind column, not in-band sentinels: item values stay
+        # untouched, and nothing collides with real data
+        rows = {
+            "kind": ["pair"] * len(pc_) + ["item"] * len(ic) + ["n"],
+            "a": pc_.index.get_level_values(0).tolist()
+            + ic.index.tolist() + [""],
+            "b": pc_.index.get_level_values(1).tolist()
+            + [""] * len(ic) + [""],
+            "cnt": pc_.tolist() + ic.tolist() + [df["k"].nunique()],
+        }
+        return pa.table({"kind": pa.array(rows["kind"], pa.string()),
+                         "a": pa.array(rows["a"], pa.string()),
+                         "b": pa.array(rows["b"], pa.string()),
+                         "cnt": pa.array(rows["cnt"], pa.int64())})
+
+    res = hash_exchange(
+        ds.select_columns([key_col, item_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["k"], finish)
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "n_ab": pa.array([], pa.int64()),
+                      "lift": pa.array([], pa.float64())})
+    if res is None or res.num_rows == 0:
+        return empty
+    df = res.to_pandas().groupby(["kind", "a", "b"],
+                                 sort=False)["cnt"].sum()
+    n = float(df.get(("n", "", ""), 0))
+    if n == 0:
+        return empty
+    items = {a: c for (kind, a, _b), c in df.items() if kind == "item"}
+    out = {"a": [], "b": [], "n_ab": [], "lift": []}
+    for (kind, a, b), c in df.items():
+        if kind != "pair" or c < min_support:
+            continue
+        out["a"].append(a)
+        out["b"].append(b)
+        out["n_ab"].append(int(c))
+        out["lift"].append(
+            (c / n) / ((items[a] / n) * (items[b] / n)))
+    t = pa.table({"a": pa.array(out["a"], pa.string()),
+                  "b": pa.array(out["b"], pa.string()),
+                  "n_ab": pa.array(out["n_ab"], pa.int64()),
+                  "lift": pa.array(out["lift"], pa.float64())})
+    return t.sort_by([("a", "ascending"), ("b", "ascending")])

@@ -1452,6 +1452,23 @@ def q_percentiles(sf_dir: str):
     )
 
 
+def q_basket_lift(sf_dir: str):
+    """market-basket association mining over sparse high-value baskets
+    (events with value > 200 per user): pair co-occurrence counts and
+    lift vs basket-level independence (ops/stats.basket_lift — distinct
+    (key,item) pairs cross ONE key-hash exchange, pair generation is a
+    basket-width-bounded shard-local self-join, only tiny count partials
+    reach the driver)."""
+    from ..ops.stats import basket_lift
+
+    hi = _read(sf_dir, "events",
+               ["user_id", "event_type", "value"]).map_batches(
+        lambda t: t.filter(pc.fill_null(pc.greater(t["value"], 200.0),
+                                        False)),
+        batch_format="pyarrow")
+    return basket_lift(hi, "user_id", "event_type", min_support=1)
+
+
 def q_mad_outliers(sf_dir: str):
     """robust per-user anomaly gate: |value - median| > 3 * MAD — the
     median-absolute-deviation twin of the stddev z-score `outliers`
@@ -2717,6 +2734,7 @@ QUERIES: dict[str, Callable] = {
     "percentiles": q_percentiles,
     "global_quantiles": q_global_quantiles,
     "mad_outliers": q_mad_outliers,
+    "basket_lift": q_basket_lift,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -3882,6 +3900,18 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
+    ),
+    "basket_lift": (
+        "WITH bk AS (SELECT DISTINCT user_id AS k, event_type AS i "
+        "FROM events WHERE value > 200 AND user_id IS NOT NULL "
+        "AND event_type IS NOT NULL), "
+        "nb AS (SELECT count(DISTINCT k)::DOUBLE AS n FROM bk), "
+        "tc AS (SELECT i, count(*)::BIGINT AS c FROM bk GROUP BY i), "
+        "p AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS n_ab "
+        "FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i GROUP BY 1, 2) "
+        "SELECT p.a, p.b, p.n_ab, "
+        "(p.n_ab / nb.n) / ((ta.c / nb.n) * (tb.c / nb.n)) AS lift "
+        "FROM p, nb, tc ta, tc tb WHERE ta.i = p.a AND tb.i = p.b"
     ),
     "mad_outliers": (
         "WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med "

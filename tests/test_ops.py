@@ -1568,6 +1568,62 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestBasketLift:
+    def test_hand_model(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import basket_lift
+
+        # baskets: u1={x,y}, u2={x,y}, u3={x}, u4={y,z} -> N=4
+        t = pa.table({
+            "k": pa.array([1, 1, 2, 2, 3, 4, 4, 1], pa.int64()),
+            "i": pa.array(["x", "y", "x", "y", "x", "y", "z", "x"]),
+        })
+        out = basket_lift(ray.data.from_arrow(t).repartition(3),
+                          "k", "i").to_pylist()
+        rows = {(r["a"], r["b"]): r for r in out}
+        # n_x=3, n_y=3, n_xy=2: lift = (2/4)/((3/4)*(3/4)) = 8/9
+        assert rows[("x", "y")]["n_ab"] == 2
+        assert rows[("x", "y")]["lift"] == pytest.approx(8 / 9)
+        # y,z co-occur once: lift = (1/4)/((3/4)*(1/4)) = 4/3
+        assert rows[("y", "z")]["n_ab"] == 1
+        assert rows[("y", "z")]["lift"] == pytest.approx(4 / 3)
+        assert ("x", "z") not in rows  # never co-occur
+
+    def test_matches_duckdb_and_min_support(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import basket_lift
+
+        rng = np.random.RandomState(31)
+        n = 1200
+        df = pd.DataFrame({
+            "k": rng.randint(0, 60, n).astype(np.int64),
+            "i": rng.choice(["a", "b", "c", "d", "e", "f"], n,
+                            p=[0.4, 0.25, 0.15, 0.1, 0.07, 0.03]),
+        })
+        out = basket_lift(ray.data.from_pandas(df).repartition(7),
+                          "k", "i", min_support=3).to_pandas()
+        duckdb.register("t", df)
+        exp = duckdb.sql(
+            "WITH bk AS (SELECT DISTINCT k, i FROM t), "
+            "nb AS (SELECT count(DISTINCT k)::DOUBLE AS n FROM bk), "
+            "tc AS (SELECT i, count(*)::BIGINT AS c FROM bk GROUP BY i), "
+            "p AS (SELECT x.i AS a, y.i AS b, count(*)::BIGINT AS n_ab "
+            "FROM bk x JOIN bk y ON x.k = y.k AND x.i < y.i "
+            "GROUP BY 1, 2) "
+            "SELECT p.a, p.b, p.n_ab, "
+            "(p.n_ab / nb.n) / ((ta.c / nb.n) * (tb.c / nb.n)) AS lift "
+            "FROM p, nb, tc ta, tc tb "
+            "WHERE ta.i = p.a AND tb.i = p.b AND p.n_ab >= 3 "
+            "ORDER BY a, b").df()
+        out = out.sort_values(["a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, exp, check_dtype=False,
+                                      rtol=1e-12)
+
+
 class TestBfsLayers:
     def test_long_chain_many_rounds(self, ray_session):
         from fluent_bit_ray.ops.graph import bfs_layers
