@@ -1687,3 +1687,34 @@ def basket_lift(ds, key_col: str, item_col: str, min_support: int = 1):
                   "n_ab": pa.array(out["n_ab"], pa.int64()),
                   "lift": pa.array(out["lift"], pa.float64())})
     return t.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def winsorize(ds, val_col: str, lo_q: float = 0.01, hi_q: float = 0.99,
+              out_col: str = "clipped", bins: int = 64,
+              band_limit: int = 65536):
+    """Winsorize a column at global quantiles — the standard heavy-tail
+    normalization before featurization: values below the lo_q quantile
+    clamp up to it, above hi_q clamp down. Composes `global_quantiles`
+    (distributed exact selection — no row leaves its block) with a pure
+    broadcast clamp map; nulls pass through as nulls."""
+    q = global_quantiles(ds, val_col, qs=(lo_q, hi_q), names=("lo", "hi"),
+                         bins=bins, band_limit=band_limit)
+    if q.num_rows == 0:
+        def passthrough(t: pa.Table) -> pa.Table:
+            return t.append_column(out_col, pc.cast(t[val_col],
+                                                    pa.float64()))
+        return ds.map_batches(passthrough, batch_format="pyarrow")
+    lo = q["lo"][0].as_py()
+    hi = q["hi"][0].as_py()
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[val_col], pa.float64())
+        # skip_nulls=False so a null value stays null instead of clamping
+        # to the bound (element-wise min/max treats null as absent by
+        # default and would return the bound)
+        opt = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        c = pc.min_element_wise(
+            pc.max_element_wise(v, lo, options=opt), hi, options=opt)
+        return t.append_column(out_col, c)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

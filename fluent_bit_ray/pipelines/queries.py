@@ -1452,6 +1452,19 @@ def q_percentiles(sf_dir: str):
     )
 
 
+def q_winsorize(sf_dir: str):
+    """heavy-tail normalization: lineitem prices winsorized at the exact
+    global [p01, p99] — distributed-selection quantiles composed with a
+    broadcast clamp map (ops/stats.winsorize; nulls pass through)."""
+    from ..ops.stats import winsorize
+
+    return winsorize(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber",
+                                   "l_extendedprice"]),
+        "l_extendedprice", lo_q=0.01, hi_q=0.99, bins=32,
+        band_limit=2000)
+
+
 def q_basket_lift(sf_dir: str):
     """market-basket association mining over sparse high-value baskets
     (events with value > 200 per user): pair co-occurrence counts and
@@ -2735,6 +2748,7 @@ QUERIES: dict[str, Callable] = {
     "global_quantiles": q_global_quantiles,
     "mad_outliers": q_mad_outliers,
     "basket_lift": q_basket_lift,
+    "winsorize": q_winsorize,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -3900,6 +3914,13 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
         "quantile_cont(value, 0.95) AS p95, "
         "quantile_cont(value, 0.99) AS p99 FROM events GROUP BY event_type"
+    ),
+    "winsorize": (
+        "WITH q AS (SELECT quantile_cont(l_extendedprice, 0.01) AS lo, "
+        "quantile_cont(l_extendedprice, 0.99) AS hi FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "least(greatest(l_extendedprice, q.lo), q.hi) AS clipped "
+        "FROM lineitem, q"
     ),
     "basket_lift": (
         "WITH bk AS (SELECT DISTINCT user_id AS k, event_type AS i "

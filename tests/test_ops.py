@@ -1568,6 +1568,28 @@ class TestUnigramLogprob:
         assert _per_doc_sum(ints, bounds).tolist() == [3, 7]
 
 
+class TestWinsorize:
+    def test_clamps_and_null_passthrough(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import winsorize
+
+        v = np.arange(1, 101, dtype=np.float64)
+        t = pa.table({"id": pa.array(np.arange(101, dtype=np.int64)),
+                      "v": pa.array(list(v) + [None], pa.float64())})
+        out = winsorize(ray.data.from_arrow(t).repartition(4), "v",
+                        lo_q=0.10, hi_q=0.90, bins=8,
+                        band_limit=20).to_pandas().sort_values("id")
+        lo = np.quantile(v, 0.10)
+        hi = np.quantile(v, 0.90)
+        exp = np.clip(v, lo, hi)
+        assert np.allclose(out["clipped"].to_numpy()[:100], exp)
+        assert pd.isna(out["clipped"].iloc[100])
+        # originals untouched
+        assert np.allclose(out["v"].to_numpy()[:100], v)
+
+
 class TestBasketLift:
     def test_hand_model(self, ray_session):
         import ray.data
