@@ -850,3 +850,97 @@ def skew_join(
     if shard_output_dir is not None:
         return None
     return target.empty_table() if out is None else out
+
+
+def cdc_upsert(
+    base_ds,
+    changes_ds,
+    key_col: str,
+    seq_col: str,
+    val_col: str,
+    del_col: str,
+    base_key_col: Optional[str] = None,
+    base_val_col: Optional[str] = None,
+    shard_output_dir: Optional[str] = None,
+):
+    """Change-data-capture merge (MERGE INTO semantics): apply a changelog
+    to a base snapshot, latest change per key wins. For every key the
+    change with the highest `seq_col` decides: a delete tombstone
+    (`del_col` true) removes the key from the output, any other change
+    replaces the base value (or inserts the key if the base lacks it);
+    keys with no change keep their base row. Null-keyed change rows are
+    ignored (SQL join parity). Ties on `seq_col` break toward the later
+    row in changelog order, mirroring log-replay semantics — drive it
+    with a unique sequence (LSN/event id) for determinism.
+
+    Scale shape: both sides are pruned to fixed-width (key, seq, value,
+    tombstone) rows at the read, ONE key-hash exchange co-locates a
+    key's base row with all its changes, and the shard body is a pure
+    pandas latest-wins pass (sort by seq, drop_duplicates keep=last) —
+    no key's CHANGE HISTORY needs to fit anywhere except its shard, and
+    the output is keyspace-sized, streamable to parquet shards via
+    `shard_output_dir` exactly like the dedup exchanges.
+
+    Returns (key, value, src) with src in {'base', 'changed'}.
+    """
+
+    bkey = base_key_col or key_col
+    bval = base_val_col or val_col
+
+    def prep_base(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t[bkey],
+            "seq": pa.nulls(t.num_rows, pa.int64()),
+            "v": pc.cast(t[bval], pa.float64()),
+            "is_del": pa.nulls(t.num_rows, pa.bool_()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+        return out.filter(pc.is_valid(out["k"]))
+
+    def prep_changes(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t[key_col],
+            "seq": pc.cast(t[seq_col], pa.int64()),
+            "v": pc.cast(t[val_col], pa.float64()),
+            # a null tombstone flag means "not a delete" (SQL: NOT NULL
+            # IS NOT TRUE), and keeps the pandas bool path object-free
+            "is_del": pc.fill_null(pc.cast(t[del_col], pa.bool_()), False),
+            "side": pa.array(np.ones(t.num_rows, np.int8)),
+        })
+        return out.filter(pc.is_valid(out["k"]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ch = df[df["side"] == 1]
+        # latest change per key: stable sort on seq, last row wins
+        last = ch.sort_values("seq", kind="stable").drop_duplicates(
+            "k", keep="last")
+        live = last[~last["is_del"].astype(bool)][["k", "v"]]
+        base = df[df["side"] == 0][["k", "v"]]
+        # keys with ANY change (incl. deletes) drop their base row
+        keep = base[~base["k"].isin(set(last["k"]))]
+        return pa.table({
+            "key": pa.array(
+                np.concatenate([keep["k"].to_numpy(np.int64),
+                                live["k"].to_numpy(np.int64)])
+                if len(keep) + len(live) else np.array([], np.int64)),
+            "value": pa.array(
+                np.concatenate([keep["v"].to_numpy(np.float64),
+                                live["v"].to_numpy(np.float64)])
+                if len(keep) + len(live) else np.array([], np.float64)),
+            "src": pa.array(["base"] * len(keep) + ["changed"] * len(live),
+                            pa.string()),
+        })
+
+    refs = list(base_ds.map_batches(
+        prep_base, batch_format="pyarrow").to_arrow_refs())
+    refs += list(changes_ds.map_batches(
+        prep_changes, batch_format="pyarrow").to_arrow_refs())
+    out = hash_exchange(refs, ["k"], finish,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    empty = pa.table({"key": pa.array([], pa.int64()),
+                      "value": pa.array([], pa.float64()),
+                      "src": pa.array([], pa.string())})
+    return empty if out is None else out

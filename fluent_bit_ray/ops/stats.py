@@ -1718,3 +1718,63 @@ def winsorize(ds, val_col: str, lo_q: float = 0.01, hi_q: float = 0.99,
         return t.append_column(out_col, c)
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def covisit(ds, key_col: str, item_col: str, ts_col: str,
+            window_us: int, min_count: int = 1):
+    """Time-windowed co-visitation: for every unordered pair of DISTINCT
+    item values (a < b), the number of event-instance pairs observed for
+    the SAME key within `window_us` microseconds of each other — the
+    classic recommender co-occurrence matrix (each unordered instance
+    pair counts once; same-item pairs are excluded). Rows with a null
+    key, item or timestamp never pair (SQL inner-join parity).
+
+    Scale shape: prune to (key, item, ts) fixed-width triples at the
+    read, ONE key-hash exchange co-locates each key's events, and the
+    shard-local pair generation is a C-level pandas self-join bounded by
+    per-key event count² (sessions/users, not the corpus — same bound as
+    `basket_lift`; a key so hot its window pairs blow a shard needs
+    time-bucketed salting, which this operator does not attempt). Only
+    (a, b, cnt) count partials — item-vocabulary², not data-sized —
+    leave the shards, so the driver merge is trivial at any corpus size.
+    """
+    from ..shuffle import hash_exchange
+
+    def prep(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "k": t[key_col],
+            "i": t[item_col],
+            "ts": pc.cast(t[ts_col], pa.int64()),
+        })
+        return out.filter(pc.and_(
+            pc.and_(pc.is_valid(out["k"]), pc.is_valid(out["i"])),
+            pc.is_valid(out["ts"])))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pairs = df.merge(df, on="k")
+        pairs = pairs[
+            (pairs["i_x"] < pairs["i_y"])
+            & ((pairs["ts_x"] - pairs["ts_y"]).abs() <= window_us)
+        ]
+        cnt = pairs.groupby(["i_x", "i_y"], sort=False).size()
+        return pa.table({
+            "a": pa.array(cnt.index.get_level_values(0), pa.string()),
+            "b": pa.array(cnt.index.get_level_values(1), pa.string()),
+            "cnt": pa.array(cnt.to_numpy(), pa.int64()),
+        })
+
+    res = hash_exchange(
+        ds.select_columns([key_col, item_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow").to_arrow_refs(),
+        ["k"], finish)
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "n_co": pa.array([], pa.int64())})
+    if res is None or res.num_rows == 0:
+        return empty
+    agg = res.group_by(["a", "b"]).aggregate([("cnt", "sum")])
+    agg = agg.filter(pc.greater_equal(agg["cnt_sum"], min_count))
+    return pa.table({"a": agg["a"], "b": agg["b"],
+                     "n_co": pc.cast(agg["cnt_sum"], pa.int64())}
+                    ).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -1482,6 +1482,52 @@ def q_basket_lift(sf_dir: str):
     return basket_lift(hi, "user_id", "event_type", min_support=1)
 
 
+def q_covisit(sf_dir: str):
+    """recommender co-visitation matrix: event-type pairs observed for
+    the same user within 1 hour, counted per instance pair
+    (ops/stats.covisit — ONE key-hash exchange, per-key-width²-bounded
+    shard-local pair join, only vocabulary² count partials move)."""
+    from ..ops.stats import covisit
+
+    return covisit(
+        _read(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        "user_id", "event_type", "ts", window_us=3_600_000_000)
+
+
+def q_cdc_upsert(sf_dir: str):
+    """change-data-capture merge: the events stream replayed as a
+    changelog over the customer snapshot — per key the highest-seq
+    change wins, 'error' events are delete tombstones, untouched keys
+    keep their base row (ops/joins.cdc_upsert — ONE key-hash exchange
+    co-locating base row + change history, shard-local latest-wins)."""
+    from ..ops.joins import cdc_upsert
+
+    base = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    changes = _read(sf_dir, "events",
+                    ["user_id", "event_id", "value", "event_type"])
+    changes = changes.map_batches(
+        lambda t: t.append_column(
+            "is_del", pc.equal(t["event_type"], "error")),
+        batch_format="pyarrow")
+    return cdc_upsert(base, changes, key_col="user_id",
+                      seq_col="event_id", val_col="value",
+                      del_col="is_del", base_key_col="c_custkey",
+                      base_val_col="c_acctbal")
+
+
+def q_jaccard_join(sf_dir: str):
+    """exact set-similarity self-join: every document pair with
+    token-set Jaccard >= 0.95 — the zero-false-negative complement of
+    the minhash path (ops/setsim.jaccard_join — PPJoin prefix
+    filtering, one token-hash exchange, smallest-shared-prefix-token
+    ownership for exactly-once pair emission)."""
+    from ..ops.setsim import jaccard_join
+
+    return jaccard_join(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id", "text", tau=0.95)
+
+
 def q_mad_outliers(sf_dir: str):
     """robust per-user anomaly gate: |value - median| > 3 * MAD — the
     median-absolute-deviation twin of the stddev z-score `outliers`
@@ -2749,6 +2795,9 @@ QUERIES: dict[str, Callable] = {
     "mad_outliers": q_mad_outliers,
     "basket_lift": q_basket_lift,
     "winsorize": q_winsorize,
+    "covisit": q_covisit,
+    "cdc_upsert": q_cdc_upsert,
+    "jaccard_join": q_jaccard_join,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -3933,6 +3982,44 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT p.a, p.b, p.n_ab, "
         "(p.n_ab / nb.n) / ((ta.c / nb.n) * (tb.c / nb.n)) AS lift "
         "FROM p, nb, tc ta, tc tb WHERE ta.i = p.a AND tb.i = p.b"
+    ),
+    "covisit": (
+        "SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_co "
+        "FROM events a JOIN events b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type "
+        "AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000 "
+        "GROUP BY 1, 2"
+    ),
+    "cdc_upsert": (
+        "WITH latest AS (SELECT user_id AS key, event_id AS seq, value, "
+        "(event_type = 'error') AS is_del, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) "
+        "AS rn FROM events WHERE user_id IS NOT NULL), "
+        "l1 AS (SELECT * FROM latest WHERE rn = 1), "
+        "base AS (SELECT c_custkey AS key, c_acctbal AS value "
+        "FROM customer) "
+        "SELECT coalesce(l1.key, base.key) AS key, "
+        "CASE WHEN l1.key IS NULL THEN base.value ELSE l1.value END "
+        "AS value, "
+        "CASE WHEN l1.key IS NULL THEN 'base' ELSE 'changed' END AS src "
+        "FROM base FULL OUTER JOIN l1 ON base.key = l1.key "
+        "WHERE l1.key IS NULL OR NOT l1.is_del"
+    ),
+    "jaccard_join": (
+        "WITH toks AS (SELECT doc_id, "
+        "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+        "THEN [] ELSE string_split_regex("
+        "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+        "FROM documents), "
+        "flat AS (SELECT DISTINCT doc_id, unnest(t) AS w FROM toks), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM flat GROUP BY 1), "
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i "
+        "FROM flat a JOIN flat b ON a.w = b.w AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT da, db, i * 1.0 / (sa.sz + sb.sz - i) AS jac "
+        "FROM inter JOIN sizes sa ON sa.doc_id = da "
+        "JOIN sizes sb ON sb.doc_id = db "
+        "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.95"
     ),
     "mad_outliers": (
         "WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med "
