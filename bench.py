@@ -438,6 +438,26 @@ def bench_bigram_nll() -> float:
     return time.time() - t0
 
 
+def bench_covisit() -> float:
+    """windowed co-visitation: one key-hash exchange + per-key-bounded
+    shard-local pair join."""
+    from fluent_bit_ray.pipelines.queries import q_covisit
+
+    t0 = time.time()
+    _consume(q_covisit(SF_DIR))
+    return time.time() - t0
+
+
+def bench_jaccard_join() -> float:
+    """exact PPJoin set-similarity self-join: prefix-token exchange +
+    shard-local candidate/verify."""
+    from fluent_bit_ray.pipelines.queries import q_jaccard_join
+
+    t0 = time.time()
+    _consume(q_jaccard_join(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -475,6 +495,8 @@ BENCHES = {
     "dq_audit": bench_dq_audit,
     "global_quantiles": bench_global_quantiles,
     "bigram_nll": bench_bigram_nll,
+    "covisit": bench_covisit,
+    "jaccard_join": bench_jaccard_join,
 }
 
 
