@@ -1778,3 +1778,129 @@ def covisit(ds, key_col: str, item_col: str, ts_col: str,
     return pa.table({"a": agg["a"], "b": agg["b"],
                      "n_co": pc.cast(agg["cnt_sum"], pa.int64())}
                     ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def ab_ztest(ds, key_col: str, variant_col: str, val_col: str,
+             treat: str, control: str):
+    """Per-key two-sample Welch z-test — the experimentation-analytics
+    pass: for every key (day, cohort, experiment id) with BOTH variants
+    observed, z = (mean_t - mean_c) / sqrt(s2_t/n_t + s2_c/n_c) with
+    var_samp variances. Mergeable sufficient statistics per
+    (key, variant) — n, Σv, Σv² — are in-batch combined and cross ONE
+    key-hash exchange; the closed form finishes per shard, so traffic is
+    keys×2 fixed-width rows regardless of event volume. Null values are
+    excluded (SQL count(value)/avg/var_samp parity); a variant with
+    n < 2 has NULL variance and yields a NULL z like the SQL expression.
+
+    Precision note (same as keyed_corr): raw co-moments in float64 need
+    moderate value magnitudes (|v| ≲ 1e6); shift heavy-tailed metrics
+    first."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(t[val_col]),
+            pc.is_in(t[variant_col],
+                     value_set=pa.array([treat, control])))
+        f = t.filter(keep)
+        v = pc.cast(f[val_col], pa.float64())
+        g = pa.table({
+            "k": f[key_col], "variant": f[variant_col],
+            "n": pa.array(np.ones(f.num_rows, np.float64)),
+            "s": v, "ss": pc.multiply(v, v),
+        }).group_by(["k", "variant"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["k", "variant", "n", "s", "ss"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k", "variant"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["k", "variant", "n", "s", "ss"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = combine(t).to_pandas()
+        tr = df[df["variant"] == treat].set_index("k")
+        co = df[df["variant"] == control].set_index("k")
+        keys = tr.index.intersection(co.index).sort_values()
+        out = {"key": [], "n_t": [], "n_c": [], "mean_t": [],
+               "mean_c": [], "z": []}
+        for k in keys:
+            nt, st, sst = (float(tr.at[k, c]) for c in ("n", "s", "ss"))
+            nc, sc, ssc = (float(co.at[k, c]) for c in ("n", "s", "ss"))
+            mt, mc = st / nt, sc / nc
+            vt = (sst - nt * mt * mt) / (nt - 1) if nt > 1 else None
+            vc = (ssc - nc * mc * mc) / (nc - 1) if nc > 1 else None
+            z = None
+            if vt is not None and vc is not None:
+                den = np.sqrt(vt / nt + vc / nc)
+                z = float((mt - mc) / den) if den > 0 else None
+            out["key"].append(k)
+            out["n_t"].append(int(nt))
+            out["n_c"].append(int(nc))
+            out["mean_t"].append(mt)
+            out["mean_c"].append(mc)
+            out["z"].append(z)
+        return pa.table({
+            "key": pa.array(out["key"]),
+            "n_t": pa.array(out["n_t"], pa.int64()),
+            "n_c": pa.array(out["n_c"], pa.int64()),
+            "mean_t": pa.array(out["mean_t"], pa.float64()),
+            "mean_c": pa.array(out["mean_c"], pa.float64()),
+            "z": pa.array(out["z"], pa.float64()),
+        })
+
+    res = hash_exchange(
+        ds.select_columns([key_col, variant_col, val_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["k"], finish, combine_fn=combine)
+    if res is None:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "n_t": pa.array([], pa.int64()),
+                         "n_c": pa.array([], pa.int64()),
+                         "mean_t": pa.array([], pa.float64()),
+                         "mean_c": pa.array([], pa.float64()),
+                         "z": pa.array([], pa.float64())})
+    return res.sort_by([("key", "ascending")])
+
+
+def equidepth_histogram(ds, val_col: str, k: int = 4, bins: int = 64,
+                        band_limit: int = 65536):
+    """Global equi-depth histogram: bin edges at the EXACT i/k quantiles
+    (distributed iterative selection — no row leaves its block), then a
+    broadcast searchsorted bucket count. Bin b holds values v with
+    edge_b <= v < edge_{b+1} (half-open, SQL `CASE WHEN v < e1 ...`
+    parity); nulls are excluded. Composes `global_quantiles` with a
+    counting map whose partials are k int64s per block.
+
+    Cross-engine boundary safety (why counts hash-match an independent
+    quantile_cont oracle): i/k fractions with dyadic k make the
+    interpolation fraction exact, so an edge is either exactly a data
+    value in both engines or strictly between two adjacent data values —
+    either way the strict comparison buckets every real value
+    identically. Non-dyadic k still gives exact quantiles but the
+    boundary tie-safety argument needs equality-free gaps."""
+    qs = tuple(i / k for i in range(1, k))
+    names = tuple(f"e{i}" for i in range(1, k))
+    q = global_quantiles(ds, val_col, qs=qs, names=names, bins=bins,
+                         band_limit=band_limit)
+    if q.num_rows == 0:  # empty/all-null input
+        return pa.table({"bin": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    edges = np.array([q[n][0].as_py() for n in names], np.float64)
+
+    def count(t: pa.Table) -> pa.Table:
+        v = np.asarray(pc.drop_null(pc.cast(t[val_col], pa.float64())))
+        b = np.searchsorted(edges, v, side="right")
+        c = np.bincount(b, minlength=k)
+        return pa.table({"bin": pa.array(np.arange(k, dtype=np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    parts = ds.select_columns([val_col]).map_batches(
+        count, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    tabs = [t for t in ray.get(parts) if t is not None and t.num_rows]
+    merged = pa.concat_tables(tabs).group_by(["bin"]).aggregate(
+        [("cnt", "sum")]).rename_columns(["bin", "cnt"])
+    merged = merged.filter(pc.greater(merged["cnt"], 0))
+    return merged.sort_by([("bin", "ascending")])

@@ -1238,3 +1238,47 @@ def token_coverage(ds, text_col: str = "text", k: int = 100) -> pa.Table:
         "cnt": pa.array(cnt, pa.int64()),
         "coverage": pa.array(cum / float(total or 1), pa.float64()),
     })
+
+
+def extract_all(ds, id_col: str, text_col: str, pattern: str,
+                out_col: str = "m"):
+    """Multi-match regex extraction, flattened to one row per match —
+    the log-pipeline fan-out the single-match parser path doesn't cover
+    (pull every IP / token / URL out of a free-text field). Non-
+    overlapping leftmost matches in document order, like
+    `regexp_extract_all` + unnest; null/matchless texts contribute no
+    rows. Pure per-batch flat map (zero shuffle, streams at any scale);
+    the pattern is compiled once per task and the scan loop is the C
+    regex engine per row — same cost model as the html-extract stage.
+
+    Dialect note: keep patterns in the RE2-compatible subset (character
+    classes, quantifiers, anchors; no backrefs/lookarounds) so the
+    Python `re` scan is match-identical to the DuckDB/RE2 oracle."""
+    import re
+
+    rx = re.compile(pattern)
+    if rx.groups:
+        # findall returns groups when present; regexp_extract_all
+        # returns the whole match — keep them aligned
+        raise ValueError("extract_all pattern must not contain capture "
+                         "groups (use (?:...) instead)")
+
+    def flat(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_ids: list = []
+        out_ms: list[str] = []
+        for i, s in zip(ids, texts):
+            if not s:
+                continue
+            ms = rx.findall(s)
+            if ms:
+                out_ids.extend([i] * len(ms))
+                out_ms.extend(ms)
+        return pa.table({
+            id_col: pa.array(out_ids, t.schema.field(id_col).type),
+            out_col: pa.array(out_ms, pa.string()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        flat, batch_format="pyarrow")

@@ -1528,6 +1528,44 @@ def q_jaccard_join(sf_dir: str):
         "doc_id", "text", tau=0.95)
 
 
+def q_ab_ztest(sf_dir: str):
+    """experimentation analytics: per-day Welch two-sample z of purchase
+    vs click value (ops/stats.ab_ztest — mergeable (n, Σv, Σv²)
+    sufficient stats through ONE key-hash exchange, keys×2 rows of
+    traffic regardless of event volume)."""
+    from ..ops.stats import ab_ztest
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.strftime(t["ts"], "%Y-%m-%d"))
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return ab_ztest(ev.map_batches(add_day, batch_format="pyarrow"),
+                    "day", "event_type", "value",
+                    treat="purchase", control="click")
+
+
+def q_equidepth_histogram(sf_dir: str):
+    """global equi-depth histogram: exact-quantile edges (distributed
+    selection, no row leaves its block) + broadcast searchsorted counts
+    (ops/stats.equidepth_histogram; dyadic k=4 makes the bin boundary
+    comparisons engine-exact)."""
+    from ..ops.stats import equidepth_histogram
+
+    return equidepth_histogram(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice", k=4, bins=32, band_limit=2000)
+
+
+def q_extract_all(sf_dir: str):
+    """multi-match regex fan-out: every >=7-letter word from every
+    document, one row per match (ops/text.extract_all — pure flat map,
+    zero shuffle, C regex scan per row)."""
+    from ..ops.text import extract_all
+
+    return extract_all(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       "doc_id", "text", r"[A-Za-z]{7,}")
+
+
 def q_mad_outliers(sf_dir: str):
     """robust per-user anomaly gate: |value - median| > 3 * MAD — the
     median-absolute-deviation twin of the stddev z-score `outliers`
@@ -2798,6 +2836,9 @@ QUERIES: dict[str, Callable] = {
     "covisit": q_covisit,
     "cdc_upsert": q_cdc_upsert,
     "jaccard_join": q_jaccard_join,
+    "ab_ztest": q_ab_ztest,
+    "equidepth_histogram": q_equidepth_histogram,
+    "extract_all": q_extract_all,
     "global_shuffle": q_global_shuffle,
     "entropy": q_entropy,
     "funnel": q_funnel,
@@ -4020,6 +4061,30 @@ ORACLE_SQL: dict[str, str] = {
         "FROM inter JOIN sizes sa ON sa.doc_id = da "
         "JOIN sizes sb ON sb.doc_id = db "
         "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.95"
+    ),
+    "ab_ztest": (
+        "WITH s AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, "
+        "count(value) AS n, avg(value) AS m, var_samp(value) AS v "
+        "FROM events WHERE event_type IN ('purchase', 'click') "
+        "AND value IS NOT NULL GROUP BY 1, 2) "
+        "SELECT t.day AS key, t.n AS n_t, c.n AS n_c, t.m AS mean_t, "
+        "c.m AS mean_c, (t.m - c.m) / sqrt(t.v / t.n + c.v / c.n) AS z "
+        "FROM s t JOIN s c ON t.day = c.day "
+        "AND t.event_type = 'purchase' AND c.event_type = 'click'"
+    ),
+    "equidepth_histogram": (
+        "WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS e1, "
+        "quantile_cont(l_extendedprice, 0.5) AS e2, "
+        "quantile_cont(l_extendedprice, 0.75) AS e3 FROM lineitem) "
+        "SELECT CASE WHEN l_extendedprice < q.e1 THEN 0 "
+        "WHEN l_extendedprice < q.e2 THEN 1 "
+        "WHEN l_extendedprice < q.e3 THEN 2 ELSE 3 END AS bin, "
+        "count(*) AS cnt FROM lineitem, q "
+        "WHERE l_extendedprice IS NOT NULL GROUP BY 1"
+    ),
+    "extract_all": (
+        "SELECT doc_id, unnest(regexp_extract_all(text, "
+        "'[A-Za-z]{7,}')) AS m FROM documents"
     ),
     "mad_outliers": (
         "WITH m AS (SELECT user_id, quantile_cont(value, 0.5) AS med "
