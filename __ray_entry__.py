@@ -30,10 +30,34 @@ def entry() -> Any:
     return aggregate_only("/root/testdata/sf0.001")
 
 
+def _gc_guard(fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Collect dead Dataset/ObjectRef state BEFORE the next query submits tasks.
+
+    Long many-query sessions (100+ queries, ~600 Dataset executions) can hit a
+    nondeterministic Ray 2.49 core race (reference_count.cc:581 "Check failed:
+    submitted_task_ref_count > 0", raised from OnTaskDependenciesInlined) when
+    Python GC frees a prior query's ObjectRefs concurrently with a new task
+    submission that inlines small dependencies. Forcing collection at query
+    entry — while no submission is in flight — removes the concurrent-free
+    window. Observed twice at sf0.01 around query ~110 of 144; harmless
+    otherwise (a few ms per query).
+    """
+
+    def run(sf_dir: str) -> Any:
+        import gc
+
+        gc.collect()
+        return fn(sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fluent_bit_ray.pipelines.queries import QUERIES
 
-    return dict(QUERIES)
+    return {name: _gc_guard(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,9 +117,13 @@ def knuth_hash(ids: np.ndarray) -> np.ndarray:
 
 
 def knuth_hash_sql(id_expr: str) -> str:
-    """knuth_hash as a DuckDB scalar expression (BIGINT-safe: the product
-    of a uint32-range id and 2654435761 stays under 2^63)."""
-    return f"({id_expr} * 2654435761) % 4294967296"
+    """knuth_hash as a DuckDB scalar expression. The product runs in
+    HUGEINT: a BIGINT product overflows for ids above ~3.47e9 (inside the
+    uint32 range), where numpy's int64 silently wraps mod 2^64 — which
+    stays correct mod 2^32 — but DuckDB would raise out-of-range.
+    Domain contract (same as knuth_hash's callers): id >= 0."""
+    return (f"CAST(CAST({id_expr} AS HUGEINT) * 2654435761 "
+            f"% 4294967296 AS BIGINT)")
 
 
 def shuffle_hash_sql(id_expr: str, seed: int) -> str:

@@ -1358,12 +1358,16 @@ def histogram_fixed_bins(ds, val_col: str, bins: int = 32):
 
     def mm_partial(t: pa.Table) -> pa.Table:
         col = t[val_col]
-        mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
-        if mn is None:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]  # NaN excluded like global_quantiles (else it
+        # poisons the bin width and floor(NaN)->int64 min blows bincount)
+        if len(v) == 0:
             return pa.table({"mn": pa.array([], pa.float64()),
                              "mx": pa.array([], pa.float64())})
-        return pa.table({"mn": pa.array([float(mn)]),
-                         "mx": pa.array([float(mx)])})
+        return pa.table({"mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
 
     view = ds.select_columns([val_col])
     mm = [t for t in ray.get(view.map_batches(
@@ -1383,6 +1387,7 @@ def histogram_fixed_bins(ds, val_col: str, bins: int = 32):
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
         if len(v) == 0:
             return pa.table({"bucket": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
@@ -1565,8 +1570,28 @@ def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
             t[key_col], pa.ChunkedArray) else t[key_col]
         return ray.put((keys, t[stat].to_numpy(zero_copy_only=False)))
 
+    def _empty_result() -> pa.Table:
+        # Schema.types are Arrow types for Arrow blocks but numpy dtypes
+        # for pandas-backed datasets — normalize both
+        sch = ds.schema()
+        fields = []
+        for n, t in zip(sch.names, sch.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(t)
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()
+            fields.append(pa.field(n, t))
+        base = pa.schema(fields).empty_table()
+        return base.append_column(
+            "med", pa.array([], pa.float64())).append_column(
+            "mad", pa.array([], pa.float64())).append_column(
+            "is_outlier", pa.array([], pa.bool_()))
+
     med_t = keyed_quantiles(ds, key_col, value_col, qs=(0.5,),
                             names=("med",))
+    if med_t is None:  # zero-row input: the exchange saw no rows
+        return _empty_result()
     med_ref = _bcast(med_t, "med")
 
     def attach_ad(t: pa.Table) -> pa.Table:
@@ -1583,6 +1608,8 @@ def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
         ds.select_columns([key_col, value_col]).map_batches(
             attach_ad, batch_format="pyarrow"),
         key_col, "ad", qs=(0.5,), names=("mad",))
+    if mad_t is None:
+        return _empty_result()
     mad_ref = _bcast(mad_t, "mad")
 
     def flag(t: pa.Table) -> pa.Table:

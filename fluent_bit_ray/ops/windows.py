@@ -28,6 +28,19 @@ def _epoch_ns(series: pd.Series) -> pd.Series:
     return series.astype("datetime64[ns]").astype("int64")
 
 
+_NAT = np.iinfo(np.int64).min
+
+
+def _sort_ns(ns: np.ndarray) -> np.ndarray:
+    """Sort key for `ORDER BY ts` with SQL's default ASC NULLS LAST.
+
+    NaT's raw int64 sentinel is int64 MIN, which would sort null-ts rows
+    FIRST — DuckDB/ANSI default places them LAST. Remap the sentinel to
+    int64 max for the lexsort key only (value math keeps the raw array so
+    null ts still yields NULL outputs where the SQL twin does)."""
+    return np.where(ns == _NAT, np.iinfo(np.int64).max, ns)
+
+
 def _with_shard(ds, key_col: str, num_shards: int):
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
@@ -178,7 +191,7 @@ def running_totals(
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
         ns = _epoch_ns(df[ts_col]).to_numpy()
         ids = df[id_col].to_numpy()
-        order = np.lexsort((ids, ns, codes))
+        order = np.lexsort((ids, _sort_ns(ns), codes))
         df = df.iloc[order].reset_index(drop=True)
         c = codes[order]
         new = np.ones(len(c), dtype=bool)
@@ -197,11 +210,14 @@ def running_totals(
         cum_sum = cs - np.repeat(base_s, reps)
         nonnull = cn - np.repeat(base_n, reps)
         cum_n = np.arange(len(c)) - np.repeat(starts, reps) + 1
+        ns_s = ns[order]
+        ts_us = pd.array(ns_s // 1000, dtype="Int64")
+        ts_us[ns_s == _NAT] = pd.NA  # epoch_us(NULL) IS NULL
         out = pd.DataFrame(
             {
                 key_col: df[key_col],
                 id_col: df[id_col],
-                "ts_us": ns[order] // 1000,
+                "ts_us": ts_us,
                 "cum_n": cum_n.astype(np.int64),
                 "cum_sum": np.where(nonnull > 0, cum_sum, np.nan),
             }
@@ -242,7 +258,7 @@ def moving_avg(
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
         ns = _epoch_ns(df[ts_col]).to_numpy()
         ids = df[id_col].to_numpy()
-        order = np.lexsort((ids, ns, codes))
+        order = np.lexsort((ids, _sort_ns(ns), codes))
         df = df.iloc[order].reset_index(drop=True)
         c = codes[order]
         new = np.ones(len(c), dtype=bool)
@@ -293,7 +309,7 @@ def lag_deltas(
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
         ns = _epoch_ns(df[ts_col]).to_numpy()
         ids = df[id_col].to_numpy()
-        order = np.lexsort((ids, ns, codes))
+        order = np.lexsort((ids, _sort_ns(ns), codes))
         df = df.iloc[order].reset_index(drop=True)
         c = codes[order]
         ns_s = ns[order]
@@ -305,6 +321,9 @@ def lag_deltas(
         prev_v[first] = np.nan
         gap = (ns_s - prev_ns) / 1e9
         gap[first] = np.nan
+        # epoch(NULL) is NULL on either side of the subtraction
+        nat = ns_s == _NAT
+        gap[nat | np.concatenate(([False], nat[:-1]))] = np.nan
         return pd.DataFrame(
             {
                 key_col: df[key_col],
@@ -405,7 +424,7 @@ def transition_counts(
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
         ns = _epoch_ns(df[ts_col]).to_numpy()
         ids = df[id_col].to_numpy()
-        order = np.lexsort((ids, ns, codes))
+        order = np.lexsort((ids, _sort_ns(ns), codes))
         tv = df[type_col].to_numpy()[order]
         c = codes[order]
         first = np.ones(len(c), dtype=bool)
@@ -448,7 +467,7 @@ def collect_per_key(
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
         ns = _epoch_ns(df[ts_col]).to_numpy()
         ids = df[id_col].to_numpy()
-        order = np.lexsort((ids, ns, codes))
+        order = np.lexsort((ids, _sort_ns(ns), codes))
         df = df.iloc[order]
         keys = df[[key_col]].drop_duplicates()
         g = (df[df[val_col].notna()]

@@ -1155,17 +1155,17 @@ def q_q3_revenue(sf_dir: str):
     return out
 
 
-def q_cc_clusters(sf_dir: str):
-    """transitive duplicate clusters: docs sharing a 64-char prefix OR a
-    64-char suffix are linked; the cluster id is the min doc_id reachable
-    through any chain of such links (doc A shares a prefix with B, B a
-    suffix with C => one cluster). ONE key-hash exchange elects a hub per
-    shared-affix group and emits star edges (O(n) per group, same
-    components as the clique), then ops/graph.connected_components runs
-    hash-min label propagation over aligned shards."""
+def _affix_star_refs(sf_dir: str, symmetric: bool = False):
+    """Shared-affix star graph feeding cc_clusters / bfs_layers /
+    pagerank: docs sharing a 64-char prefix OR a 64-char suffix link
+    through their group's min-doc_id hub (same connected components as
+    the full clique at O(n) edges per group). ONE key-hash exchange;
+    returns per-shard edge-table refs (src, dst) — hub->member edges, or
+    both directions when `symmetric` (the pagerank form). The 64-char
+    affix width is pinned by the three SQL twins: change it here and in
+    ORACLE_SQL together."""
     import numpy as np
 
-    from ..ops.graph import connected_components
     from ..shuffle import hash_exchange
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1181,13 +1181,27 @@ def q_cc_clusters(sf_dir: str):
     def star(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         hub = df.groupby("key", sort=False)["doc_id"].transform("min")
-        return pa.table({"src": hub.to_numpy(),
-                         "dst": df["doc_id"].to_numpy()})
+        h, d = hub.to_numpy(), df["doc_id"].to_numpy()
+        if symmetric:
+            return pa.table({"src": np.concatenate([h, d]),
+                             "dst": np.concatenate([d, h])})
+        return pa.table({"src": h, "dst": d})
 
-    refs = hash_exchange(
+    return hash_exchange(
         docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
         ["key"], star, return_refs=True)
-    return connected_components(refs, "src", "dst",
+
+
+def q_cc_clusters(sf_dir: str):
+    """transitive duplicate clusters: docs sharing a 64-char prefix OR a
+    64-char suffix are linked; the cluster id is the min doc_id reachable
+    through any chain of such links (doc A shares a prefix with B, B a
+    suffix with C => one cluster). The shared-affix star exchange
+    (_affix_star_refs), then ops/graph.connected_components runs
+    hash-min label propagation over aligned shards."""
+    from ..ops.graph import connected_components
+
+    return connected_components(_affix_star_refs(sf_dir), "src", "dst",
                                 node_out="doc_id", comp_out="component")
 
 
@@ -1197,31 +1211,10 @@ def q_bfs_layers(sf_dir: str):
     frontier-only (dist+1) messages over aligned shards, O(E) total
     traffic, rounds = max reached distance (ops/graph.bfs_layers;
     layers 0..~4 exercised: seed -> hub -> star member -> cross-star)."""
-    import numpy as np
-
     from ..ops.graph import bfs_layers
-    from ..shuffle import hash_exchange
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "key": pa.array(("p:" + s.str[:64])._append("s:" + s.str[-64:])),
-            "doc_id": np.concatenate([ids, ids]),
-        })
-
-    def star(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
-        return pa.table({"src": hub.to_numpy(),
-                         "dst": df["doc_id"].to_numpy()})
-
-    refs = hash_exchange(
-        docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
-        ["key"], star, return_refs=True)
-    return bfs_layers(refs, seeds=range(10), src="src", dst="dst",
+    return bfs_layers(_affix_star_refs(sf_dir), seeds=range(10),
+                      src="src", dst="dst",
                       node_out="doc_id", dist_out="dist")
 
 
@@ -1232,32 +1225,10 @@ def q_pagerank(sf_dir: str):
     contribution rows are all that move each round
     (ops/graph.pagerank). Oracle: the recursion unrolled as a DuckDB
     recursive CTE with one aggregate per iteration."""
-    import numpy as np
-
     from ..ops.graph import pagerank
-    from ..shuffle import hash_exchange
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        s = t["text"].to_pandas()
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "key": pa.array(("p:" + s.str[:64])._append("s:" + s.str[-64:])),
-            "doc_id": np.concatenate([ids, ids]),
-        })
-
-    def star_sym(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
-        h, d = hub.to_numpy(), df["doc_id"].to_numpy()
-        return pa.table({"src": np.concatenate([h, d]),
-                         "dst": np.concatenate([d, h])})
-
-    refs = hash_exchange(
-        docs.map_batches(keyed, batch_format="pyarrow").to_arrow_refs(),
-        ["key"], star_sym, return_refs=True)
-    return pagerank(refs, "src", "dst", damping=0.85, iters=10,
+    return pagerank(_affix_star_refs(sf_dir, symmetric=True), "src", "dst",
+                    damping=0.85, iters=10,
                     node_out="doc_id", rank_out="pr")
 
 
@@ -1672,28 +1643,38 @@ def q_resample(sf_dir: str):
         step_us=86_400_000_000)
 
 
+def _mk_request_lines(b: pa.Table, keep=()) -> pa.Table:
+    """The deterministic synthesized request line shared by
+    log_templates and template_novelty — '<type> user=<uid> item=<eid>
+    ms=<eid mod 997>'. Must stay byte-identical to BOTH queries' SQL
+    twins (they inline the same concat expression); one definition keeps
+    the engine/oracle pair from drifting. `keep` carries extra columns
+    (e.g. ts) through unchanged."""
+    ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    line = pc.binary_join_element_wise(
+        pc.cast(b["event_type"], pa.string()),
+        " user=", pc.cast(b["user_id"], pa.string()),
+        " item=", pc.cast(b["event_id"], pa.string()),
+        " ms=", pc.cast(pa.array(ids % 997, pa.int64()), pa.string()),
+        "")
+    cols = {"text": line}
+    for c in keep:
+        cols[c] = b[c]
+    return pa.table(cols)
+
+
 def q_log_templates(sf_dir: str):
     """Drain-lite log-template mining over deterministic synthesized
-    request lines ('<type> user=<uid> item=<eid> ms=<eid mod 997>',
-    same construction in the SQL twin): digit runs mask to <NUM>, and
-    the corpus collapses to one template per event type with exact
-    counts (ops/text.log_templates — two Arrow regex kernels +
-    value_counts partials, one template-keyed exchange)."""
+    request lines (_mk_request_lines, same construction in the SQL
+    twin): digit runs mask to <NUM>, and the corpus collapses to one
+    template per event type with exact counts (ops/text.log_templates —
+    two Arrow regex kernels + value_counts partials, one template-keyed
+    exchange)."""
     from ..ops.text import log_templates
-
-    def mk_lines(b: pa.Table) -> pa.Table:
-        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        line = pc.binary_join_element_wise(
-            pc.cast(b["event_type"], pa.string()),
-            " user=", pc.cast(b["user_id"], pa.string()),
-            " item=", pc.cast(b["event_id"], pa.string()),
-            " ms=", pc.cast(pa.array(ids % 997, pa.int64()), pa.string()),
-            "")
-        return pa.table({"text": line})
 
     return log_templates(
         _read(sf_dir, "events", ["event_id", "user_id", "event_type"]
-              ).map_batches(mk_lines, batch_format="pyarrow"))
+              ).map_batches(_mk_request_lines, batch_format="pyarrow"))
 
 
 def q_template_novelty(sf_dir: str):
@@ -1702,22 +1683,15 @@ def q_template_novelty(sf_dir: str):
     on each template's FIRST-seen bucket (ops/text.template_novelty —
     per-block masked group_by partials, ONE template-keyed exchange so
     first-seen is a shard-local group-min)."""
-    from ..ops.text import template_novelty
+    from functools import partial
 
-    def mk_lines(b: pa.Table) -> pa.Table:
-        ids = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        line = pc.binary_join_element_wise(
-            pc.cast(b["event_type"], pa.string()),
-            " user=", pc.cast(b["user_id"], pa.string()),
-            " item=", pc.cast(b["event_id"], pa.string()),
-            " ms=", pc.cast(pa.array(ids % 997, pa.int64()), pa.string()),
-            "")
-        return pa.table({"text": line, "ts": b["ts"]})
+    from ..ops.text import template_novelty
 
     return template_novelty(
         _read(sf_dir, "events",
               ["event_id", "user_id", "event_type", "ts"]
-              ).map_batches(mk_lines, batch_format="pyarrow"),
+              ).map_batches(partial(_mk_request_lines, keep=("ts",)),
+                            batch_format="pyarrow"),
         bucket_us=86_400_000_000)
 
 

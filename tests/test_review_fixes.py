@@ -250,3 +250,152 @@ class TestThirdReviewFixes:
             cpu_sample(0)
         with _pytest.raises(ValueError, match="Interval_Sec"):
             disk_sample(-1)
+
+
+class TestFourthReviewFixes:
+    """Null-timestamp NULLS LAST parity for the window/lag family (the
+    oracle SQL orders `BY ts, id` — DuckDB default places NULL ts LAST,
+    NaT's raw int64 sentinel placed it first), plus empty/NaN/overflow
+    hardening surfaced by the round-3 range review."""
+
+    def _events(self):
+        return pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2],
+                "event_id": [1, 2, 3, 4, 5],
+                "event_type": ["A", "B", "A", "B", "C"],
+                "ts": pd.to_datetime(
+                    [None, "2024-01-01 00:00:02", "2024-01-01 00:00:03",
+                     "2024-01-01 00:00:01", None]),
+                "value": [10.0, 20.0, 30.0, 5.0, None],
+            }
+        )
+
+    def _duck(self, sql):
+        import duckdb
+
+        events = self._events()  # noqa: F841 — registered by replacement scan
+        return duckdb.sql(sql).df()
+
+    def test_moving_avg_null_ts_sorts_last(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import moving_avg
+
+        got = (moving_avg(ray.data.from_pandas(self._events()), window=4,
+                          num_shards=2).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        want = self._duck(
+            "SELECT user_id, event_id, avg(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "AS mov_avg FROM events ORDER BY event_id")
+        assert got["mov_avg"].round(6).fillna(-1).tolist() == \
+            want["mov_avg"].round(6).fillna(-1).tolist()
+
+    def test_running_totals_null_ts(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import running_totals
+
+        got = (running_totals(ray.data.from_pandas(self._events()),
+                              num_shards=2).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        want = self._duck(
+            "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "count(*) OVER w AS cum_n, sum(value) OVER w AS cum_sum "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "ORDER BY event_id")
+        assert got["cum_n"].tolist() == want["cum_n"].tolist()
+        assert got["cum_sum"].fillna(-1).tolist() == \
+            want["cum_sum"].fillna(-1).tolist()
+        # epoch_us(NULL) IS NULL, not the NaT sentinel
+        assert [None if pd.isna(x) else int(x) for x in got["ts_us"]] == [
+            None if pd.isna(x) else int(x) for x in want["ts_us"]]
+
+    def test_lag_deltas_null_ts(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import lag_deltas
+
+        got = (lag_deltas(ray.data.from_pandas(self._events()),
+                          num_shards=2).to_pandas()
+               .sort_values("event_id").reset_index(drop=True))
+        want = self._duck(
+            "SELECT user_id, event_id, lag(value) OVER w AS prev_value, "
+            "epoch(ts) - lag(epoch(ts)) OVER w AS gap_sec "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id) ORDER BY event_id")
+        assert got["prev_value"].fillna(-1).tolist() == \
+            want["prev_value"].fillna(-1).tolist()
+        assert got["gap_sec"].fillna(-1).round(6).tolist() == \
+            want["gap_sec"].fillna(-1).round(6).tolist()
+
+    def test_transitions_null_ts(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import transition_counts
+
+        got = transition_counts(ray.data.from_pandas(self._events()),
+                                num_shards=2).to_pandas()
+        pairs = {(r.from_type, r.to_type): r.n for r in got.itertuples()}
+        want = self._duck(
+            "WITH o AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) SELECT prev AS from_type, event_type AS to_type, "
+            "count(*) AS n FROM o WHERE prev IS NOT NULL "
+            "GROUP BY prev, event_type")
+        wpairs = {(r.from_type, r.to_type): r.n for r in want.itertuples()}
+        assert pairs == wpairs
+
+    def test_collect_per_key_null_ts(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import collect_per_key
+
+        got = (collect_per_key(ray.data.from_pandas(self._events()),
+                               num_shards=2).to_pandas()
+               .sort_values("user_id").reset_index(drop=True))
+        want = self._duck(
+            "SELECT user_id, string_agg(event_type, '>' ORDER BY ts, "
+            "event_id) AS seq FROM events GROUP BY user_id "
+            "ORDER BY user_id")
+        assert got["seq"].tolist() == want["seq"].tolist()
+
+    def test_mad_outliers_empty_input(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import mad_outliers
+
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                              "value": pd.Series([], dtype="float64")})
+        out = mad_outliers(ray.data.from_pandas(empty), "user_id", "value")
+        t = out if isinstance(out, pa.Table) else pa.Table.from_pandas(
+            out.to_pandas())
+        assert t.num_rows == 0
+        for c in ("med", "mad", "is_outlier"):
+            assert c in t.column_names
+
+    def test_histogram_ignores_nan(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import histogram_fixed_bins
+
+        df = pd.DataFrame({"v": [1.0, np.nan, 2.0, None, 3.0]})
+        out = histogram_fixed_bins(
+            ray.data.from_pandas(df), "v", bins=4).to_pandas()
+        # NaN neither poisons the min/max pass nor lands in a bucket
+        assert int(out["cnt"].sum()) == 3
+        assert out["bucket"].between(0, 3).all()
+
+    def test_knuth_hash_sql_hugeint_safe(self):
+        import duckdb
+
+        from fluent_bit_ray.ops.sample import knuth_hash, knuth_hash_sql
+
+        big = np.array([3474748173, 4294967295, 7, 0], dtype=np.int64)
+        want = knuth_hash(big).tolist()
+        got = [r[0] for r in duckdb.sql(
+            "SELECT " + knuth_hash_sql("id") + " FROM (SELECT "
+            "unnest([3474748173, 4294967295, 7, 0]) AS id)").fetchall()]
+        assert got == want
