@@ -297,6 +297,16 @@ def bench_rank_per_key() -> float:
     return time.time() - t0
 
 
+def bench_cusum() -> float:
+    """per-key CUSUM drift detection (groupby cumsum + cummin scans over
+    one key-shard exchange)."""
+    from fluent_bit_ray.pipelines.queries import q_cusum
+
+    t0 = time.time()
+    _consume(q_cusum(SF_DIR))
+    return time.time() - t0
+
+
 def bench_warc_ingest() -> float:
     """full Common-Crawl loop: WARC files -> parse -> enrich -> aggregate
     (fixture pre-built untimed, like the forward bench)."""
@@ -481,6 +491,7 @@ BENCHES = {
     "boilerplate": bench_boilerplate,
     "interval_join": bench_interval_join,
     "rank_per_key": bench_rank_per_key,
+    "cusum": bench_cusum,
     "warc_ingest": bench_warc_ingest,
     "geoip": bench_geoip,
     "log_templates": bench_log_templates,

@@ -1005,3 +1005,108 @@ def time_weighted_avg(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def ewma(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.5,
+    num_shards: int = 16,
+):
+    """Per-key exponential moving average over event time — the classic
+    telemetry smoother: y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}
+    over each key's non-null values in (ts NULLS LAST, id) order. The
+    recurrence is NOT window-function-expressible (SQL needs a recursive
+    CTE — see the `ewma` oracle), which is exactly why an engine op
+    earns its place next to moving_avg's linear ROWS frame.
+
+    Scale shape: the usual key-shard pandas body; the recurrence runs in
+    pandas' cython groupby-ewm kernel (adjust=False IS this recurrence),
+    one call per shard for all its keys — no per-key Python. Null values
+    are excluded up front (SQL twin filters them); rows emit in
+    recurrence order. Partitioning assumption: one KEY fits the shard."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[val_col].notna()]
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col],
+                                 id_col: df[id_col],
+                                 "ewma": pd.Series([], dtype="float64")})
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, _sort_ns(ns), codes))
+        df = df.iloc[order].reset_index(drop=True)
+        y = (df.groupby(codes[order], sort=False)[val_col]
+             .ewm(alpha=alpha, adjust=False).mean()
+             .reset_index(drop=True))
+        return pd.DataFrame({key_col: df[key_col],
+                             id_col: df[id_col],
+                             "ewma": y.to_numpy(dtype=np.float64)})
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )
+
+
+def cusum_drift(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    thresh: float = 150.005,
+    num_shards: int = 16,
+):
+    """Per-key one-sided CUSUM drift detector: against each key's
+    BASELINE (its first observation in event-time order), S+_t =
+    max(0, S+_{t-1} + (x_t - baseline)) over (ts NULLS LAST, id),
+    flagged when S+ exceeds `thresh` — the standard sustained-level-
+    shift alarm on service telemetry (a single spike decays, a run of
+    elevated values accumulates). The first-observation reference (vs a
+    key mean) keeps deviations on the DATA's value lattice: a mean is
+    generally non-representable in float64, and the resulting ~1e-12
+    engine-vs-SQL accumulation skew lands measurably often on 6-decimal
+    rounding boundaries of the verify hash (observed 65/10000 rows).
+
+    The max(0, ...) recurrence vectorizes via the prefix-min identity
+    S+_t = cs_t - min(0, min_{j<=t} cs_j) with cs the running sum of
+    deviations — which also makes it EXACTLY window-function-expressible
+    (the `cusum` oracle: first_value, one running sum, one running min —
+    no recursive CTE). Engine: ONE key-shard body, groupby cumsum +
+    cummin (both cython) — no extra exchange, since the baseline is the
+    key's first sorted row. Null values are excluded (SQL twin filters).
+    Returns (key, id, cusum, is_drift)."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[val_col].notna()]
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
+                                 "cusum": pd.Series([], dtype="float64"),
+                                 "is_drift": pd.Series([], dtype="bool")})
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, _sort_ns(ns), codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        v = df[val_col].to_numpy(dtype=np.float64)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(first)
+        reps = np.diff(np.concatenate((starts, [len(c)])))
+        baseline = np.repeat(v[starts], reps)
+        dev = v - baseline
+        cs = pd.Series(dev).groupby(c, sort=False).cumsum().to_numpy()
+        run_min = pd.Series(cs).groupby(c, sort=False).cummin().to_numpy()
+        s_plus = cs - np.minimum(0.0, run_min)
+        return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
+                             "cusum": s_plus,
+                             "is_drift": s_plus > thresh})
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

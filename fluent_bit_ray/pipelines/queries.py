@@ -2277,6 +2277,32 @@ def q_moving_avg(sf_dir: str):
     )
 
 
+def q_ewma(sf_dir: str):
+    """per-user exponential moving average of event values (alpha=0.5,
+    adjust-free recurrence y_t = a*x_t + (1-a)*y_{t-1} over non-null
+    values in event-time order) — the telemetry smoother whose
+    recurrence SQL can only express as a recursive CTE
+    (ops/windows.ewma: one cython groupby-ewm call per key shard)."""
+    from ..ops.windows import ewma
+
+    return ewma(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
+def q_cusum(sf_dir: str):
+    """per-user one-sided CUSUM drift detector against each user's
+    baseline (first observation): S+ = max(0, S+ + dev), flagged when
+    S+ > 150.005 (the off-lattice threshold keeps the boolean exact
+    under float summation skew) — sustained-shift alarming on service
+    telemetry. Engine: the prefix-min identity makes the recurrence two
+    cython groupby scans (ops/windows.cusum_drift); the SAME identity
+    makes it window-function-expressible for the oracle."""
+    from ..ops.windows import cusum_drift
+
+    return cusum_drift(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
 def q_weighted_sample(sf_dir: str):
     """deterministic weighted sample without replacement, 50 docs with
     probability ~ n_chars+1 (Efraimidis–Spirakis top-k by ln(u)/w with
@@ -2861,6 +2887,8 @@ QUERIES: dict[str, Callable] = {
     "warc_roundtrip": q_warc_roundtrip,
     "weblog_from_warc": q_weblog_from_warc,
     "moving_avg": q_moving_avg,
+    "ewma": q_ewma,
+    "cusum": q_cusum,
     "weighted_sample": q_weighted_sample,
     "bm25": q_bm25,
     "join_outer": q_join_outer,
@@ -4081,6 +4109,36 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, event_id, avg(value) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
         "AS mov_avg FROM events"
+    ),
+    # the adjust-free EWMA recurrence has no window-function form — the
+    # oracle unrolls it as a recursive CTE over per-key row numbers
+    "ewma": (
+        "WITH RECURSIVE s AS (SELECT user_id, event_id, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events WHERE value IS NOT NULL), "
+        "r AS (SELECT user_id, event_id, rn, value AS ewma FROM s "
+        "WHERE rn = 1 UNION ALL SELECT s.user_id, s.event_id, s.rn, "
+        "0.5*s.value + 0.5*r.ewma FROM s JOIN r ON s.user_id = r.user_id "
+        "AND s.rn = r.rn + 1) "
+        "SELECT user_id, event_id, ewma FROM r"
+    ),
+    # max(0, S + dev) via the prefix-min identity:
+    # S+ = cs - least(0, running min of cs); deviations are vs the key's
+    # FIRST observation (stays on the data's value lattice — a key mean
+    # would put ~1e-12 summation skew on 6-decimal hash boundaries)
+    "cusum": (
+        "WITH d AS (SELECT user_id, event_id, ts, "
+        "value - first_value(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS dev "
+        "FROM events WHERE value IS NOT NULL), "
+        "c AS (SELECT user_id, event_id, ts, sum(dev) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS cs FROM d) "
+        "SELECT user_id, event_id, "
+        "cs - least(0, min(cs) OVER w) AS cusum, "
+        "(cs - least(0, min(cs) OVER w)) > 150.005 AS is_drift FROM c "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING)"
     ),
     # the SQL twin recomputes the same seeded mix, the same A-ES key
     # ln(u)/w and the same (skey DESC, id) top-50 — full selection parity

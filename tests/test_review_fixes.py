@@ -399,3 +399,85 @@ class TestFourthReviewFixes:
             "SELECT " + knuth_hash_sql("id") + " FROM (SELECT "
             "unnest([3474748173, 4294967295, 7, 0]) AS id)").fetchall()]
         assert got == want
+
+
+class TestEwmaCusum:
+    """ewma (recursive-CTE-only recurrence) and cusum_drift (prefix-min
+    identity) — engine vs direct per-key reference recurrences, plus the
+    repartition-invariance every exchange op gets."""
+
+    def _events(self, n=300, seed=11):
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 12, n),
+            "event_id": np.arange(1, n + 1),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "value": np.round(
+                np.where(rng.random(n) < 0.1, np.nan, rng.random(n) * 300),
+                2),
+        })
+        df.loc[3, "ts"] = pd.NaT
+        return df
+
+    def _ref_frames(self, df):
+        df = df[df["value"].notna()].copy()
+        ns = df["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ns = np.where(ns == np.iinfo(np.int64).min,
+                      np.iinfo(np.int64).max, ns)
+        df["_k"] = ns
+        return df.sort_values(["user_id", "_k", "event_id"])
+
+    def test_ewma_matches_reference_recurrence(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import ewma
+
+        df = self._events()
+        got = (ewma(ray.data.from_pandas(df).repartition(5), num_shards=3)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        ref = {}
+        for _, g in self._ref_frames(df).groupby("user_id"):
+            y = None
+            for eid, v in zip(g["event_id"], g["value"]):
+                y = v if y is None else 0.5 * v + 0.5 * y
+                ref[eid] = y
+        assert len(got) == len(ref)
+        for eid, y in zip(got["event_id"], got["ewma"]):
+            assert abs(ref[eid] - y) < 1e-9
+
+    def test_cusum_matches_reference_recurrence(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import cusum_drift
+
+        df = self._events()
+        got = (cusum_drift(ray.data.from_pandas(df).repartition(4),
+                           num_shards=3)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        ref = {}
+        for _, g in self._ref_frames(df).groupby("user_id"):
+            s, base = 0.0, None
+            for eid, v in zip(g["event_id"], g["value"]):
+                base = v if base is None else base
+                s = max(0.0, s + (v - base))
+                ref[eid] = s
+        assert len(got) == len(ref)
+        drifts = 0
+        for eid, s, f in zip(got["event_id"], got["cusum"], got["is_drift"]):
+            assert abs(ref[eid] - s) < 1e-9
+            assert f == (s > 150.005)
+            drifts += bool(f)
+        assert 0 < drifts < len(got)  # both classes present
+
+    def test_empty_and_all_null(self, ray_session):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import cusum_drift, ewma
+
+        df = pd.DataFrame({
+            "user_id": [1, 2], "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "value": [np.nan, np.nan]})
+        assert ewma(ray.data.from_pandas(df)).to_pandas().empty
+        assert cusum_drift(ray.data.from_pandas(df)).to_pandas().empty
