@@ -287,7 +287,12 @@ def weighted_sample(ds, weight_col: str, id_col: str = "doc_id",
     if out is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "skey": pa.array([], pa.float64())})
-    return out
+    # canonical output order (skey desc, id) — the selection rule itself —
+    # so the result is identical bytes under ANY block/merge arrival order,
+    # not just the same set of rows
+    ids = out[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    skey = out["skey"].to_numpy(zero_copy_only=False)
+    return out.take(pa.array(np.lexsort((ids, -skey))))
 
 
 def _key_codes(col) -> np.ndarray:
