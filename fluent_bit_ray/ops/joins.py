@@ -59,6 +59,12 @@ def _int_left_cols(left_ds, left_cols: list[str]) -> set:
     arrow_sch = getattr(sch, "base_schema", sch)
     out = set()
     for name, typ in zip(arrow_sch.names, getattr(arrow_sch, "types", [])):
+        if not isinstance(typ, pa.DataType):
+            # pandas-backed datasets carry numpy dtypes here
+            try:
+                typ = pa.from_numpy_dtype(typ)
+            except (pa.ArrowNotImplementedError, TypeError):
+                continue
         if name in left_cols and pa.types.is_integer(typ):
             out.add(name)
     return out
@@ -101,11 +107,18 @@ def asof_join(
     out_ts: str = "asof_ts_us",
     out_val: str = "asof_value",
     shard_output_dir: Optional[str] = None,
+    tolerance_us: Optional[int] = None,
 ) -> Optional[pa.Table]:
     """For each left row: the latest right row of the same key with
     right.ts <= left.ts (SQL `ASOF LEFT JOIN ... ON l.k = r.k AND
     l.ts >= r.ts`). Unmatched left rows keep nulls. Emits
-    (left_cols..., key, ts_us, out_ts, out_val)."""
+    (left_cols..., key, ts_us, out_ts, out_val).
+
+    `tolerance_us` bounds the staleness (pandas merge_asof(tolerance=...)
+    / kdb wj semantics): a nearest-before match OLDER than the bound is
+    nulled like a miss — the nearest-before row is the only candidate, so
+    asof-then-filter IS tolerance-asof (the oracle wraps the plain ASOF
+    SQL in a CASE on l.ts - r.ts)."""
     int_cols = _int_left_cols(left_ds, left_cols)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -144,6 +157,10 @@ def asof_join(
                 # crashing on GENUINELY null left values (IntCastingNaN)
                 out[c] = out[c].astype("Int64")
         hit = match >= 0
+        if tolerance_us is not None:
+            stale = np.zeros(len(l), dtype=bool)
+            stale[hit] = (ts[l][hit] - ts[match[hit]]) > tolerance_us
+            hit &= ~stale
         mts = np.full(len(l), np.nan)
         mval = np.full(len(l), np.nan)
         mts[hit] = ts[match[hit]].astype(np.float64)

@@ -1193,6 +1193,72 @@ def cube_sum(
     return pa.concat_tables(pieces).rename_columns([k1, k2, out])
 
 
+def grouping_sets_sum(
+    ds,
+    k1: str,
+    k2: str,
+    value_col: str,
+    out: str = "sum_value",
+) -> pa.Table:
+    """GROUP BY GROUPING SETS ((k1, k2), (k1), ()) with the standard
+    GROUPING(k1, k2) bitmask id (gid 0 fine, 1 k2-rolled, 3 grand) —
+    the arbitrary-level sibling that completes rollup_sum (prefix
+    levels) and cube_sum (all levels). Key columns assumed non-null,
+    same contract as those two.
+
+    Unlike cube, every requested level here is k1-groupable, so ONE
+    k1-keyed exchange of map-side (k1, k2) partials finishes (k1, k2)
+    and (k1) exactly in-shard and the grand total folds from per-shard
+    partials on the driver — raw rows never re-ship, and no second
+    exchange is needed."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            k1: t[k1], k2: t[k2],
+            "v": pc.cast(t[value_col], pa.float64()),
+        }).group_by([k1, k2]).aggregate([("v", "sum")])
+        return g.rename_columns([k1, k2, "v"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([k1, k2]).aggregate([("v", "sum")])
+        return g.rename_columns([k1, k2, "v"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        fine = df.groupby([k1, k2], sort=False, as_index=False)["v"].sum()
+        fine["gid"] = 0
+        mid = df.groupby(k1, sort=False, as_index=False)["v"].sum()
+        mid[k2] = None
+        mid["gid"] = 1
+        grand = pd.DataFrame({k1: [None], k2: [None],
+                              "v": [df["v"].sum()], "gid": [-1]})
+        return pa.Table.from_pandas(
+            pd.concat([fine, mid[[k1, k2, "v", "gid"]], grand],
+                      ignore_index=True),
+            preserve_index=False)
+
+    refs = ds.select_columns([k1, k2, value_col]).map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()
+    m = hash_exchange(refs, [k1], finish, combine_fn=combine)
+    if m is None:
+        return pa.table({k1: pa.array([], pa.string()),
+                         k2: pa.array([], pa.string()),
+                         out: pa.array([], pa.float64()),
+                         "gid": pa.array([], pa.int64())})
+    part = pc.equal(m["gid"], -1)  # per-shard grand partials
+    shards = m.filter(part)
+    done = m.filter(pc.invert(part)).select([k1, k2, "v", "gid"])
+    grand = pa.table({
+        k1: pa.nulls(1, m.schema.field(k1).type),
+        k2: pa.nulls(1, m.schema.field(k2).type),
+        "v": pa.array([pc.sum(shards["v"]).as_py() or 0.0], pa.float64()),
+        "gid": pa.array([3], pa.int64()),
+    })
+    return pa.concat_tables(
+        [done.cast(grand.schema), grand]).rename_columns(
+        [k1, k2, out, "gid"])
+
+
 # ------------------------------------------------------- count-min sketch
 
 

@@ -987,6 +987,24 @@ def q_asof_join(sf_dir: str):
                      left_cols=["event_id"], right_val_col="value")
 
 
+def q_asof_tolerance(sf_dir: str):
+    """tolerance-bounded as-of join (pandas merge_asof(tolerance=) / kdb
+    wj): each click picks up the same user's latest prior purchase ONLY
+    if it happened within the last 2 days — staler matches null out like
+    misses (the rate/config-lookup shape where an old entry must not
+    apply). Same one-exchange plan as asof_join; the bound is a post-mask
+    on the nearest-before match, which is the only candidate."""
+    from ..ops.joins import asof_join
+
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = _read(sf_dir, "events", cols)
+    left = ev.filter(expr="event_type == 'click'")
+    right = ev.filter(expr="event_type == 'purchase'")
+    return asof_join(left, right, "user_id", "ts",
+                     left_cols=["event_id"], right_val_col="value",
+                     tolerance_us=2 * 86_400_000_000)
+
+
 def q_range_join(sf_dir: str):
     """range (band) join in aggregate form: per click, count and value-sum
     of the same user's errors within ±5 minutes (ops/joins
@@ -1251,6 +1269,19 @@ def q_cube(sf_dir: str):
     from ..ops.stats import cube_sum
 
     return cube_sum(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        "lang", "source", "n_chars", out="sum_chars")
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang, source), (lang), ()) with the
+    GROUPING(lang, source) bitmask id — the arbitrary-level aggregate
+    completing rollup/cube. All levels are lang-groupable, so ONE
+    exchange of pre-combined partials serves every set
+    (ops/stats.grouping_sets_sum)."""
+    from ..ops.stats import grouping_sets_sum
+
+    return grouping_sets_sum(
         _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
         "lang", "source", "n_chars", out="sum_chars")
 
@@ -2807,6 +2838,7 @@ QUERIES: dict[str, Callable] = {
     "session_windows": q_session_windows,
     "tumbling_window": q_tumbling_window,
     "asof_join": q_asof_join,
+    "asof_tolerance": q_asof_tolerance,
     "range_join": q_range_join,
     "join_orders": q_join_orders,
     "join_left_miss": q_join_left_miss,
@@ -2815,6 +2847,7 @@ QUERIES: dict[str, Callable] = {
     "pagerank": q_pagerank,
     "distinct_types": q_distinct_types,
     "cube": q_cube,
+    "grouping_sets": q_grouping_sets,
     "skyline": q_skyline,
     "fuzzy_pairs": q_fuzzy_pairs,
     "triangles": q_triangles,
@@ -3766,6 +3799,18 @@ ORACLE_SQL: dict[str, str] = {
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
         "ON l.user_id = r.user_id AND l.ts >= r.ts"
     ),
+    # the nearest-before row is the ONLY asof candidate, so
+    # asof-then-CASE IS the tolerance join
+    "asof_tolerance": (
+        "SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, "
+        "CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 172800000000 "
+        "THEN epoch_us(r.ts) END AS asof_ts_us, "
+        "CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 172800000000 "
+        "THEN r.value END AS asof_value "
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
     "rollup": (
         "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
         "FROM documents GROUP BY ROLLUP(lang, source)"
@@ -3885,6 +3930,11 @@ ORACLE_SQL: dict[str, str] = {
     "cube": (
         "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
         "FROM documents GROUP BY CUBE(lang, source)"
+    ),
+    "grouping_sets": (
+        "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars, "
+        "CAST(GROUPING(lang, source) AS BIGINT) AS gid FROM documents "
+        "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
     ),
     "skyline": (
         "WITH p AS (SELECT event_id, value, epoch_us(ts) AS ts_us "

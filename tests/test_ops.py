@@ -4266,3 +4266,91 @@ class TestSplitLeakage:
                            "text": [f"unique {i}" for i in range(50)]})
         out = split_leakage(ray.data.from_pandas(df)).to_pandas()
         assert len(out) == 0
+
+
+class TestAsofTolerance:
+    def test_stale_matches_null_like_misses(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import asof_join
+
+        left = pd.DataFrame({
+            "user_id": [1, 1, 2],
+            "event_id": [10, 11, 12],
+            "ts": pd.to_datetime(
+                ["2024-01-10", "2024-01-20", "2024-01-10"]),
+        })
+        right = pd.DataFrame({
+            "user_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-09", "2024-01-01"]),
+            "value": [5.0, 7.0],
+        })
+        out = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "user_id", "ts", left_cols=["event_id"],
+            right_val_col="value",
+            tolerance_us=3 * 86_400_000_000).to_pandas().sort_values(
+            "event_id").reset_index(drop=True)
+        # event 10: 1 day stale -> match; 11: 11 days -> nulled;
+        # 12: 9 days -> nulled
+        assert out["asof_value"].fillna(-1).tolist() == [5.0, -1, -1]
+        assert out["asof_ts_us"].isna().tolist() == [False, True, True]
+
+    def test_no_tolerance_unchanged(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.joins import asof_join
+
+        left = pd.DataFrame({
+            "user_id": [1], "event_id": [10],
+            "ts": pd.to_datetime(["2024-06-01"])})
+        right = pd.DataFrame({
+            "user_id": [1], "ts": pd.to_datetime(["2020-01-01"]),
+            "value": [5.0]})
+        out = asof_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right),
+            "user_id", "ts", left_cols=["event_id"],
+            right_val_col="value").to_pandas()
+        assert out["asof_value"].tolist() == [5.0]  # years stale, still hit
+
+
+class TestGroupingSets:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import grouping_sets_sum
+
+        docs = pd.DataFrame({
+            "lang": ["en", "en", "de", "de", "fr"],
+            "source": ["a", "b", "a", "a", "b"],
+            "n_chars": [10, 20, 30, 40, 50],
+        })
+        got = grouping_sets_sum(
+            ray.data.from_pandas(docs).repartition(3),
+            "lang", "source", "n_chars", out="sum_chars").to_pandas()
+        want = duckdb.sql(
+            "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS "
+            "sum_chars, CAST(GROUPING(lang, source) AS BIGINT) AS gid "
+            "FROM docs GROUP BY GROUPING SETS ((lang, source), (lang), ())"
+        ).df()
+        key = ["gid", "lang", "source", "sum_chars"]
+        g = got[key].fillna("~").sort_values(key).reset_index(drop=True)
+        w = want[key].fillna("~").sort_values(key).reset_index(drop=True)
+        assert g.values.tolist() == w.values.tolist()
+
+    def test_empty_input(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import grouping_sets_sum
+
+        docs = pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                             "source": pd.Series([], dtype="object"),
+                             "n_chars": pd.Series([], dtype="int64")})
+        out = grouping_sets_sum(ray.data.from_pandas(docs),
+                                "lang", "source", "n_chars")
+        assert out.num_rows == 0
