@@ -1110,3 +1110,56 @@ def cusum_drift(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def sessionize(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_sec: int = 1800,
+    num_shards: int = 16,
+):
+    """Per-EVENT sessionization: each row gets its key's session sequence
+    number (1-based), where a new session starts at the key's first row
+    or after a gap > `gap_sec` from the previous row in (ts NULLS LAST,
+    id) order — the row-level twin of session_windows' aggregate form
+    (every analytics stack's canonical event-stream op).
+
+    SQL parity (the `sessionize` oracle): brk = CASE WHEN lag(ts) IS NULL
+    OR gap > thr THEN 1 ELSE 0 END; session_seq = running sum of brk.
+    Matching the SQL NULL algebra exactly: a row AFTER a null-ts
+    predecessor breaks (lag(ts) IS NULL), while a null-ts row itself
+    does NOT break (NULL > thr is not true) unless it is the key's
+    first or follows another null ts. One key-shard pandas body:
+    composite sort, vectorized break mask, per-key-resetting cumsum."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, _sort_ns(ns), codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        ns_s = ns[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        nat = ns_s == _NAT
+        prev_nat = np.concatenate(([True], nat[:-1]))
+        gap = np.empty(len(c), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (ns_s[1:] - ns_s[:-1]) / 1e9
+        both = ~nat & ~prev_nat & ~first
+        brk = first | prev_nat | (both & (gap > gap_sec))
+        # per-key-resetting running sum of breaks
+        cs = np.cumsum(brk.astype(np.int64))
+        starts = np.flatnonzero(first)
+        reps = np.diff(np.concatenate((starts, [len(c)])))
+        base = np.concatenate(([0], cs))[starts]
+        seq = cs - np.repeat(base, reps)
+        return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
+                             "session_seq": seq.astype(np.int64)})
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

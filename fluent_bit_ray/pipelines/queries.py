@@ -2308,6 +2308,19 @@ def q_moving_avg(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """per-event sessionization: each event gets its user's 1-based
+    session sequence number, a new session at the first event or after a
+    >30 min gap (ops/windows.sessionize — vectorized break mask +
+    per-key-resetting cumsum; NULL algebra mirrors the SQL lag() CASE
+    exactly, including rows after a null-ts predecessor breaking)."""
+    from ..ops.windows import sessionize
+
+    return sessionize(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]),
+        gap_sec=1800)
+
+
 def q_ewma(sf_dir: str):
     """per-user exponential moving average of event values (alpha=0.5,
     adjust-free recurrence y_t = a*x_t + (1-a)*y_{t-1} over non-null
@@ -2920,6 +2933,7 @@ QUERIES: dict[str, Callable] = {
     "warc_roundtrip": q_warc_roundtrip,
     "weblog_from_warc": q_weblog_from_warc,
     "moving_avg": q_moving_avg,
+    "sessionize": q_sessionize,
     "ewma": q_ewma,
     "cusum": q_cusum,
     "weighted_sample": q_weighted_sample,
@@ -4159,6 +4173,16 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, event_id, avg(value) OVER (PARTITION BY user_id "
         "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
         "AS mov_avg FROM events"
+    ),
+    "sessionize": (
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT user_id, event_id, CAST(sum(brk) OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS BIGINT) AS session_seq FROM o"
     ),
     # the adjust-free EWMA recurrence has no window-function form — the
     # oracle unrolls it as a recursive CTE over per-key row numbers

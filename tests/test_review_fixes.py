@@ -481,3 +481,39 @@ class TestEwmaCusum:
             "value": [np.nan, np.nan]})
         assert ewma(ray.data.from_pandas(df)).to_pandas().empty
         assert cusum_drift(ray.data.from_pandas(df)).to_pandas().empty
+
+
+class TestSessionize:
+    def test_matches_duckdb_with_null_ts(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sessionize
+
+        events = pd.DataFrame({
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:10:00",
+                 "2024-01-01 02:00:00", None,
+                 "2024-01-01 00:00:00", None]),
+        })
+        got = (sessionize(ray.data.from_pandas(events).repartition(3),
+                          gap_sec=1800, num_shards=2)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        want = duckdb.sql(
+            "WITH o AS (SELECT user_id, event_id, ts, "
+            "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+            "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, event_id, CAST(sum(brk) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+            "AS BIGINT) AS session_seq FROM o ORDER BY event_id").df()
+        assert got["session_seq"].tolist() == want["session_seq"].tolist()
+        # semantic spot-check: 10-min gap same session, 2h gap breaks,
+        # null-ts row itself does NOT break (SQL NULL > thr is not true)
+        byid = dict(zip(got["event_id"], got["session_seq"]))
+        assert (byid[1], byid[2], byid[3]) == (1, 1, 2)
+        assert byid[4] == 2  # null ts after valid ts: same session
+        assert byid[6] == 1  # user 2's null-ts row joins session 1
