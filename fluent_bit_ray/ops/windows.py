@@ -1163,3 +1163,67 @@ def sessionize(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def rank_dist(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str = "event_id",
+    descending: bool = True,
+    num_shards: int = 16,
+):
+    """Per-key percent_rank() and cume_dist() for every row — the
+    distribution-position twins of rank_per_key (feature scaling /
+    percentile badges over telemetry): percent_rank = (rank-1)/(n-1)
+    (0 for a single-row key), cume_dist = |peers ranked at-or-before
+    the row's tie group| / n. Null values are excluded up front (the
+    SQL twin filters them — rank_per_key's NULLS LAST contract handles
+    the keep-nulls case).
+
+    Same key-shard run-length machinery as rank_per_key: one composite
+    lexsort per shard, group sizes by run-length repeat — no per-key
+    Python."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[val_col].notna()]
+        if not len(df):
+            return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
+                                 val_col: df[val_col],
+                                 "pct_rank": pd.Series([], dtype="float64"),
+                                 "cume": pd.Series([], dtype="float64")})
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        v = df[val_col].to_numpy(dtype=np.float64)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, -v if descending else v, codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        vs = v[order]
+        new_key = np.ones(len(c), dtype=bool)
+        new_key[1:] = c[1:] != c[:-1]
+        key_starts = np.flatnonzero(new_key)
+        key_reps = np.diff(np.concatenate((key_starts, [len(c)])))
+        pos = np.arange(len(c)) - np.repeat(key_starts, key_reps)
+        new_val = new_key.copy()
+        new_val[1:] |= vs[1:] != vs[:-1]
+        grp_start_pos = pos[new_val]
+        grp_reps = np.diff(np.concatenate(
+            (np.flatnonzero(new_val), [len(c)])))
+        rnk = np.repeat(grp_start_pos, grp_reps) + 1
+        grp_size = np.repeat(grp_reps, grp_reps)
+        n = np.repeat(key_reps, key_reps).astype(np.float64)
+        pct = np.where(n > 1, (rnk - 1) / np.maximum(n - 1, 1.0), 0.0)
+        cume = (rnk - 1 + grp_size) / n
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                val_col: df[val_col],
+                "pct_rank": pct,
+                "cume": cume,
+            }
+        )
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -2482,6 +2482,19 @@ def q_rank_per_key(sf_dir: str):
     )
 
 
+def q_rank_dist(sf_dir: str):
+    """percent_rank() AND cume_dist() per event type over value for
+    EVERY row — the distribution-position badges next to rank_per_key
+    (ops/windows.rank_dist: same run-length machinery, group sizes by
+    repeat)."""
+    from ..ops.windows import rank_dist
+
+    return rank_dist(
+        _read(sf_dir, "events", ["event_type", "event_id", "value"]),
+        "event_type", "value", "event_id", descending=True,
+    )
+
+
 def q_transitions(sf_dir: str):
     """Markov transition counts over per-user event streams: global
     (from_type, to_type) frequencies of consecutive events in each
@@ -2942,6 +2955,7 @@ QUERIES: dict[str, Callable] = {
     "boilerplate": q_boilerplate,
     "interval_join": q_interval_join,
     "rank_per_key": q_rank_per_key,
+    "rank_dist": q_rank_dist,
     "transitions": q_transitions,
     "user_paths": q_user_paths,
 }
@@ -4291,6 +4305,12 @@ ORACLE_SQL: dict[str, str] = {
     "rank_per_key": (
         "SELECT event_type, event_id, value, "
         "rank() OVER w AS rnk, dense_rank() OVER w AS drnk "
+        "FROM events WHERE value IS NOT NULL "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"
+    ),
+    "rank_dist": (
+        "SELECT event_type, event_id, value, "
+        "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
         "FROM events WHERE value IS NOT NULL "
         "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)"
     ),

@@ -517,3 +517,34 @@ class TestSessionize:
         assert (byid[1], byid[2], byid[3]) == (1, 1, 2)
         assert byid[4] == 2  # null ts after valid ts: same session
         assert byid[6] == 1  # user 2's null-ts row joins session 1
+
+
+class TestRankDist:
+    def test_matches_duckdb_with_ties_and_single_row_key(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import rank_dist
+
+        events = pd.DataFrame({
+            "event_type": ["a", "a", "a", "a", "b", "c"],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "value": [10.0, 10.0, 5.0, None, 7.0, 7.0],
+        })
+        got = (rank_dist(ray.data.from_pandas(events).repartition(2),
+                         "event_type", "value", num_shards=2)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        want = duckdb.sql(
+            "SELECT event_type, event_id, value, "
+            "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
+            "FROM events WHERE value IS NOT NULL "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY value DESC) "
+            "ORDER BY event_id").df()
+        assert got["pct_rank"].round(9).tolist() == \
+            want["pct_rank"].round(9).tolist()
+        assert got["cume"].round(9).tolist() == want["cume"].round(9).tolist()
+        # tied top pair: pct 0, cume 2/3; single-row keys: pct 0, cume 1
+        byid = {r.event_id: (r.pct_rank, r.cume) for r in got.itertuples()}
+        assert byid[1] == (0.0, 2 / 3) and byid[2] == (0.0, 2 / 3)
+        assert byid[3] == (1.0, 1.0)
+        assert byid[5] == (0.0, 1.0) and byid[6] == (0.0, 1.0)
