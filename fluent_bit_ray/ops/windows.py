@@ -1227,3 +1227,51 @@ def rank_dist(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def lead_deltas(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    num_shards: int = 16,
+):
+    """Per-key lead features: the NEXT same-key row's value and the gap
+    to it in seconds (nulls for a key's last row) — lag_deltas' forward
+    twin, `lead(...) OVER (PARTITION BY key ORDER BY ts, id)`. The
+    time-TO-next gap is the churn / time-to-failure feature (how long
+    until this entity acts again). Same machinery: composite sort,
+    shifted view with per-key last rows nulled; epoch(NULL) nulls the
+    gap on either side."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, _sort_ns(ns), codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        ns_s = ns[order]
+        v = df[val_col].to_numpy(dtype=np.float64)
+        last = np.ones(len(c), dtype=bool)
+        last[:-1] = c[1:] != c[:-1]
+        nxt_v = np.concatenate((v[1:], [np.nan]))
+        nxt_ns = np.concatenate((ns_s[1:], [0]))
+        nxt_v[last] = np.nan
+        gap = (nxt_ns - ns_s) / 1e9
+        gap[last] = np.nan
+        nat = ns_s == _NAT
+        gap[nat | np.concatenate((nat[1:], [False]))] = np.nan
+        return pd.DataFrame(
+            {
+                key_col: df[key_col],
+                id_col: df[id_col],
+                "next_value": nxt_v,
+                "gap_sec": gap,
+            }
+        )
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -2308,6 +2308,16 @@ def q_moving_avg(sf_dir: str):
     )
 
 
+def q_lead_deltas(sf_dir: str):
+    """per-user lead features: next event's value and seconds-to-next
+    (time-to-next is THE churn / retention feature) — lag_deltas'
+    forward twin (ops/windows.lead_deltas)."""
+    from ..ops.windows import lead_deltas
+
+    return lead_deltas(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
 def q_sessionize(sf_dir: str):
     """per-event sessionization: each event gets its user's 1-based
     session sequence number, a new session at the first event or after a
@@ -2946,6 +2956,7 @@ QUERIES: dict[str, Callable] = {
     "warc_roundtrip": q_warc_roundtrip,
     "weblog_from_warc": q_weblog_from_warc,
     "moving_avg": q_moving_avg,
+    "lead_deltas": q_lead_deltas,
     "sessionize": q_sessionize,
     "ewma": q_ewma,
     "cusum": q_cusum,
@@ -3876,6 +3887,12 @@ ORACLE_SQL: dict[str, str] = {
     "lag_deltas": (
         "SELECT user_id, event_id, lag(value) OVER w AS prev_value, "
         "epoch(ts) - lag(epoch(ts)) OVER w AS gap_sec "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)"
+    ),
+    "lead_deltas": (
+        "SELECT user_id, event_id, lead(value) OVER w AS next_value, "
+        "lead(epoch(ts)) OVER w - epoch(ts) AS gap_sec "
         "FROM events WINDOW w AS (PARTITION BY user_id "
         "ORDER BY ts, event_id)"
     ),

@@ -548,3 +548,38 @@ class TestRankDist:
         assert byid[1] == (0.0, 2 / 3) and byid[2] == (0.0, 2 / 3)
         assert byid[3] == (1.0, 1.0)
         assert byid[5] == (0.0, 1.0) and byid[6] == (0.0, 1.0)
+
+
+class TestLeadDeltas:
+    def test_matches_duckdb_with_null_ts(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import lead_deltas
+
+        events = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:05", None,
+                 "2024-01-02 00:00:00"]),
+            "value": [10.0, 20.0, 30.0, None],
+        })
+        got = (lead_deltas(ray.data.from_pandas(events), num_shards=2)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        want = duckdb.sql(
+            "SELECT user_id, event_id, lead(value) OVER w AS next_value, "
+            "lead(epoch(ts)) OVER w - epoch(ts) AS gap_sec "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id) ORDER BY event_id").df()
+        assert got["next_value"].fillna(-1).tolist() == \
+            want["next_value"].fillna(-1).tolist()
+        assert got["gap_sec"].fillna(-1).round(6).tolist() == \
+            want["gap_sec"].fillna(-1).round(6).tolist()
+        # the null-ts row sorts last: row 2's next is row 3 (gap NULL),
+        # row 3 is the key's last; user 2's single row has no lead
+        byid = {r.event_id: (r.next_value, r.gap_sec)
+                for r in got.itertuples()}
+        assert byid[1] == (20.0, 5.0)
+        assert byid[2][0] == 30.0 and pd.isna(byid[2][1])
+        assert pd.isna(byid[3][0]) and pd.isna(byid[4][0])
