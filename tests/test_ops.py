@@ -4332,7 +4332,11 @@ class TestGroupingSets:
         got = grouping_sets_sum(
             ray.data.from_pandas(docs).repartition(3),
             "lang", "source", "n_chars", out="sum_chars").to_pandas()
-        want = duckdb.sql(
+        # fresh connection: the suite registers a global "docs" relation
+        # elsewhere, which would shadow this frame's DataFrame
+        con = duckdb.connect()
+        con.register("docs", docs)
+        want = con.sql(
             "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS "
             "sum_chars, CAST(GROUPING(lang, source) AS BIGINT) AS gid "
             "FROM docs GROUP BY GROUPING SETS ((lang, source), (lang), ())"

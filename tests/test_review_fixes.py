@@ -274,8 +274,11 @@ class TestFourthReviewFixes:
     def _duck(self, sql):
         import duckdb
 
-        events = self._events()  # noqa: F841 — registered by replacement scan
-        return duckdb.sql(sql).df()
+        # fresh connection + explicit register: a global relation named
+        # "events" registered by any other test would shadow the frame scan
+        con = duckdb.connect()
+        con.register("events", self._events())
+        return con.sql(sql).df()
 
     def test_moving_avg_null_ts_sorts_last(self, ray_session):
         import ray.data
@@ -501,7 +504,9 @@ class TestSessionize:
         got = (sessionize(ray.data.from_pandas(events).repartition(3),
                           gap_sec=1800, num_shards=2)
                .to_pandas().sort_values("event_id").reset_index(drop=True))
-        want = duckdb.sql(
+        con = duckdb.connect()
+        con.register("events", events)
+        want = con.sql(
             "WITH o AS (SELECT user_id, event_id, ts, "
             "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
             "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
@@ -534,7 +539,9 @@ class TestRankDist:
         got = (rank_dist(ray.data.from_pandas(events).repartition(2),
                          "event_type", "value", num_shards=2)
                .to_pandas().sort_values("event_id").reset_index(drop=True))
-        want = duckdb.sql(
+        con = duckdb.connect()
+        con.register("events", events)
+        want = con.sql(
             "SELECT event_type, event_id, value, "
             "percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume "
             "FROM events WHERE value IS NOT NULL "
@@ -567,7 +574,9 @@ class TestLeadDeltas:
         })
         got = (lead_deltas(ray.data.from_pandas(events), num_shards=2)
                .to_pandas().sort_values("event_id").reset_index(drop=True))
-        want = duckdb.sql(
+        con = duckdb.connect()
+        con.register("events", events)
+        want = con.sql(
             "SELECT user_id, event_id, lead(value) OVER w AS next_value, "
             "lead(epoch(ts)) OVER w - epoch(ts) AS gap_sec "
             "FROM events WINDOW w AS (PARTITION BY user_id "
