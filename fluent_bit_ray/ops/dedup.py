@@ -1387,3 +1387,44 @@ def split_leakage(
                          "n_docs": pa.array([], pa.int64()),
                          "n_splits": pa.array([], pa.int64())})
     return out
+
+
+def dup_group_histogram(ds, text_col: str = "text") -> pa.Table:
+    """Duplicate-group SIZE histogram — the dedup health report
+    ("how much of the corpus is 2x/10x/1000x replicated?") run before
+    committing to a dedup pass. Output: one row per observed group size
+    with the number of exact-content groups of that size.
+
+    Engine shape: per-block exact (text, n) partial counts, ONE
+    text-keyed hash exchange (the combiner re-sums, so only distinct
+    strings per block cross the wire), shard-local exact group sizes
+    (strings co-locate with their group — collision-free by
+    construction), then each shard emits its own (size, n_groups)
+    histogram partial: the driver-side fan-in holds at most
+    #shards x #distinct-sizes tiny rows, never one row per group."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([text_col]).aggregate([([], "count_all")])
+        return g.rename_columns([text_col, "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([text_col]).aggregate([("n", "sum")])
+        return g.rename_columns([text_col, "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sizes = regroup(t)["n"]
+        h = pa.table({"sz": sizes}).group_by(["sz"]).aggregate(
+            [([], "count_all")])
+        return h.rename_columns(["sz", "n_groups"])
+
+    out = hash_exchange(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [text_col], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"sz": pa.array([], pa.int64()),
+                         "n_groups": pa.array([], pa.int64())})
+    merged = out.group_by(["sz"]).aggregate([("n_groups", "sum")])
+    return merged.rename_columns(["sz", "n_groups"])

@@ -1997,3 +1997,65 @@ def equidepth_histogram(ds, val_col: str, k: int = 4, bins: int = 64,
         [("cnt", "sum")]).rename_columns(["bin", "cnt"])
     merged = merged.filter(pc.greater(merged["cnt"], 0))
     return merged.sort_by([("bin", "ascending")])
+
+
+def trending_topk(
+    ds,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+    k: int = 3,
+) -> pa.Table:
+    """Top-k event types per time bucket by count — the "trending now"
+    / noisiest-alert-per-hour ranking every log dashboard runs. Ties
+    break on the type string ascending so the result is deterministic
+    and SQL-mirrorable (row_number ORDER BY count DESC, type).
+
+    Engine shape: per-block (bucket, type) partial counts (one Arrow
+    group_by per batch — pre-aggregation caps exchange volume at
+    #buckets x #types rows per block), ONE bucket-keyed hash exchange
+    whose combiner re-sums partials, and a shard-local vectorized
+    rank-and-prune. Null timestamps are excluded (no bucket), like the
+    SQL twin's WHERE ts IS NOT NULL."""
+    step = bucket_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[ts_col]))
+        f = tt.schema.field(ts_col)
+        # normalize to µs first: from_pandas blocks carry ns timestamps
+        ts_us = pc.cast(tt[ts_col], pa.timestamp("us", tz=getattr(f.type, "tz", None)))
+        us = np.asarray(pc.cast(ts_us, pa.int64()))
+        # floor (not trunc) division matches date_trunc for pre-epoch
+        # timestamps too; numpy // on int64 is floor division
+        bucket = pa.array((us // step) * step, pa.int64())
+        g = pa.table({"bucket_us": bucket, type_col: tt[type_col]}).group_by(
+            ["bucket_us", type_col]).aggregate([([], "count_all")])
+        return g.rename_columns(["bucket_us", type_col, "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bucket_us", type_col]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket_us", type_col, "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        df = df.sort_values(["bucket_us", "n", type_col],
+                            ascending=[True, False, True], kind="mergesort")
+        rnk = df.groupby("bucket_us", sort=False).cumcount() + 1
+        df = df.assign(rnk=rnk.astype(np.int64))
+        df = df[df["rnk"] <= k]
+        return pa.Table.from_pandas(df, preserve_index=False).select(
+            ["bucket_us", type_col, "n", "rnk"])
+
+    from ..shuffle import hash_exchange
+
+    out = hash_exchange(
+        ds.select_columns([ts_col, type_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["bucket_us"], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"bucket_us": pa.array([], pa.int64()),
+                         type_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    return out

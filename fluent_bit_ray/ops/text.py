@@ -1282,3 +1282,39 @@ def extract_all(ds, id_col: str, text_col: str, pattern: str,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         flat, batch_format="pyarrow")
+
+
+def c4_filter_batch(batch: pa.Table, text_col: str = "text",
+                    min_words: int = 5) -> pa.Table:
+    """C4-style document gates (Raffel et al. 2020 §2.2, public rules),
+    fully vectorized: whitespace word count, terminal-punctuation ending,
+    curly-brace presence (code/templating tell), and a case-insensitive
+    "lorem ipsum" placeholder scan — plus the conjunction `kept`.
+
+    Every predicate is a single Arrow RE2/substring kernel, chosen so a
+    DuckDB twin reproduces each flag bit-exactly (the `c4_filters`
+    oracle): trim == regexp_replace('^\\s+|\\s+$'), the word split is the
+    same '\\s+' split as text_stats, and the regex scans share RE2
+    semantics with regexp_matches."""
+    text = batch[text_col]
+    tr = pc.utf8_trim_whitespace(text)
+    n_words = pc.if_else(
+        pc.equal(tr, ""),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.list_value_length(pc.utf8_split_whitespace(tr)), pa.int64()),
+    )
+    ends_terminal = pc.match_substring_regex(tr, '[.!?"]$')
+    has_brace = pc.match_substring(text, "{")
+    has_lorem = pc.match_substring_regex(text, "(?i)lorem ipsum")
+    kept = pc.and_(
+        pc.and_(pc.greater_equal(n_words, min_words), ends_terminal),
+        pc.and_(pc.invert(has_brace), pc.invert(has_lorem)),
+    )
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": n_words,
+        "ends_terminal": ends_terminal,
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "kept": kept,
+    })

@@ -1275,3 +1275,97 @@ def lead_deltas(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def session_stats(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_sec: int = 1800,
+    num_shards: int = 16,
+):
+    """Per-SESSION aggregate view of sessionize(): one row per (key,
+    session) with event count, start/end time (exact epoch µs, nulls
+    skipped like SQL min/max), landing page / exit page analogs (first
+    and last `type_col` in (ts NULLS LAST, id) order) and the bounce
+    flag (single-event session) — the web-analytics session rollup.
+
+    Engine shape: the SAME one-pandas-body-per-key-shard scaffolding and
+    break algebra as sessionize (a session never spans shards because a
+    key never does), but the output is run-level: session boundaries are
+    the break positions, so every aggregate is an O(rows) reduceat /
+    boundary-index gather over the sorted shard — no per-session Python.
+
+    SQL parity (`session_stats` oracle): the sessionize CTE feeding
+    GROUP BY (key, session_seq) with count(*), min/max(ts) as epoch_us,
+    first/last(type ORDER BY ts, id), count(*)=1 AS is_bounce."""
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, _sort_ns(ns), codes))
+        df = df.iloc[order].reset_index(drop=True)
+        c = codes[order]
+        ns_s = ns[order]
+        n = len(c)
+        if not n:
+            return pd.DataFrame({
+                key_col: df[key_col],
+                "session_seq": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "t_start_us": pd.Series([], dtype="Int64"),
+                "t_end_us": pd.Series([], dtype="Int64"),
+                "landing": pd.Series([], dtype=df[type_col].dtype),
+                "exit_type": pd.Series([], dtype=df[type_col].dtype),
+                "is_bounce": pd.Series([], dtype="bool"),
+            })
+        first = np.ones(n, dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        nat = ns_s == _NAT
+        prev_nat = np.concatenate(([True], nat[:-1]))
+        gap = np.empty(n, dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (ns_s[1:] - ns_s[:-1]) / 1e9
+        both = ~nat & ~prev_nat & ~first
+        brk = first | prev_nat | (both & (gap > gap_sec))
+        cs = np.cumsum(brk.astype(np.int64))
+        key_starts = np.flatnonzero(first)
+        key_reps = np.diff(np.concatenate((key_starts, [n])))
+        base = np.concatenate(([0], cs))[key_starts]
+        seq = cs - np.repeat(base, key_reps)  # per-key 1-based session id
+
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [n]))  # exclusive
+        counts = ends - starts
+        # ts within a session is ascending with NaT sorted last, so
+        # t_start = first row's ts and t_end = last NON-NaT row's ts
+        nn = np.cumsum(~nat)
+        nn_before = np.concatenate(([0], nn))[starts]
+        n_valid = nn[ends - 1] - nn_before
+        t_start = ns_s[starts] // 1000
+        t_start_valid = ~nat[starts]
+        end_idx = starts + np.maximum(n_valid, 1) - 1
+        t_end = ns_s[end_idx] // 1000
+        t_end_valid = n_valid > 0
+        types = df[type_col].to_numpy()
+        start_us = pd.Series(np.where(t_start_valid, t_start, 0),
+                             dtype="Int64").mask(~t_start_valid)
+        end_us = pd.Series(np.where(t_end_valid, t_end, 0),
+                           dtype="Int64").mask(~t_end_valid)
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy()[starts],
+            "session_seq": seq[starts],
+            "n_events": counts.astype(np.int64),
+            "t_start_us": start_us,
+            "t_end_us": end_us,
+            "landing": types[starts],
+            "exit_type": types[ends - 1],
+            "is_bounce": counts == 1,
+        })
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

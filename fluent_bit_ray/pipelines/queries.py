@@ -4400,3 +4400,95 @@ def oracle_sql_full() -> dict[str, str]:
         f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
     )
     return out
+
+
+# ---- round-3 continued: web-analytics + corpus-health compositions ----
+
+def q_c4_filters(sf_dir: str):
+    """C4-style document gates (terminal punctuation, min word count,
+    brace / lorem-ipsum tells) + the kept conjunction — the public C4
+    cleaning rules as one vectorized Arrow map (ops/text.c4_filter_batch),
+    each predicate bit-identical to the SQL twin's RE2 scan."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.c4_filter_batch, batch_format="pyarrow"
+    )
+
+
+def q_session_stats(sf_dir: str):
+    """per-session rollup (n_events, start/end epoch-µs, landing/exit
+    event type, bounce flag) — sessionize()'s aggregate view; session
+    boundaries become reduceat runs inside the same key-shard body
+    (ops/windows.session_stats)."""
+    from ..ops.windows import session_stats
+
+    return session_stats(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]),
+        gap_sec=1800)
+
+
+def q_trending(sf_dir: str):
+    """top-3 event types per hour by count with deterministic ties —
+    map-side (bucket,type) combiners, ONE bucket-keyed exchange,
+    shard-local rank-and-prune (ops/stats.trending_topk)."""
+    from ..ops.stats import trending_topk
+
+    return trending_topk(_read(sf_dir, "events", ["ts", "event_type"]),
+                         bucket_sec=3600, k=3)
+
+
+def q_dup_histogram(sf_dir: str):
+    """duplicate-group size histogram over the clone-augmented corpus —
+    the dedup health report; only distinct strings cross the exchange
+    and shards emit (size, n_groups) partials, never per-group rows
+    (ops/dedup.dup_group_histogram)."""
+    return dedup.dup_group_histogram(_augmented_docs_ds(sf_dir))
+
+
+QUERIES["c4_filters"] = q_c4_filters
+QUERIES["session_stats"] = q_session_stats
+QUERIES["trending"] = q_trending
+QUERIES["dup_histogram"] = q_dup_histogram
+
+ORACLE_SQL["c4_filters"] = (
+    "WITH t AS (SELECT doc_id, text, "
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr FROM documents), "
+    "f AS (SELECT doc_id, "
+    "CAST(CASE WHEN tr = '' THEN 0 ELSE len(string_split_regex(tr, '\\s+')) "
+    "END AS BIGINT) AS n_words, "
+    "regexp_matches(tr, '[.!?\"]$') AS ends_terminal, "
+    "contains(text, '{') AS has_brace, "
+    "regexp_matches(text, '(?i)lorem ipsum') AS has_lorem FROM t) "
+    "SELECT doc_id, n_words, ends_terminal, has_brace, has_lorem, "
+    "(n_words >= 5 AND ends_terminal AND NOT has_brace AND NOT has_lorem) "
+    "AS kept FROM f"
+)
+ORACLE_SQL["session_stats"] = (
+    "WITH o AS (SELECT user_id, event_id, ts, event_type, "
+    "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+    "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+    "THEN 1 ELSE 0 END AS brk FROM events "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+    "AS session_seq FROM o) "
+    "SELECT user_id, session_seq, count(*)::BIGINT AS n_events, "
+    "epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us, "
+    "first(event_type ORDER BY ts, event_id) AS landing, "
+    "last(event_type ORDER BY ts, event_id) AS exit_type, "
+    "count(*) = 1 AS is_bounce "
+    "FROM s GROUP BY user_id, session_seq"
+)
+ORACLE_SQL["trending"] = (
+    "WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, "
+    "event_type, count(*)::BIGINT AS n FROM events "
+    "WHERE ts IS NOT NULL GROUP BY 1, 2) "
+    "SELECT * FROM (SELECT bucket_us, event_type, n, "
+    "row_number() OVER (PARTITION BY bucket_us "
+    "ORDER BY n DESC, event_type) AS rnk FROM c) WHERE rnk <= 3"
+)
+ORACLE_SQL["dup_histogram"] = (
+    "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+    "g AS (SELECT count(*)::BIGINT AS sz FROM aug GROUP BY text) "
+    "SELECT sz, count(*)::BIGINT AS n_groups FROM g GROUP BY sz"
+)

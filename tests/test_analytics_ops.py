@@ -1,0 +1,216 @@
+"""Round-3 web-analytics / corpus-health ops: C4 gates, session rollup,
+trending top-k, duplicate-group histogram — each cross-checked against a
+fresh DuckDB twin on synthetic frames with the null/tie edges the sf
+corpus doesn't exercise."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.ops.text import c4_filter_batch
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _assert_frames_equal(got: pd.DataFrame, exp: pd.DataFrame):
+    got, exp = _sorted(got), _sorted(exp)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        g, e = got[c], exp[c]
+        if pd.api.types.is_float_dtype(e):
+            np.testing.assert_allclose(
+                g.astype(float).to_numpy(), e.astype(float).to_numpy(),
+                rtol=1e-9, atol=1e-9)
+        else:
+            gl = [None if pd.isna(v) else v for v in g.tolist()]
+            el = [None if pd.isna(v) else v for v in e.tolist()]
+            assert gl == el, c
+
+
+class TestC4Filters:
+    def test_rules(self):
+        t = pa.table({
+            "doc_id": pa.array(range(7), pa.int64()),
+            "text": [
+                "A perfectly fine sentence with enough words.",
+                "too short.",                      # < 5 words
+                "this one has no terminal punctuation at all",
+                "json-ish { payload } with enough words here.",
+                "Lorem ipsum dolor sit amet consectetur.",
+                "  \t \n ",                        # whitespace-only
+                'He said "five words right here!"',  # quote-terminal
+            ],
+        })
+        out = c4_filter_batch(t).to_pandas()
+        assert out["kept"].tolist() == [
+            True, False, False, False, False, False, True]
+        assert out["n_words"].tolist()[5] == 0
+        assert out["has_brace"].tolist()[3] is True or bool(
+            out["has_brace"].tolist()[3])
+
+    def test_duckdb_parity(self):
+        texts = [
+            "Mixed CASE Lorem IPSUM here with words.",
+            "ends with bang!",
+            "",
+            "   leading and trailing   ",
+            'quoted "end"',
+            "one two three four five six.",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = c4_filter_batch(t).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        exp = con.execute(
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "CAST(CASE WHEN tr = '' THEN 0 ELSE "
+            "len(string_split_regex(tr, '\\s+')) END AS BIGINT) AS n_words, "
+            "regexp_matches(tr, '[.!?\"]$') AS ends_terminal, "
+            "contains(text, '{') AS has_brace, "
+            "regexp_matches(text, '(?i)lorem ipsum') AS has_lorem FROM t) "
+            "SELECT doc_id, n_words, ends_terminal, has_brace, has_lorem, "
+            "(n_words >= 5 AND ends_terminal AND NOT has_brace "
+            "AND NOT has_lorem) AS kept FROM f"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+
+
+EVENTS = pd.DataFrame({
+    "user_id": [1, 1, 1, 1, 2, 2, 3, 3, 3],
+    "event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+    "ts": pd.to_datetime([
+        "2020-01-01 00:00:00", "2020-01-01 00:10:00",  # u1 s1
+        "2020-01-01 01:10:00",                          # u1 s2 (>30min gap)
+        None,                                           # u1: null joins s2
+        "2020-01-01 02:00:00", "2020-01-01 02:00:00",  # u2 s1 (tie ts)
+        None, None,                                     # u3: null-first algebra
+        "2020-01-01 03:00:00",
+    ]),
+    "event_type": ["a", "b", "c", "d", "e", "f", "g", "h", "i"],
+})
+
+
+def _session_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("events", df)
+    out = con.execute(
+        "WITH o AS (SELECT user_id, event_id, ts, event_type, "
+        "CASE WHEN lag(epoch_us(ts)) OVER w IS NULL "
+        "OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+        "THEN 1 ELSE 0 END AS brk FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS session_seq FROM o) "
+        "SELECT user_id, session_seq, count(*)::BIGINT AS n_events, "
+        "epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us, "
+        "first(event_type ORDER BY ts, event_id) AS landing, "
+        "last(event_type ORDER BY ts, event_id) AS exit_type, "
+        "count(*) = 1 AS is_bounce FROM s GROUP BY user_id, session_seq"
+    ).fetchdf()
+    con.close()
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionStats:
+    def test_null_ts_and_tie_algebra(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import session_stats
+
+        got = session_stats(
+            ray.data.from_pandas(EVENTS.copy()), num_shards=3
+        ).to_pandas()
+        exp = _session_oracle(EVENTS)
+        _assert_frames_equal(got, exp)
+        # spot semantics: user 1's null-ts row rides session 2 (no break)
+        u1 = got[got.user_id == 1].sort_values("session_seq")
+        assert u1["n_events"].tolist() == [2, 2]
+        # a session whose trailing row has null ts still ends at the last
+        # non-null timestamp
+        s2 = u1[u1.session_seq == 2].iloc[0]
+        assert s2["exit_type"] == "d" and s2["t_end_us"] == int(
+            pd.Timestamp("2020-01-01 01:10:00").value // 1000)
+
+    def test_block_split_invariance(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import session_stats
+
+        a = session_stats(
+            ray.data.from_pandas(EVENTS.copy()).repartition(5),
+            num_shards=2).to_pandas()
+        b = session_stats(
+            ray.data.from_pandas(EVENTS.copy()), num_shards=7).to_pandas()
+        _assert_frames_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrending:
+    def test_ties_and_null_ts(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import trending_topk
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(
+                ["2020-01-01 00:01", "2020-01-01 00:02", "2020-01-01 00:03",
+                 "2020-01-01 00:59", "2020-01-01 01:01", None,
+                 "2020-01-01 01:02", "2020-01-01 01:03", "2020-01-01 01:04"]),
+            "event_type": ["a", "b", "b", "c", "z", "z", "y", "x", "w"],
+        })
+        got = trending_topk(ray.data.from_pandas(df).repartition(3),
+                            k=3).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, "
+            "event_type, count(*)::BIGINT AS n FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2) "
+            "SELECT * FROM (SELECT bucket_us, event_type, n, "
+            "row_number() OVER (PARTITION BY bucket_us "
+            "ORDER BY n DESC, event_type) AS rnk FROM c) WHERE rnk <= 3"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+        # hour 1 has a four-way count tie: type string breaks it
+        h1 = got[got.bucket_us == got.bucket_us.max()].sort_values("rnk")
+        assert h1["event_type"].tolist() == ["w", "x", "y"]
+
+    def test_all_null_ts(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import trending_topk
+
+        df = pd.DataFrame({"ts": pd.to_datetime([None, None]),
+                           "event_type": ["a", "b"]})
+        got = trending_topk(ray.data.from_pandas(df), k=3)
+        assert got.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupHistogram:
+    def test_histogram(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import dup_group_histogram
+
+        texts = ["x"] * 5 + ["y"] * 5 + ["z", "w", "v"]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        got = dup_group_histogram(
+            ray.data.from_arrow(t).repartition(4)).to_pandas()
+        exp = pd.DataFrame({"sz": [1, 5], "n_groups": [3, 2]})
+        _assert_frames_equal(got, exp.astype({"sz": "int64",
+                                              "n_groups": "int64"}))
