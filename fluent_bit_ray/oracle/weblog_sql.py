@@ -104,3 +104,94 @@ SELECT
 FROM routed
 GROUP BY sink, lang, host, bucket
 """
+
+
+def _timed_cte(pages_glob: str, now_year: int = 2018) -> str:
+    """The shared parse CTE (pages -> parsed -> timed) with method/size
+    captures added — the prefix for the weblog analytics oracles."""
+    return f"""
+WITH pages AS (
+  SELECT url, warc_ts, text, lang
+  FROM read_parquet('{pages_glob}')
+),
+parsed AS (
+  SELECT
+    lang,
+    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+    CASE
+      WHEN regexp_matches(text, '{_APACHE_RE}') THEN 'apache'
+      WHEN json_type(TRY_CAST(text AS JSON)) = 'OBJECT' THEN 'docker'
+      WHEN regexp_matches(text, '{_SYSLOG_RE}') THEN 'syslog'
+      ELSE 'fail'
+    END AS kind,
+    text, warc_ts
+  FROM pages
+),
+timed AS (
+  SELECT
+    lang, host, kind,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '{_APACHE_RE}', 6)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '{_APACHE_RE}', 6)
+      ELSE NULL
+    END AS code,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '{_APACHE_RE}', 4)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '{_APACHE_RE}', 4)
+      ELSE NULL
+    END AS method,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '{_APACHE_RE}', 7)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '{_APACHE_RE}', 7)
+      ELSE NULL
+    END AS size,
+    COALESCE(
+      CASE kind
+        WHEN 'apache' THEN epoch_ns(try_strptime(
+          regexp_extract(text, '\\[([^\\]]*)\\]', 1),
+          '%d/%b/%Y:%H:%M:%S %z'))
+        WHEN 'docker' THEN epoch_ns(TRY_CAST(
+          json_extract_string(text, '$.time') AS TIMESTAMP_NS))
+        WHEN 'syslog' THEN epoch_ns(try_strptime(
+          '{now_year} ' || regexp_replace(
+            regexp_extract(text, '^\\<[0-9]+\\>([^ ]* {{1,2}}[^ ]* [^ ]*) ', 1),
+            ' +', ' ', 'g'),
+          '%Y %b %d %H:%M:%S'))
+        ELSE NULL
+      END,
+      epoch_ns(warc_ts)
+    ) AS event_ns
+  FROM parsed
+)"""
+
+
+def weblog_error_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per (host, hour): request count + 4xx/5xx counts — the SRE error
+    dashboard over the same parse semantics as the flagship."""
+    return _timed_cte(pages_glob, now_year) + """
+SELECT
+  host,
+  event_ns // 3600000000000 AS bucket,
+  count(*)::BIGINT AS records,
+  sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^4\\d\\d$')
+      THEN 1 ELSE 0 END)::BIGINT AS n_4xx,
+  sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^5\\d\\d$')
+      THEN 1 ELSE 0 END)::BIGINT AS n_5xx
+FROM timed GROUP BY host, bucket
+"""
+
+
+def weblog_method_bytes_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per HTTP method: request count + summed response bytes (numeric
+    size captures only — '-' and junk are NULL on both sides)."""
+    return _timed_cte(pages_glob, now_year) + """
+SELECT
+  method,
+  count(*)::BIGINT AS requests,
+  sum(CASE WHEN regexp_matches(size, '^\\d+$')
+      THEN CAST(size AS BIGINT) END)::BIGINT AS bytes_out
+FROM timed WHERE method IS NOT NULL AND method <> '' GROUP BY method
+"""

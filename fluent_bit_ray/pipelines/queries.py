@@ -4399,6 +4399,17 @@ def oracle_sql_full() -> dict[str, str]:
         "octet_length(html)::BIGINT AS html_bytes "
         f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
     )
+    # weblog analytics twins share the flagship's parse CTE (same regex,
+    # same time algebra, same fallback) with method/size captures added
+    from ..oracle.weblog_sql import (
+        weblog_error_rate_sql,
+        weblog_method_bytes_sql,
+    )
+
+    out["weblog_error_rate"] = weblog_error_rate_sql(
+        pages_path(rows) + "/*.parquet")
+    out["weblog_method_bytes"] = weblog_method_bytes_sql(
+        pages_path(rows) + "/*.parquet")
     return out
 
 
@@ -4492,3 +4503,90 @@ ORACLE_SQL["dup_histogram"] = (
     "g AS (SELECT count(*)::BIGINT AS sz FROM aug GROUP BY text) "
     "SELECT sz, count(*)::BIGINT AS n_groups FROM g GROUP BY sz"
 )
+
+
+def _weblog_parsed_ds(sf_dir: str):
+    """Pages corpus through the flagship parse stage (column-pruned read,
+    whole-block batches) — the shared front end of the weblog analytics
+    queries below."""
+    import ray.data
+
+    from ..synth import pages_path, pages_rows_for_sf
+    from .weblog import parse_fn
+
+    return ray.data.read_parquet(
+        pages_path(pages_rows_for_sf(sf_dir)),
+        columns=["url", "warc_ts", "text", "lang"],
+    ).map_batches(parse_fn, batch_format="pyarrow")
+
+
+def _col_or_nulls(t: pa.Table, name: str) -> pa.Array:
+    if name in t.column_names:
+        col = t[name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return pa.nulls(t.num_rows, pa.string())
+
+
+def q_weblog_error_rate(sf_dir: str):
+    """per (host, hour) request + 4xx/5xx counts over the pages corpus —
+    the SRE error dashboard on the flagship's own parse output (code from
+    the apache line or the docker-merged inner log, event-time fallback to
+    warc_ts). Map-side (host,bucket) combiners, ONE hash reduce of
+    fixed-width partial rows."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        ns = t["_time"]
+        if isinstance(ns, pa.ChunkedArray):
+            ns = ns.combine_chunks()
+        bucket = pa.array(
+            np.asarray(ns, dtype=np.int64) // 3_600_000_000_000, pa.int64())
+        code = _col_or_nulls(t, "code")
+        is4 = pc.fill_null(pc.match_substring_regex(code, r"^4\d\d$"), False)
+        is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
+        g = pa.table({
+            "host": t["host"], "bucket": bucket,
+            "records": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "n_4xx": pc.cast(is4, pa.int64()),
+            "n_5xx": pc.cast(is5, pa.int64()),
+        }).group_by(["host", "bucket"]).aggregate(
+            [("records", "sum"), ("n_4xx", "sum"), ("n_5xx", "sum")])
+        return g.rename_columns(["host", "bucket", "records", "n_4xx", "n_5xx"])
+
+    return hash_reduce_dataset_refs(
+        _weblog_parsed_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["host", "bucket"], ["records", "n_4xx", "n_5xx"])
+
+
+def q_weblog_method_bytes(sf_dir: str):
+    """per HTTP method: request count + summed response bytes over the
+    pages corpus (numeric size captures only; rows without a parsed
+    method — syslog/fail and unparseable docker payloads — are excluded
+    on both sides). Same map-side-combine + hash-reduce shape."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        method = _col_or_nulls(t, "method")
+        keep = pc.and_(pc.is_valid(method), pc.not_equal(method, ""))
+        tt = pa.table({"method": method,
+                       "size": _col_or_nulls(t, "size")}).filter(keep)
+        numeric = pc.fill_null(
+            pc.match_substring_regex(tt["size"], r"^\d+$"), False)
+        size_i = pc.if_else(numeric, pc.cast(
+            pc.if_else(numeric, tt["size"], "0"), pa.int64()),
+            pa.nulls(tt.num_rows, pa.int64()))
+        g = pa.table({
+            "method": tt["method"],
+            "requests": pa.nulls(tt.num_rows, pa.int64()).fill_null(1),
+            "bytes_out": size_i,
+        }).group_by(["method"]).aggregate(
+            [("requests", "sum"), ("bytes_out", "sum")])
+        return g.rename_columns(["method", "requests", "bytes_out"])
+
+    return hash_reduce_dataset_refs(
+        _weblog_parsed_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["method"], ["requests", "bytes_out"])
+
+
+QUERIES["weblog_error_rate"] = q_weblog_error_rate
+QUERIES["weblog_method_bytes"] = q_weblog_method_bytes

@@ -214,3 +214,46 @@ class TestDupHistogram:
         exp = pd.DataFrame({"sz": [1, 5], "n_groups": [3, 2]})
         _assert_frames_equal(got, exp.astype({"sz": "int64",
                                               "n_groups": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeblogAnalytics:
+    SF = "/root/testdata/sf0.001"
+
+    def test_error_rate_duckdb_parity(self):
+        from fluent_bit_ray.oracle.weblog_sql import weblog_error_rate_sql
+        from fluent_bit_ray.pipelines.queries import q_weblog_error_rate
+        from fluent_bit_ray.synth import pages_path, pages_rows_for_sf
+
+        got = q_weblog_error_rate(self.SF).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(weblog_error_rate_sql(
+            pages_path(pages_rows_for_sf(self.SF)) + "/*.parquet")).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+
+    def test_error_rate_matches_flagship_error_sink(self):
+        # sum of n_5xx must equal the flagship sink_errors record total:
+        # same grep semantics, different aggregation shape
+        from fluent_bit_ray.pipelines.queries import q_weblog_error_rate
+        from fluent_bit_ray.pipelines.weblog import aggregate_only
+
+        er = q_weblog_error_rate(self.SF).to_pandas()
+        agg = aggregate_only(self.SF).to_pandas()
+        assert er["n_5xx"].sum() == agg.loc[
+            agg.sink == "sink_errors", "records"].sum()
+        # and total records per parse = pages row count (fallback keeps all)
+        assert er["records"].sum() == 6000
+
+    def test_method_bytes_duckdb_parity(self):
+        from fluent_bit_ray.oracle.weblog_sql import weblog_method_bytes_sql
+        from fluent_bit_ray.pipelines.queries import q_weblog_method_bytes
+        from fluent_bit_ray.synth import pages_path, pages_rows_for_sf
+
+        got = q_weblog_method_bytes(self.SF).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(weblog_method_bytes_sql(
+            pages_path(pages_rows_for_sf(self.SF)) + "/*.parquet")).fetchdf()
+        con.close()
+        assert set(got["method"]) == set(exp["method"])
+        _assert_frames_equal(got, exp)
