@@ -108,6 +108,29 @@ def write_warc(
     return len(urls)
 
 
+_DATE_CACHE: dict = {}
+
+
+def _warc_date_us(date: str) -> int:
+    """Memoized WARC-Date parse: second-resolution ISO stamps repeat
+    heavily across a crawl shard (~one distinct stamp per crawl second),
+    so the strptime cost collapses to one parse per distinct stamp."""
+    hit = _DATE_CACHE.get(date)
+    if hit is not None:
+        return hit
+    import datetime
+
+    try:
+        dt = datetime.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
+        ts_us = int(dt.replace(
+            tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    except ValueError:
+        ts_us = 0
+    if len(_DATE_CACHE) < 1_000_000:  # bound worker-resident memory
+        _DATE_CACHE[date] = ts_us
+    return ts_us
+
+
 def _parse_warc_bytes(data: bytes):
     """Yield (url, ts_us, payload bytes) for every response record in a
     WARC byte stream (handles multi-member gzip transparently)."""
@@ -146,17 +169,7 @@ def _parse_warc_bytes(data: bytes):
             continue
         url = fields.get("warc-target-uri", "")
         date = fields.get("warc-date", "")
-        ts_us = 0
-        if date:
-            import datetime
-
-            try:
-                dt = datetime.datetime.strptime(date, "%Y-%m-%dT%H:%M:%SZ")
-                ts_us = int(dt.replace(
-                    tzinfo=datetime.timezone.utc
-                ).timestamp()) * 1_000_000
-            except ValueError:
-                pass
+        ts_us = _warc_date_us(date) if date else 0
         # split the HTTP response header off the payload
         body_at = block.find(_SEP)
         payload = block[body_at + 4 :] if body_at >= 0 else block
