@@ -337,3 +337,88 @@ def pca_invariants(ds, vec_col: str = "embedding",
         "n_pvar_violations": pa.array([n_pvar], pa.int64()),
         "n_eig_order_violations": pa.array([n_desc], pa.int64()),
     })
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    tau: float = 0.97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+) -> pa.Table:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
+    k-means clusters bound the candidate space, then each cluster runs an
+    exact within-cluster cosine pass — pairs at >= `tau` union into one
+    semantic group whose minimum id becomes the representative. Output:
+    one (id, rep_id, cluster) row per input vector.
+
+    Scale shape: the whole point of the clustering stage is that the
+    O(n²) cosine GEMM runs per CLUSTER, never per corpus — candidate
+    work scales with the largest cluster, controlled by k. Cluster
+    co-location is ONE hash exchange of (id, vector, cluster) rows;
+    within a shard the components come from vectorized hash-min label
+    propagation over the thresholded similarity matrix (the same
+    fixpoint contract as the LSH dedup: reps are min ids and belong to
+    their own group). Zero-norm vectors are similar to nothing but
+    themselves."""
+    import ray
+
+    from ..shuffle import hash_exchange
+    from .ann import _normalize
+
+    cent, _ = kmeans_fit(ds, k=k, vec_col=vec_col, iters=iters)
+    cent_ref = ray.put(np.asarray(cent, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        X = _batch_matrix(batch, vec_col)
+        scores = (c * c).sum(axis=1)[None, :] - 2.0 * (X @ c.T)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cluster": pa.array(scores.argmin(axis=1).astype(np.int64)),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_id: list[np.ndarray] = []
+        out_rep: list[np.ndarray] = []
+        out_cl: list[np.ndarray] = []
+        # loop over DISTINCT CLUSTERS in the shard (k-bounded), all the
+        # per-vector work inside is numpy
+        for cl, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy(dtype=np.int64)
+            X = np.vstack(g[vec_col].to_numpy())
+            Xn = _normalize(X.astype(np.float64))
+            adj = (Xn @ Xn.T) >= tau
+            np.fill_diagonal(adj, True)
+            labels = ids.copy()
+            while True:
+                m = np.where(adj, labels[None, :], np.iinfo(np.int64).max)
+                new = m.min(axis=1)
+                if np.array_equal(new, labels):
+                    break
+                labels = new
+            out_id.append(ids)
+            out_rep.append(labels)
+            out_cl.append(np.full(len(ids), int(cl), dtype=np.int64))
+        if not out_id:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)),
+            "rep_id": pa.array(np.concatenate(out_rep)),
+            "cluster": pa.array(np.concatenate(out_cl)),
+        })
+
+    out = hash_exchange(
+        ds.map_batches(assign, batch_format="pyarrow").to_arrow_refs(),
+        ["cluster"], finish,
+    )
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "rep_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    return out

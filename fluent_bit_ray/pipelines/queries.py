@@ -4590,3 +4590,96 @@ def q_weblog_method_bytes(sf_dir: str):
 
 QUERIES["weblog_error_rate"] = q_weblog_error_rate
 QUERIES["weblog_method_bytes"] = q_weblog_method_bytes
+
+
+# ---- SemDeDup (kmeans-bounded semantic dedup) ----
+
+_EMB_CLONE_BELOW = 50
+
+
+def _augmented_emb_ds(sf_dir: str):
+    """Embeddings with every vec_id < 50 cloned at vec_id+1000000 — the
+    base table has no duplicate vectors, so the co-clustering invariant
+    needs injected exact duplicates (same contract as _augmented_docs_ds)."""
+    cols = ["vec_id", "embedding"]
+    ds = _read(sf_dir, "embeddings", cols)
+
+    def clones(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.less(b["vec_id"], _EMB_CLONE_BELOW))
+        return pa.table({
+            "vec_id": pc.add(sub["vec_id"], pa.scalar(_AUG_SHIFT, pa.int64())),
+            "embedding": sub["embedding"],
+        })
+
+    return ds.union(_read(sf_dir, "embeddings", cols).map_batches(
+        clones, batch_format="pyarrow"))
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup clusters over the clone-augmented
+    embeddings (rows-only; the exact-dup co-assignment and structural
+    contracts are hash-checked by the two invariant queries below)
+    (ops/cluster.semdedup — kmeans bounds the O(n²) cosine pass to
+    within-cluster GEMMs, ONE cluster-keyed exchange)."""
+    from ..ops.cluster import semdedup
+
+    return semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97)
+
+
+def q_semdedup_invariant(sf_dir: str):
+    """exact-duplicate vectors must land in one semantic group: identical
+    rows get identical kmeans assignments (same argmin input), co-locate,
+    and cosine 1 >= tau unions them — distinct rep assignments per
+    duplicated-vector group is the constant 1."""
+    from ..ops.cluster import semdedup
+
+    reps = semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97).to_pandas()
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    clones = emb[emb["vec_id"] < _EMB_CLONE_BELOW].assign(
+        vec_id=lambda d: d["vec_id"] + _AUG_SHIFT)
+    import pandas as pd
+
+    aug = pd.concat([emb, clones], ignore_index=True)
+    aug["_key"] = aug["embedding"].map(
+        lambda v: np.asarray(v, dtype=np.float32).tobytes())
+    merged = aug.merge(reps, on="vec_id")
+    g = merged.groupby("_key").agg(
+        vec_id=("vec_id", "min"), distinct=("rep_id", "nunique"),
+        n=("vec_id", "size"))
+    g = g[g["n"] > 1].reset_index(drop=True)
+    return pa.table({
+        "vec_id": pa.array(g["vec_id"], pa.int64()),
+        "distinct_assignments": pa.array(g["distinct"], pa.int64()),
+    })
+
+
+def q_semdedup_rep_invariant(sf_dir: str):
+    """semdedup cluster-table structure (hash-min fixpoint contract:
+    rep <= id, reps belong to their own group, every vector assigned
+    exactly once) — same counts as _rep_structural_invariant."""
+    from ..ops.cluster import semdedup
+
+    reps = semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97)
+    return _rep_structural_invariant(
+        reps.select(["vec_id", "rep_id"]).rename_columns(
+            ["doc_id", "rep_id"]))
+
+
+QUERIES["semdedup"] = q_semdedup
+QUERIES["semdedup_invariant"] = q_semdedup_invariant
+QUERIES["semdedup_rep_invariant"] = q_semdedup_rep_invariant
+
+ORACLE_SQL["semdedup_invariant"] = (
+    "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50) "
+    "SELECT min(vec_id) AS vec_id, CAST(1 AS BIGINT) AS distinct_assignments "
+    "FROM aug GROUP BY embedding HAVING count(*) > 1"
+)
+ORACLE_SQL["semdedup_rep_invariant"] = (
+    "SELECT CAST(0 AS BIGINT) AS rep_gt_doc, "
+    "CAST(0 AS BIGINT) AS rep_not_self, "
+    "CAST(0 AS BIGINT) AS dup_assignments, "
+    "(SELECT CAST(count(*) + count(*) FILTER (vec_id < 50) AS BIGINT) "
+    "FROM embeddings) AS rows_assigned"
+)

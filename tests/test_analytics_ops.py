@@ -257,3 +257,53 @@ class TestWeblogAnalytics:
         con.close()
         assert set(got["method"]) == set(exp["method"])
         _assert_frames_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDeDup:
+    def test_groups_and_structure(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.cluster import semdedup
+
+        rng = np.random.RandomState(7)
+        base_a = rng.randn(4).astype(np.float32)
+        base_b = rng.randn(4).astype(np.float32)
+        vecs = [
+            base_a, base_a * 2.0,          # cosine 1.0 pair (scaled copy)
+            base_a + 1e-4,                  # near-dup of base_a
+            base_b, base_b.copy(),          # exact pair elsewhere
+            rng.randn(4).astype(np.float32) * 10,  # singleton
+        ]
+        t = pa.table({
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        out = semdedup(ray.data.from_arrow(t).repartition(3),
+                       k=2, tau=0.999, iters=3).to_pandas()
+        rep = dict(zip(out["vec_id"], out["rep_id"]))
+        assert len(out) == 6
+        # scaled copy and near-dup union with vec 0
+        assert rep[1] == rep[0] and rep[2] == rep[0]
+        # exact pair unions, independent of the first group
+        assert rep[4] == rep[3] and rep[3] != rep[0]
+        # structural: rep <= id, reps are their own reps
+        assert all(rep[i] <= i for i in range(6))
+        assert all(rep[rep[i]] == rep[i] for i in range(6))
+
+    def test_zero_norm_isolated(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.cluster import semdedup
+
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[0.0, 0.0], [0.0, 0.0], [1.0, 0.0]], pa.list_(pa.float32())),
+        })
+        out = semdedup(ray.data.from_arrow(t), k=2, tau=0.9,
+                       iters=2).to_pandas()
+        rep = dict(zip(out["vec_id"], out["rep_id"]))
+        # zero vectors are similar to nothing (0 < tau), each its own rep
+        assert rep[0] == 0 and rep[1] == 1 and rep[2] == 2
