@@ -468,6 +468,43 @@ def bench_jaccard_join() -> float:
     return time.time() - t0
 
 
+def bench_semdedup() -> float:
+    """SemDeDup: kmeans-bounded within-cluster cosine dedup over the
+    clone-augmented embeddings."""
+    from fluent_bit_ray.pipelines.queries import q_semdedup
+
+    t0 = time.time()
+    _consume(q_semdedup(SF_DIR))
+    return time.time() - t0
+
+
+def bench_session_stats() -> float:
+    """per-session landing/exit/bounce rollup (key-shard reduceat runs)."""
+    from fluent_bit_ray.pipelines.queries import q_session_stats
+
+    t0 = time.time()
+    _consume(q_session_stats(SF_DIR))
+    return time.time() - t0
+
+
+def bench_weblog_error_rate() -> float:
+    """per (host, hour) 4xx/5xx counts through the flagship parse stage."""
+    from fluent_bit_ray.pipelines.queries import q_weblog_error_rate
+
+    t0 = time.time()
+    _consume(q_weblog_error_rate(SF_DIR))
+    return time.time() - t0
+
+
+def bench_c4_filters() -> float:
+    """C4 document gates (pure vectorized Arrow map over documents)."""
+    from fluent_bit_ray.pipelines.queries import q_c4_filters
+
+    t0 = time.time()
+    _consume(q_c4_filters(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -508,6 +545,10 @@ BENCHES = {
     "bigram_nll": bench_bigram_nll,
     "covisit": bench_covisit,
     "jaccard_join": bench_jaccard_join,
+    "semdedup": bench_semdedup,
+    "session_stats": bench_session_stats,
+    "weblog_error_rate": bench_weblog_error_rate,
+    "c4_filters": bench_c4_filters,
 }
 
 

@@ -195,3 +195,37 @@ SELECT
       THEN CAST(size AS BIGINT) END)::BIGINT AS bytes_out
 FROM timed WHERE method IS NOT NULL AND method <> '' GROUP BY method
 """
+
+
+def weblog_size_quantiles_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per host: exact p50/p95/p99 of the numeric response-size capture
+    (quantile_cont == numpy 'linear', the keyed_quantiles contract)."""
+    return _timed_cte(pages_glob, now_year) + """
+SELECT
+  host,
+  quantile_cont(CAST(size AS BIGINT), 0.5)  AS p50,
+  quantile_cont(CAST(size AS BIGINT), 0.95) AS p95,
+  quantile_cont(CAST(size AS BIGINT), 0.99) AS p99
+FROM timed WHERE size IS NOT NULL AND regexp_matches(size, '^\\d+$')
+GROUP BY host
+"""
+
+
+def weblog_visitors_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per host: exact distinct client addresses (the unique-visitors
+    dashboard number) over parsed apache/docker rows."""
+    return _timed_cte(pages_glob, now_year) + """
+, clients AS (
+  SELECT host,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '%(APACHE)s', 1)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '%(APACHE)s', 1)
+      ELSE NULL
+    END AS client
+  FROM parsed
+)
+SELECT host, count(DISTINCT client)::BIGINT AS visitors
+FROM clients WHERE client IS NOT NULL AND client <> ''
+GROUP BY host
+""" % {"APACHE": _APACHE_RE}

@@ -4410,6 +4410,15 @@ def oracle_sql_full() -> dict[str, str]:
         pages_path(rows) + "/*.parquet")
     out["weblog_method_bytes"] = weblog_method_bytes_sql(
         pages_path(rows) + "/*.parquet")
+    from ..oracle.weblog_sql import (
+        weblog_size_quantiles_sql,
+        weblog_visitors_sql,
+    )
+
+    out["weblog_size_quantiles"] = weblog_size_quantiles_sql(
+        pages_path(rows) + "/*.parquet")
+    out["weblog_visitors"] = weblog_visitors_sql(
+        pages_path(rows) + "/*.parquet")
     return out
 
 
@@ -4683,3 +4692,52 @@ ORACLE_SQL["semdedup_rep_invariant"] = (
     "(SELECT CAST(count(*) + count(*) FILTER (vec_id < 50) AS BIGINT) "
     "FROM embeddings) AS rows_assigned"
 )
+
+
+def q_weblog_size_quantiles(sf_dir: str):
+    """per-host exact p50/p95/p99 of the numeric response-size capture
+    over the pages corpus — the latency-percentile dashboard shape on
+    the flagship parse output (ops/stats.keyed_quantiles: pruned
+    (host, size) exchange, one vectorized np.quantile per host)."""
+    from ..ops.stats import keyed_quantiles
+
+    def project(t: pa.Table) -> pa.Table:
+        size = _col_or_nulls(t, "size")
+        numeric = pc.fill_null(pc.match_substring_regex(size, r"^\d+$"), False)
+        tt = pa.table({"host": t["host"], "size": size}).filter(numeric)
+        return pa.table({
+            "host": tt["host"],
+            "size": pc.cast(tt["size"], pa.int64()),
+        })
+
+    return keyed_quantiles(
+        _weblog_parsed_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        "host", "size")
+
+
+def q_weblog_visitors(sf_dir: str):
+    """per-host exact distinct client addresses (unique visitors) over
+    parsed apache/docker rows (ops/stats.count_distinct_per_key — only
+    DISTINCT (host, client) pairs cross the wire)."""
+    from ..ops.stats import count_distinct_per_key
+
+    def project(t: pa.Table) -> pa.Table:
+        client = _col_or_nulls(t, "client_host")
+        # the syslog parser ALSO captures a `host` field (the emitting
+        # server), which the flagship renames to client_host — gate on
+        # the apache-only `method` capture so only real request rows count,
+        # matching the oracle's apache/docker-kind restriction
+        method = _col_or_nulls(t, "method")
+        keep = pc.and_(
+            pc.and_(pc.is_valid(client), pc.not_equal(client, "")),
+            pc.and_(pc.is_valid(method), pc.not_equal(method, "")),
+        )
+        return pa.table({"host": t["host"], "client": client}).filter(keep)
+
+    return count_distinct_per_key(
+        _weblog_parsed_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        "host", "client", out="visitors")
+
+
+QUERIES["weblog_size_quantiles"] = q_weblog_size_quantiles
+QUERIES["weblog_visitors"] = q_weblog_visitors

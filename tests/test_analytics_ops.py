@@ -307,3 +307,35 @@ class TestSemDeDup:
         rep = dict(zip(out["vec_id"], out["rep_id"]))
         # zero vectors are similar to nothing (0 < tau), each its own rep
         assert rep[0] == 0 and rep[1] == 1 and rep[2] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWeblogAnalytics2:
+    SF = "/root/testdata/sf0.001"
+
+    def test_size_quantiles_duckdb_parity(self):
+        from fluent_bit_ray.oracle.weblog_sql import weblog_size_quantiles_sql
+        from fluent_bit_ray.pipelines.queries import q_weblog_size_quantiles
+        from fluent_bit_ray.synth import pages_path, pages_rows_for_sf
+
+        got = q_weblog_size_quantiles(self.SF).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(weblog_size_quantiles_sql(
+            pages_path(pages_rows_for_sf(self.SF)) + "/*.parquet")).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+
+    def test_visitors_duckdb_parity_and_syslog_exclusion(self):
+        from fluent_bit_ray.oracle.weblog_sql import weblog_visitors_sql
+        from fluent_bit_ray.pipelines.queries import q_weblog_visitors
+        from fluent_bit_ray.synth import pages_path, pages_rows_for_sf
+
+        got = q_weblog_visitors(self.SF).to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(weblog_visitors_sql(
+            pages_path(pages_rows_for_sf(self.SF)) + "/*.parquet")).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+        # a host's own name (the syslog `host` capture) must never be
+        # counted as one of its visitors
+        assert not got.empty and (got["visitors"] > 0).all()
