@@ -325,3 +325,71 @@ def quantized_topk(
 
     survivors = ds.map_batches(filt, batch_format="pyarrow")
     return brute_force_topk(survivors, queries_ref, k, id_col, vec_col)
+
+
+def hard_negative_topk(
+    ds,
+    queries_ref: Any,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Hard-negative mining (contrastive-training curation, public
+    recipe): for each query, the exact cosine top-k among vectors whose
+    `label_col` DIFFERS from the query's — the closest wrong-class
+    examples. Same broadcast-once / per-batch-partial / per-query-merge
+    shape as brute_force_topk; null-label candidates are excluded (SQL
+    `e.label <> q.label` semantics). queries_ref holds
+    {"ids", "mat", "labels"}."""
+    import ray
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        q = _maybe_get(queries_ref)
+        q_ids = np.asarray(q["ids"], dtype=np.int64)
+        q_labels = np.asarray(q["labels"])
+        q_mat = _normalize(np.asarray(q["mat"], dtype=np.float64))
+        lab = batch[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        valid = pa.compute.is_valid(lab)
+        batch = batch.filter(valid)
+        if not batch.num_rows:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        sims = q_mat @ mat.T  # [nq, nb]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(q_ids):
+            row = np.where(labels == q_labels[qi], -np.inf, sims[qi])
+            order = np.lexsort((ids, -row))
+            taken = 0
+            for j in order:
+                if taken >= k or not np.isfinite(row[j]):
+                    break
+                out_q.append(int(qid))
+                out_v.append(int(ids[j]))
+                out_s.append(float(row[j]))
+                taken += 1
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    partial = ds.map_batches(partial_fn, batch_format="pyarrow",
+                             batch_size=None)
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pa.compute.sort_indices(
+            group, sort_keys=[("score", "descending"), ("vec_id", "ascending")])
+        top = group.take(idx[:k])
+        return pa.table({
+            "query_id": top["query_id"],
+            "vec_id": top["vec_id"],
+            "rank": pa.array(range(1, top.num_rows + 1), pa.int64()),
+        })
+
+    return partial.groupby("query_id").map_groups(
+        merge, batch_format="pyarrow")

@@ -1318,3 +1318,98 @@ def c4_filter_batch(batch: pa.Table, text_col: str = "text",
         "has_lorem": has_lorem,
         "kept": kept,
     })
+
+
+def token_kl_shift(
+    ds,
+    split_col: str,
+    split_a: str,
+    text_col: str = "text",
+    k: int = 10,
+    add_k: float = 0.5,
+):
+    """Token-distribution shift report: the top-k tokens by contribution
+    to KL(P_a || P_b), where side `a` is the rows with `split_col ==
+    split_a` and side `b` is everything else — "what changed in this
+    corpus slice" for ingestion-drift / source-mix monitoring. Add-k
+    smoothing over the union vocabulary keeps every term finite.
+
+    Scale shape: per-block per-side value_counts partials (distinct
+    tokens only) cross ONE token-keyed exchange; the shard refs never
+    concatenate on the driver — pass 2 reduces each shard to a 3-number
+    total (sum_a, sum_b, vocab rows), pass 3 scores contributions
+    shard-locally with the broadcast totals and emits k candidate rows
+    per shard. The SQL twin mirrors the smoothing expression verbatim so
+    the float contributions are bit-comparable."""
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    def partial(batch: pa.Table) -> pa.Table:
+        side_a = pc.equal(batch[split_col], split_a)
+        outs = []
+        for flag, is_a in ((side_a, True), (pc.invert(side_a), False)):
+            sub = batch.filter(pc.fill_null(flag, False))
+            toks = _doc_ngrams(sub[text_col], 1)
+            if not len(toks):
+                continue
+            vc = toks.value_counts()
+            cnt = pc.cast(vc.field("counts"), pa.int64())
+            zero = pa.nulls(len(cnt), pa.int64()).fill_null(0)
+            outs.append(pa.table({
+                "token": vc.field("values"),
+                "c_a": cnt if is_a else zero,
+                "c_b": zero if is_a else cnt,
+            }))
+        if not outs:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c_a": pa.array([], pa.int64()),
+                             "c_b": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.rename_columns(["token", "c_a", "c_b"])
+
+    refs = hash_exchange(
+        ds.select_columns([split_col, text_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["token"], regroup, combine_fn=regroup, return_refs=True,
+    )
+    refs = [r for r in refs if r is not None]
+    if not refs:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "c_a": pa.array([], pa.int64()),
+                         "c_b": pa.array([], pa.int64()),
+                         "contrib": pa.array([], pa.float64())})
+
+    def totals(t):
+        if t is None or not t.num_rows:
+            return (0, 0, 0)
+        return (int(pc.sum(t["c_a"]).as_py() or 0),
+                int(pc.sum(t["c_b"]).as_py() or 0), t.num_rows)
+
+    tot = ray.get([ray.remote(totals).remote(r) for r in refs])
+    na = sum(x[0] for x in tot)
+    nb = sum(x[1] for x in tot)
+    v = sum(x[2] for x in tot)
+
+    def top_contrib(t, _na=na, _nb=nb, _v=v):
+        if t is None or not t.num_rows:
+            return None
+        ca = np.asarray(t["c_a"], dtype=np.float64)
+        cb = np.asarray(t["c_b"], dtype=np.float64)
+        p_a = (ca + add_k) / (_na + add_k * _v)
+        p_b = (cb + add_k) / (_nb + add_k * _v)
+        contrib = p_a * np.log(p_a / p_b)
+        t = t.append_column("contrib", pa.array(contrib, pa.float64()))
+        order = pc.sort_indices(t, sort_keys=[("contrib", "descending"),
+                                              ("token", "ascending")])
+        return t.take(order[:k])
+
+    cands = [c for c in ray.get(
+        [ray.remote(top_contrib).remote(r) for r in refs]) if c is not None]
+    merged = pa.concat_tables(cands)
+    order = pc.sort_indices(merged, sort_keys=[("contrib", "descending"),
+                                               ("token", "ascending")])
+    return merged.take(order[:k])

@@ -4741,3 +4741,68 @@ def q_weblog_visitors(sf_dir: str):
 
 QUERIES["weblog_size_quantiles"] = q_weblog_size_quantiles
 QUERIES["weblog_visitors"] = q_weblog_visitors
+
+
+def q_ann_hard_negatives(sf_dir: str):
+    """hard-negative mining for contrastive training: each query's exact
+    cosine top-5 among DIFFERENT-label vectors (ops/ann.hard_negative_topk
+    — broadcast-once queries with labels, per-batch masked partials,
+    per-query merge)."""
+    import ray
+
+    from ..ops import ann
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qt = emb.filter(pc.less(emb["vec_id"], 3))
+    qmat = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ref = ray.put({
+        "ids": np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64),
+        "mat": qmat,
+        "labels": np.asarray(qt["label"].to_pylist()),
+    })
+    return ann.hard_negative_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        ref, k=5)
+
+
+QUERIES["ann_hard_negatives"] = q_ann_hard_negatives
+ORACLE_SQL["ann_hard_negatives"] = (
+    "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+    "CAST(row_number() OVER (PARTITION BY q.vec_id "
+    "ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) "
+    "AS BIGINT) AS rank "
+    "FROM embeddings q CROSS JOIN embeddings e "
+    "WHERE q.vec_id < 3 AND e.label <> q.label "
+    "QUALIFY rank <= 5"
+)
+
+
+def q_token_kl(sf_dir: str):
+    """token-distribution drift report: top-10 tokens by contribution to
+    KL(src0-slice || rest-of-corpus) with add-0.5 smoothing over the
+    union vocabulary — the "what changed in this source" monitor
+    (ops/text.token_kl_shift: one token-keyed exchange, shard refs never
+    concatenate on the driver, contributions scored with broadcast
+    totals)."""
+    return text_ops.token_kl_shift(
+        _read(sf_dir, "documents", ["source", "text"]),
+        "source", "src0", k=10)
+
+
+QUERIES["token_kl"] = q_token_kl
+ORACLE_SQL["token_kl"] = (
+    "WITH toks AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END "
+    "AS is_a, unnest(string_split_regex(regexp_replace(text, "
+    "'^\\s+|\\s+$', '', 'g'), '\\s+')) AS token FROM documents "
+    "WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''), "
+    "c AS (SELECT token, sum(is_a)::BIGINT AS c_a, "
+    "sum(1 - is_a)::BIGINT AS c_b FROM toks GROUP BY token), "
+    "tot AS (SELECT sum(c_a)::DOUBLE AS na, sum(c_b)::DOUBLE AS nb, "
+    "count(*)::DOUBLE AS v FROM c), "
+    "x AS (SELECT token, c_a, c_b, "
+    "((c_a + 0.5) / (na + 0.5 * v)) * "
+    "ln(((c_a + 0.5) / (na + 0.5 * v)) / ((c_b + 0.5) / (nb + 0.5 * v))) "
+    "AS contrib FROM c, tot) "
+    "SELECT token, c_a, c_b, contrib FROM x "
+    "ORDER BY contrib DESC, token LIMIT 10"
+)

@@ -339,3 +339,67 @@ class TestWeblogAnalytics2:
         # a host's own name (the syslog `host` capture) must never be
         # counted as one of its visitors
         assert not got.empty and (got["visitors"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHardNegatives:
+    def test_label_masking_and_exhaustion(self):
+        import ray
+        import ray.data
+
+        from fluent_bit_ray.ops.ann import hard_negative_topk
+
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9], [1.0, 0.1]],
+                pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1, None], pa.int32()),
+        })
+        ref = ray.put({"ids": np.array([0], np.int64),
+                       "mat": np.array([[1.0, 0.0]]),
+                       "labels": np.array([0])})
+        out = hard_negative_topk(
+            ray.data.from_arrow(t).repartition(2), ref, k=5).to_pandas()
+        # label-0 vectors (0,1) and the null-label vector (4) are excluded:
+        # only the two label-1 vectors qualify, nearest first
+        assert out["vec_id"].tolist() == [3, 2]
+        assert out["rank"].tolist() == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTokenKL:
+    def test_duckdb_parity(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import token_kl_shift
+
+        df = pd.DataFrame({
+            "source": ["a", "a", "b", "b", "b"],
+            "text": ["x x y", "x z", "y y", "z w", "  "],
+        })
+        got = token_kl_shift(
+            ray.data.from_pandas(df).repartition(2), "source", "a",
+            k=3).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", df)
+        exp = con.execute(
+            "WITH toks AS (SELECT CASE WHEN source = 'a' THEN 1 ELSE 0 END "
+            "AS is_a, unnest(string_split_regex(regexp_replace(text, "
+            "'^\\s+|\\s+$', '', 'g'), '\\s+')) AS token FROM documents "
+            "WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''), "
+            "c AS (SELECT token, sum(is_a)::BIGINT AS c_a, "
+            "sum(1 - is_a)::BIGINT AS c_b FROM toks GROUP BY token), "
+            "tot AS (SELECT sum(c_a)::DOUBLE AS na, sum(c_b)::DOUBLE AS nb, "
+            "count(*)::DOUBLE AS v FROM c), "
+            "x AS (SELECT token, c_a, c_b, "
+            "((c_a + 0.5) / (na + 0.5 * v)) * "
+            "ln(((c_a + 0.5) / (na + 0.5 * v)) / ((c_b + 0.5) / (nb + 0.5 * v))) "
+            "AS contrib FROM c, tot) "
+            "SELECT token, c_a, c_b, contrib FROM x "
+            "ORDER BY contrib DESC, token LIMIT 3"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+        # overrepresented-in-a tokens dominate the shift report
+        assert got.sort_values("contrib", ascending=False).iloc[0]["token"] == "x"
