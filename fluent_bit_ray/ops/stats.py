@@ -2059,3 +2059,48 @@ def trending_topk(
                          "n": pa.array([], pa.int64()),
                          "rnk": pa.array([], pa.int64())})
     return out
+
+
+def gini_concentration(ds, key_col: str) -> pa.Table:
+    """Gini coefficient of per-key record counts — the skew audit run
+    BEFORE choosing salting/partitioning for a hot-key column (0 =
+    uniform keys, ->1 = one key dominates). Output: one row
+    (gini, n_keys, total_records).
+
+    Engine shape: per-block (key, n) value-count partials cross ONE
+    key-hash exchange; the per-key count table (cardinality = #distinct
+    keys, the usual dimension-bounded case — documented assumption) is
+    sorted once and Gini = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n over the sorted
+    counts. Every product is an exact integer in float64 (< 2^53), so
+    the value is bit-identical to the SQL twin regardless of summation
+    order; tie order is mathematically irrelevant (equal x swap equal
+    coefficients block-wise)."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "records"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate([("records", "sum")])
+        return g.rename_columns([key_col, "records"])
+
+    counts = hash_exchange(
+        ds.select_columns([key_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [key_col], regroup, combine_fn=regroup,
+    )
+    if counts is None or not counts.num_rows:
+        return pa.table({"gini": pa.array([], pa.float64()),
+                         "n_keys": pa.array([], pa.int64()),
+                         "total_records": pa.array([], pa.int64())})
+    x = np.sort(np.asarray(counts["records"], dtype=np.float64))
+    n = float(len(x))
+    s = float(x.sum())
+    i = np.arange(1, len(x) + 1, dtype=np.float64)
+    gini = 2.0 * float((i * x).sum()) / (n * s) - (n + 1.0) / n
+    return pa.table({
+        "gini": pa.array([gini], pa.float64()),
+        "n_keys": pa.array([int(n)], pa.int64()),
+        "total_records": pa.array([int(s)], pa.int64()),
+    })

@@ -4419,6 +4419,18 @@ def oracle_sql_full() -> dict[str, str]:
         pages_path(rows) + "/*.parquet")
     out["weblog_visitors"] = weblog_visitors_sql(
         pages_path(rows) + "/*.parquet")
+    out["host_skew"] = (
+        "WITH c AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
+        "AS host, count(*)::DOUBLE AS x FROM read_parquet('"
+        + pages_path(rows) + "/*.parquet') GROUP BY host), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x)::DOUBLE AS i, "
+        "(SELECT count(*) FROM c)::DOUBLE AS n, "
+        "(SELECT sum(x) FROM c) AS s FROM c) "
+        "SELECT 2.0 * sum(i * x) / (any_value(n) * any_value(s)) "
+        "- (any_value(n) + 1.0) / any_value(n) AS gini, "
+        "any_value(n)::BIGINT AS n_keys, "
+        "any_value(s)::BIGINT AS total_records FROM r"
+    )
     return out
 
 
@@ -4806,3 +4818,81 @@ ORACLE_SQL["token_kl"] = (
     "SELECT token, c_a, c_b, contrib FROM x "
     "ORDER BY contrib DESC, token LIMIT 10"
 )
+
+
+def q_c4_pass_rates(sf_dir: str):
+    """per-lang C4 gate telemetry: docs seen / kept and which rule fired
+    — the filter health report every cleaning run ships (pure map of
+    c4_filter_batch flags + ONE lang-keyed reduce of count partials)."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = text_ops.c4_filter_batch(t)
+        g = pa.table({
+            "lang": t["lang"],
+            "docs": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "kept": pc.cast(pc.fill_null(flags["kept"], False), pa.int64()),
+            "short": pc.cast(pc.less(flags["n_words"], 5), pa.int64()),
+            "no_terminal": pc.cast(
+                pc.invert(pc.fill_null(flags["ends_terminal"], True)),
+                pa.int64()),
+            "braced": pc.cast(pc.fill_null(flags["has_brace"], False),
+                              pa.int64()),
+        }).group_by(["lang"]).aggregate(
+            [("docs", "sum"), ("kept", "sum"), ("short", "sum"),
+             ("no_terminal", "sum"), ("braced", "sum")])
+        return g.rename_columns(
+            ["lang", "docs", "kept", "short", "no_terminal", "braced"])
+
+    return hash_reduce_dataset_refs(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["lang"], ["docs", "kept", "short", "no_terminal", "braced"])
+
+
+QUERIES["c4_pass_rates"] = q_c4_pass_rates
+ORACLE_SQL["c4_pass_rates"] = (
+    "WITH t AS (SELECT doc_id, lang, text, "
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr FROM documents), "
+    "f AS (SELECT lang, "
+    "CAST(CASE WHEN tr = '' THEN 0 ELSE len(string_split_regex(tr, '\\s+')) "
+    "END AS BIGINT) AS n_words, "
+    "regexp_matches(tr, '[.!?\"]$') AS ends_terminal, "
+    "contains(text, '{') AS has_brace, "
+    "regexp_matches(text, '(?i)lorem ipsum') AS has_lorem FROM t) "
+    "SELECT lang, count(*)::BIGINT AS docs, "
+    "sum(CASE WHEN n_words >= 5 AND ends_terminal AND NOT has_brace "
+    "AND NOT has_lorem THEN 1 ELSE 0 END)::BIGINT AS kept, "
+    "sum(CASE WHEN n_words < 5 THEN 1 ELSE 0 END)::BIGINT AS short, "
+    "sum(CASE WHEN NOT ends_terminal THEN 1 ELSE 0 END)::BIGINT "
+    "AS no_terminal, "
+    "sum(CASE WHEN has_brace THEN 1 ELSE 0 END)::BIGINT AS braced "
+    "FROM f GROUP BY lang"
+)
+
+
+def q_host_skew(sf_dir: str):
+    """host-skew audit over the pages corpus: Gini coefficient of
+    per-host page counts (the synth corpus is zipf-skewed by
+    construction — this is the number that justifies the flagship's
+    salting strategy) (ops/stats.gini_concentration)."""
+    import ray.data
+
+    from ..ops.stats import gini_concentration
+    from ..router import host_from_url
+    from ..synth import pages_path, pages_rows_for_sf
+
+    ds = ray.data.read_parquet(
+        pages_path(pages_rows_for_sf(sf_dir)), columns=["url"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        u = t["url"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        return pa.table({"host": host_from_url(u)})
+
+    return gini_concentration(
+        ds.map_batches(hosts, batch_format="pyarrow"), "host")
+
+
+QUERIES["host_skew"] = q_host_skew

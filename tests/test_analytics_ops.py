@@ -403,3 +403,30 @@ class TestTokenKL:
         _assert_frames_equal(got, exp)
         # overrepresented-in-a tokens dominate the shift report
         assert got.sort_values("contrib", ascending=False).iloc[0]["token"] == "x"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGini:
+    def test_known_values(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import gini_concentration
+
+        # uniform keys -> gini 0
+        t = pa.table({"k": pa.array(["a", "b", "c", "d"] * 5, pa.string())})
+        out = gini_concentration(
+            ray.data.from_arrow(t).repartition(3), "k").to_pandas()
+        assert out["gini"].iloc[0] == pytest.approx(0.0, abs=1e-12)
+        assert out["n_keys"].iloc[0] == 4
+        assert out["total_records"].iloc[0] == 20
+        # hand case: counts {a:1, b:3} -> G = 2*(1*1+2*3)/(2*4) - 3/2 = 0.25
+        t2 = pa.table({"k": pa.array(["a", "b", "b", "b"], pa.string())})
+        out2 = gini_concentration(ray.data.from_arrow(t2), "k").to_pandas()
+        assert out2["gini"].iloc[0] == pytest.approx(0.25, abs=1e-12)
+
+    def test_host_skew_positive(self):
+        from fluent_bit_ray.pipelines.queries import q_host_skew
+
+        out = q_host_skew("/root/testdata/sf0.001").to_pandas()
+        # the synth corpus is zipf-skewed by construction
+        assert 0.1 < out["gini"].iloc[0] < 1.0
