@@ -2104,3 +2104,52 @@ def gini_concentration(ds, key_col: str) -> pa.Table:
         "n_keys": pa.array([int(n)], pa.int64()),
         "total_records": pa.array([int(s)], pa.int64()),
     })
+
+
+def topk_count_per_key(
+    ds,
+    key_col: str,
+    item_col: str,
+    k: int = 3,
+) -> pa.Table:
+    """Top-k items per key by occurrence count, ties broken on the item
+    ascending (deterministic, QUALIFY-mirrorable) — the generic form of
+    trending_topk for non-time keys: top paths per host, top errors per
+    service, top referrers per page. Map-side (key,item) count partials,
+    ONE key-hash exchange with a re-summing combiner, shard-local
+    vectorized rank-and-prune. Null keys/items are excluded (SQL GROUP
+    BY would keep them; the WHERE in the twin drops them)."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                              pc.is_valid(t[item_col])))
+        g = tt.select([key_col, item_col]).group_by(
+            [key_col, item_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, item_col, "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col, item_col]).aggregate([("n", "sum")])
+        return g.rename_columns([key_col, item_col, "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        df = df.sort_values([key_col, "n", item_col],
+                            ascending=[True, False, True], kind="mergesort")
+        rnk = df.groupby(key_col, sort=False).cumcount() + 1
+        df = df.assign(rnk=rnk.astype(np.int64))
+        df = df[df["rnk"] <= k]
+        return pa.Table.from_pandas(df, preserve_index=False).select(
+            [key_col, item_col, "n", "rnk"])
+
+    out = hash_exchange(
+        ds.select_columns([key_col, item_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [key_col], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         item_col: pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "rnk": pa.array([], pa.int64())})
+    return out

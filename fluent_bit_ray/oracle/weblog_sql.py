@@ -229,3 +229,29 @@ SELECT host, count(DISTINCT client)::BIGINT AS visitors
 FROM clients WHERE client IS NOT NULL AND client <> ''
 GROUP BY host
 """ % {"APACHE": _APACHE_RE}
+
+
+def weblog_top_paths_sql(pages_glob: str, now_year: int = 2018,
+                         k: int = 3) -> str:
+    """Per host: the top-k most-requested paths by count (ties on the
+    path ascending) over parsed apache/docker rows."""
+    return _timed_cte(pages_glob, now_year) + """
+, reqs AS (
+  SELECT host,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '%(APACHE)s', 5)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '%(APACHE)s', 5)
+      ELSE NULL
+    END AS path
+  FROM parsed
+),
+c AS (
+  SELECT host, path, count(*)::BIGINT AS n FROM reqs
+  WHERE path IS NOT NULL AND path <> '' GROUP BY host, path
+)
+SELECT * FROM (
+  SELECT host, path, n,
+    row_number() OVER (PARTITION BY host ORDER BY n DESC, path) AS rnk
+  FROM c) WHERE rnk <= %(K)d
+""" % {"APACHE": _APACHE_RE, "K": k}

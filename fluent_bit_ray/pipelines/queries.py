@@ -4419,6 +4419,9 @@ def oracle_sql_full() -> dict[str, str]:
         pages_path(rows) + "/*.parquet")
     out["weblog_visitors"] = weblog_visitors_sql(
         pages_path(rows) + "/*.parquet")
+    from ..oracle.weblog_sql import weblog_top_paths_sql
+
+    out["top_paths"] = weblog_top_paths_sql(pages_path(rows) + "/*.parquet")
     out["host_skew"] = (
         "WITH c AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
         "AS host, count(*)::DOUBLE AS x FROM read_parquet('"
@@ -4896,3 +4899,27 @@ def q_host_skew(sf_dir: str):
 
 
 QUERIES["host_skew"] = q_host_skew
+
+
+def q_top_paths(sf_dir: str):
+    """per-host top-3 most-requested paths over the pages corpus — the
+    hot-content report on the flagship parse output (the generic
+    ops/stats.topk_count_per_key exchange; method-less rows excluded so
+    the syslog `host` capture never pollutes the request set)."""
+    from ..ops.stats import topk_count_per_key
+
+    def project(t: pa.Table) -> pa.Table:
+        path = _col_or_nulls(t, "path")
+        method = _col_or_nulls(t, "method")
+        keep = pc.and_(
+            pc.and_(pc.is_valid(path), pc.not_equal(path, "")),
+            pc.and_(pc.is_valid(method), pc.not_equal(method, "")),
+        )
+        return pa.table({"host": t["host"], "path": path}).filter(keep)
+
+    return topk_count_per_key(
+        _weblog_parsed_ds(sf_dir).map_batches(project, batch_format="pyarrow"),
+        "host", "path", k=3)
+
+
+QUERIES["top_paths"] = q_top_paths

@@ -430,3 +430,35 @@ class TestGini:
         out = q_host_skew("/root/testdata/sf0.001").to_pandas()
         # the synth corpus is zipf-skewed by construction
         assert 0.1 < out["gini"].iloc[0] < 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopPaths:
+    def test_generic_topk_ties_and_nulls(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import topk_count_per_key
+
+        t = pa.table({
+            "k": pa.array(["h", "h", "h", "h", "g", None], pa.string()),
+            "v": pa.array(["/a", "/a", "/b", "/c", "/z", "/x"], pa.string()),
+        })
+        out = topk_count_per_key(
+            ray.data.from_arrow(t).repartition(3), "k", "v",
+            k=2).to_pandas().sort_values(["k", "rnk"])
+        assert out[out.k == "h"]["v"].tolist() == ["/a", "/b"]  # tie b<c
+        assert out[out.k == "g"]["v"].tolist() == ["/z"]
+        assert None not in set(out["k"])
+
+    def test_top_paths_duckdb_parity(self):
+        from fluent_bit_ray.oracle.weblog_sql import weblog_top_paths_sql
+        from fluent_bit_ray.pipelines.queries import q_top_paths
+        from fluent_bit_ray.synth import pages_path, pages_rows_for_sf
+
+        got = q_top_paths("/root/testdata/sf0.001").to_pandas()
+        con = duckdb.connect()
+        exp = con.execute(weblog_top_paths_sql(
+            pages_path(pages_rows_for_sf("/root/testdata/sf0.001"))
+            + "/*.parquet")).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
