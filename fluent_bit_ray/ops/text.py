@@ -1295,7 +1295,10 @@ def c4_filter_batch(batch: pa.Table, text_col: str = "text",
     DuckDB twin reproduces each flag bit-exactly (the `c4_filters`
     oracle): trim == regexp_replace('^\\s+|\\s+$'), the word split is the
     same '\\s+' split as text_stats, and the regex scans share RE2
-    semantics with regexp_matches."""
+    semantics with regexp_matches. Domain note (shared with text_stats):
+    Arrow's whitespace class is Unicode while RE2's '\\s' is ASCII, so
+    exotic whitespace (U+00A0 etc.) diverges — the corpus contract is
+    ASCII whitespace, property-tested over that domain."""
     text = batch[text_col]
     tr = pc.utf8_trim_whitespace(text)
     n_words = pc.if_else(

@@ -362,3 +362,50 @@ class TestMergeableSketchProperties:
                 assert e >= c - bound    # within guarantee
             else:
                 assert c <= bound        # dropped only if infrequent
+
+
+# ------------------------------------------------- c4 gates vs DuckDB
+
+# ASCII whitespace + printable + multibyte letters: the corpus contract
+# (Arrow's Unicode whitespace class diverges from RE2 '\s' on U+00A0 etc.
+# — documented in c4_filter_batch; same domain as text_stats)
+_c4_alphabet = st.sampled_from(
+    list(string.ascii_letters + string.digits + " \t\n.!?\"{}'-")
+    + ["é", "ß", "日", "ж"]
+)
+_c4_text = st.text(alphabet=_c4_alphabet, max_size=40)
+
+
+class TestC4Property:
+    @given(st.lists(_c4_text, min_size=1, max_size=8))
+    @settings(max_examples=100, deadline=None)
+    def test_matches_duckdb_twin(self, texts):
+        import duckdb
+
+        from fluent_bit_ray.ops.text import c4_filter_batch
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = c4_filter_batch(t).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        exp = con.execute(
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "CAST(CASE WHEN tr = '' THEN 0 ELSE "
+            "len(string_split_regex(tr, '\\s+')) END AS BIGINT) AS n_words, "
+            "regexp_matches(tr, '[.!?\"]$') AS ends_terminal, "
+            "contains(text, '{') AS has_brace, "
+            "regexp_matches(text, '(?i)lorem ipsum') AS has_lorem FROM t) "
+            "SELECT doc_id, n_words, ends_terminal, has_brace, has_lorem, "
+            "(n_words >= 5 AND ends_terminal AND NOT has_brace "
+            "AND NOT has_lorem) AS kept FROM f"
+        ).fetchdf()
+        con.close()
+        for col in ("n_words", "ends_terminal", "has_brace",
+                    "has_lorem", "kept"):
+            assert got[col].tolist() == exp[col].tolist(), col
