@@ -2153,3 +2153,83 @@ def topk_count_per_key(
                          "n": pa.array([], pa.int64()),
                          "rnk": pa.array([], pa.int64())})
     return out
+
+
+def _ntile_positions(n: int, tiles: int) -> np.ndarray:
+    """SQL ntile() bucket for positions 1..n (first n%tiles buckets take
+    the extra row) — the same formula as sample.global_rank_features."""
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    q, r = divmod(n, int(tiles))
+    split = r * (q + 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            rn <= split,
+            (rn - 1) // (q + 1) + 1,
+            r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
+        ).astype(np.int64)
+
+
+def rfm_features(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiles: int = 5,
+) -> pa.Table:
+    """Per-key RFM features (recency / frequency / monetary — the classic
+    customer-analytics triple) + their ntile quintile scores. Rows with a
+    null timestamp or value are excluded up front (both sides of the
+    oracle agree on the filtered population).
+
+    Engine shape: the distributed work is ONE key-hash exchange of
+    mergeable (max ts, count, sum) partials — fixed width per key per
+    block; the per-key aggregate table is key-cardinality (the
+    dimension-bounded case, same documented assumption as the Gini
+    audit), so the three rank passes are driver-side lexsorts over it.
+    Ordering ties break on the key so every ntile is deterministic."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                              pc.is_valid(t[value_col])))
+        ts_us = pc.cast(pc.cast(
+            tt[ts_col], pa.timestamp("us")), pa.int64())
+        g = pa.table({
+            key_col: tt[key_col],
+            "last_us": ts_us,
+            "freq": pa.nulls(tt.num_rows, pa.int64()).fill_null(1),
+            "monetary": pc.cast(tt[value_col], pa.float64()),
+        }).group_by([key_col]).aggregate(
+            [("last_us", "max"), ("freq", "sum"), ("monetary", "sum")])
+        return g.rename_columns([key_col, "last_us", "freq", "monetary"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([key_col]).aggregate(
+            [("last_us", "max"), ("freq", "sum"), ("monetary", "sum")])
+        return g.rename_columns([key_col, "last_us", "freq", "monetary"])
+
+    agg = hash_exchange(
+        ds.select_columns([key_col, ts_col, value_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [key_col], regroup, combine_fn=regroup,
+    )
+    if agg is None or not agg.num_rows:
+        return pa.table({key_col: pa.array([], pa.int64()),
+                         "last_us": pa.array([], pa.int64()),
+                         "freq": pa.array([], pa.int64()),
+                         "monetary": pa.array([], pa.float64()),
+                         "r_q": pa.array([], pa.int64()),
+                         "f_q": pa.array([], pa.int64()),
+                         "m_q": pa.array([], pa.int64())})
+    keys = np.asarray(agg[key_col])
+    n = len(keys)
+    out = {key_col: agg[key_col], "last_us": agg["last_us"],
+           "freq": agg["freq"], "monetary": agg["monetary"]}
+    for name, col in (("r_q", "last_us"), ("f_q", "freq"),
+                      ("m_q", "monetary")):
+        v = np.asarray(agg[col], dtype=np.float64)
+        order = np.lexsort((keys, v))
+        score = np.empty(n, dtype=np.int64)
+        score[order] = _ntile_positions(n, tiles)
+        out[name] = pa.array(score)
+    return pa.table(out)

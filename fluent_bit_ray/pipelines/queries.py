@@ -4923,3 +4923,27 @@ def q_top_paths(sf_dir: str):
 
 
 QUERIES["top_paths"] = q_top_paths
+
+
+def q_rfm(sf_dir: str):
+    """per-user RFM features (last event epoch-µs, event count, value
+    sum) + quintile scores — the classic customer-analytics feature
+    triple (ops/stats.rfm_features: mergeable partials through ONE
+    exchange, key-bounded driver ntile pass)."""
+    from ..ops.stats import rfm_features
+
+    return rfm_features(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]),
+        "user_id", "ts", "value", tiles=5)
+
+
+QUERIES["rfm"] = q_rfm
+ORACLE_SQL["rfm"] = (
+    "WITH a AS (SELECT user_id, epoch_us(max(ts)) AS last_us, "
+    "count(*)::BIGINT AS freq, sum(value) AS monetary FROM events "
+    "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY user_id) "
+    "SELECT user_id, last_us, freq, monetary, "
+    "ntile(5) OVER (ORDER BY last_us, user_id) AS r_q, "
+    "ntile(5) OVER (ORDER BY freq, user_id) AS f_q, "
+    "ntile(5) OVER (ORDER BY monetary, user_id) AS m_q FROM a"
+)

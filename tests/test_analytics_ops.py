@@ -462,3 +462,39 @@ class TestTopPaths:
             + "/*.parquet")).fetchdf()
         con.close()
         _assert_frames_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRFM:
+    def test_duckdb_parity_with_nulls_and_ties(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import rfm_features
+
+        df = pd.DataFrame({
+            "user_id": [1, 1, 2, 2, 3, 4, 5, 5, 6, 7],
+            "ts": pd.to_datetime(
+                ["2020-01-01", "2020-01-03", "2020-01-02", None,
+                 "2020-01-02", "2020-01-05", "2020-01-01", "2020-01-01",
+                 "2020-01-04", "2020-01-04"]),
+            "value": [10.0, 5.0, 8.0, 99.0, None, 7.0, 3.0, 3.0, 15.0, 15.0],
+        })
+        got = rfm_features(ray.data.from_pandas(df).repartition(3),
+                           "user_id", "ts", "value", tiles=5).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH a AS (SELECT user_id, epoch_us(max(ts)) AS last_us, "
+            "count(*)::BIGINT AS freq, sum(value) AS monetary FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY user_id) "
+            "SELECT user_id, last_us, freq, monetary, "
+            "ntile(5) OVER (ORDER BY last_us, user_id) AS r_q, "
+            "ntile(5) OVER (ORDER BY freq, user_id) AS f_q, "
+            "ntile(5) OVER (ORDER BY monetary, user_id) AS m_q FROM a"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(got, exp)
+        # user 3 (null value) and user 2's null-ts row are excluded from
+        # the population; tie users 6/7 split deterministically by id
+        assert 3 not in set(got["user_id"])
+        assert got[got.user_id == 2]["monetary"].iloc[0] == 8.0
