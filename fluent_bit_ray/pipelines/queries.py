@@ -4947,3 +4947,73 @@ ORACLE_SQL["rfm"] = (
     "ntile(5) OVER (ORDER BY freq, user_id) AS f_q, "
     "ntile(5) OVER (ORDER BY monetary, user_id) AS m_q FROM a"
 )
+
+
+def q_pii_by_source(sf_dir: str):
+    """per-source PII density report over the PII-injected corpus (same
+    injection expression as pii_redact): docs scanned, docs carrying any
+    PII, and total emails/IPs/phones — the compliance dashboard that
+    decides which sources need scrubbing before release. Pure map
+    (inject + one RE2 pass per class) + ONE source-keyed reduce of count
+    partials."""
+    from ..ops.skew import hash_reduce_dataset_refs
+    from ..ops.text import pii_redact_batch
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s_id = pc.cast(b["doc_id"], pa.string())
+        s_mod = pc.cast(pa.array((ids % 256).astype("int64")), pa.string())
+        injected = pc.binary_join_element_wise(
+            b["text"], " reach doc", s_id, "@mail.example.org from 10.1.2.",
+            s_mod, " call 555-123-4567", "")
+        text = pc.if_else(pa.array(ids % 5 == 0), injected, b["text"])
+        red = pii_redact_batch(pa.table({"doc_id": b["doc_id"],
+                                         "text": text}))
+        any_pii = pc.cast(pc.or_(
+            pc.greater(red["n_emails"], 0),
+            pc.or_(pc.greater(red["n_ips"], 0),
+                   pc.greater(red["n_phones"], 0))), pa.int64())
+        g = pa.table({
+            "source": b["source"],
+            "docs": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+            "docs_with_pii": any_pii,
+            "emails": red["n_emails"],
+            "ips": red["n_ips"],
+            "phones": red["n_phones"],
+        }).group_by(["source"]).aggregate(
+            [("docs", "sum"), ("docs_with_pii", "sum"), ("emails", "sum"),
+             ("ips", "sum"), ("phones", "sum")])
+        return g.rename_columns(
+            ["source", "docs", "docs_with_pii", "emails", "ips", "phones"])
+
+    return hash_reduce_dataset_refs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["source"], ["docs", "docs_with_pii", "emails", "ips", "phones"])
+
+
+QUERIES["pii_by_source"] = q_pii_by_source
+ORACLE_SQL["pii_by_source"] = (
+    "WITH inj AS (SELECT doc_id, source, CASE WHEN doc_id % 5 = 0 THEN "
+    "text || ' reach doc' || doc_id::VARCHAR || "
+    "'@mail.example.org from 10.1.2.' || (doc_id % 256)::VARCHAR || "
+    "' call 555-123-4567' ELSE text END AS text FROM documents), "
+    "e AS (SELECT doc_id, source, len(regexp_extract_all(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+    "regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') "
+    "AS t1 FROM inj), "
+    "i AS (SELECT doc_id, source, n_emails, len(regexp_extract_all(t1, "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+    "regexp_replace(t1, "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+    "AS t2 FROM e), "
+    "p AS (SELECT doc_id, source, n_emails, n_ips, "
+    "len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b')) "
+    "AS n_phones FROM i) "
+    "SELECT source, count(*)::BIGINT AS docs, "
+    "sum(CASE WHEN n_emails > 0 OR n_ips > 0 OR n_phones > 0 THEN 1 "
+    "ELSE 0 END)::BIGINT AS docs_with_pii, "
+    "sum(n_emails)::BIGINT AS emails, sum(n_ips)::BIGINT AS ips, "
+    "sum(n_phones)::BIGINT AS phones FROM p GROUP BY source"
+)
