@@ -4422,6 +4422,23 @@ def oracle_sql_full() -> dict[str, str]:
     from ..oracle.weblog_sql import weblog_top_paths_sql
 
     out["top_paths"] = weblog_top_paths_sql(pages_path(rows) + "/*.parquet")
+    from ..oracle.weblog_sql import _APACHE_RE, _SYSLOG_RE
+    from ..synth import hostmeta_path
+
+    out["geo_traffic"] = (
+        "WITH pages AS (SELECT url, text, lang FROM read_parquet('"
+        + pages_path(rows) + "/*.parquet')), "
+        "p AS (SELECT lang, regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
+        "AS host, CASE WHEN regexp_matches(text, '" + _APACHE_RE.replace(
+            "'", "''") + "') THEN 0 "
+        "WHEN json_type(TRY_CAST(text AS JSON)) = 'OBJECT' THEN 0 "
+        "WHEN regexp_matches(text, '" + _SYSLOG_RE + "') THEN 0 "
+        "ELSE 1 END AS fail FROM pages) "
+        "SELECT COALESCE(d.geo, 'unknown') AS geo, p.lang, "
+        "count(*)::BIGINT AS records, sum(fail)::BIGINT AS parse_failures "
+        "FROM p LEFT JOIN read_parquet('" + hostmeta_path()
+        + "') d ON p.host = d.host GROUP BY 1, 2"
+    )
     out["host_skew"] = (
         "WITH c AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) "
         "AS host, count(*)::DOUBLE AS x FROM read_parquet('"
@@ -5017,3 +5034,49 @@ ORACLE_SQL["pii_by_source"] = (
     "sum(n_emails)::BIGINT AS emails, sum(n_ips)::BIGINT AS ips, "
     "sum(n_phones)::BIGINT AS phones FROM p GROUP BY source"
 )
+
+
+def q_geo_traffic(sf_dir: str):
+    """traffic by geo region over the pages corpus: the flagship's
+    broadcast hostmeta enrichment composed with an aggregate — records
+    and parse failures per (geo, lang), unenriched hosts reported as
+    geo='unknown' (the kubernetes-filter miss path). ONE reduce of
+    pre-combined partials; the dim rides a ray.put broadcast exactly
+    like the flagship."""
+    import ray
+
+    from ..ops.skew import hash_reduce_dataset_refs
+    from .weblog import default_lookup
+
+    ref = ray.put(default_lookup())
+
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        hosts = t["host"]
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        # vectorized dict probe: index_in against the dim's host column,
+        # misses (null take) fill the kubernetes-style 'unknown'
+        dim_hosts = pa.array(list(lookup.keys()), pa.string())
+        dim_geos = pa.array([v["geo"] for v in lookup.values()], pa.string())
+        idx = pc.index_in(hosts, value_set=dim_hosts)
+        geo = pc.fill_null(pc.take(dim_geos, idx), "unknown")
+        ok = t["_parse_ok"]
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        g = pa.table({
+            "geo": geo,
+            "lang": t["lang"],
+            "records": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "parse_failures": pc.cast(
+                pc.invert(pc.fill_null(ok, False)), pa.int64()),
+        }).group_by(["geo", "lang"]).aggregate(
+            [("records", "sum"), ("parse_failures", "sum")])
+        return g.rename_columns(["geo", "lang", "records", "parse_failures"])
+
+    return hash_reduce_dataset_refs(
+        _weblog_parsed_ds(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["geo", "lang"], ["records", "parse_failures"])
+
+
+QUERIES["geo_traffic"] = q_geo_traffic

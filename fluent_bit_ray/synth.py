@@ -233,3 +233,20 @@ def pages_rows_for_sf(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
     table = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
     return table.get(name, 60_000)
+
+
+def hostmeta_path(seed: int = SEED) -> str:
+    """Materialize (once) the F3 hostmeta dim as parquet — lets the
+    DuckDB oracles JOIN the same dimension the enrichment stage
+    broadcasts (labels map dropped: parquet/SQL oracles only need the
+    scalar attrs)."""
+    d = os.path.join(CACHE_ROOT, f"{_GEN_VERSION}_hostmeta_s{seed}")
+    path = os.path.join(d, "hostmeta.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(d, exist_ok=True)
+    t = hostmeta_table(seed).select(["host", "geo", "org"])
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
