@@ -1369,3 +1369,61 @@ def session_stats(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def gap_stats(
+    ds,
+    key_col: str,
+    ts_us_col: str,
+    id_col: str,
+    threshold_sec: float,
+    num_shards: int = 16,
+):
+    """Per-key inter-arrival gap report: count of gaps exceeding
+    `threshold_sec` and the maximum gap (µs) between consecutive events
+    in (ts, id) order — the outage/downtime detector over a per-host
+    event stream. Keys with a single event report 0 gaps and a NULL max
+    (SQL max() over an empty lag set). Null timestamps are excluded up
+    front (both oracle sides agree on the population).
+
+    Same key-shard scaffolding as the other window ops: one lexsort per
+    shard, diff within key runs, reduceat aggregation — no per-key
+    Python."""
+    thr_us = int(threshold_sec * 1_000_000)
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[ts_us_col].notna()]
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                key_col: df[key_col],
+                "n_gaps": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="Int64"),
+            })
+        codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
+        ts = df[ts_us_col].to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        c = codes[order]
+        t = ts[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = t[1:] - t[:-1]
+        gap[first] = -1  # no predecessor within the key
+        starts = np.flatnonzero(first)
+        seg = np.cumsum(first) - 1
+        n_gaps = np.bincount(
+            seg, weights=(gap > thr_us).astype(np.float64),
+            minlength=len(starts)).astype(np.int64)
+        mx = np.maximum.reduceat(gap, starts)
+        keys_out = df[key_col].to_numpy()[order][starts]
+        max_us = pd.Series(mx, dtype="Int64").mask(mx < 0)
+        return pd.DataFrame({key_col: keys_out,
+                             "n_gaps": n_gaps,
+                             "max_gap_us": max_us})
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

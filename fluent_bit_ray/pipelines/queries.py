@@ -5080,3 +5080,37 @@ def q_geo_traffic(sf_dir: str):
 
 
 QUERIES["geo_traffic"] = q_geo_traffic
+
+
+def q_gaps(sf_dir: str):
+    """per-user inter-arrival gap report (count of >30-min gaps + max
+    gap µs) — the downtime/outage detector; by construction n_gaps =
+    sessionize's session count minus 1 for all-non-null-ts users
+    (ops/windows.gap_stats — key-shard lexsort + reduceat, no per-key
+    Python)."""
+    from ..ops.windows import gap_stats
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    return gap_stats(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts"]).map_batches(
+            to_us, batch_format="pyarrow"),
+        "user_id", "ts_us", "event_id", threshold_sec=1800)
+
+
+QUERIES["gaps"] = q_gaps
+ORACLE_SQL["gaps"] = (
+    "WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events "
+    "WHERE ts IS NOT NULL), "
+    "g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id "
+    "ORDER BY us, event_id) AS gap FROM o) "
+    "SELECT user_id, sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END)"
+    "::BIGINT AS n_gaps, max(gap)::BIGINT AS max_gap_us "
+    "FROM g GROUP BY user_id"
+)

@@ -498,3 +498,39 @@ class TestRFM:
         # the population; tie users 6/7 split deterministically by id
         assert 3 not in set(got["user_id"])
         assert got[got.user_id == 2]["monetary"].iloc[0] == 8.0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGapStats:
+    def test_hand_case_and_single_event_null_max(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import gap_stats
+
+        df = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "c", "c"],
+            "id": [1, 2, 3, 4, 5, 6],
+            "us": [0, 10_000_000, 100_000_000, 5, 7, None],
+        })
+        out = gap_stats(ray.data.from_pandas(df).repartition(2),
+                        "k", "us", "id", threshold_sec=60,
+                        num_shards=3).to_pandas()
+        out = out.set_index("k")
+        # a: gaps 10s and 90s -> one gap over 60s, max 90s
+        assert out.loc["a", "n_gaps"] == 1
+        assert out.loc["a", "max_gap_us"] == 90_000_000
+        # b: single event -> 0 gaps, NULL max
+        assert out.loc["b", "n_gaps"] == 0 and pd.isna(out.loc["b", "max_gap_us"])
+        # c: null ts excluded -> single event semantics
+        assert out.loc["c", "n_gaps"] == 0 and pd.isna(out.loc["c", "max_gap_us"])
+
+    def test_gap_count_equals_sessions_minus_one(self, sf_dir):
+        # every >30-min gap starts a new session: for all-non-null-ts
+        # users, n_gaps == max(session_seq) - 1
+        from fluent_bit_ray.pipelines.queries import q_gaps, q_sessionize
+
+        gaps = q_gaps(sf_dir).to_pandas().set_index("user_id")
+        sess = q_sessionize(sf_dir).to_pandas().groupby("user_id")[
+            "session_seq"].max()
+        for uid, n_sessions in sess.items():
+            assert gaps.loc[uid, "n_gaps"] == n_sessions - 1
