@@ -2233,3 +2233,74 @@ def rfm_features(
         score[order] = _ntile_positions(n, tiles)
         out[name] = pa.array(score)
     return pa.table(out)
+
+
+def burstiness(
+    ds,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_sec: int = 60,
+) -> pa.Table:
+    """Per-type burstiness (Fano factor: var_samp/mean of per-bucket
+    event counts over the type's OBSERVED buckets) — >1 flags bursty
+    alert storms, ~1 is Poisson-like telemetry. Variance comes from the
+    (n, Σx, Σx²) sufficient-stat identity so every intermediate is an
+    exact integer in float64 and the doubles match the SQL twin exactly;
+    single-bucket types emit NULL fano (var_samp undefined). Map-side
+    (type,bucket) count partials, ONE type-keyed exchange (a type's
+    buckets co-locate; bucket count is bounded by the time range)."""
+    from ..shuffle import hash_exchange
+
+    step = bucket_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[ts_col]))
+        f = tt.schema.field(ts_col)
+        ts_us = pc.cast(tt[ts_col],
+                        pa.timestamp("us", tz=getattr(f.type, "tz", None)))
+        us = np.asarray(pc.cast(ts_us, pa.int64()))
+        bucket = pa.array((us // step) * step, pa.int64())
+        g = pa.table({type_col: tt[type_col], "bucket": bucket}).group_by(
+            [type_col, "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns([type_col, "bucket", "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([type_col, "bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns([type_col, "bucket", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        rows = []
+        for ty, g in df.groupby(type_col, sort=False):
+            x = g["n"].to_numpy(dtype=np.float64)  # exact ints
+            n = float(len(x))
+            sx = float(x.sum())
+            sxx = float((x * x).sum())
+            mean = sx / n
+            if n > 1:
+                var = (sxx - sx * sx / n) / (n - 1.0)
+                fano = var / mean
+            else:
+                var = None
+                fano = None
+            rows.append((ty, int(n), mean, var, fano))
+        return pa.table({
+            type_col: pa.array([r[0] for r in rows]),
+            "n_buckets": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_rate": pa.array([r[2] for r in rows], pa.float64()),
+            "var_rate": pa.array([r[3] for r in rows], pa.float64()),
+            "fano": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    out = hash_exchange(
+        ds.select_columns([ts_col, type_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [type_col], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({type_col: pa.array([], pa.string()),
+                         "n_buckets": pa.array([], pa.int64()),
+                         "mean_rate": pa.array([], pa.float64()),
+                         "var_rate": pa.array([], pa.float64()),
+                         "fano": pa.array([], pa.float64())})
+    return out

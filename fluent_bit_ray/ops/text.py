@@ -1416,3 +1416,43 @@ def token_kl_shift(
     order = pc.sort_indices(merged, sort_keys=[("contrib", "descending"),
                                                ("token", "ascending")])
     return merged.take(order[:k])
+
+
+def readability_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Flesch-reading-ease-style readability signals, fully vectorized
+    and SQL-twinnable: sentences = non-overlapping `[.!?]+` runs, words =
+    the standard '\\s+' split, syllables = `[aeiouyAEIOUY]+` vowel-group
+    runs (the classic deterministic approximation), and the Flesch score
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words). Docs with
+    zero words or zero sentences emit NULL score (no division) — same
+    CASE algebra as the oracle."""
+    text = batch[text_col]
+    tr = pc.utf8_trim_whitespace(text)
+    words = pc.if_else(
+        pc.equal(tr, ""),
+        pa.scalar(0, pa.int64()),
+        pc.cast(pc.list_value_length(pc.utf8_split_whitespace(tr)),
+                pa.int64()),
+    )
+    sentences = pc.cast(pc.count_substring_regex(text, r"[.!?]+"),
+                        pa.int64())
+    syllables = pc.cast(pc.count_substring_regex(text, r"[aeiouyAEIOUY]+"),
+                        pa.int64())
+    wf = pc.cast(words, pa.float64())
+    sf = pc.cast(sentences, pa.float64())
+    yf = pc.cast(syllables, pa.float64())
+    ok = pc.and_(pc.greater(words, 0), pc.greater(sentences, 0))
+    score = pc.subtract(
+        pc.subtract(pa.scalar(206.835, pa.float64()),
+                    pc.multiply(pa.scalar(1.015, pa.float64()),
+                                pc.divide(wf, sf))),
+        pc.multiply(pa.scalar(84.6, pa.float64()), pc.divide(yf, wf)),
+    )
+    score = pc.if_else(ok, score, pa.nulls(batch.num_rows, pa.float64()))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch": score,
+    })

@@ -5114,3 +5114,56 @@ ORACLE_SQL["gaps"] = (
     "::BIGINT AS n_gaps, max(gap)::BIGINT AS max_gap_us "
     "FROM g GROUP BY user_id"
 )
+
+
+def q_readability(sf_dir: str):
+    """Flesch-style readability signals per doc (vowel-group syllable
+    approximation — the classic deterministic form; zero-word/sentence
+    docs emit NULL score) (ops/text.readability_batch, pure Arrow
+    map)."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.readability_batch, batch_format="pyarrow")
+
+
+QUERIES["readability"] = q_readability
+ORACLE_SQL["readability"] = (
+    "WITH t AS (SELECT doc_id, text, "
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr FROM documents), "
+    "f AS (SELECT doc_id, "
+    "CAST(CASE WHEN tr = '' THEN 0 ELSE len(string_split_regex(tr, '\\s+')) "
+    "END AS BIGINT) AS n_words, "
+    "len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences, "
+    "len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT "
+    "AS n_syllables FROM t) "
+    "SELECT doc_id, n_words, n_sentences, n_syllables, "
+    "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+    "206.835 - 1.015 * (n_words::DOUBLE / n_sentences) "
+    "- 84.6 * (n_syllables::DOUBLE / n_words) END AS flesch FROM f"
+)
+
+
+def q_burstiness(sf_dir: str):
+    """per-type burstiness (Fano factor of per-minute counts over
+    observed buckets) — the alert-storm detector
+    (ops/stats.burstiness: exact-integer sufficient stats, ONE
+    type-keyed exchange)."""
+    from ..ops.stats import burstiness
+
+    return burstiness(_read(sf_dir, "events", ["ts", "event_type"]),
+                      bucket_sec=60)
+
+
+QUERIES["burstiness"] = q_burstiness
+ORACLE_SQL["burstiness"] = (
+    "WITH c AS (SELECT event_type, date_trunc('minute', ts) AS bucket, "
+    "count(*)::BIGINT AS n FROM events WHERE ts IS NOT NULL "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT event_type, count(*)::DOUBLE AS n_b, "
+    "sum(n)::DOUBLE AS sx, sum(n*n)::DOUBLE AS sxx FROM c "
+    "GROUP BY event_type) "
+    "SELECT event_type, n_b::BIGINT AS n_buckets, sx / n_b AS mean_rate, "
+    "CASE WHEN n_b > 1 THEN (sxx - sx * sx / n_b) / (n_b - 1.0) END "
+    "AS var_rate, "
+    "CASE WHEN n_b > 1 THEN ((sxx - sx * sx / n_b) / (n_b - 1.0)) "
+    "/ (sx / n_b) END AS fano FROM s"
+)

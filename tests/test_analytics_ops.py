@@ -534,3 +534,38 @@ class TestGapStats:
             "session_seq"].max()
         for uid, n_sessions in sess.items():
             assert gaps.loc[uid, "n_gaps"] == n_sessions - 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReadabilityBurstiness:
+    def test_readability_hand_case(self):
+        from fluent_bit_ray.ops.text import readability_batch
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["The cat sat.", "no terminal here", ""],
+        })
+        out = readability_batch(t).to_pandas()
+        # "The cat sat.": 3 words, 1 sentence, 3 vowel groups
+        assert out.iloc[0][["n_words", "n_sentences", "n_syllables"]].tolist() == [3, 1, 3]
+        assert out.iloc[0]["flesch"] == pytest.approx(
+            206.835 - 1.015 * 3 - 84.6 * 1.0)
+        # zero sentences / empty -> NULL score
+        assert pd.isna(out.iloc[1]["flesch"]) and pd.isna(out.iloc[2]["flesch"])
+
+    def test_burstiness_poisson_vs_burst(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import burstiness
+
+        ts = (["2020-01-01 00:00:30", "2020-01-01 00:01:30",
+               "2020-01-01 00:02:30", "2020-01-01 00:03:30"]  # steady: 1/min
+              + ["2020-01-01 00:00:01"] * 9 + ["2020-01-01 00:03:00"])
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(ts),
+            "event_type": ["steady"] * 4 + ["bursty"] * 10,
+        })
+        out = burstiness(ray.data.from_pandas(df).repartition(3),
+                         bucket_sec=60).to_pandas().set_index("event_type")
+        assert out.loc["steady", "fano"] == pytest.approx(0.0)  # constant rate
+        assert out.loc["bursty", "fano"] > 1.0  # 9-vs-1 split over 2 buckets
