@@ -5167,3 +5167,132 @@ ORACLE_SQL["burstiness"] = (
     "CASE WHEN n_b > 1 THEN ((sxx - sx * sx / n_b) / (n_b - 1.0)) "
     "/ (sx / n_b) END AS fano FROM s"
 )
+
+
+def q_q5_revenue(sf_dir: str):
+    """TPC-H Q5-style six-table composition — revenue per ASIA nation
+    where supplier and customer share the nation: region⋈nation and the
+    ASIA supplier set ride ONE ray.put broadcast; orders⋈customer is a
+    custkey-hash exchange (big-big path, q3 pattern); its shard refs
+    chain object-store-to-object-store into the orderkey exchange that
+    joins lineitem rows (supplier-probed map-side), applies the
+    same-nation constraint, and pre-aggregates per nation — only tiny
+    (nationkey, revenue) partials reach the driver."""
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))[
+        "r_regionkey"][0].as_py()
+    asia = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    asia_keys = set(asia["n_nationkey"].to_pylist())
+    names = dict(zip(asia["n_nationkey"].to_pylist(),
+                     asia["n_name"].to_pylist()))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    supp_mask = pc.is_in(supp["s_nationkey"],
+                         value_set=pa.array(sorted(asia_keys), pa.int64()))
+    supp = supp.filter(supp_mask)
+    # keys sorted so the map-side probe is one searchsorted
+    s_order = np.argsort(np.asarray(supp["s_suppkey"], dtype=np.int64))
+    supp_ref = ray.put({
+        "keys": np.asarray(supp["s_suppkey"], dtype=np.int64)[s_order],
+        "nats": np.asarray(supp["s_nationkey"], dtype=np.int64)[s_order],
+    })
+    nat_arr = pa.array(sorted(asia_keys), pa.int64())
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_in(t["c_nationkey"], value_set=nat_arr))
+        return pa.table({
+            "k": tt["c_custkey"],
+            "o_orderkey": pa.nulls(tt.num_rows, pa.int64()),
+            "c_nat": pc.cast(tt["c_nationkey"], pa.int64()),
+        })
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t["o_custkey"],
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "c_nat": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def join1(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        cust = df[df["o_orderkey"].isna()][["k", "c_nat"]]
+        orders = df[df["o_orderkey"].notna()][["k", "o_orderkey"]]
+        m = orders.merge(cust, on="k", how="inner", sort=False)
+        return pa.table({
+            "o_orderkey": pa.array(m["o_orderkey"].astype("int64")),
+            "c_nat": pa.array(m["c_nat"].astype("int64")),
+            "s_nat": pa.nulls(len(m), pa.int64()),
+            "rev": pa.nulls(len(m), pa.float64()),
+        })
+
+    refs1 = hash_exchange(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            cust_rows, batch_format="pyarrow").to_arrow_refs()
+        + _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            order_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["k"], join1, return_refs=True,
+    )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        s = ray.get(supp_ref)
+        sk = np.asarray(t["l_suppkey"], dtype=np.int64)
+        idx = np.searchsorted(s["keys"], sk)
+        idx = np.clip(idx, 0, len(s["keys"]) - 1)
+        hit = s["keys"][idx] == sk
+        tt = t.filter(pa.array(hit))
+        s_nat = s["nats"][idx[hit]]
+        rev = pc.multiply(
+            pc.cast(tt["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(tt["l_discount"], pa.float64())))
+        return pa.table({
+            "o_orderkey": pc.cast(tt["l_orderkey"], pa.int64()),
+            "c_nat": pa.nulls(tt.num_rows, pa.int64()),
+            "s_nat": pa.array(s_nat, pa.int64()),
+            "rev": rev,
+        })
+
+    def join2(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ords = df[df["c_nat"].notna()][["o_orderkey", "c_nat"]]
+        items = df[df["s_nat"].notna()][["o_orderkey", "s_nat", "rev"]]
+        m = items.merge(ords, on="o_orderkey", how="inner", sort=False)
+        m = m[m["s_nat"] == m["c_nat"]]
+        g = m.groupby("c_nat", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "nat": pa.array(g["c_nat"].astype("int64")),
+            "revenue": pa.array(g["rev"], pa.float64()),
+        })
+
+    out = hash_exchange(
+        [r for r in refs1 if r is not None]
+        + _read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+            line_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["o_orderkey"], join2,
+    )
+    if out is None or not out.num_rows:
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    g = out.to_pandas().groupby("nat", sort=False)["revenue"].sum()
+    return pa.table({
+        "n_name": pa.array([names[int(k)] for k in g.index], pa.string()),
+        "revenue": pa.array(g.to_numpy(), pa.float64()),
+    })
+
+
+QUERIES["q5_revenue"] = q_q5_revenue
+ORACLE_SQL["q5_revenue"] = (
+    "SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM customer, orders, lineitem, supplier, nation, region "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+    "AND r_name = 'ASIA' GROUP BY n_name"
+)
