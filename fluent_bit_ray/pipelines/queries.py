@@ -5296,3 +5296,174 @@ ORACLE_SQL["q5_revenue"] = (
     "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
     "AND r_name = 'ASIA' GROUP BY n_name"
 )
+
+
+def q_q10_returns(sf_dir: str):
+    """TPC-H Q10-style returned-item revenue report: per customer, the
+    revenue of lineitems flagged 'R' across their orders, with name and
+    nation attached — map-side per-orderkey revenue combiners, an
+    orderkey exchange joining orders, then a custkey exchange joining
+    customer rows (big-side-safe: the dim moves through the exchange,
+    never the driver); nation is the only broadcast."""
+    import ray
+
+    from ..shuffle import hash_exchange
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    names_ref = ray.put(dict(zip(nation["n_nationkey"].to_pylist(),
+                                 nation["n_name"].to_pylist())))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(
+            pc.cast(tt["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0),
+                        pc.cast(tt["l_discount"], pa.float64())))
+        g = pa.table({"o_orderkey": pc.cast(tt["l_orderkey"], pa.int64()),
+                      "rev": rev}).group_by(["o_orderkey"]).aggregate(
+            [("rev", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "o_custkey": pa.nulls(g.num_rows, pa.int64()),
+                         "rev": g["rev_sum"]})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                         "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                         "rev": pa.nulls(t.num_rows, pa.float64())})
+
+    def join1(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        revs = df[df["o_custkey"].isna()][["o_orderkey", "rev"]]
+        ords = df[df["o_custkey"].notna()][["o_orderkey", "o_custkey"]]
+        m = revs.merge(ords, on="o_orderkey", how="inner", sort=False)
+        g = m.groupby("o_custkey", sort=False)["rev"].sum().reset_index()
+        return pa.table({
+            "c_custkey": pa.array(g["o_custkey"].astype("int64")),
+            "c_name": pa.nulls(len(g), pa.string()),
+            "c_nationkey": pa.nulls(len(g), pa.int64()),
+            "rev": pa.array(g["rev"], pa.float64()),
+        })
+
+    refs1 = hash_exchange(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_returnflag", "l_extendedprice",
+               "l_discount"]).map_batches(
+            rev_partial, batch_format="pyarrow").to_arrow_refs()
+        + _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            order_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["o_orderkey"], join1, return_refs=True,
+    )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            "rev": pa.nulls(t.num_rows, pa.float64()),
+        })
+
+    def join2(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        df = t.to_pandas()
+        revs = df[df["c_name"].isna()][["c_custkey", "rev"]]
+        cust = df[df["c_name"].notna()][["c_custkey", "c_name",
+                                         "c_nationkey"]]
+        g = revs.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+        m = g.merge(cust, on="c_custkey", how="inner", sort=False)
+        return pa.table({
+            "c_custkey": pa.array(m["c_custkey"].astype("int64")),
+            "c_name": pa.array(m["c_name"], pa.string()),
+            "n_name": pa.array(
+                [names[int(k)] for k in m["c_nationkey"]], pa.string()),
+            "revenue": pa.array(m["rev"], pa.float64()),
+        })
+
+    out = hash_exchange(
+        [r for r in refs1 if r is not None]
+        + _read(sf_dir, "customer",
+                ["c_custkey", "c_name", "c_nationkey"]).map_batches(
+            cust_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["c_custkey"], join2,
+    )
+    if out is None:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_name": pa.array([], pa.string()),
+                         "n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    return out
+
+
+def q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18-style large-order report: orders whose total lineitem
+    quantity exceeds 180, with customer key and order price attached —
+    per-orderkey quantity combiners through ONE orderkey exchange
+    joining orders; the HAVING filter runs shard-local so only
+    qualifying rows surface."""
+    from ..shuffle import hash_exchange
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "qty": pc.cast(t["l_quantity"], pa.float64()),
+        }).group_by(["o_orderkey"]).aggregate([("qty", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "o_custkey": pa.nulls(g.num_rows, pa.int64()),
+                         "o_totalprice": pa.nulls(g.num_rows, pa.float64()),
+                         "qty": g["qty_sum"]})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+            "qty": pa.nulls(t.num_rows, pa.float64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        qs = df[df["o_custkey"].isna()][["o_orderkey", "qty"]]
+        g = qs.groupby("o_orderkey", sort=False)["qty"].sum().reset_index()
+        g = g[g["qty"] > 180.0]
+        ords = df[df["o_custkey"].notna()][
+            ["o_orderkey", "o_custkey", "o_totalprice"]]
+        m = g.merge(ords, on="o_orderkey", how="inner", sort=False)
+        return pa.table({
+            "c_custkey": pa.array(m["o_custkey"].astype("int64")),
+            "o_orderkey": pa.array(m["o_orderkey"].astype("int64")),
+            "o_totalprice": pa.array(m["o_totalprice"], pa.float64()),
+            "qty": pa.array(m["qty"], pa.float64()),
+        })
+
+    out = hash_exchange(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow").to_arrow_refs()
+        + _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            order_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["o_orderkey"], finish,
+    )
+    if out is None:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_totalprice": pa.array([], pa.float64()),
+                         "qty": pa.array([], pa.float64())})
+    return out
+
+
+QUERIES["q10_returns"] = q_q10_returns
+QUERIES["q18_large_orders"] = q_q18_large_orders
+ORACLE_SQL["q10_returns"] = (
+    "SELECT c_custkey, c_name, n_name, "
+    "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+    "FROM customer, orders, lineitem, nation "
+    "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+    "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+    "GROUP BY c_custkey, c_name, n_name"
+)
+ORACLE_SQL["q18_large_orders"] = (
+    "SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, qty "
+    "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) "
+    "ON l_orderkey = o_orderkey"
+)
