@@ -5467,3 +5467,113 @@ ORACLE_SQL["q18_large_orders"] = (
     "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) "
     "ON l_orderkey = o_orderkey"
 )
+
+
+def q_q14_promo(sf_dir: str):
+    """TPC-H Q14-style promo-revenue share: percent of lineitem revenue
+    on PROMO-type parts — the part dim compresses to a sorted
+    (partkey, is_promo) pair broadcast ONCE (1 bit of payload per part);
+    each lineitem block emits two scalar sums, so the reduce moves
+    2 floats per block."""
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    keys = np.asarray(part["p_partkey"], dtype=np.int64)
+    promo = np.asarray(
+        pc.starts_with(part["p_type"], "PROMO"), dtype=bool)
+    order = np.argsort(keys)
+    ref = ray.put({"keys": keys[order], "promo": promo[order]})
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        pk = np.asarray(t["l_partkey"], dtype=np.int64)
+        idx = np.clip(np.searchsorted(d["keys"], pk), 0,
+                      len(d["keys"]) - 1)
+        hit = d["keys"][idx] == pk
+        is_promo = np.zeros(len(pk), dtype=bool)
+        is_promo[hit] = d["promo"][idx[hit]]
+        rev = (np.asarray(t["l_extendedprice"], dtype=np.float64)
+               * (1.0 - np.asarray(t["l_discount"], dtype=np.float64)))
+        rev = np.where(hit, rev, 0.0)  # inner-join semantics
+        return pa.table({
+            "promo_rev": pa.array([float(rev[is_promo].sum())], pa.float64()),
+            "total_rev": pa.array([float(rev.sum())], pa.float64()),
+        })
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    share = 100.0 * parts["promo_rev"].sum() / parts["total_rev"].sum()
+    return pa.table({"promo_share": pa.array([share], pa.float64())})
+
+
+def q_q4_priority(sf_dir: str):
+    """TPC-H Q4-style order-priority check: orders with at least one
+    lineitem shipped after the order date, counted per priority — the
+    EXISTS semi-join whose predicate needs BOTH sides' columns, so it
+    runs shard-local after ONE orderkey exchange (per-block lineitem
+    rows prune to distinct (orderkey, max shipdate) first)."""
+    from ..shuffle import hash_exchange
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                               pa.int64()),
+        }).group_by(["o_orderkey"]).aggregate([("ship_us", "max")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "ship_us": g["ship_us_max"],
+                         "prio": pa.nulls(g.num_rows, pa.string()),
+                         "od_us": pa.nulls(g.num_rows, pa.int64())})
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "ship_us": pa.nulls(t.num_rows, pa.int64()),
+            "prio": t["o_orderpriority"],
+            "od_us": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ships = df[df["prio"].isna()].groupby(
+            "o_orderkey", sort=False)["ship_us"].max()
+        ords = df[df["prio"].notna()][["o_orderkey", "prio", "od_us"]]
+        m = ords.merge(ships.rename("max_ship"), left_on="o_orderkey",
+                       right_index=True, how="inner", sort=False)
+        m = m[m["max_ship"] > m["od_us"]]
+        g = m.groupby("prio", sort=False).size().reset_index(name="n")
+        return pa.table({"o_orderpriority": pa.array(g["prio"], pa.string()),
+                         "n": pa.array(g["n"].astype("int64"))})
+
+    out = hash_exchange(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            line_rows, batch_format="pyarrow").to_arrow_refs()
+        + _read(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_orderdate"]).map_batches(
+            order_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["o_orderkey"], finish,
+    )
+    if out is None:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    g = out.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+    return g.rename_columns(["o_orderpriority", "n"])
+
+
+QUERIES["q14_promo"] = q_q14_promo
+QUERIES["q4_priority"] = q_q4_priority
+ORACLE_SQL["q14_promo"] = (
+    "SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN "
+    "l_extendedprice * (1 - l_discount) ELSE 0 END) "
+    "/ sum(l_extendedprice * (1 - l_discount)) AS promo_share "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey"
+)
+ORACLE_SQL["q4_priority"] = (
+    "SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders o "
+    "WHERE EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority"
+)
