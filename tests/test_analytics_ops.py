@@ -569,3 +569,37 @@ class TestReadabilityBurstiness:
                          bucket_sec=60).to_pandas().set_index("event_type")
         assert out.loc["steady", "fano"] == pytest.approx(0.0)  # constant rate
         assert out.loc["bursty", "fano"] > 1.0  # 9-vs-1 split over 2 buckets
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTransientRetry:
+    def test_exchange_exact_under_transient_udf_failures(self, tmp_path):
+        """SURVEY §4 contract: task retries are free — a map stage that
+        throws once per worker process still yields an exact exchange
+        result under retry_exceptions."""
+        import os
+
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import dup_group_histogram
+
+        flag_dir = str(tmp_path)
+
+        def flaky(batch):
+            flag = os.path.join(flag_dir, f"pid_{os.getpid()}")
+            if not os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected transient failure")
+            return batch
+
+        texts = ["x"] * 6 + ["y"] * 3 + ["z"]
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array(texts, pa.string())})
+        ).repartition(4).map_batches(
+            flaky, batch_format="pyarrow",
+            retry_exceptions=[RuntimeError], max_retries=4,
+        )
+        out = dup_group_histogram(ds).to_pandas().set_index("sz")
+        assert out.loc[6, "n_groups"] == 1
+        assert out.loc[3, "n_groups"] == 1
+        assert out.loc[1, "n_groups"] == 1
