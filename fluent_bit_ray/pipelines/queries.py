@@ -5577,3 +5577,128 @@ ORACLE_SQL["q4_priority"] = (
     "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
     "GROUP BY o_orderpriority"
 )
+
+
+def q_ship_latency(sf_dir: str):
+    """order-fulfillment latency: per order priority, the mean and exact
+    p95 of days-from-order-to-lineitem-ship — the logistics SLA report.
+    Orders join lineitem through ONE orderkey exchange (map-side pruned
+    projections); per-priority stats run on the pruned (priority, days)
+    pairs via the keyed-quantiles machinery. Day deltas are exact int64
+    (epoch µs difference / 86400e6 stays on the integer lattice for
+    date-typed inputs), so only the mean/quantile doubles are float."""
+    from ..shuffle import hash_exchange
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
+                               pa.int64()),
+            "prio": pa.nulls(t.num_rows, pa.string()),
+            "od_us": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "ship_us": pa.nulls(t.num_rows, pa.int64()),
+            "prio": t["o_orderpriority"],
+            "od_us": pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                             pa.int64()),
+        })
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        lines = df[df["prio"].isna()][["o_orderkey", "ship_us"]]
+        ords = df[df["prio"].notna()][["o_orderkey", "prio", "od_us"]]
+        m = lines.merge(ords, on="o_orderkey", how="inner", sort=False)
+        days = (m["ship_us"].to_numpy(dtype=np.int64)
+                - m["od_us"].to_numpy(dtype=np.int64)) / 86_400_000_000.0
+        return pa.table({"prio": pa.array(m["prio"], pa.string()),
+                         "days": pa.array(days, pa.float64())})
+
+    pairs = hash_exchange(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            line_rows, batch_format="pyarrow").to_arrow_refs()
+        + _read(sf_dir, "orders",
+                ["o_orderkey", "o_orderpriority", "o_orderdate"]).map_batches(
+            order_rows, batch_format="pyarrow").to_arrow_refs(),
+        ["o_orderkey"], finish,
+    )
+    if pairs is None or not pairs.num_rows:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "mean_days": pa.array([], pa.float64()),
+                         "p95_days": pa.array([], pa.float64())})
+    df = pairs.to_pandas()
+    rows = []
+    for prio, g in df.groupby("prio", sort=False):
+        d = np.sort(g["days"].to_numpy(dtype=np.float64))
+        rows.append((prio, len(d), float(d.sum()) / len(d),
+                     float(np.quantile(d, 0.95, method="linear"))))
+    return pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "mean_days": pa.array([r[2] for r in rows], pa.float64()),
+        "p95_days": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def q_dedup_rate_by_source(sf_dir: str):
+    """per-source dedup health over the clone-augmented corpus: docs,
+    exact-distinct texts, and the duplicate fraction — which source is
+    flooding the corpus with copies (ops/stats.count_distinct_per_key +
+    ONE count reduce, joined driver-side at source cardinality)."""
+    from ..ops.skew import hash_reduce_dataset_refs
+    from ..ops.stats import count_distinct_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def clones(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.less(b["doc_id"], _AUG_CLONE_BELOW))
+        return pa.table({"doc_id": pc.add(sub["doc_id"],
+                                          pa.scalar(_AUG_SHIFT, pa.int64())),
+                         "text": sub["text"], "source": sub["source"]})
+
+    aug = ds.union(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+            clones, batch_format="pyarrow"))
+
+    distinct = count_distinct_per_key(aug, "source", "text",
+                                      out="distinct_texts").to_pandas()
+
+    def doc_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"source": t["source"],
+                      "docs": pa.nulls(t.num_rows, pa.int64()).fill_null(1)}
+                     ).group_by(["source"]).aggregate([("docs", "sum")])
+        return g.rename_columns(["source", "docs"])
+
+    docs = hash_reduce_dataset_refs(
+        aug.map_batches(doc_partial, batch_format="pyarrow"),
+        ["source"], ["docs"]).to_pandas()
+    m = docs.merge(distinct, on="source", how="inner", sort=False)
+    m["dup_rate"] = 1.0 - m["distinct_texts"] / m["docs"]
+    return pa.Table.from_pandas(
+        m[["source", "docs", "distinct_texts", "dup_rate"]],
+        preserve_index=False)
+
+
+QUERIES["ship_latency"] = q_ship_latency
+QUERIES["dedup_rate_by_source"] = q_dedup_rate_by_source
+ORACLE_SQL["ship_latency"] = (
+    "WITH p AS (SELECT o_orderpriority AS prio, "
+    "(epoch_us(l_shipdate) - epoch_us(o_orderdate)) / 86400000000.0 "
+    "AS days FROM orders JOIN lineitem ON l_orderkey = o_orderkey) "
+    "SELECT prio AS o_orderpriority, count(*)::BIGINT AS n, "
+    "sum(days) / count(*) AS mean_days, "
+    "quantile_cont(days, 0.95) AS p95_days FROM p GROUP BY prio"
+)
+ORACLE_SQL["dedup_rate_by_source"] = (
+    "WITH aug AS (SELECT doc_id, text, source FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text, source FROM documents "
+    "WHERE doc_id < 100) "
+    "SELECT source, count(*)::BIGINT AS docs, "
+    "count(DISTINCT text)::BIGINT AS distinct_texts, "
+    "1.0 - count(DISTINCT text)::DOUBLE / count(*) AS dup_rate "
+    "FROM aug GROUP BY source"
+)
