@@ -5702,3 +5702,125 @@ ORACLE_SQL["dedup_rate_by_source"] = (
     "1.0 - count(DISTINCT text)::DOUBLE / count(*) AS dup_rate "
     "FROM aug GROUP BY source"
 )
+
+
+def q_traffic_share(sf_dir: str):
+    """share-of-bucket traffic mix: each event type's fraction of its
+    hour's total — the normalized stacked-area dashboard series; counts
+    combine map-side, ONE bucket-keyed exchange, and the share division
+    runs shard-local because a bucket's rows co-locate (the window
+    `n / sum(n) OVER (PARTITION BY bucket)` is free after co-location)."""
+    from ..shuffle import hash_exchange
+
+    step = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t["ts"]))
+        us = np.asarray(pc.cast(pc.cast(tt["ts"], pa.timestamp("us")),
+                                pa.int64()))
+        bucket = pa.array((us // step) * step, pa.int64())
+        g = pa.table({"bucket_us": bucket, "event_type": tt["event_type"]}
+                     ).group_by(["bucket_us", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["bucket_us", "event_type", "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["bucket_us", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["bucket_us", "event_type", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        tot = df.groupby("bucket_us", sort=False)["n"].transform("sum")
+        df["share"] = df["n"].astype("float64") / tot.astype("float64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = hash_exchange(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["bucket_us"], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"bucket_us": pa.array([], pa.int64()),
+                         "event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64())})
+    return out
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth over ingestion order: cumulative
+    distinct token BIGRAMS after each 20-doc bucket — the vocab-sizing
+    curve for tokenizer planning (bigrams: the unigram vocabulary of the
+    synthetic corpus saturates in the first bucket). Each gram's FIRST
+    bucket is a min-combine through ONE gram-keyed exchange (distinct
+    (gram, min bucket) partials per block); shards emit bucket
+    histograms and the driver cumsums #buckets rows."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        bucket = pc.cast(pc.divide(t["doc_id"],
+                                   pa.scalar(20, pa.int64())), pa.int64())
+        grams = text_ops._doc_ngrams(t["text"], 2)
+        # repeat each doc's bucket across its grams (same counts
+        # arithmetic as _doc_ngrams: raw-1 grams per doc, 0 for empty)
+        _, bounds, n_tokens = text_ops._doc_tokens(t["text"])
+        raw = np.diff(bounds)
+        counts = np.maximum(raw - 1, 0)
+        counts[np.asarray(n_tokens) == 0] = 0
+        b_rep = np.repeat(np.asarray(bucket), counts)
+        g = pa.table({"token": grams, "bucket": pa.array(b_rep, pa.int64())}
+                     ).group_by(["token"]).aggregate([("bucket", "min")])
+        return g.rename_columns(["token", "bucket"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("bucket", "min")])
+        return g.rename_columns(["token", "bucket"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        firsts = regroup(t)
+        h = firsts.group_by(["bucket"]).aggregate([([], "count_all")])
+        return h.rename_columns(["bucket", "new_tokens"])
+
+    out = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["token"], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "new_tokens": pa.array([], pa.int64()),
+                         "vocab_size": pa.array([], pa.int64())})
+    df = out.group_by(["bucket"]).aggregate([("new_tokens", "sum")]
+                                            ).rename_columns(
+        ["bucket", "new_tokens"]).to_pandas().sort_values("bucket")
+    df["vocab_size"] = df["new_tokens"].cumsum()
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["traffic_share"] = q_traffic_share
+QUERIES["vocab_growth"] = q_vocab_growth
+ORACLE_SQL["traffic_share"] = (
+    "WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, "
+    "event_type, count(*)::BIGINT AS n FROM events WHERE ts IS NOT NULL "
+    "GROUP BY 1, 2) "
+    "SELECT bucket_us, event_type, n, "
+    "n::DOUBLE / sum(n) OVER (PARTITION BY bucket_us) AS share FROM c"
+)
+ORACLE_SQL["vocab_growth"] = (
+    "WITH s AS (SELECT doc_id // 20 AS bucket, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+    "ELSE string_split_regex("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
+    "FROM documents), "
+    "toks AS (SELECT bucket, t[i] || ' ' || t[i + 1] AS token "
+    "FROM (SELECT bucket, t, unnest(range(1, len(t))) AS i FROM s "
+    "WHERE len(t) >= 2)), "
+    "f AS (SELECT token, min(bucket)::BIGINT AS bucket FROM toks "
+    "GROUP BY token), "
+    "h AS (SELECT bucket, count(*)::BIGINT AS new_tokens FROM f "
+    "GROUP BY bucket) "
+    "SELECT bucket, new_tokens, "
+    "CAST(sum(new_tokens) OVER (ORDER BY bucket "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size FROM h"
+)
