@@ -5824,3 +5824,53 @@ ORACLE_SQL["vocab_growth"] = (
     "CAST(sum(new_tokens) OVER (ORDER BY bucket "
     "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size FROM h"
 )
+
+
+def q_lang_confusion(sf_dir: str):
+    """label-quality audit: confusion counts between the corpus's lang
+    METADATA and the stopword-profile classifier's prediction — the
+    agreement matrix run before trusting either signal for filtering.
+    Pure composition: lang_id_batch per block (carrying the metadata
+    label through), then ONE (label, pred) count reduce."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = text_ops.lang_id_batch(t)
+        g = pa.table({
+            "lang": t["lang"],
+            "lang_pred": pred["lang_pred"],
+            "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+        }).group_by(["lang", "lang_pred"]).aggregate([("n", "sum")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    return hash_reduce_dataset_refs(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["lang", "lang_pred"], ["n"])
+
+
+QUERIES["lang_confusion"] = q_lang_confusion
+ORACLE_SQL["lang_confusion"] = (
+    "WITH toks AS (SELECT doc_id, lang, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+    "ELSE list_distinct(list_transform(string_split_regex("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+    "x -> lower(x))) END AS dt FROM documents), "
+    "scored AS (SELECT doc_id, lang, "
+    "len(list_intersect(dt, ['the','and','of','to','a','in','is',"
+    "'that','it','for'])) AS s_en, "
+    "len(list_intersect(dt, ['der','die','das','und','ist','nicht',"
+    "'ein','mit','zu'])) AS s_de, "
+    "len(list_intersect(dt, ['le','la','les','et','est','un','une',"
+    "'des','du','que'])) AS s_fr, "
+    "len(list_intersect(dt, ['el','la','los','y','es','un','una',"
+    "'de','que','en'])) AS s_es FROM toks), "
+    "p AS (SELECT lang, CASE "
+    "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und' "
+    "WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en' "
+    "WHEN s_de = greatest(s_de, s_fr, s_es) THEN 'de' "
+    "WHEN s_fr = greatest(s_fr, s_es) THEN 'fr' "
+    "ELSE 'es' END AS lang_pred FROM scored) "
+    "SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p "
+    "GROUP BY lang, lang_pred"
+)
