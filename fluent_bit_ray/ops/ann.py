@@ -364,7 +364,12 @@ def hard_negative_topk(
         sims = q_mat @ mat.T  # [nq, nb]
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(q_ids):
-            row = np.where(labels == q_labels[qi], -np.inf, sims[qi])
+            ql = q_labels[qi]
+            # SQL `e.label <> q.label` is never true for a NULL query
+            # label: such a query yields no negatives at all
+            if ql is None or (isinstance(ql, float) and np.isnan(ql)):
+                continue
+            row = np.where(labels == ql, -np.inf, sims[qi])
             order = np.lexsort((ids, -row))
             taken = 0
             for j in order:

@@ -403,6 +403,21 @@ def stratified_sample(
     return out.select([id_col, strata_col])
 
 
+def ntile_for_ranks(rn: np.ndarray, total: int, tiles: int) -> np.ndarray:
+    """SQL ntile(tiles) bucket for 1-based global ranks `rn` out of
+    `total` rows: the first total%tiles buckets take one extra row —
+    the ONE implementation shared by global_rank_features and
+    stats.rfm_features."""
+    q, r = divmod(int(total), int(tiles))
+    split = r * (q + 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(
+            rn <= split,
+            (rn - 1) // (q + 1) + 1,
+            r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
+        ).astype(np.int64)
+
+
 def global_rank_features(
     ds,
     keys: list,
@@ -423,14 +438,7 @@ def global_rank_features(
         rn = offset + 1 + np.arange(t.num_rows, dtype=np.int64)
         pct = ((rn - 1) / (total - 1) if total > 1
                else np.zeros(t.num_rows, dtype=np.float64))
-        q, r = divmod(total, int(tiles))
-        split = r * (q + 1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tile = np.where(
-                rn <= split,
-                (rn - 1) // (q + 1) + 1,
-                r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
-            ).astype(np.int64)
+        tile = ntile_for_ranks(rn, total, tiles)
         return (t.append_column("pct_rank", pa.array(pct))
                  .append_column("tile", pa.array(tile)))
 

@@ -2016,49 +2016,27 @@ def trending_topk(
     #buckets x #types rows per block), ONE bucket-keyed hash exchange
     whose combiner re-sums partials, and a shard-local vectorized
     rank-and-prune. Null timestamps are excluded (no bucket), like the
-    SQL twin's WHERE ts IS NOT NULL."""
+    SQL twin's WHERE ts IS NOT NULL; null TYPES group like SQL GROUP BY.
+    Thin wrapper: bucket the timestamp, then delegate to the generic
+    topk_count_per_key exchange."""
     step = bucket_sec * 1_000_000
 
-    def partial(t: pa.Table) -> pa.Table:
+    def bucketize(t: pa.Table) -> pa.Table:
         tt = t.filter(pc.is_valid(t[ts_col]))
         f = tt.schema.field(ts_col)
         # normalize to µs first: from_pandas blocks carry ns timestamps
-        ts_us = pc.cast(tt[ts_col], pa.timestamp("us", tz=getattr(f.type, "tz", None)))
+        ts_us = pc.cast(tt[ts_col],
+                        pa.timestamp("us", tz=getattr(f.type, "tz", None)))
         us = np.asarray(pc.cast(ts_us, pa.int64()))
         # floor (not trunc) division matches date_trunc for pre-epoch
         # timestamps too; numpy // on int64 is floor division
         bucket = pa.array((us // step) * step, pa.int64())
-        g = pa.table({"bucket_us": bucket, type_col: tt[type_col]}).group_by(
-            ["bucket_us", type_col]).aggregate([([], "count_all")])
-        return g.rename_columns(["bucket_us", type_col, "n"])
+        return pa.table({"bucket_us": bucket, type_col: tt[type_col]})
 
-    def regroup(t: pa.Table) -> pa.Table:
-        g = t.group_by(["bucket_us", type_col]).aggregate([("n", "sum")])
-        return g.rename_columns(["bucket_us", type_col, "n"])
-
-    def finish(t: pa.Table) -> pa.Table:
-        df = regroup(t).to_pandas()
-        df = df.sort_values(["bucket_us", "n", type_col],
-                            ascending=[True, False, True], kind="mergesort")
-        rnk = df.groupby("bucket_us", sort=False).cumcount() + 1
-        df = df.assign(rnk=rnk.astype(np.int64))
-        df = df[df["rnk"] <= k]
-        return pa.Table.from_pandas(df, preserve_index=False).select(
-            ["bucket_us", type_col, "n", "rnk"])
-
-    from ..shuffle import hash_exchange
-
-    out = hash_exchange(
+    return topk_count_per_key(
         ds.select_columns([ts_col, type_col]).map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs(),
-        ["bucket_us"], finish, combine_fn=regroup,
-    )
-    if out is None:
-        return pa.table({"bucket_us": pa.array([], pa.int64()),
-                         type_col: pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64()),
-                         "rnk": pa.array([], pa.int64())})
-    return out
+            bucketize, batch_format="pyarrow"),
+        "bucket_us", type_col, k=k, keep_null_items=True)
 
 
 def gini_concentration(ds, key_col: str) -> pa.Table:
@@ -2111,19 +2089,23 @@ def topk_count_per_key(
     key_col: str,
     item_col: str,
     k: int = 3,
+    keep_null_items: bool = False,
 ) -> pa.Table:
     """Top-k items per key by occurrence count, ties broken on the item
-    ascending (deterministic, QUALIFY-mirrorable) — the generic form of
-    trending_topk for non-time keys: top paths per host, top errors per
-    service, top referrers per page. Map-side (key,item) count partials,
-    ONE key-hash exchange with a re-summing combiner, shard-local
-    vectorized rank-and-prune. Null keys/items are excluded (SQL GROUP
-    BY would keep them; the WHERE in the twin drops them)."""
+    ascending (deterministic, QUALIFY-mirrorable) — the generic form
+    behind trending_topk and top-paths-per-host: top errors per service,
+    top referrers per page. Map-side (key,item) count partials, ONE
+    key-hash exchange with a re-summing combiner, shard-local vectorized
+    rank-and-prune. Null keys are excluded; null items are excluded by
+    default (the top-paths twin's WHERE) or kept as their own group
+    (`keep_null_items=True` — SQL GROUP BY semantics, sorting last like
+    NULLS LAST)."""
     from ..shuffle import hash_exchange
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.and_(pc.is_valid(t[key_col]),
-                              pc.is_valid(t[item_col])))
+        keep = pc.is_valid(t[key_col]) if keep_null_items else pc.and_(
+            pc.is_valid(t[key_col]), pc.is_valid(t[item_col]))
+        tt = t.filter(keep)
         g = tt.select([key_col, item_col]).group_by(
             [key_col, item_col]).aggregate([([], "count_all")])
         return g.rename_columns([key_col, item_col, "n"])
@@ -2156,17 +2138,11 @@ def topk_count_per_key(
 
 
 def _ntile_positions(n: int, tiles: int) -> np.ndarray:
-    """SQL ntile() bucket for positions 1..n (first n%tiles buckets take
-    the extra row) — the same formula as sample.global_rank_features."""
-    rn = np.arange(1, n + 1, dtype=np.int64)
-    q, r = divmod(n, int(tiles))
-    split = r * (q + 1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return np.where(
-            rn <= split,
-            (rn - 1) // (q + 1) + 1,
-            r + (0 if q == 0 else (rn - 1 - split) // q) + 1,
-        ).astype(np.int64)
+    """SQL ntile() bucket for positions 1..n — delegates to the shared
+    formula in ops/sample.ntile_for_ranks."""
+    from .sample import ntile_for_ranks
+
+    return ntile_for_ranks(np.arange(1, n + 1, dtype=np.int64), n, tiles)
 
 
 def rfm_features(
@@ -2271,7 +2247,8 @@ def burstiness(
     def finish(t: pa.Table) -> pa.Table:
         df = regroup(t).to_pandas()
         rows = []
-        for ty, g in df.groupby(type_col, sort=False):
+        # dropna=False: the null event type is a real group in the SQL twin
+        for ty, g in df.groupby(type_col, sort=False, dropna=False):
             x = g["n"].to_numpy(dtype=np.float64)  # exact ints
             n = float(len(x))
             sx = float(x.sum())
@@ -2284,8 +2261,13 @@ def burstiness(
                 var = None
                 fano = None
             rows.append((ty, int(n), mean, var, fano))
+        # the null group's pandas key is NaN: pin the type column to
+        # string so all-null shards don't infer double
+        keys = [None if (r[0] is None or (isinstance(r[0], float)
+                                          and np.isnan(r[0]))) else r[0]
+                for r in rows]
         return pa.table({
-            type_col: pa.array([r[0] for r in rows]),
+            type_col: pa.array(keys, pa.string()),
             "n_buckets": pa.array([r[1] for r in rows], pa.int64()),
             "mean_rate": pa.array([r[2] for r in rows], pa.float64()),
             "var_rate": pa.array([r[3] for r in rows], pa.float64()),

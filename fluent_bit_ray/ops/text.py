@@ -1349,10 +1349,12 @@ def token_kl_shift(
     from ..shuffle import hash_exchange
 
     def partial(batch: pa.Table) -> pa.Table:
-        side_a = pc.equal(batch[split_col], split_a)
+        # null split values belong to side b (SQL CASE ... ELSE 0): fill
+        # BEFORE inverting so invert(null)=null can't drop the row
+        side_a = pc.fill_null(pc.equal(batch[split_col], split_a), False)
         outs = []
         for flag, is_a in ((side_a, True), (pc.invert(side_a), False)):
-            sub = batch.filter(pc.fill_null(flag, False))
+            sub = batch.filter(flag)
             toks = _doc_ngrams(sub[text_col], 1)
             if not len(toks):
                 continue
@@ -1392,7 +1394,8 @@ def token_kl_shift(
         return (int(pc.sum(t["c_a"]).as_py() or 0),
                 int(pc.sum(t["c_b"]).as_py() or 0), t.num_rows)
 
-    tot = ray.get([ray.remote(totals).remote(r) for r in refs])
+    totals_r = ray.remote(totals)
+    tot = ray.get([totals_r.remote(r) for r in refs])
     na = sum(x[0] for x in tot)
     nb = sum(x[1] for x in tot)
     v = sum(x[2] for x in tot)
@@ -1410,8 +1413,9 @@ def token_kl_shift(
                                               ("token", "ascending")])
         return t.take(order[:k])
 
+    top_r = ray.remote(top_contrib)
     cands = [c for c in ray.get(
-        [ray.remote(top_contrib).remote(r) for r in refs]) if c is not None]
+        [top_r.remote(r) for r in refs]) if c is not None]
     merged = pa.concat_tables(cands)
     order = pc.sort_indices(merged, sort_keys=[("contrib", "descending"),
                                                ("token", "ascending")])

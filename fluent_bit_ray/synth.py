@@ -246,7 +246,7 @@ def hostmeta_path(seed: int = SEED) -> str:
         return path
     os.makedirs(d, exist_ok=True)
     t = hostmeta_table(seed).select(["host", "geo", "org"])
-    tmp = path + ".tmp"
-    pq.write_table(t, tmp)
+    tmp = f"{path}.{os.getpid()}.tmp"  # per-process tmp: concurrent
+    pq.write_table(t, tmp)             # callers each rename atomically
     os.replace(tmp, path)
     return path

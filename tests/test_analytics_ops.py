@@ -603,3 +603,57 @@ class TestTransientRetry:
         assert out.loc[6, "n_groups"] == 1
         assert out.loc[3, "n_groups"] == 1
         assert out.loc[1, "n_groups"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReviewNullSemantics:
+    """Regressions for the round-3 review findings: null-value algebra
+    must match the shipped SQL twins even though the sf fixtures carry
+    no nulls."""
+
+    def test_token_kl_null_source_counts_in_side_b(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.text import token_kl_shift
+
+        df = pd.DataFrame({"source": ["a", None, "b"],
+                           "text": ["x y", "w w w", "y z"]})
+        got = token_kl_shift(ray.data.from_pandas(df), "source", "a",
+                             k=10).to_pandas()
+        w = got[got.token == "w"]
+        assert len(w) == 1 and w["c_b"].iloc[0] == 3  # null source -> side b
+
+    def test_burstiness_keeps_null_type_group(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import burstiness
+
+        df = pd.DataFrame({
+            "ts": pd.to_datetime(["2020-01-01 00:00:10",
+                                  "2020-01-01 00:01:10",
+                                  "2020-01-01 00:00:20"]),
+            "event_type": ["a", "a", None],
+        })
+        out = burstiness(ray.data.from_pandas(df), bucket_sec=60).to_pandas()
+        assert len(out) == 2  # the null type is a real group
+        nullrow = out[out.event_type.isna()]
+        assert nullrow["n_buckets"].iloc[0] == 1
+        assert pd.isna(nullrow["fano"].iloc[0])
+
+    def test_hard_negatives_null_query_label_yields_nothing(self):
+        import ray
+        import ray.data
+
+        from fluent_bit_ray.ops.ann import hard_negative_topk
+
+        t = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0, 1], pa.int32()),
+        })
+        ref = ray.put({"ids": np.array([9], np.int64),
+                       "mat": np.array([[1.0, 0.0]]),
+                       "labels": np.array([None], dtype=object)})
+        out = hard_negative_topk(ray.data.from_arrow(t), ref, k=5)
+        assert out.count() == 0  # label <> NULL is never true
