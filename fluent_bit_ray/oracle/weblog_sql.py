@@ -255,3 +255,54 @@ SELECT * FROM (
     row_number() OVER (PARTITION BY host ORDER BY n DESC, path) AS rnk
   FROM c) WHERE rnk <= %(K)d
 """ % {"APACHE": _APACHE_RE, "K": k}
+
+
+def weblog_lineage_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per (partition, sink) expected metrics — the independent SQL twin
+    of the checkpoint machinery's committed lineage records: routed-row
+    counts, byte totals, and parse failures per input file per sink,
+    using the SAME parse/route CASE as the flagship oracle."""
+    return f"""
+WITH pages AS (
+  SELECT parse_filename(filename, true) AS src, text, lang
+  FROM read_parquet('{pages_glob}', filename=true)
+),
+parsed AS (
+  SELECT
+    src, lang,
+    CAST(strlen(text) AS BIGINT) AS nbytes,
+    CASE
+      WHEN regexp_matches(text, '{_APACHE_RE}') THEN 'apache'
+      WHEN json_type(TRY_CAST(text AS JSON)) = 'OBJECT' THEN 'docker'
+      WHEN regexp_matches(text, '{_SYSLOG_RE}') THEN 'syslog'
+      ELSE 'fail'
+    END AS kind,
+    text
+  FROM pages
+),
+coded AS (
+  SELECT src, lang, nbytes, kind,
+    CASE kind
+      WHEN 'apache' THEN regexp_extract(text, '{_APACHE_RE}', 6)
+      WHEN 'docker' THEN regexp_extract(
+        json_extract_string(text, '$.log'), '{_APACHE_RE}', 6)
+      ELSE NULL
+    END AS code
+  FROM parsed
+),
+routed AS (
+  SELECT 'sink_en' AS sink, * FROM coded WHERE lang = 'en'
+  UNION ALL
+  SELECT 'sink_intl', * FROM coded WHERE lang IN ('de', 'fr', 'es', 'ja')
+  UNION ALL
+  SELECT 'sink_all', * FROM coded
+  UNION ALL
+  SELECT 'sink_errors', * FROM coded
+  WHERE code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')
+)
+SELECT src AS partition, sink,
+  count(*)::BIGINT AS records,
+  sum(nbytes)::BIGINT AS bytes,
+  sum(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END)::BIGINT AS parse_failures
+FROM routed GROUP BY src, sink
+"""

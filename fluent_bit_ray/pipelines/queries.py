@@ -4419,9 +4419,11 @@ def oracle_sql_full() -> dict[str, str]:
         pages_path(rows) + "/*.parquet")
     out["weblog_visitors"] = weblog_visitors_sql(
         pages_path(rows) + "/*.parquet")
-    from ..oracle.weblog_sql import weblog_top_paths_sql
+    from ..oracle.weblog_sql import weblog_lineage_sql, weblog_top_paths_sql
 
     out["top_paths"] = weblog_top_paths_sql(pages_path(rows) + "/*.parquet")
+    out["lineage_metrics"] = weblog_lineage_sql(
+        pages_path(rows) + "/*.parquet")
     from ..oracle.weblog_sql import _APACHE_RE, _SYSLOG_RE
     from ..synth import hostmeta_path
 
@@ -5874,3 +5876,47 @@ ORACLE_SQL["lang_confusion"] = (
     "SELECT lang, lang_pred, count(*)::BIGINT AS n FROM p "
     "GROUP BY lang, lang_pred"
 )
+
+
+def q_lineage_metrics(sf_dir: str):
+    """the checkpoint surface as data: run (or resume — idempotent) the
+    flagship in wave mode and emit every committed per-partition lineage
+    record's per-sink metrics. The SQL twin recomputes the expected
+    (partition, sink) records/bytes/parse_failures INDEPENDENTLY from the
+    pages files (filename-grouped, same parse/route CASE), so the hash
+    match proves the lineage commits carry exactly the routed truth —
+    the north rule's 'every partition emits lineage + metrics records'."""
+    import glob
+    import json
+
+    from ..synth import pages_path, pages_rows_for_sf
+    from ..state import checkpoint as ckpt
+    from .weblog import run_weblog
+
+    rows = pages_rows_for_sf(sf_dir)
+    pages = pages_path(rows)
+    out_dir = f"/tmp/fbr_lineage_q_{rows}"
+    run_weblog(pages, out_dir, resume=True)
+
+    recs = []
+    for p in sorted(glob.glob(os.path.join(ckpt.lineage_dir(out_dir),
+                                           "*.json"))):
+        with open(p) as f:
+            rec = json.load(f)
+        if rec.get("status") != "done":
+            continue
+        for sink, m in rec["metrics"].items():
+            if not m.get("records"):
+                continue  # SQL twin only sees sinks with routed rows
+            recs.append((rec["partition"], sink, int(m["records"]),
+                         int(m["bytes"]), int(m["parse_failures"])))
+    return pa.table({
+        "partition": pa.array([r[0] for r in recs], pa.string()),
+        "sink": pa.array([r[1] for r in recs], pa.string()),
+        "records": pa.array([r[2] for r in recs], pa.int64()),
+        "bytes": pa.array([r[3] for r in recs], pa.int64()),
+        "parse_failures": pa.array([r[4] for r in recs], pa.int64()),
+    })
+
+
+QUERIES["lineage_metrics"] = q_lineage_metrics
