@@ -1427,3 +1427,59 @@ def gap_stats(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def sliding_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    out_col: str = "window_sum",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per row: SUM of same-key values with ts in [t - window, t] — the
+    RANGE-frame rolling-sum sibling of sliding_count (rate-limiting by
+    bytes, rolling spend, rolling request volume). Same composite-space
+    searchsorted boundaries; the frame sum is two prefix-sum gathers.
+    Null values are excluded from the sum and an all-null frame yields
+    NULL (SQL sum() semantics); null-ts rows are excluded up front (the
+    twin filters them — RANGE null-peer algebra differs by engine)."""
+    w = window_sec * 10**9
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[ts_col].notna()]
+        df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        if len(ns) == 0:
+            df[out_col] = np.array([], dtype="float64")
+            return _finish(df)
+        codes = pd.factorize(df[key_col],
+                             use_na_sentinel=False)[0].astype(np.int64)
+        base = ns - ns.min()
+        span = int(base.max()) + w + 2
+        n_keys = int(codes.max()) + 1
+        nn = df[value_col].notna().to_numpy()
+        v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), 0.0)
+        P = np.concatenate(([0.0], np.cumsum(v)))
+        C = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        if span > 0 and n_keys <= (2**62) // span:
+            comp = codes * span + base
+            right = np.searchsorted(comp, comp, side="right")
+            left = np.searchsorted(comp, comp - w, side="left")
+        else:  # composite space would overflow: per-run fallback
+            right = np.empty(len(ns), dtype=np.int64)
+            left = np.empty(len(ns), dtype=np.int64)
+            starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1, len(codes)]
+            for s, e in zip(starts[:-1], starts[1:]):
+                seg = ns[s:e]
+                right[s:e] = s + np.searchsorted(seg, seg, side="right")
+                left[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+        sums = P[right] - P[left]
+        cnt = C[right] - C[left]
+        df[out_col] = pd.Series(sums).mask(cnt == 0)
+        return _finish(df.drop(columns=[value_col]))
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

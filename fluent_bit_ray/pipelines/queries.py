@@ -5920,3 +5920,26 @@ def q_lineage_metrics(sf_dir: str):
 
 
 QUERIES["lineage_metrics"] = q_lineage_metrics
+
+
+def q_sliding_sum(sf_dir: str):
+    """per-event rolling 5-minute value sum per user (RANGE frame, null
+    values excluded, all-null frames NULL) — sliding_count's sum sibling
+    (ops/windows.sliding_sum: composite searchsorted + prefix-sum
+    gathers)."""
+    from ..ops.windows import sliding_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return sliding_sum(ds, "user_id", "ts", "value", window_sec=300
+                       ).map_batches(
+        lambda t: t.select(["event_id", "user_id", "window_sum"]),
+        batch_format="pyarrow")
+
+
+QUERIES["sliding_sum"] = q_sliding_sum
+ORACLE_SQL["sliding_sum"] = (
+    "SELECT event_id, user_id, sum(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+    ") AS window_sum FROM events WHERE ts IS NOT NULL"
+)

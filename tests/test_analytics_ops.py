@@ -657,3 +657,41 @@ class TestReviewNullSemantics:
                        "labels": np.array([None], dtype=object)})
         out = hard_negative_topk(ray.data.from_arrow(t), ref, k=5)
         assert out.count() == 0  # label <> NULL is never true
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlidingSum:
+    def test_null_values_and_duckdb_parity(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_sum
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2020-01-01 00:00:00", "2020-01-01 00:02:00",
+                 "2020-01-01 00:09:00", None,
+                 "2020-01-01 00:00:00", "2020-01-01 00:00:00"]),
+            "value": [10.0, None, 5.0, 7.0, None, None],
+        })
+        got = sliding_sum(ray.data.from_pandas(df).repartition(2),
+                          "user_id", "ts", "value", window_sec=300,
+                          num_shards=3).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "SELECT event_id, user_id, sum(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+            ") AS window_sum FROM events WHERE ts IS NOT NULL"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(
+            got[["event_id", "user_id", "window_sum"]], exp)
+        g = got.set_index("event_id")
+        assert g.loc[1, "window_sum"] == 10.0        # alone in frame
+        assert g.loc[2, "window_sum"] == 10.0        # null value excluded
+        assert g.loc[3, "window_sum"] == 5.0         # 10 slid out
+        # user 2: all-null equal-ts peers -> NULL frame sum
+        assert pd.isna(g.loc[5, "window_sum"]) and pd.isna(g.loc[6, "window_sum"])
