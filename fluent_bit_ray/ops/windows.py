@@ -1483,3 +1483,70 @@ def sliding_sum(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def sliding_max(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    out_col: str = "window_max",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per row: MAX of same-key values with ts in [t - window, t] — the
+    peak detector (rolling peak rate / spend / latency). Max is not
+    prefix-decomposable, so the frame query runs on an O(n log n)
+    SPARSE TABLE built with vectorized np.maximum over doubling windows;
+    each row's answer is max of two overlapping power-of-two gathers at
+    the same composite-searchsorted boundaries the other sliding ops
+    use. Null values never win (they are -inf in the table) and an
+    all-null frame yields NULL; null-ts rows are excluded like the SQL
+    twin."""
+    w = window_sec * 10**9
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[ts_col].notna()]
+        df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        n = len(ns)
+        if n == 0:
+            df[out_col] = np.array([], dtype="float64")
+            return _finish(df.drop(columns=[value_col], errors="ignore"))
+        codes = pd.factorize(df[key_col],
+                             use_na_sentinel=False)[0].astype(np.int64)
+        base = ns - ns.min()
+        span = int(base.max()) + w + 2
+        comp = codes * span + base  # shard spans are modest; overflow
+        # would need >2^62 ns span x keys (guarded upstream by sharding)
+        right = np.searchsorted(comp, comp, side="right")
+        left = np.searchsorted(comp, comp - w, side="left")
+
+        nn = df[value_col].notna().to_numpy()
+        v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), -np.inf)
+        # sparse table: T[j][i] = max(v[i : i + 2^j])
+        levels = [v]
+        j = 1
+        while (1 << j) <= n:
+            prev = levels[-1]
+            half = 1 << (j - 1)
+            levels.append(np.maximum(prev[:-half], prev[half:]))
+            j += 1
+        width = right - left  # >= 1 (frame includes the current row)
+        lev = np.maximum(np.int64(0),
+                         np.floor(np.log2(width)).astype(np.int64))
+        out = np.empty(n, dtype=np.float64)
+        for jj in range(len(levels)):  # loop over log2(n) levels, not rows
+            m = lev == jj
+            if not m.any():
+                continue
+            L = levels[jj]
+            a = left[m]
+            b = right[m] - (1 << jj)
+            out[m] = np.maximum(L[a], L[b])
+        df[out_col] = pd.Series(out).mask(~np.isfinite(out))
+        return _finish(df.drop(columns=[value_col]))
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

@@ -5943,3 +5943,25 @@ ORACLE_SQL["sliding_sum"] = (
     "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
     ") AS window_sum FROM events WHERE ts IS NOT NULL"
 )
+
+
+def q_sliding_max(sf_dir: str):
+    """per-event rolling 5-minute value MAX per user — the peak detector
+    (ops/windows.sliding_max: vectorized sparse-table range-max at the
+    composite-searchsorted frame boundaries)."""
+    from ..ops.windows import sliding_max
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return sliding_max(ds, "user_id", "ts", "value", window_sec=300
+                       ).map_batches(
+        lambda t: t.select(["event_id", "user_id", "window_max"]),
+        batch_format="pyarrow")
+
+
+QUERIES["sliding_max"] = q_sliding_max
+ORACLE_SQL["sliding_max"] = (
+    "SELECT event_id, user_id, max(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+    ") AS window_max FROM events WHERE ts IS NOT NULL"
+)

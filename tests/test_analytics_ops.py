@@ -695,3 +695,36 @@ class TestSlidingSum:
         assert g.loc[3, "window_sum"] == 5.0         # 10 slid out
         # user 2: all-null equal-ts peers -> NULL frame sum
         assert pd.isna(g.loc[5, "window_sum"]) and pd.isna(g.loc[6, "window_sum"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlidingMax:
+    def test_duckdb_parity_and_null_algebra(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_max
+
+        rng = np.random.RandomState(3)
+        n = 200
+        df = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.randint(0, 5, n),
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.randint(0, 3600, n), unit="s"),
+            "value": np.where(rng.rand(n) < 0.2, np.nan,
+                              rng.randn(n) * 100),
+        })
+        got = sliding_max(ray.data.from_pandas(df).repartition(3),
+                          "user_id", "ts", "value", window_sec=300,
+                          num_shards=4).to_pandas()
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "SELECT event_id, user_id, max(value) OVER ("
+            "PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+            ") AS window_max FROM events WHERE ts IS NOT NULL"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(
+            got[["event_id", "user_id", "window_max"]], exp)
