@@ -5965,3 +5965,69 @@ ORACLE_SQL["sliding_max"] = (
     "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
     ") AS window_max FROM events WHERE ts IS NOT NULL"
 )
+
+
+def _events_ndjson_fixture(sf_dir: str) -> str:
+    """Events table as newline-delimited JSON (the in_tcp/forward wire
+    shape) — built once per sf under /tmp so the classic-config surface
+    can be driven against the same relational truth."""
+    import json
+
+    from ..synth import CACHE_ROOT
+
+    rows = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(CACHE_ROOT, f"events_ndjson_{rows}")
+    path = os.path.join(d, "events.ndjson")
+    if os.path.exists(path):
+        return path
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "event_type", "user_id", "props"])
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        for r in t.to_pylist():
+            f.write(json.dumps(r, separators=(",", ":")) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def q_config_pipeline(sf_dir: str):
+    """the CLASSIC fluent-bit config surface under the correctness gate:
+    an unmodified [INPUT json] -> [FILTER grep] (ordered Regex + Exclude
+    rules) -> [OUTPUT counter] conf runs through pipelines/config
+    .run_config over the events stream re-serialized as ndjson, and the
+    routed-record count must equal the SQL twin's WHERE clause — the
+    whole config engine (section parse, json input, rule order, router,
+    counter sink) behind ONE hash-checked number."""
+    from .config import run_config
+
+    path = _events_ndjson_fixture(sf_dir)
+    conf = f"""
+[INPUT]
+    Name json
+    Path {path}
+    Tag ev
+
+[FILTER]
+    Name grep
+    Match *
+    Regex event_type click|view
+    Exclude props 9}}$
+
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    res = run_config(conf)
+    return pa.table({
+        "records": pa.array([int(res.counts.get("counter_0", 0))],
+                            pa.int64()),
+    })
+
+
+QUERIES["config_pipeline"] = q_config_pipeline
+ORACLE_SQL["config_pipeline"] = (
+    "SELECT count(*)::BIGINT AS records FROM events "
+    "WHERE regexp_matches(event_type, 'click|view') "
+    "AND NOT regexp_matches(props, '9}$')"
+)
