@@ -1485,24 +1485,26 @@ def sliding_sum(
     )
 
 
-def sliding_max(
+def _sliding_extreme(
     ds,
     key_col: str,
     ts_col: str,
     value_col: str,
     window_sec: int,
-    out_col: str = "window_max",
+    out_col: str,
+    reduce_fn,
+    fill: float,
     num_shards: int = DEFAULT_SHARDS,
 ):
-    """Per row: MAX of same-key values with ts in [t - window, t] — the
-    peak detector (rolling peak rate / spend / latency). Max is not
+    """Shared RANGE-frame MAX/MIN kernel: extremes are not
     prefix-decomposable, so the frame query runs on an O(n log n)
-    SPARSE TABLE built with vectorized np.maximum over doubling windows;
-    each row's answer is max of two overlapping power-of-two gathers at
-    the same composite-searchsorted boundaries the other sliding ops
-    use. Null values never win (they are -inf in the table) and an
+    SPARSE TABLE built with vectorized `reduce_fn` (np.maximum /
+    np.minimum) over doubling windows; each row's answer is the reduce
+    of two overlapping power-of-two gathers at the same
+    composite-searchsorted boundaries the other sliding ops use. Null
+    values never win (they enter the table as `fill` = ∓inf) and an
     all-null frame yields NULL; null-ts rows are excluded like the SQL
-    twin."""
+    twins."""
     w = window_sec * 10**9
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
@@ -1523,14 +1525,14 @@ def sliding_max(
         left = np.searchsorted(comp, comp - w, side="left")
 
         nn = df[value_col].notna().to_numpy()
-        v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), -np.inf)
-        # sparse table: T[j][i] = max(v[i : i + 2^j])
+        v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), fill)
+        # sparse table: T[j][i] = reduce(v[i : i + 2^j])
         levels = [v]
         j = 1
         while (1 << j) <= n:
             prev = levels[-1]
             half = 1 << (j - 1)
-            levels.append(np.maximum(prev[:-half], prev[half:]))
+            levels.append(reduce_fn(prev[:-half], prev[half:]))
             j += 1
         width = right - left  # >= 1 (frame includes the current row)
         lev = np.maximum(np.int64(0),
@@ -1543,10 +1545,42 @@ def sliding_max(
             L = levels[jj]
             a = left[m]
             b = right[m] - (1 << jj)
-            out[m] = np.maximum(L[a], L[b])
+            out[m] = reduce_fn(L[a], L[b])
         df[out_col] = pd.Series(out).mask(~np.isfinite(out))
         return _finish(df.drop(columns=[value_col]))
 
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def sliding_max(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    out_col: str = "window_max",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per row: MAX of same-key values with ts in [t - window, t] — the
+    peak detector (rolling peak rate / spend / latency). See
+    _sliding_extreme for the sparse-table mechanics."""
+    return _sliding_extreme(ds, key_col, ts_col, value_col, window_sec,
+                            out_col, np.maximum, -np.inf, num_shards)
+
+
+def sliding_min(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    out_col: str = "window_min",
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per row: MIN of same-key values with ts in [t - window, t] — the
+    trough detector (rolling floor price / minimum headroom). Same
+    sparse-table kernel as sliding_max with the reduce flipped."""
+    return _sliding_extreme(ds, key_col, ts_col, value_col, window_sec,
+                            out_col, np.minimum, np.inf, num_shards)

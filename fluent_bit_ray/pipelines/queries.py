@@ -6031,3 +6031,25 @@ ORACLE_SQL["config_pipeline"] = (
     "WHERE regexp_matches(event_type, 'click|view') "
     "AND NOT regexp_matches(props, '9}$')"
 )
+
+
+def q_sliding_min(sf_dir: str):
+    """per-event rolling 5-minute value MIN per user — sliding_max's
+    trough twin on the shared sparse-table kernel
+    (ops/windows.sliding_min)."""
+    from ..ops.windows import sliding_min
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return sliding_min(ds, "user_id", "ts", "value", window_sec=300
+                       ).map_batches(
+        lambda t: t.select(["event_id", "user_id", "window_min"]),
+        batch_format="pyarrow")
+
+
+QUERIES["sliding_min"] = q_sliding_min
+ORACLE_SQL["sliding_min"] = (
+    "SELECT event_id, user_id, min(value) OVER ("
+    "PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
+    ") AS window_min FROM events WHERE ts IS NOT NULL"
+)
