@@ -1584,3 +1584,65 @@ def sliding_min(
     sparse-table kernel as sliding_max with the reduce flipped."""
     return _sliding_extreme(ds, key_col, ts_col, value_col, window_sec,
                             out_col, np.minimum, np.inf, num_shards)
+
+
+def sliding_spikes(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_sec: int,
+    z2_threshold: float = 9.0003,
+    num_shards: int = DEFAULT_SHARDS,
+):
+    """Per row: rolling z-score spike flag — is the value more than ~3
+    sigma from its trailing RANGE-frame peers? The anomaly gate run
+    directly on telemetry streams. The row's own value is EXCLUDED from
+    the frame stats (SQL EXCLUDE CURRENT ROW): with self-inclusion z²
+    is bounded by n-1, so a 5-point frame could never flag a 3-sigma
+    spike. Frame mean/variance come from prefix sums of (v, v²) at the
+    shared searchsorted boundaries minus the own-row contribution,
+    using the same (n,Σx,Σx²) identity as the SQL twin so the doubles
+    track each other; the threshold is OFF-LATTICE (z² > 9.0003, the
+    cusum trick) so float jitter cannot flip the boolean. Frames with
+    fewer than 2 remaining non-null peers or zero variance are never
+    spikes; null values don't enter the stats and are themselves never
+    spikes."""
+    w = window_sec * 10**9
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[ts_col].notna()]
+        df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
+        ns = _epoch_ns(df[ts_col]).to_numpy()
+        n = len(ns)
+        if n == 0:
+            df["is_spike"] = np.array([], dtype="bool")
+            return _finish(df.drop(columns=[value_col], errors="ignore"))
+        codes = pd.factorize(df[key_col],
+                             use_na_sentinel=False)[0].astype(np.int64)
+        base = ns - ns.min()
+        span = int(base.max()) + w + 2
+        comp = codes * span + base
+        right = np.searchsorted(comp, comp, side="right")
+        left = np.searchsorted(comp, comp - w, side="left")
+        nn = df[value_col].notna().to_numpy()
+        v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), 0.0)
+        P1 = np.concatenate(([0.0], np.cumsum(v)))
+        P2 = np.concatenate(([0.0], np.cumsum(v * v)))
+        C = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        # leave-one-out: subtract the own row's contribution (0 if null)
+        cnt = (C[right] - C[left]).astype(np.float64) - nn
+        sx = P1[right] - P1[left] - v
+        sxx = P2[right] - P2[left] - v * v
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = sx / cnt
+            var = (sxx - sx * sx / cnt) / (cnt - 1.0)
+            dev = v - mean
+            z2 = dev * dev / var
+        spike = nn & (cnt >= 2) & (var > 0) & (z2 > z2_threshold)
+        df["is_spike"] = spike
+        return _finish(df.drop(columns=[value_col]))
+
+    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+        per_shard, batch_format="pandas"
+    )

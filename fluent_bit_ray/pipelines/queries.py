@@ -6053,3 +6053,34 @@ ORACLE_SQL["sliding_min"] = (
     "RANGE BETWEEN INTERVAL 5 MINUTE PRECEDING AND CURRENT ROW"
     ") AS window_min FROM events WHERE ts IS NOT NULL"
 )
+
+
+def q_sliding_spikes(sf_dir: str):
+    """rolling z-score anomaly gate per user (2-day trailing frame —
+    off-lattice z² threshold so float jitter can't flip the flag)
+    (ops/windows.sliding_spikes — prefix sums of (v, v²) at the shared
+    frame boundaries, var_samp identity mirrored in the twin)."""
+    from ..ops.windows import sliding_spikes
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return sliding_spikes(ds, "user_id", "ts", "value",
+                          window_sec=2 * 86400).map_batches(
+        lambda t: t.select(["event_id", "user_id", "is_spike"]),
+        batch_format="pyarrow")
+
+
+QUERIES["sliding_spikes"] = q_sliding_spikes
+ORACLE_SQL["sliding_spikes"] = (
+    "WITH f AS (SELECT event_id, user_id, value, "
+    "count(value) OVER w AS n, sum(value) OVER w AS sx, "
+    "sum(value * value) OVER w AS sxx FROM events WHERE ts IS NOT NULL "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW "
+    "EXCLUDE CURRENT ROW)) "
+    "SELECT event_id, user_id, "
+    "CASE WHEN value IS NOT NULL AND n >= 2 "
+    "AND (sxx - sx * sx / n) / (n - 1.0) > 0 THEN "
+    "(value - sx / n) * (value - sx / n) "
+    "/ ((sxx - sx * sx / n) / (n - 1.0)) > 9.0003 "
+    "ELSE FALSE END AS is_spike FROM f"
+)

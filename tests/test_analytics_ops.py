@@ -728,3 +728,46 @@ class TestSlidingMax:
         con.close()
         _assert_frames_equal(
             got[["event_id", "user_id", "window_max"]], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlidingSpikes:
+    def test_obvious_spike_and_duckdb_parity(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_spikes
+
+        base = ["2020-01-01 00:0%d:00" % i for i in range(8)]
+        df = pd.DataFrame({
+            "event_id": np.arange(9, dtype=np.int64),
+            "user_id": [1] * 8 + [2],
+            "ts": pd.to_datetime(base + ["2020-01-01 00:00:00"]),
+            "value": [10.0, 10.1, 9.9, 10.0, 500.0, 10.1, 9.9, None, 5.0],
+        })
+        got = sliding_spikes(ray.data.from_pandas(df).repartition(2),
+                             "user_id", "ts", "value", window_sec=600,
+                             num_shards=3).to_pandas().set_index("event_id")
+        assert bool(got.loc[4, "is_spike"])       # the 500 jump
+        assert not bool(got.loc[0, "is_spike"])   # frame of one
+        assert not bool(got.loc[7, "is_spike"])   # null value never spikes
+        assert not bool(got.loc[8, "is_spike"])   # singleton user
+        con = duckdb.connect()
+        con.register("events", df)
+        exp = con.execute(
+            "WITH f AS (SELECT event_id, user_id, value, "
+            "count(value) OVER w AS n, sum(value) OVER w AS sx, "
+            "sum(value * value) OVER w AS sxx FROM events "
+            "WHERE ts IS NOT NULL "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW "
+            "EXCLUDE CURRENT ROW)) "
+            "SELECT event_id, user_id, "
+            "CASE WHEN value IS NOT NULL AND n >= 2 "
+            "AND (sxx - sx * sx / n) / (n - 1.0) > 0 THEN "
+            "(value - sx / n) * (value - sx / n) "
+            "/ ((sxx - sx * sx / n) / (n - 1.0)) > 9.0003 "
+            "ELSE FALSE END AS is_spike FROM f"
+        ).fetchdf()
+        con.close()
+        _assert_frames_equal(
+            got.reset_index()[["event_id", "user_id", "is_spike"]], exp)
