@@ -6084,3 +6084,69 @@ ORACLE_SQL["sliding_spikes"] = (
     "/ ((sxx - sx * sx / n) / (n - 1.0)) > 9.0003 "
     "ELSE FALSE END AS is_spike FROM f"
 )
+
+
+def q_q6_forecast(sf_dir: str):
+    """TPC-H Q6-style forecast-revenue change: one fully-pushed-down
+    predicate scan (quantity < 24, discount in [0.05, 0.07]) emitting a
+    single revenue scalar — each block reduces to ONE float, nothing
+    else moves."""
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.float64())
+        d = pc.cast(t["l_discount"], pa.float64())
+        keep = pc.and_(
+            pc.less(q, 24.0),
+            pc.and_(pc.greater_equal(d, 0.05), pc.less_equal(d, 0.07)))
+        tt = t.filter(keep)
+        rev = pc.multiply(pc.cast(tt["l_extendedprice"], pa.float64()),
+                          pc.cast(tt["l_discount"], pa.float64()))
+        s = pc.sum(rev).as_py()
+        return pa.table({"rev": pa.array([0.0 if s is None else float(s)],
+                                         pa.float64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_quantity", "l_discount", "l_extendedprice"]
+                  ).map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table({"revenue": pa.array([float(parts["rev"].sum())],
+                                         pa.float64())})
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-style top supplier: per-supplier lineitem revenue
+    through ONE suppkey exchange of map-side combiners, then the
+    correlated `WHERE total = (SELECT max(...))` runs as a driver-side
+    compare over the supplier-cardinality result (ties all surface,
+    like the SQL)."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            pc.cast(t["l_extendedprice"], pa.float64()),
+            pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"],
+                                                pa.float64())))
+        g = pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                      "total_revenue": rev}).group_by(
+            ["s_suppkey"]).aggregate([("total_revenue", "sum")])
+        return g.rename_columns(["s_suppkey", "total_revenue"])
+
+    totals = hash_reduce_dataset_refs(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["s_suppkey"], ["total_revenue"])
+    mx = pc.max(totals["total_revenue"]).as_py()
+    return totals.filter(pc.equal(totals["total_revenue"], mx))
+
+
+QUERIES["q6_forecast"] = q_q6_forecast
+QUERIES["q15_top_supplier"] = q_q15_top_supplier
+ORACLE_SQL["q6_forecast"] = (
+    "SELECT sum(l_extendedprice * l_discount) AS revenue FROM lineitem "
+    "WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07"
+)
+ORACLE_SQL["q15_top_supplier"] = (
+    "WITH r AS (SELECT l_suppkey AS s_suppkey, "
+    "sum(l_extendedprice * (1 - l_discount)) AS total_revenue "
+    "FROM lineitem GROUP BY l_suppkey) "
+    "SELECT * FROM r WHERE total_revenue = (SELECT max(total_revenue) FROM r)"
+)
