@@ -1453,28 +1453,15 @@ def sliding_sum(
         ns = _epoch_ns(df[ts_col]).to_numpy()
         if len(ns) == 0:
             df[out_col] = np.array([], dtype="float64")
-            return _finish(df)
+            return _finish(df.drop(columns=[value_col], errors="ignore"))
         codes = pd.factorize(df[key_col],
                              use_na_sentinel=False)[0].astype(np.int64)
         base = ns - ns.min()
-        span = int(base.max()) + w + 2
-        n_keys = int(codes.max()) + 1
         nn = df[value_col].notna().to_numpy()
         v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), 0.0)
         P = np.concatenate(([0.0], np.cumsum(v)))
         C = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
-        if span > 0 and n_keys <= (2**62) // span:
-            comp = codes * span + base
-            right = np.searchsorted(comp, comp, side="right")
-            left = np.searchsorted(comp, comp - w, side="left")
-        else:  # composite space would overflow: per-run fallback
-            right = np.empty(len(ns), dtype=np.int64)
-            left = np.empty(len(ns), dtype=np.int64)
-            starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1, len(codes)]
-            for s, e in zip(starts[:-1], starts[1:]):
-                seg = ns[s:e]
-                right[s:e] = s + np.searchsorted(seg, seg, side="right")
-                left[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+        left, right = _frame_bounds(codes, base, ns, w)
         sums = P[right] - P[left]
         cnt = C[right] - C[left]
         df[out_col] = pd.Series(sums).mask(cnt == 0)
@@ -1483,6 +1470,31 @@ def sliding_sum(
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
+
+
+def _frame_bounds(codes: np.ndarray, base: np.ndarray, ns: np.ndarray,
+                  w: int) -> tuple[np.ndarray, np.ndarray]:
+    """RANGE-frame [t-w, t] boundary indices for key-sorted rows: the
+    composite-space double searchsorted when `codes * span` fits int64,
+    else the per-key-run fallback (numpy int64 overflow is silent, so
+    the guard is mandatory — hash sharding does NOT bound keys-per-shard
+    relative to the time span)."""
+    n = len(ns)
+    span = int(base.max()) + w + 2
+    n_keys = int(codes.max()) + 1
+    if span > 0 and n_keys <= (2**62) // span:
+        comp = codes * span + base
+        right = np.searchsorted(comp, comp, side="right")
+        left = np.searchsorted(comp, comp - w, side="left")
+        return left, right
+    right = np.empty(n, dtype=np.int64)
+    left = np.empty(n, dtype=np.int64)
+    starts = np.r_[0, np.nonzero(np.diff(codes))[0] + 1, n]
+    for s, e in zip(starts[:-1], starts[1:]):
+        seg = ns[s:e]
+        right[s:e] = s + np.searchsorted(seg, seg, side="right")
+        left[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+    return left, right
 
 
 def _sliding_extreme(
@@ -1518,11 +1530,7 @@ def _sliding_extreme(
         codes = pd.factorize(df[key_col],
                              use_na_sentinel=False)[0].astype(np.int64)
         base = ns - ns.min()
-        span = int(base.max()) + w + 2
-        comp = codes * span + base  # shard spans are modest; overflow
-        # would need >2^62 ns span x keys (guarded upstream by sharding)
-        right = np.searchsorted(comp, comp, side="right")
-        left = np.searchsorted(comp, comp - w, side="left")
+        left, right = _frame_bounds(codes, base, ns, w)
 
         nn = df[value_col].notna().to_numpy()
         v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), fill)
@@ -1546,7 +1554,10 @@ def _sliding_extreme(
             a = left[m]
             b = right[m] - (1 << jj)
             out[m] = reduce_fn(L[a], L[b])
-        df[out_col] = pd.Series(out).mask(~np.isfinite(out))
+        # mask all-null frames ONLY (an inf in the DATA must surface as
+        # the frame extreme like SQL max/min)
+        C = np.concatenate(([0], np.cumsum(nn.astype(np.int64))))
+        df[out_col] = pd.Series(out).mask(C[right] - C[left] == 0)
         return _finish(df.drop(columns=[value_col]))
 
     return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
@@ -1621,10 +1632,7 @@ def sliding_spikes(
         codes = pd.factorize(df[key_col],
                              use_na_sentinel=False)[0].astype(np.int64)
         base = ns - ns.min()
-        span = int(base.max()) + w + 2
-        comp = codes * span + base
-        right = np.searchsorted(comp, comp, side="right")
-        left = np.searchsorted(comp, comp - w, side="left")
+        left, right = _frame_bounds(codes, base, ns, w)
         nn = df[value_col].notna().to_numpy()
         v = np.where(nn, df[value_col].to_numpy(dtype=np.float64), 0.0)
         P1 = np.concatenate(([0.0], np.cumsum(v)))
@@ -1640,6 +1648,31 @@ def sliding_spikes(
             dev = v - mean
             z2 = dev * dev / var
         spike = nn & (cnt >= 2) & (var > 0) & (z2 > z2_threshold)
+        # re-verify CANDIDATES with frame-local sums: shard-global prefix
+        # differences can leave a ~1e-9 residue where the true frame
+        # variance is exactly 0 (constant heartbeat + an outlier), which
+        # would explode z² — the SQL twin's per-frame sums see var=0.
+        # Symmetrically, residue can push a truly-tiny-positive variance
+        # to <= 0 and hide a spike, so near-zero-var rows re-verify too.
+        # Both candidate classes are rare outside constant-valued feeds.
+        with np.errstate(invalid="ignore"):
+            vtol = 1e-9 * (np.abs(sxx) + 1.0)
+            near_zero = nn & (cnt >= 2) & ~(var > vtol) & (dev * dev > 0)
+        for i in np.flatnonzero(spike | near_zero):
+            seg_v = v[left[i]:right[i]]
+            seg_nn = nn[left[i]:right[i]]
+            own = i - left[i]
+            m = seg_nn.copy()
+            m[own] = False
+            fn = float(m.sum())
+            fx = float(seg_v[m].sum())
+            fxx = float((seg_v[m] * seg_v[m]).sum())
+            fvar = (fxx - fx * fx / fn) / (fn - 1.0)
+            if not (fvar > 0):
+                spike[i] = False
+            else:
+                fd = v[i] - fx / fn
+                spike[i] = bool(fd * fd / fvar > z2_threshold)
         df["is_spike"] = spike
         return _finish(df.drop(columns=[value_col]))
 

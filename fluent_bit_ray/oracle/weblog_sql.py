@@ -257,11 +257,13 @@ SELECT * FROM (
 """ % {"APACHE": _APACHE_RE, "K": k}
 
 
-def weblog_lineage_sql(pages_glob: str, now_year: int = 2018) -> str:
+def weblog_lineage_sql(pages_glob: str) -> str:
     """Per (partition, sink) expected metrics — the independent SQL twin
     of the checkpoint machinery's committed lineage records: routed-row
-    counts, byte totals, and parse failures per input file per sink,
-    using the SAME parse/route CASE as the flagship oracle."""
+    counts, byte totals, and parse failures per input file per sink.
+    The parse/route CASE blocks intentionally mirror weblog_aggregate_sql
+    (not _timed_cte — no event time here): a change to the flagship's
+    kind/route logic must be applied to BOTH builders."""
     return f"""
 WITH pages AS (
   SELECT parse_filename(filename, true) AS src, text, lang

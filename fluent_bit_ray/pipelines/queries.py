@@ -5524,6 +5524,7 @@ def q_q4_priority(sf_dir: str):
             "ship_us": pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")),
                                pa.int64()),
         }).group_by(["o_orderkey"]).aggregate([("ship_us", "max")])
+        # name-based access (aggregate column order is version-unstable)
         return pa.table({"o_orderkey": g["o_orderkey"],
                          "ship_us": g["ship_us_max"],
                          "prio": pa.nulls(g.num_rows, pa.string()),
@@ -5971,12 +5972,19 @@ def _events_ndjson_fixture(sf_dir: str) -> str:
     """Events table as newline-delimited JSON (the in_tcp/forward wire
     shape) — built once per sf under /tmp so the classic-config surface
     can be driven against the same relational truth."""
+    import hashlib
     import json
 
     from ..synth import CACHE_ROOT
 
-    rows = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(CACHE_ROOT, f"events_ndjson_{rows}")
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # key on the RESOLVED source identity (path + mtime + size): same-leaf
+    # sf roots must not collide, and a regenerated parquet invalidates
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(CACHE_ROOT, f"events_ndjson_{key}")
     path = os.path.join(d, "events.ndjson")
     if os.path.exists(path):
         return path
@@ -6127,7 +6135,11 @@ def q_q15_top_supplier(sf_dir: str):
         g = pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
                       "total_revenue": rev}).group_by(
             ["s_suppkey"]).aggregate([("total_revenue", "sum")])
-        return g.rename_columns(["s_suppkey", "total_revenue"])
+        # select by NAME before the positional rename: pyarrow's
+        # aggregate column ORDER is not stable across versions (the
+        # ops/skew.py contract), only the <col>_sum naming is
+        return g.select(["s_suppkey", "total_revenue_sum"]).rename_columns(
+            ["s_suppkey", "total_revenue"])
 
     totals = hash_reduce_dataset_refs(
         _read(sf_dir, "lineitem",

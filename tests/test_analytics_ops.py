@@ -771,3 +771,78 @@ class TestSlidingSpikes:
         con.close()
         _assert_frames_equal(
             got.reset_index()[["event_id", "user_id", "is_spike"]], exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSlidingReviewFixes:
+    def test_extreme_surfaces_real_inf(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_max, sliding_min
+
+        df = pd.DataFrame({
+            "event_id": [1, 2, 3],
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2020-01-01 00:00:00",
+                                  "2020-01-01 00:01:00",
+                                  "2020-01-01 00:02:00"]),
+            "value": [1.0, np.inf, None],
+        })
+        mx = sliding_max(ray.data.from_pandas(df), "user_id", "ts",
+                         "value", window_sec=300).to_pandas().set_index(
+            "event_id")
+        # a REAL inf in the data is the frame max (not masked to NULL)
+        assert mx.loc[2, "window_max"] == np.inf
+        assert mx.loc[3, "window_max"] == np.inf  # inf still in frame
+        mn = sliding_min(ray.data.from_pandas(df), "user_id", "ts",
+                         "value", window_sec=300).to_pandas().set_index(
+            "event_id")
+        assert mn.loc[2, "window_min"] == 1.0
+
+    def test_spike_zero_variance_heartbeat_never_false_positives(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_spikes
+
+        # key "hb" is a constant heartbeat; key "big" carries huge-
+        # magnitude values that poison the shard-global prefix sums
+        df = pd.DataFrame({
+            "event_id": np.arange(12, dtype=np.int64),
+            "user_id": ["big"] * 4 + ["hb"] * 8,
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(list(range(4)) + list(range(8)), unit="m"),
+            "value": [1e15, -1e15, 1e15, -1e15] + [10.0] * 7 + [500.0],
+        })
+        out = sliding_spikes(ray.data.from_pandas(df), "user_id", "ts",
+                             "value", window_sec=3600,
+                             num_shards=1).to_pandas().set_index("event_id")
+        # constant-frame rows: var is exactly 0 -> never spikes
+        assert not out.loc[4:10, "is_spike"].any()
+        # the 500 outlier vs the constant frame: frame-local verify keeps
+        # the honest answer (var of peers = 0 -> SQL says no spike)
+        assert not bool(out.loc[11, "is_spike"])
+
+    def test_overflow_fallback_bounds(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.windows import sliding_max
+
+        # many keys x a year-long span: composite space would overflow
+        # int64, forcing the per-run fallback — results must match the
+        # small-case semantics
+        n_keys = 200  # span*keys > 2^62: forces the per-run path
+        df = pd.DataFrame({
+            "event_id": np.arange(n_keys * 3, dtype=np.int64),
+            "user_id": np.repeat(np.arange(n_keys), 3),
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(np.tile([0, 100, 200], n_keys)
+                              + np.repeat(np.arange(n_keys), 3) * 86400 * 9,
+                              unit="s"),
+            "value": np.tile([1.0, 5.0, 3.0], n_keys),
+        })
+        out = sliding_max(ray.data.from_pandas(df), "user_id", "ts",
+                          "value", window_sec=150,
+                          num_shards=1).to_pandas()
+        got = out.sort_values("event_id")["window_max"].to_numpy()
+        exp = np.tile([1.0, 5.0, 5.0], n_keys)
+        np.testing.assert_array_equal(got, exp)
