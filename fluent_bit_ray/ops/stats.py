@@ -2286,3 +2286,105 @@ def burstiness(
                          "var_rate": pa.array([], pa.float64()),
                          "fano": pa.array([], pa.float64())})
     return out
+
+
+def psi_drift(
+    ds,
+    val_col: str,
+    split_col: str,
+    split_a,
+    bins: int = 10,
+    add_k: float = 0.5,
+) -> pa.Table:
+    """Population Stability Index between two slices of a value column
+    (the standard ML-monitoring drift metric: <0.1 stable, >0.25 major
+    shift): equal-width bins over the GLOBAL [min, max] of both
+    populations, add-k smoothed shares, per-bin contribution
+    (p_a - p_b) * ln(p_a / p_b). Smoothing denominators use the
+    OBSERVED bucket count so the SQL twin mirrors the expression
+    verbatim.
+
+    Scale shape: pass 1 tree-reduces (min, max) partials; pass 2 bins
+    each block into two fixed `bins`-long count vectors (same
+    bit-identical bucket float math as histogram_fixed_bins); only
+    bins×blocks count rows ever move. Null split values fall in side b
+    (SQL CASE ELSE); null values are excluded."""
+    import ray
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    view = ds.select_columns([val_col, split_col])
+    mm = [t for t in ray.get(view.map_batches(
+        mm_partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    empty = pa.table({"bucket": pa.array([], pa.int64()),
+                      "c_a": pa.array([], pa.int64()),
+                      "c_b": pa.array([], pa.int64()),
+                      "contrib": pa.array([], pa.float64())})
+    if not mm:
+        return empty
+    allmm = pa.concat_tables(mm)
+    mn = pc.min(allmm["mn"]).as_py()
+    mx = pc.max(allmm["mx"]).as_py()
+    w = (mx - mn) / float(bins)
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t[val_col])
+        tt = t.filter(valid)
+        col = tt[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = ~np.isnan(v)
+        v = v[keep]
+        side_a = np.asarray(
+            pc.fill_null(pc.equal(tt[split_col], split_a), False))[keep]
+        if len(v) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "c_a": pa.array([], pa.int64()),
+                             "c_b": pa.array([], pa.int64())})
+        if w == 0:
+            b = np.zeros(len(v), dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((v - mn) / w).astype(np.int64),
+                           bins - 1)
+        ca = np.bincount(b[side_a], minlength=bins)
+        cb = np.bincount(b[~side_a], minlength=bins)
+        return pa.table({
+            "bucket": pa.array(np.arange(bins, dtype=np.int64)),
+            "c_a": pa.array(ca.astype(np.int64)),
+            "c_b": pa.array(cb.astype(np.int64)),
+        })
+
+    parts = [t for t in ray.get(view.map_batches(
+        bin_partial, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not parts:
+        return empty
+    merged = pa.concat_tables(parts).group_by(["bucket"]).aggregate(
+        [("c_a", "sum"), ("c_b", "sum")])
+    df = merged.to_pandas()
+    df = df.rename(columns={"c_a_sum": "c_a", "c_b_sum": "c_b"})
+    df = df[(df["c_a"] + df["c_b"]) > 0].sort_values("bucket")
+    nbin = float(len(df))
+    na = float(df["c_a"].sum())
+    nb = float(df["c_b"].sum())
+    p_a = (df["c_a"].to_numpy(np.float64) + add_k) / (na + add_k * nbin)
+    p_b = (df["c_b"].to_numpy(np.float64) + add_k) / (nb + add_k * nbin)
+    contrib = (p_a - p_b) * np.log(p_a / p_b)
+    return pa.table({
+        "bucket": pa.array(df["bucket"].to_numpy(np.int64)),
+        "c_a": pa.array(df["c_a"].to_numpy(np.int64)),
+        "c_b": pa.array(df["c_b"].to_numpy(np.int64)),
+        "contrib": pa.array(contrib, pa.float64()),
+    })

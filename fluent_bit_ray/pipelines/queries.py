@@ -6162,3 +6162,34 @@ ORACLE_SQL["q15_top_supplier"] = (
     "FROM lineitem GROUP BY l_suppkey) "
     "SELECT * FROM r WHERE total_revenue = (SELECT max(total_revenue) FROM r)"
 )
+
+
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index per bin between click events' values
+    and everything else — the standard ML-monitoring drift report
+    (ops/stats.psi_drift: two-pass global bounds + fixed-bin count
+    vectors per block, smoothing expression mirrored verbatim)."""
+    from ..ops.stats import psi_drift
+
+    return psi_drift(
+        _read(sf_dir, "events", ["value", "event_type"]),
+        "value", "event_type", "click", bins=10)
+
+
+QUERIES["psi_drift"] = q_psi_drift
+ORACLE_SQL["psi_drift"] = (
+    "WITH v AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 "
+    "ELSE 0 END AS is_a FROM events WHERE value IS NOT NULL), "
+    "b AS (SELECT min(value) mn, max(value) mx FROM v), "
+    "binned AS (SELECT CASE WHEN mx = mn THEN 0 ELSE "
+    "LEAST(CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) "
+    "END AS bucket, is_a FROM v, b), "
+    "c AS (SELECT bucket, sum(is_a)::BIGINT AS c_a, "
+    "sum(1 - is_a)::BIGINT AS c_b FROM binned GROUP BY bucket), "
+    "tot AS (SELECT sum(c_a)::DOUBLE AS na, sum(c_b)::DOUBLE AS nb, "
+    "count(*)::DOUBLE AS nbin FROM c) "
+    "SELECT bucket, c_a, c_b, "
+    "((c_a + 0.5) / (na + 0.5 * nbin) - (c_b + 0.5) / (nb + 0.5 * nbin)) "
+    "* ln(((c_a + 0.5) / (na + 0.5 * nbin)) "
+    "/ ((c_b + 0.5) / (nb + 0.5 * nbin))) AS contrib FROM c, tot"
+)

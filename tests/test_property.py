@@ -409,3 +409,47 @@ class TestC4Property:
         for col in ("n_words", "ends_terminal", "has_brace",
                     "has_lorem", "kept"):
             assert got[col].tolist() == exp[col].tolist(), col
+
+
+class TestReadabilityProperty:
+    @given(st.lists(st.text(alphabet=st.sampled_from(
+        list(string.ascii_letters + string.digits + " \t\n.!?'-,")),
+        max_size=40), min_size=1, max_size=6))
+    @settings(max_examples=100, deadline=None)
+    def test_matches_duckdb_twin(self, texts):
+        import duckdb
+
+        from fluent_bit_ray.ops.text import readability_batch
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        got = readability_batch(t).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        exp = con.execute(
+            "WITH t AS (SELECT doc_id, text, "
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g') AS tr "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "CAST(CASE WHEN tr = '' THEN 0 ELSE "
+            "len(string_split_regex(tr, '\\s+')) END AS BIGINT) AS n_words, "
+            "len(regexp_extract_all(text, '[.!?]+'))::BIGINT "
+            "AS n_sentences, "
+            "len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT "
+            "AS n_syllables FROM t) "
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "CASE WHEN n_words > 0 AND n_sentences > 0 THEN "
+            "206.835 - 1.015 * (n_words::DOUBLE / n_sentences) "
+            "- 84.6 * (n_syllables::DOUBLE / n_words) END AS flesch FROM f"
+        ).fetchdf()
+        con.close()
+        for col in ("n_words", "n_sentences", "n_syllables"):
+            assert got[col].tolist() == exp[col].tolist(), col
+        for g, e in zip(got["flesch"], exp["flesch"]):
+            import math
+
+            assert (math.isnan(g) if isinstance(g, float) else g is None
+                    ) == (isinstance(e, float) and math.isnan(e)) or \
+                abs(g - e) < 1e-9
