@@ -2388,3 +2388,64 @@ def psi_drift(
         "c_b": pa.array(df["c_b"].to_numpy(np.int64)),
         "contrib": pa.array(contrib, pa.float64()),
     })
+
+
+def ks_test(
+    ds,
+    val_col: str,
+    split_col: str,
+    split_a,
+) -> pa.Table:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two slices
+    of a value column — the nonparametric drift/shift test completing
+    the Welch-z / PSI family: D = max over values of |F_a - F_b| with
+    tie groups counted inclusively (SQL RANGE cumulative semantics).
+
+    Engine shape: per-block per-side DISTINCT-value counts cross ONE
+    value-keyed exchange (fixed-width rows); the driver sorts the
+    distinct-value count table and takes one cumulative pass.
+    Partitioning assumption (documented, same class as keyed_quantiles):
+    the DISTINCT values of the tested metric fit a driver heap — true
+    for quantized telemetry; for corpus-cardinality continuous values,
+    range-partition via ops/sample.global_sort instead. The cumulative
+    sums run over the same sorted sequence as the SQL window, so the
+    doubles are bit-identical."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[val_col]))
+        side_a = pc.fill_null(pc.equal(tt[split_col], split_a), False)
+        g = pa.table({
+            "value": pc.cast(tt[val_col], pa.float64()),
+            "c_a": pc.cast(side_a, pa.int64()),
+            "c_b": pc.cast(pc.invert(side_a), pa.int64()),
+        }).group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    counts = hash_exchange(
+        ds.select_columns([val_col, split_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["value"], regroup, combine_fn=regroup,
+    )
+    if counts is None or not counts.num_rows:
+        return pa.table({"ks": pa.array([], pa.float64()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64())})
+    df = counts.to_pandas().sort_values("value")
+    na = float(df["c_a"].sum())
+    nb = float(df["c_b"].sum())
+    if na == 0 or nb == 0:
+        ks = float("nan")
+    else:
+        gap = np.abs(np.cumsum(df["c_a"].to_numpy(np.float64)) / na
+                     - np.cumsum(df["c_b"].to_numpy(np.float64)) / nb)
+        ks = float(gap.max())
+    return pa.table({"ks": pa.array([ks], pa.float64()),
+                     "n_a": pa.array([int(na)], pa.int64()),
+                     "n_b": pa.array([int(nb)], pa.int64())})

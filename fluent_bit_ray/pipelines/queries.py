@@ -6193,3 +6193,30 @@ ORACLE_SQL["psi_drift"] = (
     "* ln(((c_a + 0.5) / (na + 0.5 * nbin)) "
     "/ ((c_b + 0.5) / (nb + 0.5 * nbin))) AS contrib FROM c, tot"
 )
+
+
+def q_ks_test(sf_dir: str):
+    """exact two-sample KS statistic: click values vs the rest — the
+    nonparametric drift test beside Welch-z and PSI
+    (ops/stats.ks_test — distinct-value count exchange, one driver
+    cumulative pass at distinct-value cardinality)."""
+    from ..ops.stats import ks_test
+
+    return ks_test(_read(sf_dir, "events", ["value", "event_type"]),
+                   "value", "event_type", "click")
+
+
+QUERIES["ks_test"] = q_ks_test
+ORACLE_SQL["ks_test"] = (
+    "WITH v AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 "
+    "ELSE 0 END AS is_a FROM events WHERE value IS NOT NULL), "
+    "c AS (SELECT value, sum(is_a)::BIGINT AS c_a, "
+    "sum(1 - is_a)::BIGINT AS c_b FROM v GROUP BY value), "
+    "tot AS (SELECT sum(c_a)::DOUBLE AS na, sum(c_b)::DOUBLE AS nb "
+    "FROM c), "
+    "g AS (SELECT abs(sum(c_a) OVER w / na - sum(c_b) OVER w / nb) "
+    "AS gap FROM c, tot WINDOW w AS (ORDER BY value "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+    "SELECT max(gap) AS ks, (SELECT na FROM tot)::BIGINT AS n_a, "
+    "(SELECT nb FROM tot)::BIGINT AS n_b FROM g"
+)

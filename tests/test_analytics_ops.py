@@ -846,3 +846,27 @@ class TestSlidingReviewFixes:
         got = out.sort_values("event_id")["window_max"].to_numpy()
         exp = np.tile([1.0, 5.0, 5.0], n_keys)
         np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKSTest:
+    def test_hand_case_and_scipy_free_check(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import ks_test
+
+        # a = {1, 2}, b = {2, 3}: F_a - F_b peaks at value 1 (0.5 - 0.0)
+        df = pd.DataFrame({
+            "value": [1.0, 2.0, 2.0, 3.0],
+            "side": ["a", "a", "b", "b"],
+        })
+        out = ks_test(ray.data.from_pandas(df).repartition(2),
+                      "value", "side", "a").to_pandas()
+        assert out["ks"].iloc[0] == pytest.approx(0.5)
+        assert out["n_a"].iloc[0] == 2 and out["n_b"].iloc[0] == 2
+        # identical distributions -> ks 0
+        df2 = pd.DataFrame({"value": [1.0, 2.0, 1.0, 2.0],
+                            "side": ["a", "a", "b", "b"]})
+        out2 = ks_test(ray.data.from_pandas(df2), "value", "side",
+                       "a").to_pandas()
+        assert out2["ks"].iloc[0] == pytest.approx(0.0)
