@@ -2449,3 +2449,69 @@ def ks_test(
     return pa.table({"ks": pa.array([ks], pa.float64()),
                      "n_a": pa.array([int(na)], pa.int64()),
                      "n_b": pa.array([int(nb)], pa.int64())})
+
+
+def mannwhitney_u(
+    ds,
+    val_col: str,
+    split_col: str,
+    split_a,
+) -> pa.Table:
+    """Exact Mann-Whitney U (rank-sum) statistic between two slices —
+    the rank-based location test completing the drift family (robust
+    where Welch-z assumes normality). U_a = R_a - n_a(n_a+1)/2 with R_a
+    the tie-AVERAGED rank sum of side a; the common-language effect
+    size U_a / (n_a n_b) is emitted alongside.
+
+    Same scale shape as ks_test: per-side DISTINCT-value counts through
+    ONE value-keyed exchange, then a single driver pass over the sorted
+    count table computes every tie group's average rank exactly
+    (distinct-value-cardinality assumption documented there)."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[val_col]))
+        side_a = pc.fill_null(pc.equal(tt[split_col], split_a), False)
+        g = pa.table({
+            "value": pc.cast(tt[val_col], pa.float64()),
+            "c_a": pc.cast(side_a, pa.int64()),
+            "c_b": pc.cast(pc.invert(side_a), pa.int64()),
+        }).group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    counts = hash_exchange(
+        ds.select_columns([val_col, split_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["value"], regroup, combine_fn=regroup,
+    )
+    if counts is None or not counts.num_rows:
+        return pa.table({"u_a": pa.array([], pa.float64()),
+                         "effect": pa.array([], pa.float64()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64())})
+    df = counts.to_pandas().sort_values("value")
+    ca = df["c_a"].to_numpy(np.float64)
+    cb = df["c_b"].to_numpy(np.float64)
+    sz = ca + cb
+    na = float(ca.sum())
+    nb = float(cb.sum())
+    # average rank of each tie group: rows before it + (size + 1) / 2
+    before = np.concatenate(([0.0], np.cumsum(sz)))[:-1]
+    avg_rank = before + (sz + 1.0) / 2.0
+    r_a = float((ca * avg_rank).sum())
+    if na == 0 or nb == 0:
+        u_a = float("nan")
+        effect = float("nan")
+    else:
+        u_a = r_a - na * (na + 1.0) / 2.0
+        effect = u_a / (na * nb)
+    return pa.table({"u_a": pa.array([u_a], pa.float64()),
+                     "effect": pa.array([effect], pa.float64()),
+                     "n_a": pa.array([int(na)], pa.int64()),
+                     "n_b": pa.array([int(nb)], pa.int64())})

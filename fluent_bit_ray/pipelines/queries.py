@@ -6220,3 +6220,31 @@ ORACLE_SQL["ks_test"] = (
     "SELECT max(gap) AS ks, (SELECT na FROM tot)::BIGINT AS n_a, "
     "(SELECT nb FROM tot)::BIGINT AS n_b FROM g"
 )
+
+
+def q_mannwhitney(sf_dir: str):
+    """exact Mann-Whitney U between click values and the rest (tie-
+    averaged ranks, common-language effect size) — the rank-based
+    location test beside Welch-z/KS/PSI (ops/stats.mannwhitney_u)."""
+    from ..ops.stats import mannwhitney_u
+
+    return mannwhitney_u(_read(sf_dir, "events", ["value", "event_type"]),
+                         "value", "event_type", "click")
+
+
+QUERIES["mannwhitney"] = q_mannwhitney
+ORACLE_SQL["mannwhitney"] = (
+    "WITH v AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 "
+    "ELSE 0 END AS is_a FROM events WHERE value IS NOT NULL), "
+    "c AS (SELECT value, sum(is_a)::DOUBLE AS c_a, "
+    "sum(1 - is_a)::DOUBLE AS c_b FROM v GROUP BY value), "
+    "r AS (SELECT c_a, c_b, "
+    "COALESCE(sum(c_a + c_b) OVER (ORDER BY value "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "+ (c_a + c_b + 1.0) / 2.0 AS avg_rank FROM c), "
+    "tot AS (SELECT sum(c_a) AS na, sum(c_b) AS nb, "
+    "sum(c_a * avg_rank) AS ra FROM r) "
+    "SELECT ra - na * (na + 1.0) / 2.0 AS u_a, "
+    "(ra - na * (na + 1.0) / 2.0) / (na * nb) AS effect, "
+    "na::BIGINT AS n_a, nb::BIGINT AS n_b FROM tot"
+)

@@ -870,3 +870,26 @@ class TestKSTest:
         out2 = ks_test(ray.data.from_pandas(df2), "value", "side",
                        "a").to_pandas()
         assert out2["ks"].iloc[0] == pytest.approx(0.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMannWhitney:
+    def test_hand_case_with_ties(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import mannwhitney_u
+
+        # a = {1, 2}, b = {2, 3}: ranks 1, 2.5(tie), 2.5(tie), 4
+        # R_a = 1 + 2.5 = 3.5 -> U_a = 3.5 - 3 = 0.5, effect = 0.125
+        df = pd.DataFrame({"value": [1.0, 2.0, 2.0, 3.0],
+                           "side": ["a", "a", "b", "b"]})
+        out = mannwhitney_u(ray.data.from_pandas(df).repartition(2),
+                            "value", "side", "a").to_pandas()
+        assert out["u_a"].iloc[0] == pytest.approx(0.5)
+        assert out["effect"].iloc[0] == pytest.approx(0.125)
+        # stochastic dominance: all of a below all of b -> effect 0
+        df2 = pd.DataFrame({"value": [1.0, 2.0, 3.0, 4.0],
+                            "side": ["a", "a", "b", "b"]})
+        out2 = mannwhitney_u(ray.data.from_pandas(df2), "value", "side",
+                             "a").to_pandas()
+        assert out2["effect"].iloc[0] == pytest.approx(0.0)
