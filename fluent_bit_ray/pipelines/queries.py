@@ -6248,3 +6248,57 @@ ORACLE_SQL["mannwhitney"] = (
     "(ra - na * (na + 1.0) / 2.0) / (na * nb) AS effect, "
     "na::BIGINT AS n_a, nb::BIGINT AS n_b FROM tot"
 )
+
+
+def q_chi2_independence(sf_dir: str):
+    """chi-square independence of event type x ISO weekday — "does the
+    traffic mix depend on the day?" — the categorical counterpart of the
+    drift tests. ONE (type, dow) count reduce (35 cells), driver-side
+    expected-count math mirrored verbatim by the twin."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t["ts"]))
+        dow = pc.cast(pc.day_of_week(tt["ts"]), pa.int64())
+        g = pa.table({
+            "event_type": tt["event_type"],
+            "dow": pc.add(dow, pa.scalar(1, pa.int64())),  # ISO 1..7
+            "n": pa.nulls(tt.num_rows, pa.int64()).fill_null(1),
+        }).group_by(["event_type", "dow"]).aggregate([("n", "sum")])
+        return g.select(["event_type", "dow", "n_sum"]).rename_columns(
+            ["event_type", "dow", "n"])
+
+    cells = hash_reduce_dataset_refs(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["event_type", "dow"], ["n"]).to_pandas()
+    piv = cells.pivot_table(index="event_type", columns="dow", values="n",
+                            fill_value=0, aggfunc="sum")
+    obs = piv.to_numpy(dtype=np.float64)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pa.table({"chi2": pa.array([chi2], pa.float64()),
+                     "dof": pa.array([int(dof)], pa.int64()),
+                     "n": pa.array([int(n)], pa.int64())})
+
+
+QUERIES["chi2_independence"] = q_chi2_independence
+ORACLE_SQL["chi2_independence"] = (
+    "WITH c AS (SELECT event_type, isodow(ts) AS dow, "
+    "count(*)::DOUBLE AS n FROM events WHERE ts IS NOT NULL "
+    "GROUP BY 1, 2), "
+    "t AS (SELECT sum(n) AS total FROM c), "
+    "rt AS (SELECT event_type, sum(n) AS r FROM c GROUP BY event_type), "
+    "ct AS (SELECT dow, sum(n) AS col FROM c GROUP BY dow), "
+    # the full grid: unobserved cells still contribute (0-e)^2/e
+    "grid AS (SELECT rt.event_type, ct.dow, rt.r, ct.col "
+    "FROM rt CROSS JOIN ct), "
+    "x AS (SELECT COALESCE(c.n, 0) AS o, g.r * g.col / t.total AS e "
+    "FROM grid g CROSS JOIN t LEFT JOIN c "
+    "ON g.event_type = c.event_type AND g.dow = c.dow) "
+    "SELECT sum((o - e) * (o - e) / e) AS chi2, "
+    "((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) "
+    "AS dof, (SELECT total FROM t)::BIGINT AS n FROM x"
+)
