@@ -308,3 +308,32 @@ SELECT src AS partition, sink,
   sum(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END)::BIGINT AS parse_failures
 FROM routed GROUP BY src, sink
 """
+
+
+def weblog_burn_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
+    """Per (host, hour): short-window (1h) and long-window (6h) 5xx
+    ratios and the multi-window burn-rate alert (Google SRE fast-burn
+    shape: both windows above 14.41x a 1% error budget)."""
+    return _timed_cte(pages_glob, now_year) + """
+, hourly AS (
+  SELECT host,
+    event_ns // 3600000000000 AS hour_bucket,
+    (event_ns // 3600000000000) // 6 AS long_bucket,
+    count(*)::BIGINT AS n,
+    sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^5\\d\\d$')
+        THEN 1 ELSE 0 END)::BIGINT AS n_5xx
+  FROM timed GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT host, hour_bucket, n, n_5xx,
+    sum(n) OVER w AS long_n, sum(n_5xx) OVER w AS long_5xx
+  FROM hourly
+  WINDOW w AS (PARTITION BY host, long_bucket)
+)
+SELECT host, hour_bucket, n, n_5xx,
+  n_5xx::DOUBLE / n AS short_ratio,
+  long_5xx::DOUBLE / long_n AS long_ratio,
+  (n_5xx::DOUBLE / n > 0.1441 AND long_5xx::DOUBLE / long_n > 0.1441)
+    AS alert
+FROM agg
+"""

@@ -4424,6 +4424,9 @@ def oracle_sql_full() -> dict[str, str]:
     out["top_paths"] = weblog_top_paths_sql(pages_path(rows) + "/*.parquet")
     out["lineage_metrics"] = weblog_lineage_sql(
         pages_path(rows) + "/*.parquet")
+    from ..oracle.weblog_sql import weblog_burn_rate_sql
+
+    out["burn_rate"] = weblog_burn_rate_sql(pages_path(rows) + "/*.parquet")
     from ..oracle.weblog_sql import _APACHE_RE, _SYSLOG_RE
     from ..synth import hostmeta_path
 
@@ -6302,3 +6305,76 @@ ORACLE_SQL["chi2_independence"] = (
     "((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) "
     "AS dof, (SELECT total FROM t)::BIGINT AS n FROM x"
 )
+
+
+def q_burn_rate(sf_dir: str):
+    """multi-window SLO burn-rate alerting over the pages corpus
+    (Google SRE fast-burn shape): per (host, hour) the 1h and
+    containing-6h 5xx ratios, alert when BOTH exceed 14.41x a 1% error
+    budget (threshold chosen off the small-denominator rational lattice
+    so ratio==threshold can't happen). ONE (host, long-bucket) exchange
+    of hour-level combiners — both window levels resolve shard-local."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        ns = t["_time"]
+        if isinstance(ns, pa.ChunkedArray):
+            ns = ns.combine_chunks()
+        hour = np.asarray(ns, dtype=np.int64) // 3_600_000_000_000
+        code = _col_or_nulls(t, "code")
+        is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
+        g = pa.table({
+            "host": t["host"],
+            "hour_bucket": pa.array(hour, pa.int64()),
+            "long_bucket": pa.array(hour // 6, pa.int64()),
+            "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "n_5xx": pc.cast(is5, pa.int64()),
+        }).group_by(["host", "hour_bucket", "long_bucket"]).aggregate(
+            [("n", "sum"), ("n_5xx", "sum")])
+        return g.select(["host", "hour_bucket", "long_bucket",
+                         "n_sum", "n_5xx_sum"]).rename_columns(
+            ["host", "hour_bucket", "long_bucket", "n", "n_5xx"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host", "hour_bucket", "long_bucket"]).aggregate(
+            [("n", "sum"), ("n_5xx", "sum")])
+        return g.select(["host", "hour_bucket", "long_bucket",
+                         "n_sum", "n_5xx_sum"]).rename_columns(
+            ["host", "hour_bucket", "long_bucket", "n", "n_5xx"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        grp = df.groupby(["host", "long_bucket"], sort=False)
+        df["long_n"] = grp["n"].transform("sum")
+        df["long_5xx"] = grp["n_5xx"].transform("sum")
+        short = (df["n_5xx"].astype("float64")
+                 / df["n"].astype("float64")).to_numpy()
+        longr = (df["long_5xx"].astype("float64")
+                 / df["long_n"].astype("float64")).to_numpy()
+        return pa.table({
+            "host": pa.array(df["host"], pa.string()),
+            "hour_bucket": pa.array(df["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "n_5xx": pa.array(df["n_5xx"].to_numpy(np.int64)),
+            "short_ratio": pa.array(short, pa.float64()),
+            "long_ratio": pa.array(longr, pa.float64()),
+            "alert": pa.array((short > 0.1441) & (longr > 0.1441)),
+        })
+
+    out = hash_exchange(
+        _weblog_parsed_ds(sf_dir).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["host", "long_bucket"], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"host": pa.array([], pa.string()),
+                         "hour_bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "n_5xx": pa.array([], pa.int64()),
+                         "short_ratio": pa.array([], pa.float64()),
+                         "long_ratio": pa.array([], pa.float64()),
+                         "alert": pa.array([], pa.bool_())})
+    return out
+
+
+QUERIES["burn_rate"] = q_burn_rate
