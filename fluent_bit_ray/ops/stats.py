@@ -2515,3 +2515,82 @@ def mannwhitney_u(
                      "effect": pa.array([effect], pa.float64()),
                      "n_a": pa.array([int(na)], pa.int64()),
                      "n_b": pa.array([int(nb)], pa.int64())})
+
+
+def rate_autocorr(
+    ds,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bucket_sec: int = 3600,
+) -> pa.Table:
+    """Lag-1 autocorrelation of per-bucket event counts per type — the
+    trend/seasonality tell (r1 near 0: memoryless arrivals; high r1:
+    trending load). Pairs are OBSERVED consecutive buckets (bucket+1
+    present), and r1 uses the explicit moment formula
+    (nΣxy - ΣxΣy) / sqrt((nΣxx - (Σx)²)(nΣyy - (Σy)²)) so every
+    intermediate is an exact integer in float64 and the double matches
+    the SQL twin exactly. Same ONE type-keyed exchange as burstiness
+    (a type's buckets co-locate); types with <2 pairs or zero variance
+    emit NULL r1."""
+    from ..shuffle import hash_exchange
+
+    step = bucket_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[ts_col]))
+        f = tt.schema.field(ts_col)
+        ts_us = pc.cast(tt[ts_col],
+                        pa.timestamp("us", tz=getattr(f.type, "tz", None)))
+        us = np.asarray(pc.cast(ts_us, pa.int64()))
+        bucket = pa.array(us // step, pa.int64())
+        g = pa.table({type_col: tt[type_col], "bucket": bucket}).group_by(
+            [type_col, "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns([type_col, "bucket", "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([type_col, "bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns([type_col, "bucket", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        rows = []
+        for ty, g in df.groupby(type_col, sort=False, dropna=False):
+            g = g.sort_values("bucket")
+            b = g["bucket"].to_numpy(np.int64)
+            cnt = g["n"].to_numpy(np.float64)  # exact ints
+            has_next = np.isin(b + 1, b)
+            idx_next = np.searchsorted(b, b + 1)
+            x = cnt[has_next]
+            y = cnt[np.clip(idx_next[has_next], 0, len(b) - 1)]
+            n = float(len(x))
+            if n == 0:
+                continue  # the SQL twin's pair join drops pairless types
+            if n >= 2:
+                sx, sy = float(x.sum()), float(y.sum())
+                sxx = float((x * x).sum())
+                syy = float((y * y).sum())
+                sxy = float((x * y).sum())
+                den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+                r1 = ((n * sxy - sx * sy) / float(np.sqrt(den2))
+                      if den2 > 0 else None)
+            else:
+                r1 = None
+            rows.append((None if (ty is None or (isinstance(ty, float)
+                                                 and np.isnan(ty))) else ty,
+                         int(n), r1))
+        return pa.table({
+            type_col: pa.array([r[0] for r in rows], pa.string()),
+            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+            "r1": pa.array([r[2] for r in rows], pa.float64()),
+        })
+
+    out = hash_exchange(
+        ds.select_columns([ts_col, type_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [type_col], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({type_col: pa.array([], pa.string()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "r1": pa.array([], pa.float64())})
+    return out

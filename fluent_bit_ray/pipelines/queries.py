@@ -6378,3 +6378,32 @@ def q_burn_rate(sf_dir: str):
 
 
 QUERIES["burn_rate"] = q_burn_rate
+
+
+def q_rate_autocorr(sf_dir: str):
+    """lag-1 autocorrelation of hourly event counts per type — the
+    trend/seasonality diagnostic beside burstiness
+    (ops/stats.rate_autocorr: exact-integer moment formula over
+    observed consecutive buckets, ONE type-keyed exchange)."""
+    from ..ops.stats import rate_autocorr
+
+    return rate_autocorr(_read(sf_dir, "events", ["ts", "event_type"]),
+                         bucket_sec=3600)
+
+
+QUERIES["rate_autocorr"] = q_rate_autocorr
+ORACLE_SQL["rate_autocorr"] = (
+    "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, "
+    "count(*)::DOUBLE AS n FROM events WHERE ts IS NOT NULL "
+    "GROUP BY 1, 2), "
+    "p AS (SELECT a.event_type, a.n AS x, b.n AS y FROM c a "
+    "JOIN c b ON a.event_type = b.event_type "
+    "AND b.bucket = a.bucket + 1), "
+    "s AS (SELECT event_type, count(*)::DOUBLE AS n, sum(x) AS sx, "
+    "sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy "
+    "FROM p GROUP BY event_type) "
+    "SELECT event_type, n::BIGINT AS n_pairs, "
+    "CASE WHEN n >= 2 AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN "
+    "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r1 "
+    "FROM s"
+)

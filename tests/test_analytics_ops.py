@@ -893,3 +893,32 @@ class TestMannWhitney:
         out2 = mannwhitney_u(ray.data.from_pandas(df2), "value", "side",
                              "a").to_pandas()
         assert out2["effect"].iloc[0] == pytest.approx(0.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRateAutocorr:
+    def test_trend_vs_alternation_and_pairless(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import rate_autocorr
+
+        rows = []
+        # "up": rising hourly counts 1,2,3,4,5 -> r1 = 1
+        for h, k in enumerate([1, 2, 3, 4, 5]):
+            rows += [("up", h)] * k
+        # "alt": alternating 1,5,1,5,1 -> strongly negative r1
+        for h, k in enumerate([1, 5, 1, 5, 1]):
+            rows += [("alt", h)] * k
+        # "lonely": two non-adjacent buckets -> no pair, dropped
+        rows += [("lonely", 0), ("lonely", 5)]
+        df = pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta([r[1] for r in rows], unit="h"),
+        })
+        out = rate_autocorr(ray.data.from_pandas(df).repartition(3),
+                            bucket_sec=3600).to_pandas().set_index(
+            "event_type")
+        assert out.loc["up", "r1"] == pytest.approx(1.0)
+        assert out.loc["alt", "r1"] == pytest.approx(-1.0)
+        assert "lonely" not in out.index
