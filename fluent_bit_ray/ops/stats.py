@@ -2594,3 +2594,79 @@ def rate_autocorr(
                          "n_pairs": pa.array([], pa.int64()),
                          "r1": pa.array([], pa.float64())})
     return out
+
+
+def seasonal_anomaly(
+    ds,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    ratio_threshold: float = 3.0007,
+) -> pa.Table:
+    """Seasonally-adjusted volume anomalies: each (type, hour) bucket is
+    compared against its type's HOUR-OF-DAY profile (the mean count for
+    that clock hour across all observed days) — the alert that knows
+    3am is always quiet. Flag when count > threshold x the profile mean
+    (off-lattice threshold: count*days/total is a small-denominator
+    rational that cannot equal it). ONE type-keyed exchange of hourly
+    combiners; profile build and join are shard-local (a type's hours
+    co-locate)."""
+    from ..shuffle import hash_exchange
+
+    step = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[ts_col]))
+        f = tt.schema.field(ts_col)
+        ts_us = pc.cast(tt[ts_col],
+                        pa.timestamp("us", tz=getattr(f.type, "tz", None)))
+        us = np.asarray(pc.cast(ts_us, pa.int64()))
+        hour = us // step
+        g = pa.table({
+            type_col: tt[type_col],
+            "hour_bucket": pa.array(hour, pa.int64()),
+            "hod": pa.array(hour % 24, pa.int64()),
+            "n": pa.nulls(tt.num_rows, pa.int64()).fill_null(1),
+        }).group_by([type_col, "hour_bucket", "hod"]).aggregate(
+            [("n", "sum")])
+        return g.select([type_col, "hour_bucket", "hod",
+                         "n_sum"]).rename_columns(
+            [type_col, "hour_bucket", "hod", "n"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by([type_col, "hour_bucket", "hod"]).aggregate(
+            [("n", "sum")])
+        return g.select([type_col, "hour_bucket", "hod",
+                         "n_sum"]).rename_columns(
+            [type_col, "hour_bucket", "hod", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        grp = df.groupby([type_col, "hod"], sort=False, dropna=False)
+        df["cell_total"] = grp["n"].transform("sum")
+        df["cell_hours"] = grp["n"].transform("size")
+        expected = (df["cell_total"].astype("float64")
+                    / df["cell_hours"].astype("float64")).to_numpy()
+        n = df["n"].to_numpy(np.float64)
+        ratio = n / expected
+        return pa.table({
+            type_col: pa.array(df[type_col], pa.string()),
+            "hour_bucket": pa.array(df["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "expected": pa.array(expected, pa.float64()),
+            "ratio": pa.array(ratio, pa.float64()),
+            "flagged": pa.array(ratio > ratio_threshold),
+        })
+
+    out = hash_exchange(
+        ds.select_columns([ts_col, type_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        [type_col], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({type_col: pa.array([], pa.string()),
+                         "hour_bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "expected": pa.array([], pa.float64()),
+                         "ratio": pa.array([], pa.float64()),
+                         "flagged": pa.array([], pa.bool_())})
+    return out

@@ -6407,3 +6407,29 @@ ORACLE_SQL["rate_autocorr"] = (
     "(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS r1 "
     "FROM s"
 )
+
+
+def q_seasonal_anomaly(sf_dir: str):
+    """seasonally-adjusted volume anomalies: each (type, hour) compared
+    against its hour-of-day profile mean — the alert that knows 3am is
+    always quiet (ops/stats.seasonal_anomaly — profile build and join
+    shard-local after ONE type-keyed exchange)."""
+    from ..ops.stats import seasonal_anomaly
+
+    return seasonal_anomaly(_read(sf_dir, "events", ["ts", "event_type"]))
+
+
+QUERIES["seasonal_anomaly"] = q_seasonal_anomaly
+ORACLE_SQL["seasonal_anomaly"] = (
+    "WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 "
+    "AS hour_bucket, (epoch_us(ts) // 3600000000) % 24 AS hod, "
+    "count(*)::BIGINT AS n FROM events WHERE ts IS NOT NULL "
+    "GROUP BY 1, 2, 3), "
+    "p AS (SELECT event_type, hod, sum(n)::DOUBLE AS cell_total, "
+    "count(*)::DOUBLE AS cell_hours FROM c GROUP BY event_type, hod) "
+    "SELECT c.event_type, c.hour_bucket, c.n, "
+    "p.cell_total / p.cell_hours AS expected, "
+    "c.n / (p.cell_total / p.cell_hours) AS ratio, "
+    "c.n / (p.cell_total / p.cell_hours) > 3.0007 AS flagged "
+    "FROM c JOIN p ON c.event_type = p.event_type AND c.hod = p.hod"
+)

@@ -922,3 +922,32 @@ class TestRateAutocorr:
         assert out.loc["up", "r1"] == pytest.approx(1.0)
         assert out.loc["alt", "r1"] == pytest.approx(-1.0)
         assert "lonely" not in out.index
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeasonalAnomaly:
+    def test_profile_aware_flagging(self):
+        import ray.data
+
+        from fluent_bit_ray.ops.stats import seasonal_anomaly
+
+        rows = []
+        # 3 days: hour 3 always has 2 events, hour 12 always has 10 —
+        # then day 4 hour 3 bursts to 20 (10x its profile) while day 4
+        # hour 12 has 10 (normal)
+        for day in range(3):
+            rows += [("a", day * 24 + 3)] * 2 + [("a", day * 24 + 12)] * 10
+        rows += [("a", 3 * 24 + 3)] * 20 + [("a", 3 * 24 + 12)] * 10
+        df = pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta([r[1] for r in rows], unit="h"),
+        })
+        out = seasonal_anomaly(
+            ray.data.from_pandas(df).repartition(3)).to_pandas()
+        burst = out[(out.hour_bucket % 24 == 3)
+                    & (out.n == 20)].iloc[0]
+        assert bool(burst["flagged"])  # 20 vs profile mean 6.5 -> 3.08x
+        # the same absolute volume at noon is NORMAL (profile 10)
+        noon = out[out.hour_bucket % 24 == 12]
+        assert not noon["flagged"].any()
