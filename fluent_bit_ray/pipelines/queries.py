@@ -6433,3 +6433,148 @@ ORACLE_SQL["seasonal_anomaly"] = (
     "c.n / (p.cell_total / p.cell_hours) > 3.0007 AS flagged "
     "FROM c JOIN p ON c.event_type = p.event_type AND c.hod = p.hod"
 )
+
+
+def q_stickiness(sf_dir: str):
+    """DAU/MAU stickiness per day — the product-engagement ratio: daily
+    active users over the calendar month's active users. Map-side
+    DISTINCT (month, day, user) tuples cross ONE month-keyed exchange
+    (a month's days co-locate, so both distinct levels and the ratio
+    resolve shard-local)."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t["ts"]))
+        day = pc.cast(pc.floor_temporal(tt["ts"], unit="day"),
+                      pa.timestamp("us"))
+        month = pc.cast(pc.floor_temporal(tt["ts"], unit="month"),
+                        pa.timestamp("us"))
+        return pa.table({
+            "month_us": pc.cast(month, pa.int64()),
+            "day_us": pc.cast(day, pa.int64()),
+            "user_id": tt["user_id"],
+        }).group_by(["month_us", "day_us", "user_id"]).aggregate([])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        return t.group_by(["month_us", "day_us", "user_id"]).aggregate([])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        dau = df.groupby(["month_us", "day_us"], sort=False)[
+            "user_id"].nunique().rename("dau").reset_index()
+        mau = df.groupby("month_us", sort=False)[
+            "user_id"].nunique().rename("mau").reset_index()
+        m = dau.merge(mau, on="month_us", sort=False)
+        return pa.table({
+            "day_us": pa.array(m["day_us"].to_numpy(np.int64)),
+            "dau": pa.array(m["dau"].to_numpy(np.int64)),
+            "mau": pa.array(m["mau"].to_numpy(np.int64)),
+            "stickiness": pa.array(
+                m["dau"].to_numpy(np.float64)
+                / m["mau"].to_numpy(np.float64), pa.float64()),
+        })
+
+    out = hash_exchange(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["month_us"], finish, combine_fn=regroup,
+    )
+    if out is None:
+        return pa.table({"day_us": pa.array([], pa.int64()),
+                         "dau": pa.array([], pa.int64()),
+                         "mau": pa.array([], pa.int64()),
+                         "stickiness": pa.array([], pa.float64())})
+    return out
+
+
+QUERIES["stickiness"] = q_stickiness
+ORACLE_SQL["stickiness"] = (
+    "WITH d AS (SELECT DISTINCT date_trunc('month', ts) AS month, "
+    "date_trunc('day', ts) AS day, user_id FROM events "
+    "WHERE ts IS NOT NULL), "
+    "dau AS (SELECT month, day, count(DISTINCT user_id)::BIGINT AS dau "
+    "FROM d GROUP BY month, day), "
+    "mau AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau "
+    "FROM d GROUP BY month) "
+    "SELECT epoch_us(day) AS day_us, dau, mau, "
+    "dau::DOUBLE / mau AS stickiness "
+    "FROM dau JOIN mau USING (month)"
+)
+
+
+def q_cuped(sf_dir: str):
+    """CUPED variance reduction (the standard experimentation trick:
+    regress each user's post-period metric on their pre-period
+    covariate; var(post - theta*pre) shrinks by cov²/var(pre)) — theta,
+    raw and adjusted variance from one pass of per-user (pre, post)
+    sums. Split at the corpus midpoint (2024-01-16); users active in
+    the post period enter, their pre defaulting to 0 like the twin's
+    CASE ELSE. ONE user-keyed reduce of fixed-width partials; the
+    moment expressions mirror the SQL verbatim."""
+    import pandas as pd
+
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    split_us = int(pd.Timestamp("2024-01-16").value // 1000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["value"])))
+        us = pc.cast(pc.cast(tt["ts"], pa.timestamp("us")), pa.int64())
+        is_post = pc.greater_equal(us, split_us)
+        v = pc.cast(tt["value"], pa.float64())
+        zero = pa.nulls(tt.num_rows, pa.float64()).fill_null(0.0)
+        g = pa.table({
+            "user_id": tt["user_id"],
+            "pre": pc.if_else(is_post, zero, v),
+            "post": pc.if_else(is_post, v, zero),
+            "n_post": pc.cast(is_post, pa.int64()),
+        }).group_by(["user_id"]).aggregate(
+            [("pre", "sum"), ("post", "sum"), ("n_post", "sum")])
+        return g.select(["user_id", "pre_sum", "post_sum",
+                         "n_post_sum"]).rename_columns(
+            ["user_id", "pre", "post", "n_post"])
+
+    users = hash_reduce_dataset_refs(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["user_id"], ["pre", "post", "n_post"]).to_pandas()
+    users = users[users["n_post"] > 0]
+    x = users["pre"].to_numpy(np.float64)
+    y = users["post"].to_numpy(np.float64)
+    n = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx = float((x * x).sum())
+    syy = float((y * y).sum())
+    sxy = float((x * y).sum())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_post = (n * syy - sy * sy) / (n * (n - 1.0))
+    var_adj = ((n * syy - sy * sy)
+               - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / (n * sxx - sx * sx)) / (n * (n - 1.0))
+    return pa.table({
+        "theta": pa.array([theta], pa.float64()),
+        "var_post": pa.array([var_post], pa.float64()),
+        "var_adj": pa.array([var_adj], pa.float64()),
+        "n_users": pa.array([int(n)], pa.int64()),
+    })
+
+
+QUERIES["cuped"] = q_cuped
+ORACLE_SQL["cuped"] = (
+    "WITH u AS (SELECT user_id, "
+    "sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value ELSE 0 END) "
+    "AS pre, "
+    "sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value ELSE 0 END) "
+    "AS post, "
+    "sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) "
+    "AS n_post FROM events WHERE ts IS NOT NULL AND value IS NOT NULL "
+    "GROUP BY user_id), "
+    "p AS (SELECT pre, post FROM u WHERE n_post > 0), "
+    "s AS (SELECT count(*)::DOUBLE AS n, sum(pre) AS sx, sum(post) AS sy, "
+    "sum(pre*pre) AS sxx, sum(post*post) AS syy, sum(pre*post) AS sxy "
+    "FROM p) "
+    "SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS theta, "
+    "(n*syy - sy*sy) / (n*(n - 1.0)) AS var_post, "
+    "((n*syy - sy*sy) - (n*sxy - sx*sy)*(n*sxy - sx*sy)/(n*sxx - sx*sx)) "
+    "/ (n*(n - 1.0)) AS var_adj, n::BIGINT AS n_users FROM s"
+)
