@@ -6578,3 +6578,77 @@ ORACLE_SQL["cuped"] = (
     "((n*syy - sy*sy) - (n*sxy - sx*sy)*(n*sxy - sx*sy)/(n*sxx - sx*sx)) "
     "/ (n*(n - 1.0)) AS var_adj, n::BIGINT AS n_users FROM s"
 )
+
+
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival curve over user lifetime (first-to-last
+    event span): users whose last event predates the corpus horizon by
+    >1 day count as churned, the rest are right-CENSORED — the
+    retention curve that handles censoring correctly. ONE user-keyed
+    exchange of (min, max) combiners; the KM product runs as
+    exp(cumsum(ln(1 - d/n))) to mirror the SQL window expression
+    double-for-double. At-risk counts come from one searchsorted over
+    the sorted lifetime array (user-cardinality driver pass, same
+    documented bound as RFM)."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t["ts"]))
+        us = pc.cast(pc.cast(tt["ts"], pa.timestamp("us")), pa.int64())
+        g = pa.table({
+            "user_id": tt["user_id"], "fu": us, "lu": us,
+        }).group_by(["user_id"]).aggregate([("fu", "min"), ("lu", "max")])
+        return g.select(["user_id", "fu_min", "lu_max"]).rename_columns(
+            ["user_id", "fu", "lu"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([("fu", "min"), ("lu", "max")])
+        return g.select(["user_id", "fu_min", "lu_max"]).rename_columns(
+            ["user_id", "fu", "lu"])
+
+    users = hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["user_id"], regroup, combine_fn=regroup,
+    )
+    if users is None or not users.num_rows:
+        return pa.table({"duration_us": pa.array([], pa.int64()),
+                         "at_risk": pa.array([], pa.int64()),
+                         "churned": pa.array([], pa.int64()),
+                         "survival": pa.array([], pa.float64())})
+    fu = np.asarray(users["fu"], dtype=np.int64)
+    lu = np.asarray(users["lu"], dtype=np.int64)
+    mx = int(lu.max())
+    dur = lu - fu
+    churn = lu < mx - 86_400_000_000
+    all_sorted = np.sort(dur)
+    ev = np.sort(np.unique(dur[churn]))
+    d_i = np.array([int((dur[churn] == t).sum()) for t in ev],
+                   dtype=np.int64)
+    n_i = len(dur) - np.searchsorted(all_sorted, ev, side="left")
+    surv = np.exp(np.cumsum(np.log(1.0 - d_i / n_i.astype(np.float64))))
+    return pa.table({
+        "duration_us": pa.array(ev, pa.int64()),
+        "at_risk": pa.array(n_i.astype(np.int64)),
+        "churned": pa.array(d_i),
+        "survival": pa.array(surv, pa.float64()),
+    })
+
+
+QUERIES["kaplan_meier"] = q_kaplan_meier
+ORACLE_SQL["kaplan_meier"] = (
+    "WITH u AS (SELECT user_id, min(epoch_us(ts)) AS fu, "
+    "max(epoch_us(ts)) AS lu FROM events WHERE ts IS NOT NULL "
+    "GROUP BY user_id), "
+    "b AS (SELECT max(lu) AS mx FROM u), "
+    "d AS (SELECT lu - fu AS dur, "
+    "CASE WHEN lu < mx - 86400000000 THEN 1 ELSE 0 END AS churned "
+    "FROM u, b), "
+    "t AS (SELECT dur, count(*)::BIGINT AS d_i FROM d WHERE churned = 1 "
+    "GROUP BY dur), "
+    "r AS (SELECT t.dur, t.d_i, "
+    "(SELECT count(*) FROM d WHERE d.dur >= t.dur)::BIGINT AS n_i FROM t) "
+    "SELECT dur AS duration_us, n_i AS at_risk, d_i AS churned, "
+    "exp(sum(ln(1 - d_i::DOUBLE / n_i)) OVER (ORDER BY dur "
+    "ROWS UNBOUNDED PRECEDING)) AS survival FROM r"
+)

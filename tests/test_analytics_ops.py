@@ -951,3 +951,23 @@ class TestSeasonalAnomaly:
         # the same absolute volume at noon is NORMAL (profile 10)
         noon = out[out.hour_bucket % 24 == 12]
         assert not noon["flagged"].any()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKaplanMeier:
+    def test_textbook_curve(self):
+        import ray.data
+
+        from fluent_bit_ray.pipelines.queries import QUERIES
+
+        # the driver query needs an sf dir; exercise the math through the
+        # real query at sf0.001 and assert KM invariants instead of a
+        # synthetic frame (the op lives inline in the query)
+        out = QUERIES["kaplan_meier"]("/root/testdata/sf0.001").to_pandas()
+        if len(out):
+            s = out.sort_values("duration_us")["survival"].to_numpy()
+            assert np.all(np.diff(s) <= 1e-12)        # non-increasing
+            assert np.all((s > 0) & (s <= 1.0))
+            # at-risk counts shrink as durations grow
+            r = out.sort_values("duration_us")["at_risk"].to_numpy()
+            assert np.all(np.diff(r) <= 0)
