@@ -2390,6 +2390,35 @@ def psi_drift(
     })
 
 
+def _side_value_counts(ds, val_col: str, split_col: str, split_a):
+    """Shared rank-test front end: per-side DISTINCT-value counts
+    through ONE value-keyed exchange — (value, c_a, c_b) rows, null
+    values excluded, null split values on side b."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[val_col]))
+        side_a = pc.fill_null(pc.equal(tt[split_col], split_a), False)
+        g = pa.table({
+            "value": pc.cast(tt[val_col], pa.float64()),
+            "c_a": pc.cast(side_a, pa.int64()),
+            "c_b": pc.cast(pc.invert(side_a), pa.int64()),
+        }).group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        g = t.group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
+        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
+            ["value", "c_a", "c_b"])
+
+    return hash_exchange(
+        ds.select_columns([val_col, split_col]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["value"], regroup, combine_fn=regroup,
+    )
+
+
 def ks_test(
     ds,
     val_col: str,
@@ -2410,29 +2439,7 @@ def ks_test(
     range-partition via ops/sample.global_sort instead. The cumulative
     sums run over the same sorted sequence as the SQL window, so the
     doubles are bit-identical."""
-    from ..shuffle import hash_exchange
-
-    def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.is_valid(t[val_col]))
-        side_a = pc.fill_null(pc.equal(tt[split_col], split_a), False)
-        g = pa.table({
-            "value": pc.cast(tt[val_col], pa.float64()),
-            "c_a": pc.cast(side_a, pa.int64()),
-            "c_b": pc.cast(pc.invert(side_a), pa.int64()),
-        }).group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
-        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
-            ["value", "c_a", "c_b"])
-
-    def regroup(t: pa.Table) -> pa.Table:
-        g = t.group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
-        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
-            ["value", "c_a", "c_b"])
-
-    counts = hash_exchange(
-        ds.select_columns([val_col, split_col]).map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs(),
-        ["value"], regroup, combine_fn=regroup,
-    )
+    counts = _side_value_counts(ds, val_col, split_col, split_a)
     if counts is None or not counts.num_rows:
         return pa.table({"ks": pa.array([], pa.float64()),
                          "n_a": pa.array([], pa.int64()),
@@ -2467,29 +2474,7 @@ def mannwhitney_u(
     ONE value-keyed exchange, then a single driver pass over the sorted
     count table computes every tie group's average rank exactly
     (distinct-value-cardinality assumption documented there)."""
-    from ..shuffle import hash_exchange
-
-    def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.is_valid(t[val_col]))
-        side_a = pc.fill_null(pc.equal(tt[split_col], split_a), False)
-        g = pa.table({
-            "value": pc.cast(tt[val_col], pa.float64()),
-            "c_a": pc.cast(side_a, pa.int64()),
-            "c_b": pc.cast(pc.invert(side_a), pa.int64()),
-        }).group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
-        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
-            ["value", "c_a", "c_b"])
-
-    def regroup(t: pa.Table) -> pa.Table:
-        g = t.group_by(["value"]).aggregate([("c_a", "sum"), ("c_b", "sum")])
-        return g.select(["value", "c_a_sum", "c_b_sum"]).rename_columns(
-            ["value", "c_a", "c_b"])
-
-    counts = hash_exchange(
-        ds.select_columns([val_col, split_col]).map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs(),
-        ["value"], regroup, combine_fn=regroup,
-    )
+    counts = _side_value_counts(ds, val_col, split_col, split_a)
     if counts is None or not counts.num_rows:
         return pa.table({"u_a": pa.array([], pa.float64()),
                          "effect": pa.array([], pa.float64()),
@@ -2531,13 +2516,15 @@ def rate_autocorr(
     intermediate is an exact integer in float64 and the double matches
     the SQL twin exactly. Same ONE type-keyed exchange as burstiness
     (a type's buckets co-locate); types with <2 pairs or zero variance
-    emit NULL r1."""
+    emit NULL r1. Null types are excluded (the twin's self-join drops
+    them — NULL = NULL never matches)."""
     from ..shuffle import hash_exchange
 
     step = bucket_sec * 1_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.is_valid(t[ts_col]))
+        tt = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                              pc.is_valid(t[type_col])))
         f = tt.schema.field(ts_col)
         ts_us = pc.cast(tt[ts_col],
                         pa.timestamp("us", tz=getattr(f.type, "tz", None)))
@@ -2609,13 +2596,15 @@ def seasonal_anomaly(
     (off-lattice threshold: count*days/total is a small-denominator
     rational that cannot equal it). ONE type-keyed exchange of hourly
     combiners; profile build and join are shard-local (a type's hours
-    co-locate)."""
+    co-locate). Null types are excluded (the twin's profile JOIN drops
+    them — NULL = NULL never matches)."""
     from ..shuffle import hash_exchange
 
     step = 3_600_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.is_valid(t[ts_col]))
+        tt = t.filter(pc.and_(pc.is_valid(t[ts_col]),
+                              pc.is_valid(t[type_col])))
         f = tt.schema.field(ts_col)
         ts_us = pc.cast(tt[ts_col],
                         pa.timestamp("us", tz=getattr(f.type, "tz", None)))

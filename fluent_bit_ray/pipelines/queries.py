@@ -6261,7 +6261,10 @@ def q_chi2_independence(sf_dir: str):
     from ..ops.skew import hash_reduce_dataset_refs
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.is_valid(t["ts"]))
+        # null types excluded on BOTH sides (the twin's WHERE): a NaN
+        # pivot index would silently drop the category engine-side only
+        tt = t.filter(pc.and_(pc.is_valid(t["ts"]),
+                              pc.is_valid(t["event_type"])))
         dow = pc.cast(pc.day_of_week(tt["ts"]), pa.int64())
         g = pa.table({
             "event_type": tt["event_type"],
@@ -6275,6 +6278,11 @@ def q_chi2_independence(sf_dir: str):
         _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
             partial, batch_format="pyarrow"),
         ["event_type", "dow"], ["n"]).to_pandas()
+    if not len(cells):
+        # no data: no fabricated "independent" row
+        return pa.table({"chi2": pa.array([], pa.float64()),
+                         "dof": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     piv = cells.pivot_table(index="event_type", columns="dow", values="n",
                             fill_value=0, aggfunc="sum")
     obs = piv.to_numpy(dtype=np.float64)
@@ -6291,6 +6299,7 @@ QUERIES["chi2_independence"] = q_chi2_independence
 ORACLE_SQL["chi2_independence"] = (
     "WITH c AS (SELECT event_type, isodow(ts) AS dow, "
     "count(*)::DOUBLE AS n FROM events WHERE ts IS NOT NULL "
+    "AND event_type IS NOT NULL "
     "GROUP BY 1, 2), "
     "t AS (SELECT sum(n) AS total FROM c), "
     "rt AS (SELECT event_type, sum(n) AS r FROM c GROUP BY event_type), "
@@ -6344,7 +6353,9 @@ def q_burn_rate(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         df = regroup(t).to_pandas()
-        grp = df.groupby(["host", "long_bucket"], sort=False)
+        # dropna=False: SQL PARTITION BY treats a NULL host as a real
+        # partition, so the long-window sums must too
+        grp = df.groupby(["host", "long_bucket"], sort=False, dropna=False)
         df["long_n"] = grp["n"].transform("sum")
         df["long_5xx"] = grp["n_5xx"].transform("sum")
         short = (df["n_5xx"].astype("float64")
@@ -6546,11 +6557,15 @@ def q_cuped(sf_dir: str):
     sxx = float((x * x).sum())
     syy = float((y * y).sum())
     sxy = float((x * y).sum())
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    var_post = (n * syy - sy * sy) / (n * (n - 1.0))
-    var_adj = ((n * syy - sy * sy)
-               - (n * sxy - sx * sy) * (n * sxy - sx * sy)
-               / (n * sxx - sx * sx)) / (n * (n - 1.0))
+    # degenerate inputs (n <= 1 or zero pre-variance) yield NaN like
+    # the twin's NULL (DuckDB float x/0 -> NULL)
+    den_x = n * sxx - sx * sx
+    den_n = n * (n - 1.0)
+    theta = (n * sxy - sx * sy) / den_x if den_x else float("nan")
+    var_post = (n * syy - sy * sy) / den_n if den_n else float("nan")
+    var_adj = (((n * syy - sy * sy)
+                - (n * sxy - sx * sy) * (n * sxy - sx * sy) / den_x)
+               / den_n if (den_x and den_n) else float("nan"))
     return pa.table({
         "theta": pa.array([theta], pa.float64()),
         "var_post": pa.array([var_post], pa.float64()),
@@ -6622,11 +6637,19 @@ def q_kaplan_meier(sf_dir: str):
     dur = lu - fu
     churn = lu < mx - 86_400_000_000
     all_sorted = np.sort(dur)
-    ev = np.sort(np.unique(dur[churn]))
-    d_i = np.array([int((dur[churn] == t).sum()) for t in ev],
-                   dtype=np.int64)
+    ev, d_i = np.unique(dur[churn], return_counts=True)
+    d_i = d_i.astype(np.int64)
     n_i = len(dur) - np.searchsorted(all_sorted, ev, side="left")
-    surv = np.exp(np.cumsum(np.log(1.0 - d_i / n_i.astype(np.float64))))
+    # a terminal step where everyone at risk churns gives factor 0:
+    # ln(0) would abort the SQL twin, so BOTH sides null the survival
+    # from that step onward (factor replaced by 1 inside the product,
+    # rows at/after the zero masked) — documented divergence from the
+    # textbook S=0
+    factors = 1.0 - d_i / n_i.astype(np.float64)
+    zero = factors == 0.0
+    safe = np.where(zero, 1.0, factors)
+    surv = np.exp(np.cumsum(np.log(safe)))
+    surv = np.where(np.cumsum(zero) > 0, np.nan, surv)
     return pa.table({
         "duration_us": pa.array(ev, pa.int64()),
         "at_risk": pa.array(n_i.astype(np.int64)),
@@ -6649,6 +6672,9 @@ ORACLE_SQL["kaplan_meier"] = (
     "r AS (SELECT t.dur, t.d_i, "
     "(SELECT count(*) FROM d WHERE d.dur >= t.dur)::BIGINT AS n_i FROM t) "
     "SELECT dur AS duration_us, n_i AS at_risk, d_i AS churned, "
-    "exp(sum(ln(1 - d_i::DOUBLE / n_i)) OVER (ORDER BY dur "
-    "ROWS UNBOUNDED PRECEDING)) AS survival FROM r"
+    "CASE WHEN sum(CASE WHEN d_i = n_i THEN 1 ELSE 0 END) "
+    "OVER w > 0 THEN NULL ELSE "
+    "exp(sum(ln(CASE WHEN d_i = n_i THEN 1.0 "
+    "ELSE 1 - d_i::DOUBLE / n_i END)) OVER w) END AS survival "
+    "FROM r WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)"
 )

