@@ -505,6 +505,44 @@ def bench_c4_filters() -> float:
     return time.time() - t0
 
 
+def bench_sliding_spikes() -> float:
+    """rolling z-score anomaly gate (prefix-sum frame stats + candidate
+    re-verify)."""
+    from fluent_bit_ray.pipelines.queries import q_sliding_spikes
+
+    t0 = time.time()
+    _consume(q_sliding_spikes(SF_DIR))
+    return time.time() - t0
+
+
+def bench_psi_drift() -> float:
+    """PSI distribution drift (two-pass bounds + fixed-bin vectors)."""
+    from fluent_bit_ray.pipelines.queries import q_psi_drift
+
+    t0 = time.time()
+    _consume(q_psi_drift(SF_DIR))
+    return time.time() - t0
+
+
+def bench_q5() -> float:
+    """TPC-H Q5-style six-table join (broadcast dims + two chained
+    exchanges)."""
+    from fluent_bit_ray.pipelines.queries import q_q5_revenue
+
+    t0 = time.time()
+    _consume(q_q5_revenue(SF_DIR))
+    return time.time() - t0
+
+
+def bench_lineage_metrics() -> float:
+    """checkpoint lineage surface (run-or-resume flagship + metric read)."""
+    from fluent_bit_ray.pipelines.queries import q_lineage_metrics
+
+    t0 = time.time()
+    _consume(q_lineage_metrics(SF_DIR))
+    return time.time() - t0
+
+
 BENCHES = {
     "weblog_full": bench_weblog_full,
     "weblog_agg": bench_weblog_agg,
@@ -549,6 +587,10 @@ BENCHES = {
     "session_stats": bench_session_stats,
     "weblog_error_rate": bench_weblog_error_rate,
     "c4_filters": bench_c4_filters,
+    "sliding_spikes": bench_sliding_spikes,
+    "psi_drift": bench_psi_drift,
+    "q5_revenue": bench_q5,
+    "lineage_metrics": bench_lineage_metrics,
 }
 
 
