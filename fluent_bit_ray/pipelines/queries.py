@@ -6678,3 +6678,91 @@ ORACLE_SQL["kaplan_meier"] = (
     "ELSE 1 - d_i::DOUBLE / n_i END)) OVER w) END AS survival "
     "FROM r WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)"
 )
+
+
+def q_conversion_lag(sf_dir: str):
+    """click-to-purchase conversion lag: for each user whose first click
+    is followed by a purchase, the seconds between the first click and
+    the first purchase at-or-after it — reported as exact p50/p90 and
+    the converting-user count. ONE user-keyed exchange of (first click,
+    purchase times) partials; the final quantiles run over the
+    converting-user-cardinality lag vector (same documented bound as
+    RFM). np.quantile 'linear' == quantile_cont."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.and_(
+            pc.is_valid(t["ts"]),
+            pc.is_in(t["event_type"], value_set=pa.array(
+                ["click", "purchase"]))))
+        us = pc.cast(pc.cast(tt["ts"], pa.timestamp("us")), pa.int64())
+        is_click = pc.equal(tt["event_type"], "click")
+        # click rows pre-combine to the per-user block minimum; purchase
+        # rows keep full granularity (WHICH purchase qualifies depends on
+        # the user's GLOBAL first click, only known after co-location)
+        ck = pa.table({"user_id": tt.filter(is_click)["user_id"],
+                       "first_click": pa.Table.from_arrays(
+                           [us], names=["u"]).filter(is_click)["u"]}
+                      ).group_by(["user_id"]).aggregate(
+            [("first_click", "min")])
+        clicks = pa.table({
+            "user_id": ck["user_id"],
+            "first_click": ck["first_click_min"],
+            "p_ts": pa.nulls(ck.num_rows, pa.int64()),
+        })
+        pm = pc.invert(is_click)
+        purch = pa.table({
+            "user_id": tt.filter(pm)["user_id"],
+            "first_click": pa.nulls(
+                len(tt.filter(pm)), pa.int64()),
+            "p_ts": pa.Table.from_arrays([us], names=["u"]).filter(pm)["u"],
+        })
+        return pa.concat_tables([clicks, purch])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        clicks = df[df["p_ts"].isna()].groupby("user_id", sort=False)[
+            "first_click"].min()
+        purch = df[df["p_ts"].notna()][["user_id", "p_ts"]]
+        m = purch.merge(clicks.rename("fc"), left_on="user_id",
+                        right_index=True, how="inner", sort=False)
+        m = m[m["p_ts"] >= m["fc"]]
+        lag = m.groupby("user_id", sort=False).apply(
+            lambda g: (g["p_ts"].min() - g["fc"].iloc[0]) / 1e6,
+            include_groups=False)
+        return pa.table({"lag_sec": pa.array(lag.to_numpy(np.float64),
+                                             pa.float64())})
+
+    lags = hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["user_id"], finish,
+    )
+    if lags is None or not lags.num_rows:
+        return pa.table({"n_converted": pa.array([0], pa.int64()),
+                         "p50_sec": pa.array([None], pa.float64()),
+                         "p90_sec": pa.array([None], pa.float64())})
+    v = np.sort(np.asarray(lags["lag_sec"], dtype=np.float64))
+    return pa.table({
+        "n_converted": pa.array([len(v)], pa.int64()),
+        "p50_sec": pa.array([float(np.quantile(v, 0.5, method="linear"))],
+                            pa.float64()),
+        "p90_sec": pa.array([float(np.quantile(v, 0.9, method="linear"))],
+                            pa.float64()),
+    })
+
+
+QUERIES["conversion_lag"] = q_conversion_lag
+ORACLE_SQL["conversion_lag"] = (
+    "WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS fc FROM events "
+    "WHERE ts IS NOT NULL AND event_type = 'click' GROUP BY user_id), "
+    "fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS fp FROM events e "
+    "JOIN fc ON e.user_id = fc.user_id "
+    "WHERE e.ts IS NOT NULL AND e.event_type = 'purchase' "
+    "AND epoch_us(e.ts) >= fc.fc GROUP BY e.user_id), "
+    "lag AS (SELECT (fp - fc) / 1000000.0 AS lag_sec FROM fc "
+    "JOIN fp USING (user_id)) "
+    "SELECT count(*)::BIGINT AS n_converted, "
+    "quantile_cont(lag_sec, 0.5) AS p50_sec, "
+    "quantile_cont(lag_sec, 0.9) AS p90_sec FROM lag"
+)
