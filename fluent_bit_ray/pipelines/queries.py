@@ -6766,3 +6766,73 @@ ORACLE_SQL["conversion_lag"] = (
     "quantile_cont(lag_sec, 0.5) AS p50_sec, "
     "quantile_cont(lag_sec, 0.9) AS p90_sec FROM lag"
 )
+
+
+def q_next_day_retention(sf_dir: str):
+    """next-day retention curve: per day, the fraction of that day's
+    active users who return the following day — the engagement headline
+    beside DAU/MAU. DISTINCT (user, day) pairs cross ONE user-keyed
+    exchange (a user's day set co-locates, so the consecutive-day test
+    is a shard-local sorted isin); only (day, active, returned) count
+    partials reach the driver."""
+    from ..shuffle import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t["ts"]))
+        day = pc.cast(pc.cast(pc.floor_temporal(tt["ts"], unit="day"),
+                              pa.timestamp("us")), pa.int64())
+        return pa.table({"user_id": tt["user_id"], "day_us": day}).group_by(
+            ["user_id", "day_us"]).aggregate([])
+
+    def regroup(t: pa.Table) -> pa.Table:
+        return t.group_by(["user_id", "day_us"]).aggregate([])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = regroup(t).to_pandas()
+        step = 86_400_000_000
+        out = []
+        for _, g in df.groupby("user_id", sort=False):
+            days = np.sort(g["day_us"].to_numpy(np.int64))
+            nxt = np.isin(days + step, days)
+            out.append(np.stack([days, nxt.astype(np.int64)], axis=1))
+        m = np.concatenate(out) if out else np.empty((0, 2), np.int64)
+        agg = pa.table({"day_us": pa.array(m[:, 0]),
+                        "active": pa.nulls(len(m), pa.int64()).fill_null(1),
+                        "returned": pa.array(m[:, 1])}).group_by(
+            ["day_us"]).aggregate([("active", "sum"), ("returned", "sum")])
+        return agg.select(["day_us", "active_sum",
+                           "returned_sum"]).rename_columns(
+            ["day_us", "active", "returned"])
+
+    out = hash_exchange(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            partial, batch_format="pyarrow").to_arrow_refs(),
+        ["user_id"], finish,
+    )
+    if out is None:
+        return pa.table({"day_us": pa.array([], pa.int64()),
+                         "active": pa.array([], pa.int64()),
+                         "returned": pa.array([], pa.int64()),
+                         "retention": pa.array([], pa.float64())})
+    g = out.group_by(["day_us"]).aggregate(
+        [("active", "sum"), ("returned", "sum")])
+    g = g.select(["day_us", "active_sum", "returned_sum"]).rename_columns(
+        ["day_us", "active", "returned"])
+    ret = (np.asarray(g["returned"], dtype=np.float64)
+           / np.asarray(g["active"], dtype=np.float64))
+    return g.append_column("retention", pa.array(ret, pa.float64()))
+
+
+QUERIES["next_day_retention"] = q_next_day_retention
+ORACLE_SQL["next_day_retention"] = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "epoch_us(date_trunc('day', ts)) AS day_us FROM events "
+    "WHERE ts IS NOT NULL) "
+    "SELECT a.day_us, count(*)::BIGINT AS active, "
+    "sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
+    "AS returned, "
+    "sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE "
+    "/ count(*) AS retention "
+    "FROM d a LEFT JOIN d b ON a.user_id = b.user_id "
+    "AND b.day_us = a.day_us + 86400000000 GROUP BY a.day_us"
+)
