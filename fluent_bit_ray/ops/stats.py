@@ -2115,14 +2115,25 @@ def topk_count_per_key(
         return g.rename_columns([key_col, item_col, "n"])
 
     def finish(t: pa.Table) -> pa.Table:
+        # explicit output schema pinned to the INPUT's key/item types: a
+        # shard whose kept items are all null would otherwise infer a
+        # null-typed item column from pandas and break the cross-shard
+        # concat / destabilize the result schema
+        schema = pa.schema([
+            pa.field(key_col, t.schema.field(key_col).type),
+            pa.field(item_col, t.schema.field(item_col).type),
+            pa.field("n", pa.int64()),
+            pa.field("rnk", pa.int64()),
+        ])
         df = regroup(t).to_pandas()
         df = df.sort_values([key_col, "n", item_col],
                             ascending=[True, False, True], kind="mergesort")
         rnk = df.groupby(key_col, sort=False).cumcount() + 1
         df = df.assign(rnk=rnk.astype(np.int64))
         df = df[df["rnk"] <= k]
-        return pa.Table.from_pandas(df, preserve_index=False).select(
-            [key_col, item_col, "n", "rnk"])
+        return pa.Table.from_pandas(
+            df[[key_col, item_col, "n", "rnk"]], schema=schema,
+            preserve_index=False)
 
     out = hash_exchange(
         ds.select_columns([key_col, item_col]).map_batches(
@@ -2154,8 +2165,12 @@ def rfm_features(
 ) -> pa.Table:
     """Per-key RFM features (recency / frequency / monetary — the classic
     customer-analytics triple) + their ntile quintile scores. Rows with a
-    null timestamp or value are excluded up front (both sides of the
-    oracle agree on the filtered population).
+    null key, timestamp or value are excluded up front (both sides of the
+    oracle agree on the filtered population). Null-key contract: a null
+    key has no stable representation in the driver-side lexsort (None in
+    an object array for string keys, NaN round-trip for ints), so it is
+    excluded like the quantile sketch does — the SQL twin carries the
+    matching `key IS NOT NULL` predicate.
 
     Engine shape: the distributed work is ONE key-hash exchange of
     mergeable (max ts, count, sum) partials — fixed width per key per
@@ -2166,8 +2181,9 @@ def rfm_features(
     from ..shuffle import hash_exchange
 
     def partial(t: pa.Table) -> pa.Table:
-        tt = t.filter(pc.and_(pc.is_valid(t[ts_col]),
-                              pc.is_valid(t[value_col])))
+        tt = t.filter(pc.and_(
+            pc.is_valid(t[key_col]),
+            pc.and_(pc.is_valid(t[ts_col]), pc.is_valid(t[value_col]))))
         ts_us = pc.cast(pc.cast(
             tt[ts_col], pa.timestamp("us")), pa.int64())
         g = pa.table({

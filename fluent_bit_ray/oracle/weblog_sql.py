@@ -34,6 +34,13 @@ _SYSLOG_RE = (
     r"(?m)^\<([0-9]+)\>([^ ]* {1,2}[^ ]* [^ ]*) ([^ ]*) "
     r"([a-zA-Z0-9_\/\.\-]*)(?:\[([0-9]+)\])?(?:[^\:]*\:)? *(.*)$"
 )
+# single source of truth for the 5xx predicate: every weblog oracle builder
+# (flagship route, lineage twin, error-rate, burn-rate) must match the
+# engine's sink_errors grep exactly. stages/grep.py compiles '^5\d\d$' with
+# Onigmo-style multiline anchors; the code capture cannot contain a newline,
+# so the (?m) flag is inert in RE2 — kept uniformly so the builders can
+# never drift apart on the flag.
+_CODE_5XX_PRED = "code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')"
 
 
 def weblog_aggregate_sql(pages_glob: str, now_year: int = 2018) -> str:
@@ -92,7 +99,7 @@ routed AS (
   SELECT 'sink_all', * FROM timed
   UNION ALL
   SELECT 'sink_errors', * FROM timed
-  WHERE code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')
+  WHERE {_CODE_5XX_PRED}
 )
 SELECT
   sink, lang, host,
@@ -171,14 +178,14 @@ timed AS (
 def weblog_error_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
     """Per (host, hour): request count + 4xx/5xx counts — the SRE error
     dashboard over the same parse semantics as the flagship."""
-    return _timed_cte(pages_glob, now_year) + """
+    return _timed_cte(pages_glob, now_year) + f"""
 SELECT
   host,
   event_ns // 3600000000000 AS bucket,
   count(*)::BIGINT AS records,
-  sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^4\\d\\d$')
+  sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '(?m)^4\\d\\d$')
       THEN 1 ELSE 0 END)::BIGINT AS n_4xx,
-  sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^5\\d\\d$')
+  sum(CASE WHEN {_CODE_5XX_PRED}
       THEN 1 ELSE 0 END)::BIGINT AS n_5xx
 FROM timed GROUP BY host, bucket
 """
@@ -300,7 +307,7 @@ routed AS (
   SELECT 'sink_all', * FROM coded
   UNION ALL
   SELECT 'sink_errors', * FROM coded
-  WHERE code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')
+  WHERE {_CODE_5XX_PRED}
 )
 SELECT src AS partition, sink,
   count(*)::BIGINT AS records,
@@ -314,13 +321,13 @@ def weblog_burn_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
     """Per (host, hour): short-window (1h) and long-window (6h) 5xx
     ratios and the multi-window burn-rate alert (Google SRE fast-burn
     shape: both windows above 14.41x a 1% error budget)."""
-    return _timed_cte(pages_glob, now_year) + """
+    return _timed_cte(pages_glob, now_year) + f"""
 , hourly AS (
   SELECT host,
     event_ns // 3600000000000 AS hour_bucket,
     (event_ns // 3600000000000) // 6 AS long_bucket,
     count(*)::BIGINT AS n,
-    sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '^5\\d\\d$')
+    sum(CASE WHEN {_CODE_5XX_PRED}
         THEN 1 ELSE 0 END)::BIGINT AS n_5xx
   FROM timed GROUP BY 1, 2, 3
 ),

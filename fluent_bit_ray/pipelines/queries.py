@@ -4963,7 +4963,8 @@ QUERIES["rfm"] = q_rfm
 ORACLE_SQL["rfm"] = (
     "WITH a AS (SELECT user_id, epoch_us(max(ts)) AS last_us, "
     "count(*)::BIGINT AS freq, sum(value) AS monetary FROM events "
-    "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY user_id) "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL "
+    "GROUP BY user_id) "
     "SELECT user_id, last_us, freq, monetary, "
     "ntile(5) OVER (ORDER BY last_us, user_id) AS r_q, "
     "ntile(5) OVER (ORDER BY freq, user_id) AS f_q, "
@@ -5245,6 +5246,11 @@ def q_q5_revenue(sf_dir: str):
 
     def line_rows(t: pa.Table) -> pa.Table:
         s = ray.get(supp_ref)
+        if len(s["keys"]) == 0:  # no ASIA suppliers -> empty inner join
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "c_nat": pa.array([], pa.int64()),
+                             "s_nat": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
         sk = np.asarray(t["l_suppkey"], dtype=np.int64)
         idx = np.searchsorted(s["keys"], sk)
         idx = np.clip(idx, 0, len(s["keys"]) - 1)
@@ -5492,6 +5498,9 @@ def q_q14_promo(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         d = ray.get(ref)
+        if len(d["keys"]) == 0:  # empty part table -> empty inner join
+            return pa.table({"promo_rev": pa.array([0.0], pa.float64()),
+                             "total_rev": pa.array([0.0], pa.float64())})
         pk = np.asarray(t["l_partkey"], dtype=np.int64)
         idx = np.clip(np.searchsorted(d["keys"], pk), 0,
                       len(d["keys"]) - 1)

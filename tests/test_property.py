@@ -447,9 +447,15 @@ class TestReadabilityProperty:
         con.close()
         for col in ("n_words", "n_sentences", "n_syllables"):
             assert got[col].tolist() == exp[col].tolist(), col
-        for g, e in zip(got["flesch"], exp["flesch"]):
-            import math
+        import math
 
-            assert (math.isnan(g) if isinstance(g, float) else g is None
-                    ) == (isinstance(e, float) and math.isnan(e)) or \
-                abs(g - e) < 1e-9
+        def _is_null(x) -> bool:
+            return x is None or (isinstance(x, float) and math.isnan(x))
+
+        for g, e in zip(got["flesch"], exp["flesch"]):
+            if _is_null(g) or _is_null(e):
+                # a one-sided null is a real divergence — fail cleanly
+                # instead of raising TypeError on None arithmetic
+                assert _is_null(g) == _is_null(e), (g, e)
+            else:
+                assert abs(g - e) < 1e-9, (g, e)
