@@ -155,8 +155,12 @@ def connected_components(
         return pa.table({node_out: pa.array([], pa.int64()),
                          comp_out: pa.array([], pa.int64())})
 
+    from ..shuffle import refs_total_bytes, shards_for_bytes
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    k = num_shards or max(2, min(cpus, len(refs) * 2, 32))
+    # shuffle.py sizing rule: parallelism floor, bytes-derived growth
+    k = num_shards or shards_for_bytes(
+        refs_total_bytes(refs), max(2, min(cpus, len(refs) * 2, 32)))
 
     build = ray.remote(num_returns=k)(_build_adj)
     merge = ray.remote(_merge_adj)
@@ -324,8 +328,12 @@ def pagerank(
         return pa.table({node_out: pa.array([], pa.int64()),
                          rank_out: pa.array([], pa.float64())})
 
+    from ..shuffle import refs_total_bytes, shards_for_bytes
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    k = num_shards or max(2, min(cpus, len(refs) * 2, 32))
+    # shuffle.py sizing rule: parallelism floor, bytes-derived growth
+    k = num_shards or shards_for_bytes(
+        refs_total_bytes(refs), max(2, min(cpus, len(refs) * 2, 32)))
 
     build = ray.remote(num_returns=k)(_build_pr)
     merge = ray.remote(_pr_adj)
@@ -747,8 +755,12 @@ def bfs_layers(
         return empty
     seeds = np.asarray(list(seeds), dtype=np.int64)
 
+    from ..shuffle import refs_total_bytes, shards_for_bytes
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    k = num_shards or max(2, min(cpus, len(refs) * 2, 32))
+    # shuffle.py sizing rule: parallelism floor, bytes-derived growth
+    k = num_shards or shards_for_bytes(
+        refs_total_bytes(refs), max(2, min(cpus, len(refs) * 2, 32)))
 
     build = ray.remote(num_returns=k)(_build_adj)
     merge = ray.remote(_merge_adj)

@@ -14,9 +14,16 @@ correctness requirement).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 
+#: parallelism FLOOR for the shard exchange, not a cap: the actual shard
+#: count is data-derived (shuffle.py sizing rule — ceil(input_bytes /
+#: TARGET_SHARD_BYTES) when that exceeds the floor), so a shard's pandas
+#: frame stays bounded at any corpus size. Functions whose shard state is
+#: lighter declare smaller floors (16/32) purely for small-input latency.
 DEFAULT_SHARDS = 64
 
 
@@ -41,7 +48,13 @@ def _sort_ns(ns: np.ndarray) -> np.ndarray:
     return np.where(ns == _NAT, np.iinfo(np.int64).max, ns)
 
 
-def _with_shard(ds, key_col: str, num_shards: int):
+def _with_shard(ds, key_col: str, num_shards: Optional[int],
+                floor: int = DEFAULT_SHARDS):
+    if num_shards is None:
+        from ..shuffle import auto_shards_for_dataset
+
+        num_shards = auto_shards_for_dataset(ds, floor)
+
     def add_shard(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
         df["_shard"] = (h % num_shards).astype("int64")
@@ -60,7 +73,7 @@ def sliding_count(
     ts_col: str,
     window_sec: int,
     out_col: str = "window_count",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per row: count of same-key rows with ts in [t - window, t] (inclusive
     both ends — SQL `RANGE BETWEEN <w> PRECEDING AND CURRENT ROW`).
@@ -101,7 +114,7 @@ def sliding_count(
         df[out_col] = counts.astype("int64")
         return _finish(df)
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -112,7 +125,7 @@ def tumbling_agg(
     ts_col: str,
     window_sec: int,
     value_col: str,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per (key, tumbling window): count + sum — the flowcounter shape
     expressed through the generic window path (one C-level pandas groupby
@@ -130,7 +143,7 @@ def tumbling_agg(
         )
         return g[[key_col, "bucket", "records", "total"]]
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -140,7 +153,7 @@ def session_windows(
     key_col: str,
     ts_col: str,
     gap_sec: int,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Session windows: consecutive same-key events within `gap_sec` belong
     to one session. Returns (key, session_start ns, events) per session."""
@@ -160,7 +173,7 @@ def session_windows(
         out = g.agg(session_start=("_ns", "min"), events=("_ns", "size"))
         return out.reset_index()[[key_col, "session_start", "events"]]
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -171,7 +184,7 @@ def running_totals(
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key running aggregates over event time — the cumulative-counter
     shape (a per-entity flowcounter in running form): for every row, the
@@ -224,7 +237,7 @@ def running_totals(
         )
         return out
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -236,7 +249,7 @@ def moving_avg(
     val_col: str = "value",
     id_col: str = "event_id",
     window: int = 4,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key ROWS-frame moving average — `avg(val) OVER (PARTITION BY
     key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
@@ -285,7 +298,7 @@ def moving_avg(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -296,7 +309,7 @@ def lag_deltas(
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key lag features: for each row, the previous same-key row's
     value and the inter-arrival gap in seconds (nulls for a key's first
@@ -333,7 +346,7 @@ def lag_deltas(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -344,7 +357,7 @@ def rank_per_key(
     val_col: str,
     id_col: str = "event_id",
     descending: bool = True,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key rank() AND dense_rank() over `val_col` for EVERY row —
     the full ranked output the selection ops (topn_per_key) don't emit:
@@ -393,7 +406,7 @@ def rank_per_key(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -404,7 +417,7 @@ def transition_counts(
     type_col: str = "event_type",
     ts_col: str = "ts",
     id_col: str = "event_id",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Markov transition matrix over keyed event streams: global counts
     of consecutive (from_type, to_type) pairs within each key's
@@ -440,7 +453,7 @@ def transition_counts(
                          dropna=False).size().rename("n").reset_index())
         return g
 
-    partials = _with_shard(ds, key_col, num_shards).groupby(
+    partials = _with_shard(ds, key_col, num_shards, floor=16).groupby(
         "_shard").map_groups(per_shard, batch_format="pandas")
     return hash_reduce_dataset_refs(
         partials, ["from_type", "to_type"], ["n"])
@@ -453,7 +466,7 @@ def collect_per_key(
     ts_col: str = "ts",
     id_col: str = "event_id",
     sep: str = ">",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Ordered per-key collect: each key's values joined in event-time
     order into one string (SQL `string_agg(val, sep ORDER BY ts, id)`)
@@ -477,7 +490,7 @@ def collect_per_key(
         g["seq"] = g["seq"].astype("string")
         return g
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -488,7 +501,7 @@ def funnel(
     type_col: str,
     ts_col: str,
     steps: list,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """k-step funnel (conversion analysis): per key, the earliest time of
     step 0, then for each later step i the earliest step-i event AT OR
@@ -522,7 +535,7 @@ def funnel(
         return out.reset_index()
 
     pruned = ds.map_batches(prune, batch_format="pandas")
-    return _with_shard(pruned, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(pruned, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -534,7 +547,7 @@ def window_dedup(
     ts_col: str = "ts",
     id_col: str = "event_id",
     window_us: int = 60_000_000,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Duplicate-event suppression: keep only the FIRST event per (key,
     type, tumbling window floor(epoch_us(ts)/window)) — the classic
@@ -565,7 +578,7 @@ def window_dedup(
                      | (cb[1:] != cb[:-1]))
         return _finish(df.iloc[order[first]])
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -576,7 +589,7 @@ def late_events(
     ts_col: str = "ts",
     id_col: str = "event_id",
     allowed_us: int = 86_400_000_000,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Out-of-order-arrival detection — the batch analog of a streaming
     watermark: arrival order is `id_col`; an event is LATE when its
@@ -621,7 +634,7 @@ def late_events(
             "lateness_us": prior[late] - us[late],
         })
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -632,7 +645,7 @@ def counter_rate(
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-sample counter rate with reset detection — the Prometheus
     rate() shape over a monotonic-counter metric, batch form: for each
@@ -678,7 +691,7 @@ def counter_rate(
             "rate": rate,
         })
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -690,7 +703,7 @@ def resample_ffill(
     val_col: str = "value",
     id_col: str = "event_id",
     step_us: int = 86_400_000_000,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key time-series resampling with forward fill (gap filling —
     the metrics-dashboard densify step): each key gets one row per
@@ -762,7 +775,7 @@ def resample_ffill(
             "value": filled,
         })
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -772,7 +785,7 @@ def cohort_retention(
     user_col: str = "user_id",
     ts_col: str = "ts",
     bucket_us: int = 604_800_000_000,
-    num_shards: int = 32,
+    num_shards: Optional[int] = None,
 ):
     """First-touch cohort retention — the product-analytics heatmap: each
     user joins the cohort of their FIRST event's epoch bucket (week by default,
@@ -840,7 +853,7 @@ def interval_merge(
     key_col: str = "user_id",
     start_col: str = "s",
     end_col: str = "e",
-    num_shards: int = 32,
+    num_shards: Optional[int] = None,
 ):
     """Gaps-and-islands interval coalescing per key: overlapping or
     touching [s, e] intervals (next.s <= running max(e)) merge into one
@@ -889,7 +902,7 @@ def interval_merge(
                              "n_intervals"]])
         return g
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=32).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -901,7 +914,7 @@ def last_touch_attribution(
     type_col: str = "event_type",
     id_col: str = "event_id",
     touch_value: str = "click",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Last-touch attribution — for every event, the id of the same
     key's most recent `touch_value` event at or before it (a touch
@@ -948,7 +961,7 @@ def last_touch_attribution(
             "touch_id": touch_id,
         })
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -959,7 +972,7 @@ def time_weighted_avg(
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
-    num_shards: int = 32,
+    num_shards: Optional[int] = None,
 ):
     """Per-key time-weighted average — the TWAP/gauge-averaging op: each
     value holds from its event until the key's next event, so
@@ -1002,7 +1015,7 @@ def time_weighted_avg(
         return pd.DataFrame({key_col: g[key_col],
                              "twap": g["w"] / g["span"]})
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=32).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1014,7 +1027,7 @@ def ewma(
     val_col: str = "value",
     id_col: str = "event_id",
     alpha: float = 0.5,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key exponential moving average over event time — the classic
     telemetry smoother: y_0 = x_0, y_t = alpha*x_t + (1-alpha)*y_{t-1}
@@ -1047,7 +1060,7 @@ def ewma(
                              id_col: df[id_col],
                              "ewma": y.to_numpy(dtype=np.float64)})
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1059,7 +1072,7 @@ def cusum_drift(
     val_col: str = "value",
     id_col: str = "event_id",
     thresh: float = 150.005,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key one-sided CUSUM drift detector: against each key's
     BASELINE (its first observation in event-time order), S+_t =
@@ -1107,7 +1120,7 @@ def cusum_drift(
                              "cusum": s_plus,
                              "is_drift": s_plus > thresh})
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1118,7 +1131,7 @@ def sessionize(
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_sec: int = 1800,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-EVENT sessionization: each row gets its key's session sequence
     number (1-based), where a new session starts at the key's first row
@@ -1160,7 +1173,7 @@ def sessionize(
         return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
                              "session_seq": seq.astype(np.int64)})
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1171,7 +1184,7 @@ def rank_dist(
     val_col: str,
     id_col: str = "event_id",
     descending: bool = True,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key percent_rank() and cume_dist() for every row — the
     distribution-position twins of rank_per_key (feature scaling /
@@ -1224,7 +1237,7 @@ def rank_dist(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1235,7 +1248,7 @@ def lead_deltas(
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key lead features: the NEXT same-key row's value and the gap
     to it in seconds (nulls for a key's last row) — lag_deltas' forward
@@ -1272,7 +1285,7 @@ def lead_deltas(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1284,7 +1297,7 @@ def session_stats(
     id_col: str = "event_id",
     type_col: str = "event_type",
     gap_sec: int = 1800,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-SESSION aggregate view of sessionize(): one row per (key,
     session) with event count, start/end time (exact epoch µs, nulls
@@ -1366,7 +1379,7 @@ def session_stats(
             "is_bounce": counts == 1,
         })
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1377,7 +1390,7 @@ def gap_stats(
     ts_us_col: str,
     id_col: str,
     threshold_sec: float,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
 ):
     """Per-key inter-arrival gap report: count of gaps exceeding
     `threshold_sec` and the maximum gap (µs) between consecutive events
@@ -1424,7 +1437,7 @@ def gap_stats(
                              "n_gaps": n_gaps,
                              "max_gap_us": max_us})
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1436,7 +1449,7 @@ def sliding_sum(
     value_col: str,
     window_sec: int,
     out_col: str = "window_sum",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per row: SUM of same-key values with ts in [t - window, t] — the
     RANGE-frame rolling-sum sibling of sliding_count (rate-limiting by
@@ -1467,7 +1480,7 @@ def sliding_sum(
         df[out_col] = pd.Series(sums).mask(cnt == 0)
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1506,7 +1519,7 @@ def _sliding_extreme(
     out_col: str,
     reduce_fn,
     fill: float,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Shared RANGE-frame MAX/MIN kernel: extremes are not
     prefix-decomposable, so the frame query runs on an O(n log n)
@@ -1560,7 +1573,7 @@ def _sliding_extreme(
         df[out_col] = pd.Series(out).mask(C[right] - C[left] == 0)
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )
 
@@ -1572,7 +1585,7 @@ def sliding_max(
     value_col: str,
     window_sec: int,
     out_col: str = "window_max",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per row: MAX of same-key values with ts in [t - window, t] — the
     peak detector (rolling peak rate / spend / latency). See
@@ -1588,7 +1601,7 @@ def sliding_min(
     value_col: str,
     window_sec: int,
     out_col: str = "window_min",
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per row: MIN of same-key values with ts in [t - window, t] — the
     trough detector (rolling floor price / minimum headroom). Same
@@ -1604,7 +1617,7 @@ def sliding_spikes(
     value_col: str,
     window_sec: int,
     z2_threshold: float = 9.0003,
-    num_shards: int = DEFAULT_SHARDS,
+    num_shards: Optional[int] = None,
 ):
     """Per row: rolling z-score spike flag — is the value more than ~3
     sigma from its trailing RANGE-frame peers? The anomaly gate run
@@ -1676,6 +1689,6 @@ def sliding_spikes(
         df["is_spike"] = spike
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards).groupby("_shard").map_groups(
+    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
         per_shard, batch_format="pandas"
     )

@@ -18,14 +18,106 @@ This is the partitioning assumption documented for the flowcounter-style
 aggregates: key space is uniform after hashing, so shards balance even when
 `host` is Zipf-skewed (the skew lives WITHIN a key, and identical keys were
 already combined in the map side).
+
+SHARD-COUNT SIZING RULE (applies to every exchange in the engine — this
+module, ops/windows, ops/stats, dedup label exchanges):
+
+    num_shards = clamp(ceil(exchanged_bytes / TARGET_SHARD_BYTES),
+                       floor = min(cpus, n_blocks, 32),
+                       cap   = MAX_SHARDS)
+
+The floor keeps small inputs parallel enough to use the machine; the
+byte-derived term makes the count GROW with the data so a reduce shard
+holds a bounded (~TARGET_SHARD_BYTES, default 128 MiB) slice no matter the
+corpus size — at 100 TB of exchanged rows that is ~800k× more shards, not
+32 shards of 3 TB each. `exchanged_bytes` is measured, not guessed: for
+`hash_exchange` the split-side blocks already sit in the object store, so
+their exact sizes come from object-location metadata; for Dataset-side
+shard columns (ops/windows) the non-executing logical-plan estimate of the
+nearest sized ancestor (usually the parquet read) is used. Tests force the
+over-32 regime by shrinking FBR_TARGET_SHARD_BYTES instead of faking data.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pandas as pd
 import pyarrow as pa
+
+#: target bytes of exchanged data per reduce shard (env-overridable so
+#: tests / operators can force many-shard topologies on small inputs)
+DEFAULT_TARGET_SHARD_BYTES = 128 << 20
+#: hard cap on shards per exchange: bounds the split-task `num_returns`
+#: fan-out (the split×shard object matrix) — one exchange moving more than
+#: MAX_SHARDS × TARGET_SHARD_BYTES (~8 TB default) should be partitioned
+#: upstream (per input shard / key range) before it reaches one exchange
+MAX_SHARDS = 65536
+
+
+def target_shard_bytes() -> int:
+    try:
+        return max(1, int(os.environ.get("FBR_TARGET_SHARD_BYTES",
+                                         DEFAULT_TARGET_SHARD_BYTES)))
+    except ValueError:
+        return DEFAULT_TARGET_SHARD_BYTES
+
+
+def shards_for_bytes(total_bytes: Optional[int], floor: int,
+                     cap: int = MAX_SHARDS) -> int:
+    """The sizing rule above as a function: floor when the size is unknown
+    or small, ceil(bytes/target) when the data demands more."""
+    floor = max(1, int(floor))
+    if not total_bytes or total_bytes <= 0:
+        return floor
+    need = -(-int(total_bytes) // target_shard_bytes())
+    return max(floor, min(cap, need))
+
+
+def refs_total_bytes(block_refs: list) -> Optional[int]:
+    """Exact total bytes of in-object-store blocks (no fetch): Ray tracks
+    object sizes in the location metadata."""
+    import ray
+
+    try:
+        locs = ray.experimental.get_object_locations(block_refs)
+        total = 0
+        for r in block_refs:
+            sz = locs.get(r, {}).get("object_size")
+            if sz is None:
+                return None
+            total += int(sz)
+        return total
+    except Exception:  # noqa: BLE001 — sizing is best-effort, floor applies
+        return None
+
+
+def dataset_size_estimate(ds) -> Optional[int]:
+    """Non-executing size estimate for a (possibly lazy) Dataset: walk the
+    logical DAG toward the source until an operator reports inferred
+    metadata (the parquet read always does). Never triggers execution —
+    `Dataset.size_bytes()` would materialize a transformed dataset, which
+    is exactly the mid-pipeline materialization this engine avoids."""
+    try:
+        dag = ds._logical_plan.dag
+        while dag is not None:
+            meta = dag.infer_metadata()
+            if meta is not None and meta.size_bytes is not None:
+                return int(meta.size_bytes)
+            deps = getattr(dag, "input_dependencies", None)
+            if not deps:
+                return None
+            dag = deps[0]
+    except Exception:  # noqa: BLE001 — internal-API guard, floor applies
+        return None
+    return None
+
+
+def auto_shards_for_dataset(ds, floor: int) -> int:
+    """Shard count for a Dataset-side exchange (ops/windows and friends):
+    the sizing rule over the plan's non-executing size estimate."""
+    return shards_for_bytes(dataset_size_estimate(ds), floor)
 
 
 def _group_sum(t: pa.Table, keys: list[str], vals: list[str]) -> pa.Table:
@@ -92,17 +184,16 @@ def hash_exchange(
     `return_refs=True` (returns the per-shard ObjectRefs WITHOUT driver
     materialization, so exchanges chain object-store-to-object-store).
     """
-    import os
-
     import ray
 
     if not block_refs:
         return [] if return_refs else None
     cpus = int(ray.cluster_resources().get("CPU", 8))
     if num_shards is None:
-        # enough shards to parallelize the reduce, few enough that the
-        # split×shard object matrix stays small
-        num_shards = max(2, min(cpus, len(block_refs), 32))
+        # module-header sizing rule: a parallelism floor for small inputs,
+        # measured exchanged bytes / TARGET_SHARD_BYTES when the data is big
+        floor = max(2, min(cpus, len(block_refs), 32))
+        num_shards = shards_for_bytes(refs_total_bytes(block_refs), floor)
     # ~2 split tasks per cpu so split work itself load-balances
     n_split = max(1, min(len(block_refs), 2 * cpus))
     chunk_sz = (len(block_refs) + n_split - 1) // n_split
