@@ -339,13 +339,79 @@ def pca_invariants(ds, vec_col: str = "embedding",
     })
 
 
+def _tiled_min_components(ids: np.ndarray, Xn: np.ndarray, tau: float,
+                          tile: int = 1024) -> np.ndarray:
+    """Min-id connected-component labels of the graph {(i,j): cos >= tau}
+    WITHOUT materializing the n×n adjacency: similarity is computed one
+    tile×tile GEMM at a time (peak extra memory O(tile²), not O(n²)), each
+    tile pair's thresholded edges run a local vectorized scatter-min
+    fixpoint, and the local components merge into a global union-find
+    (path-compressed; ≤ #involved-nodes unions per tile pair). Components
+    — and therefore reps — are identical to the dense formulation for any
+    tile size: the union over tile pairs of edge subsets IS the full edge
+    set, and union-find is order-independent."""
+    n = len(ids)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a in range(0, n, tile):
+        A = Xn[a:a + tile]
+        for c in range(a, n, tile):
+            S = A @ Xn[c:c + tile].T
+            hit = S >= tau
+            if c == a:
+                hit = np.triu(hit, k=1)  # self-pairs / double-count off
+            li, lj = np.nonzero(hit)
+            if not len(li):
+                continue
+            gi = li + a
+            gj = lj + c
+            # local fixpoint over this tile pair's edges: labels are
+            # LOCAL node indices so pointer-jumping (lab[lab]) is valid
+            nodes, inv = np.unique(np.concatenate([gi, gj]),
+                                   return_inverse=True)
+            ei = inv[: len(gi)]
+            ej = inv[len(gi):]
+            lab = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                before = lab.copy()
+                m = np.minimum(lab[ei], lab[ej])
+                np.minimum.at(lab, ei, m)
+                np.minimum.at(lab, ej, m)
+                lab = np.minimum(lab, lab[lab])
+                if np.array_equal(lab, before):
+                    break
+            for x in range(len(nodes)):
+                r = int(lab[x])
+                if r != x:
+                    ra, rb = find(int(nodes[x])), find(int(nodes[r]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                        count=n)
+    # component representative = MIN ID over the component
+    min_id = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(min_id, roots, ids)
+    return min_id[roots]
+
+
 def semdedup(
     ds,
-    k: int = 8,
+    k: Optional[int] = None,
     tau: float = 0.97,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 4,
+    target_cluster_rows: int = 4096,
+    tile: int = 1024,
+    cache: bool = True,
 ) -> pa.Table:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
     k-means clusters bound the candidate space, then each cluster runs an
@@ -355,19 +421,38 @@ def semdedup(
 
     Scale shape: the whole point of the clustering stage is that the
     O(n²) cosine GEMM runs per CLUSTER, never per corpus — candidate
-    work scales with the largest cluster, controlled by k. Cluster
-    co-location is ONE hash exchange of (id, vector, cluster) rows;
-    within a shard the components come from vectorized hash-min label
-    propagation over the thresholded similarity matrix (the same
-    fixpoint contract as the LSH dedup: reps are min ids and belong to
-    their own group). Zero-norm vectors are similar to nothing but
-    themselves."""
+    work scales with the largest cluster. Two dials keep that honest at
+    any corpus size (round-4 fix; previously k=8 fixed + dense n²
+    adjacency per cluster):
+    - `k` defaults to DATA-DERIVED: ceil(n / target_cluster_rows)
+      (floored at 8, capped at n), so the expected cluster stays
+      ~target_cluster_rows no matter how big the corpus — the Abbas et
+      al. recipe, where k grows with n (50k clusters for LAION);
+    - the within-cluster pass is a TILED GEMM + union-find
+      (_tiled_min_components): peak per-shard extra memory is O(tile²),
+      never O(cluster²).
+    Cluster co-location is ONE hash exchange of (id, vector, cluster)
+    rows (shard count itself data-derived per shuffle.py's sizing rule).
+    Zero-norm vectors are similar to nothing but themselves. `cache`
+    materializes the input once — the documented iterative-algorithm
+    exception (kmeans iters + count + assign reread the same blocks);
+    pass cache=False on a corpus larger than the object store."""
     import ray
 
     from ..shuffle import hash_exchange
     from .ann import _normalize
 
-    cent, _ = kmeans_fit(ds, k=k, vec_col=vec_col, iters=iters)
+    if cache:
+        ds = ds.materialize()
+    if k is None:
+        n = ds.count()
+        if not n:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "rep_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        k = min(int(n), max(8, -(-int(n) // target_cluster_rows)))
+    # caching (or declining to) is handled above, once, for all passes
+    cent, _ = kmeans_fit(ds, k=k, vec_col=vec_col, iters=iters, cache=False)
     cent_ref = ray.put(np.asarray(cent, dtype=np.float64))
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -391,15 +476,7 @@ def semdedup(
             ids = g[id_col].to_numpy(dtype=np.int64)
             X = np.vstack(g[vec_col].to_numpy())
             Xn = _normalize(X.astype(np.float64))
-            adj = (Xn @ Xn.T) >= tau
-            np.fill_diagonal(adj, True)
-            labels = ids.copy()
-            while True:
-                m = np.where(adj, labels[None, :], np.iinfo(np.int64).max)
-                new = m.min(axis=1)
-                if np.array_equal(new, labels):
-                    break
-                labels = new
+            labels = _tiled_min_components(ids, Xn, tau, tile=tile)
             out_id.append(ids)
             out_rep.append(labels)
             out_cl.append(np.full(len(ids), int(cl), dtype=np.int64))

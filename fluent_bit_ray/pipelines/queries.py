@@ -4669,7 +4669,7 @@ def q_semdedup(sf_dir: str):
     within-cluster GEMMs, ONE cluster-keyed exchange)."""
     from ..ops.cluster import semdedup
 
-    return semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97)
+    return semdedup(_augmented_emb_ds(sf_dir), tau=0.97)
 
 
 def q_semdedup_invariant(sf_dir: str):
@@ -4679,7 +4679,7 @@ def q_semdedup_invariant(sf_dir: str):
     duplicated-vector group is the constant 1."""
     from ..ops.cluster import semdedup
 
-    reps = semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97).to_pandas()
+    reps = semdedup(_augmented_emb_ds(sf_dir), tau=0.97).to_pandas()
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                         columns=["vec_id", "embedding"]).to_pandas()
     clones = emb[emb["vec_id"] < _EMB_CLONE_BELOW].assign(
@@ -4706,7 +4706,7 @@ def q_semdedup_rep_invariant(sf_dir: str):
     exactly once) — same counts as _rep_structural_invariant."""
     from ..ops.cluster import semdedup
 
-    reps = semdedup(_augmented_emb_ds(sf_dir), k=8, tau=0.97)
+    reps = semdedup(_augmented_emb_ds(sf_dir), tau=0.97)
     return _rep_structural_invariant(
         reps.select(["vec_id", "rep_id"]).rename_columns(
             ["doc_id", "rep_id"]))
