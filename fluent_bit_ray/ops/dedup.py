@@ -20,6 +20,7 @@ All hashing is blake2b-derived and deterministic (no process salt).
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 from typing import Iterable, Optional
 
@@ -610,7 +611,8 @@ def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
     )
 
 
-def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None):
+def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None,
+                      out_path=None):
     from .ann import _batch_matrix, _normalize
 
     ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -618,11 +620,24 @@ def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None):
     if tb is None:
         sims = ma @ ma.T
         r, c = np.nonzero(np.triu(sims >= threshold, 1))
-        return _pair_table(ids_a[r], ids_a[c])
-    ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    mb = _normalize(_batch_matrix(tb, vec_col))
-    r, c = np.nonzero(ma @ mb.T >= threshold)
-    return _pair_table(ids_a[r], ids_b[c])
+        out = _pair_table(ids_a[r], ids_a[c])
+    else:
+        ids_b = tb[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mb = _normalize(_batch_matrix(tb, vec_col))
+        r, c = np.nonzero(ma @ mb.T >= threshold)
+        out = _pair_table(ids_a[r], ids_b[c])
+    if out_path is not None:
+        if out.num_rows:
+            import os
+
+            import pyarrow.parquet as pq
+
+            # shared storage on a multi-node cluster (same contract as
+            # shuffle._reduce_shard) — create on the executing node
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            pq.write_table(out, out_path)
+        return out.num_rows  # pairs live on disk, not the driver
+    return out
 
 
 def embedding_neardup_pairs_blocked(
@@ -630,27 +645,82 @@ def embedding_neardup_pairs_blocked(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pa.Table:
+    shard_output_dir: Optional[str] = None,
+    max_in_flight: Optional[int] = None,
+    max_blocks: int = 256,
+):
     """EXACT embedding-cosine near-dup pairs without a whole-corpus
     broadcast: a blocked pair-join over the Dataset's Arrow blocks.
 
     Each of the B(B+1)/2 tasks reads TWO blocks from the object store and
     emits only its above-threshold pairs — per-task memory is O(block²)
-    sims and no task (and not the driver) ever holds the full matrix.
-    All-pairs at a loose threshold is inherently O(N²) compute; for the
-    near-identical regime use the IVF bucketed path below, which trades
-    exactness at loose thresholds for bucket-local compute.
+    sims and no task ever holds the full matrix. All-pairs at a loose
+    threshold is inherently O(N²) compute; for the near-identical regime
+    use the IVF bucketed path below, which trades exactness at loose
+    thresholds for bucket-local compute.
+
+    Driver-memory contract (round-4 fix; previously a ray.get over ALL
+    B(B+1)/2 futures): tasks are submitted through a BOUNDED in-flight
+    window (ray.wait-paced, default 4×CPUs), so driver-held futures and
+    task arguments stay flat in B. Results:
+    - `shard_output_dir` set → each task writes its own parquet shard and
+      returns only a row count; returns None (corpus-scale path — the
+      same contract as hash_exchange's shard_output_dir).
+    - otherwise a driver-side pa.Table of pairs (output-sized) — and the
+      task count is GATED at `max_blocks` blocks (~32k tasks): beyond
+      that a driver-side pair table is the wrong tool, and the error
+      points at the IVF path / shard_output_dir.
     """
     import ray
 
     refs = ds.to_arrow_refs()
+    B = len(refs)
+    if shard_output_dir is None and B > max_blocks:
+        raise ValueError(
+            f"embedding_neardup_pairs_blocked: {B} blocks means "
+            f"{B * (B + 1) // 2} block-pair tasks with a driver-side "
+            "result. Pass shard_output_dir= to stream pair shards to "
+            "storage, or use embedding_neardup_pairs_ivf (the scale path)."
+        )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    window = max_in_flight or 4 * cpus
     task = ray.remote(_block_pairs_task)
-    futs = []
-    for i in range(len(refs)):
-        futs.append(task.remote(threshold, id_col, vec_col, refs[i]))
-        for j in range(i + 1, len(refs)):
-            futs.append(task.remote(threshold, id_col, vec_col, refs[i], refs[j]))
-    parts = [t for t in ray.get(futs) if t.num_rows]
+
+    def submissions():
+        for i in range(B):
+            yield (refs[i], None, i, i)
+            for j in range(i + 1, B):
+                yield (refs[i], refs[j], i, j)
+
+    parts: list[pa.Table] = []
+    total_pairs = 0
+
+    def collect(ref) -> None:
+        nonlocal total_pairs
+        res = ray.get(ref)
+        if shard_output_dir is not None:
+            total_pairs += int(res)
+        elif res.num_rows:
+            parts.append(res)
+
+    pending: list = []
+    for ta, tb, i, j in submissions():
+        out_path = (
+            None
+            if shard_output_dir is None
+            else os.path.join(shard_output_dir, f"pairs_{i:05d}_{j:05d}.parquet")
+        )
+        pending.append(
+            task.remote(threshold, id_col, vec_col, ta, tb, out_path))
+        if len(pending) >= window:
+            done, pending = ray.wait(pending, num_returns=1)
+            collect(done[0])
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        collect(done[0])
+
+    if shard_output_dir is not None:
+        return None
     if not parts:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64())})

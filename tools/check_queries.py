@@ -1,25 +1,40 @@
-"""Local mimic of the driver's correctness gate.
+"""Local mimic of the driver's correctness gate — crash-proof edition.
 
 Runs every __ray_entry__.queries() entry at the given sf, compares with the
 oracle_sql() DuckDB result: row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by all
-columns). Usage:
+columns).
 
-    python tools/check_queries.py [sf_dir] [query ...]
+The full 203-query sweep is CHUNKED ACROSS CHILD PROCESSES (default 40
+queries per fresh interpreter + fresh Ray session): Ray 2.49 carries a
+known core race (`task_manager.cc:930 Check failed`) that can kill a
+long-lived driver process mid-sweep — in a monolithic run that crash
+masks every result after it. Here a dead child loses at most its chunk's
+unreported tail, and the parent re-runs exactly those queries in a fresh
+child (up to 2 retries, halving granularity), so ONE invocation always
+reports a verdict for every query.
+
+Usage:
+    python tools/check_queries.py [sf_dir]                    # full sweep
+    python tools/check_queries.py [sf_dir] q1 q2 ...          # in-process
+    python tools/check_queries.py --chunk-size 25 [sf_dir]
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
+import subprocess
 import sys
 import time
 
-import duckdb
-import pandas as pd
-import pyarrow as pa
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def to_pandas(obj) -> pd.DataFrame:
+def to_pandas(obj):
+    import pandas as pd
+    import pyarrow as pa
+
     if isinstance(obj, pd.DataFrame):
         return obj
     if isinstance(obj, pa.Table):
@@ -27,7 +42,9 @@ def to_pandas(obj) -> pd.DataFrame:
     return obj.to_pandas() if hasattr(obj, "to_pandas") else pd.DataFrame(obj.take_all())
 
 
-def value_hash(df: pd.DataFrame) -> str:
+def value_hash(df) -> str:
+    import pandas as pd
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
@@ -37,9 +54,11 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_in_process(sf_dir: str, names: list[str]) -> int:
+    """Child / explicit-list mode: run the named queries in THIS process
+    and print one `ok|rows|FAIL <name> ...` line per query (the parent
+    parses these lines; a query with no line = the process died first)."""
+    import duckdb
 
     import ray
 
@@ -47,7 +66,7 @@ def main() -> int:
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  logging_level="ERROR")
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, REPO)
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -61,25 +80,30 @@ def main() -> int:
         )
 
     failures = 0
-    for name, fn in qs.items():
-        if only and name not in only:
+    for name in names:
+        fn = qs.get(name)
+        if fn is None:
+            print(f"FAIL  {name:20s} unknown query", flush=True)
+            failures += 1
             continue
         t0 = time.time()
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name:20s} ray error: {type(e).__name__}: {e}")
+            print(f"FAIL  {name:20s} ray error: {type(e).__name__}: {e}",
+                  flush=True)
             failures += 1
             continue
         dt = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"rows  {name:20s} {len(got):>8} rows   {dt:5.1f}s (rows-only)")
+            print(f"rows  {name:20s} {len(got):>8} rows   {dt:5.1f}s (rows-only)",
+                  flush=True)
             continue
         try:
             exp = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name:20s} oracle sql error: {e}")
+            print(f"FAIL  {name:20s} oracle sql error: {e}", flush=True)
             failures += 1
             continue
         problems = []
@@ -90,12 +114,101 @@ def main() -> int:
         if not problems and value_hash(got) != value_hash(exp):
             problems.append("value-hash mismatch")
         if problems:
-            print(f"FAIL  {name:20s} {'; '.join(problems)}   {dt:5.1f}s")
+            print(f"FAIL  {name:20s} {'; '.join(problems)}   {dt:5.1f}s",
+                  flush=True)
             failures += 1
         else:
-            print(f"ok    {name:20s} {len(got):>8} rows   {dt:5.1f}s")
+            print(f"ok    {name:20s} {len(got):>8} rows   {dt:5.1f}s",
+                  flush=True)
     ray.shutdown()
     return 1 if failures else 0
+
+
+def _parse_results(output: str) -> dict[str, str]:
+    """name -> status for every result line a child managed to print."""
+    got: dict[str, str] = {}
+    for line in output.splitlines():
+        parts = line.split()
+        if len(parts) >= 2 and parts[0] in ("ok", "rows", "FAIL"):
+            got[parts[1]] = parts[0]
+    return got
+
+
+def _run_child(sf_dir: str, names: list[str]) -> tuple[dict[str, str], bool]:
+    """Run one chunk in a fresh interpreter; returns (results, crashed)
+    where crashed means the process died without finishing its list."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--in-process",
+         sf_dir, *names],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    sys.stdout.write(proc.stdout)
+    sys.stdout.flush()
+    results = _parse_results(proc.stdout)
+    crashed = len(results) < len(names)
+    if crashed:
+        tail = proc.stderr.strip().splitlines()[-3:]
+        print(f"CRASH child lost {len(names) - len(results)} queries "
+              f"(exit {proc.returncode}): {' | '.join(tail)}", flush=True)
+    return results, crashed
+
+
+def run_chunked(sf_dir: str, names: list[str], chunk_size: int) -> int:
+    results: dict[str, str] = {}
+    pending = list(names)
+    attempt = 0
+    size = max(1, chunk_size)
+    while pending and attempt < 3:
+        next_round: list[str] = []
+        for i in range(0, len(pending), size):
+            chunk = pending[i:i + size]
+            got, _ = _run_child(sf_dir, chunk)
+            results.update(got)
+            next_round.extend(n for n in chunk if n not in got)
+        pending = next_round
+        attempt += 1
+        size = max(1, size // 2)  # halve granularity on retry
+    for name in pending:  # still unreported after retries
+        results[name] = "CRASH"
+    n_ok = sum(1 for s in results.values() if s == "ok")
+    n_rows = sum(1 for s in results.values() if s == "rows")
+    n_fail = sum(1 for s in results.values() if s in ("FAIL", "CRASH"))
+    print(f"\n==== {len(names)} queries: {n_ok} hash-green, "
+          f"{n_rows} rows-only, {n_fail} failures ====")
+    if n_fail:
+        for name, s in results.items():
+            if s in ("FAIL", "CRASH"):
+                print(f"  {s}: {name}")
+    return 1 if n_fail else 0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    in_process = "--in-process" in args
+    if in_process:
+        args.remove("--in-process")
+    chunk_size = 40
+    if "--chunk-size" in args:
+        i = args.index("--chunk-size")
+        chunk_size = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:]
+
+    if in_process or names:
+        if not names:  # child invoked with no explicit list: everything
+            sys.path.insert(0, REPO)
+            import __ray_entry__ as entrymod
+
+            names = list(entrymod.queries())
+        return run_in_process(sf_dir, names)
+
+    # parent mode: enumerate, then chunk across fresh interpreters
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    return run_chunked(sf_dir, names, chunk_size)
 
 
 if __name__ == "__main__":
