@@ -153,21 +153,30 @@ def build_filter(sec: dict, registry: ParserRegistry):
     if name == "stdout":
         return StdoutFilter()
     if name in ("lua", "udf"):
-        # filter_lua analog (plugins/filter_lua/lua.c:292-411): a
-        # user-supplied script transforms records one at a time —
-        #   Script /path/to/script.py
+        # filter_lua (plugins/filter_lua/lua.c:292-411): a user-supplied
+        # script transforms records one at a time.
+        #   Script /path/to/script.lua   -> REAL Lua via lupa when
+        #       importable (stages/lua.py — the reference's
+        #       cb(tag, ts, record) -> (code, ts, record) contract with
+        #       -1/0/1 semantics); a clear error points at the Python
+        #       path when lupa is absent.
+        #   Script /path/to/script.py    -> Python UDF (engine-native
+        #       path, documented divergence):
         #   Call   process            (function name; record dict -> dict,
-        #                              None = drop, like lua's 2-return drop)
-        # The script is PYTHON, not lua (the engine's UDF language —
-        # documented divergence); it is loaded once per worker via
-        # UdfFilter's row path. A `Call *_batch` naming convention selects
-        # the columnar batch path (pa.Table -> pa.Table).
+        #                              None = drop, like lua's -1 drop)
+        #       A `Call *_batch` naming convention selects the columnar
+        #       batch path (pa.Table -> pa.Table).
         import importlib.util
 
         script = _one(sec, "script")
-        call = _one(sec, "call", "process")
         if not script:
             raise ValueError("[FILTER] Name lua needs Script")
+        if script.endswith(".lua"):
+            from ..stages.lua import LuaFilter
+
+            return LuaFilter(script_path=script,
+                             call=_one(sec, "call", "cb_filter"))
+        call = _one(sec, "call", "process")
         spec = importlib.util.spec_from_file_location("fbr_udf_script", script)
         if spec is None or spec.loader is None:
             raise ValueError(

@@ -1,0 +1,171 @@
+"""filter_lua contract (plugins/filter_lua/lua.c:333-389, scripts/test.lua).
+
+Two layers:
+- TestCallbackContract pins the -1/0/1/invalid-map/unexpected-code
+  semantics through LuaFilter's injected-callback seam — runs everywhere,
+  no Lua runtime needed, and exercises the exact code path lupa feeds.
+- TestRealLua runs the reference's canonical script shapes (append_tag,
+  cb_drop, cb_replace) as ACTUAL Lua through lupa; skipped when lupa is
+  not installed (this container), runs for real where it is.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.stages.lua import LuaFilter, LuaNotAvailable, _NAT
+
+try:
+    import lupa  # noqa: F401
+
+    HAVE_LUPA = True
+except ImportError:
+    HAVE_LUPA = False
+
+
+def _batch():
+    return pa.table({
+        "_tag": pa.array(["app.a", "app.b", "app.c"]),
+        "_time": pa.array([10**9, 2 * 10**9, 3 * 10**9], pa.int64()),
+        "msg": pa.array(["one", "two", "three"]),
+        "n": pa.array([1, 2, 3], pa.int64()),
+    })
+
+
+class TestCallbackContract:
+    def test_code_minus_one_drops(self):
+        f = LuaFilter(_cb=lambda tag, ts, rec: (
+            -1 if rec["msg"] == "two" else 0, 0, 0))
+        out = f.process_batch(_batch())
+        assert out.num_rows == 2
+        assert out["msg"].to_pylist() == ["one", "three"]
+
+    def test_code_zero_keeps_original_ignoring_returns(self):
+        # cb_print shape: returns `0, 0, 0` — original ts/record survive
+        f = LuaFilter(_cb=lambda tag, ts, rec: (0, 0, 0))
+        out = f.process_batch(_batch())
+        assert out["_time"].to_pylist() == [10**9, 2 * 10**9, 3 * 10**9]
+        assert out["msg"].to_pylist() == ["one", "two", "three"]
+
+    def test_code_one_replaces_record_and_timestamp(self):
+        def cb(tag, ts, rec):
+            return 1, 99.5, {"new": 12345.0, "old_msg": rec["msg"],
+                             "tag": tag}
+
+        out = LuaFilter(_cb=cb).process_batch(_batch())
+        assert out["_time"].to_pylist() == [int(99.5e9)] * 3
+        assert out["old_msg"].to_pylist() == ["one", "two", "three"]
+        assert out["tag"].to_pylist() == ["app.a", "app.b", "app.c"]
+        # lua numbers with no fraction repack as int64 (lua_tomsgpack)
+        assert out["new"].to_pylist() == [12345] * 3
+        assert pa.types.is_integer(out.schema.field("new").type)
+
+    def test_invalid_map_notouch_for_whole_chunk(self):
+        # array-style table at code 1 -> is_valid_map fails -> the WHOLE
+        # batch passes through untouched (FLB_FILTER_NOTOUCH)
+        def cb(tag, ts, rec):
+            if rec["msg"] == "two":
+                return 1, ts, {1: "a", 2: "b"}  # array-like: invalid
+            return 1, ts, {"rewritten": True}
+
+        t = _batch()
+        out = LuaFilter(_cb=cb).process_batch(t)
+        assert out is t
+
+    def test_unexpected_code_keeps_original(self):
+        f = LuaFilter(_cb=lambda tag, ts, rec: (7, 0, 0))
+        out = f.process_batch(_batch())
+        assert out["msg"].to_pylist() == ["one", "two", "three"]
+
+    def test_mask_limits_effect(self):
+        f = LuaFilter(_cb=lambda tag, ts, rec: (-1, 0, 0))
+        mask = pa.array([True, False, True])
+        out = f.process_batch(_batch(), mask=mask)
+        assert out["msg"].to_pylist() == ["two"]
+
+    def test_nat_time_crosses_as_zero(self):
+        seen = []
+
+        def cb(tag, ts, rec):
+            seen.append(ts)
+            return 0, 0, 0
+
+        t = pa.table({"_tag": ["x"], "_time": pa.array([_NAT], pa.int64()),
+                      "msg": ["m"]})
+        LuaFilter(_cb=cb).process_batch(t)
+        assert seen == [0.0]
+
+    def test_row_oracle_twin(self):
+        def cb(tag, ts, rec):
+            return 1, ts + 1.0, {"k": rec["n"] + 10}
+
+        f = LuaFilter(_cb=cb)
+        row = {"_tag": "t", "_time": 5 * 10**9, "n": 1, "msg": "x"}
+        out = f.process_row(row)
+        assert out["k"] == 11
+        assert out["_time"] == 6 * 10**9
+        assert out["_tag"] == "t"
+        assert "msg" not in out  # replacement, not merge (lua.c packs
+        # ONLY the returned table)
+
+
+APPEND_TAG_LUA = """
+function append_tag(tag, timestamp, record)
+    new_record = record
+    new_record["tag"] = tag
+    return 1, timestamp, new_record
+end
+"""
+
+DROP_REPLACE_LUA = """
+function cb_drop(tag, timestamp, record)
+   return -1, 0, 0
+end
+function cb_replace(tag, timestamp, record)
+   new_record = {}
+   new_record["new"] = 12345
+   new_record["old"] = record
+   return 1, timestamp, new_record
+end
+"""
+
+
+@pytest.mark.skipif(not HAVE_LUPA, reason="lupa not installed")
+class TestRealLua:
+    def test_append_tag_script(self):
+        f = LuaFilter(script_text=APPEND_TAG_LUA, call="append_tag")
+        out = f.process_batch(_batch())
+        assert out["tag"].to_pylist() == ["app.a", "app.b", "app.c"]
+        assert out["msg"].to_pylist() == ["one", "two", "three"]
+        assert out["_time"].to_pylist() == [10**9, 2 * 10**9, 3 * 10**9]
+
+    def test_drop_script(self):
+        f = LuaFilter(script_text=DROP_REPLACE_LUA, call="cb_drop")
+        assert f.process_batch(_batch()).num_rows == 0
+
+    def test_replace_script_nested_table(self):
+        f = LuaFilter(script_text=DROP_REPLACE_LUA, call="cb_replace")
+        out = f.process_batch(_batch())
+        assert out["new"].to_pylist() == [12345] * 3
+        old = out["old"].to_pylist()
+        assert old[0]["msg"] == "one"
+
+    def test_missing_function_raises(self):
+        with pytest.raises(ValueError, match="not found"):
+            LuaFilter(script_text=APPEND_TAG_LUA, call="nope")
+
+
+class TestConfigWiring:
+    def test_lua_script_without_lupa_errors_clearly(self, tmp_path):
+        script = tmp_path / "cb.lua"
+        script.write_text(APPEND_TAG_LUA)
+        from fluent_bit_ray.pipelines.config import build_filter
+
+        sec = {"name": ["lua"], "match": ["*"],
+               "script": [str(script)], "call": ["append_tag"]}
+        if HAVE_LUPA:
+            f = build_filter(sec, None)
+            assert isinstance(f, LuaFilter)
+        else:
+            with pytest.raises(LuaNotAvailable, match="lupa"):
+                build_filter(sec, None)
