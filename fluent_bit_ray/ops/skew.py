@@ -41,16 +41,15 @@ def salted_count(
 
     def partial(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        salt_src = batch[salt_col]
-        if isinstance(salt_src, pa.ChunkedArray):
-            salt_src = salt_src.combine_chunks()
-        # deterministic per-row salt from a row-unique column's bytes
+        # deterministic per-row salt from a row-unique column, via the
+        # same vectorized hash family as shuffle._split_chunk (Arrow ->
+        # pandas block conversion, zero-copy for numerics — no
+        # to_pylist() Python-object round-trip)
         import pandas as pd
 
+        salt_series = batch.select([salt_col]).to_pandas()[salt_col]
         salts = (
-            pd.util.hash_pandas_object(
-                pd.Series(salt_src.to_pylist()), index=False
-            ).to_numpy()
+            pd.util.hash_pandas_object(salt_series, index=False).to_numpy()
             % num_salts
         ).astype(np.int64)
         cols = {
