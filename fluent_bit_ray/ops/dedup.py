@@ -628,15 +628,14 @@ def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None,
         out = _pair_table(ids_a[r], ids_b[c])
     if out_path is not None:
         if out.num_rows:
-            import os
-
-            import pyarrow.parquet as pq
+            from ..state import storage
 
             # shared storage on a multi-node cluster (same contract as
-            # shuffle._reduce_shard) — create on the executing node
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            pq.write_table(out, out_path)
-        return out.num_rows  # pairs live on disk, not the driver
+            # shuffle._reduce_shard; see state/storage.py) — create the
+            # directory on the executing node; fsspec URIs accepted
+            storage.makedirs(storage.dirname(out_path))
+            storage.write_parquet(out, out_path)
+        return out.num_rows  # pairs live on storage, not the driver
     return out
 
 
@@ -708,7 +707,7 @@ def embedding_neardup_pairs_blocked(
         out_path = (
             None
             if shard_output_dir is None
-            else os.path.join(shard_output_dir, f"pairs_{i:05d}_{j:05d}.parquet")
+            else f"{shard_output_dir.rstrip('/')}/pairs_{i:05d}_{j:05d}.parquet"
         )
         pending.append(
             task.remote(threshold, id_col, vec_col, ta, tb, out_path))

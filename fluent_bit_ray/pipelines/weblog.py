@@ -42,6 +42,7 @@ from ..stages.modify import ModifyFilter
 from ..stages.parser_filter import ParserFilter
 from ..sinks.writers import SinkSpec, SinkWriteStage
 from ..state import checkpoint as ckpt
+from ..state import storage
 from ..synth import NOW_YEAR, hostmeta_table, pages_path, pages_rows_for_sf
 
 READ_COLUMNS = ["url", "warc_ts", "text", "lang"]
@@ -319,20 +320,20 @@ def run_weblog(
     files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
     if not files:
         raise FileNotFoundError(f"no parquet files under {pages_dir}")
-    os.makedirs(out_dir, exist_ok=True)
+    storage.makedirs(out_dir)
 
     if not resume:
-        for entry in glob.glob(os.path.join(out_dir, "*")):
-            shutil.rmtree(entry, ignore_errors=True)
+        for entry in storage.glob(storage.join(out_dir, "*")):
+            storage.rmtree(entry)
 
     # startup scan (buffer-chunk resume analog): drop un-committed wave aggs;
     # roll FORWARD committed waves whose per-partition lineage writes were
     # interrupted (the _WAVE_DONE stamp is the commit point — everything
     # after it is recoverable from the wave's own agg parquet, so a crash in
     # that window can neither double-count nor lose partitions)
-    for wd in glob.glob(os.path.join(ckpt.agg_dir(out_dir), "wave_*")):
-        if not os.path.exists(os.path.join(wd, "_WAVE_DONE")):
-            shutil.rmtree(wd, ignore_errors=True)
+    for wd in storage.glob(storage.join(ckpt.agg_dir(out_dir), "wave_*")):
+        if not storage.exists(storage.join(wd, "_WAVE_DONE")):
+            storage.rmtree(wd)
         else:
             _recover_wave_lineage(out_dir, wd, sinks)
     pending = ckpt.pending_partitions(files, out_dir)
@@ -387,14 +388,14 @@ def _commit_wave(out_dir, sinks, wave_i, wave_files, refs) -> None:
     import pyarrow.parquet as pq
 
     agg = combine_partial_refs(refs, ["src"] + AGG_KEYS, AGG_VALS)
-    wave_dir = os.path.join(
+    wave_dir = storage.join(
         ckpt.agg_dir(out_dir), f"wave_{uuid.uuid4().hex[:8]}"
     )
-    os.makedirs(wave_dir, exist_ok=True)
-    pq.write_table(agg, os.path.join(wave_dir, "agg.parquet"))
+    storage.makedirs(wave_dir)
+    storage.write_parquet(agg, storage.join(wave_dir, "agg.parquet"))
     # commit point: the stamp records the wave's partitions + index;
     # per-partition lineage after it is recoverable (see startup scan)
-    with open(os.path.join(wave_dir, "_WAVE_DONE"), "w") as f:
+    with storage.open_file(storage.join(wave_dir, "_WAVE_DONE"), "w") as f:
         jsonmod.dump(
             {"wave": wave_i,
              "partitions": [ckpt.partition_id(p) for p in wave_files]},
@@ -409,9 +410,9 @@ def _write_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
 
     import pyarrow.parquet as pq
 
-    with open(os.path.join(wave_dir, "_WAVE_DONE")) as f:
+    with storage.open_file(storage.join(wave_dir, "_WAVE_DONE")) as f:
         stamp = jsonmod.load(f)
-    agg = pq.read_table(os.path.join(wave_dir, "agg.parquet"))
+    agg = storage.read_parquet(storage.join(wave_dir, "agg.parquet"))
     for pid in stamp["partitions"]:
         sub = agg.filter(pc.equal(agg["src"], pid))
         metrics = {
@@ -431,7 +432,7 @@ def _recover_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
     import json as jsonmod
 
     try:
-        with open(os.path.join(wave_dir, "_WAVE_DONE")) as f:
+        with storage.open_file(storage.join(wave_dir, "_WAVE_DONE")) as f:
             stamp = jsonmod.load(f)
     except (ValueError, OSError):
         return  # pre-json stamp or unreadable: nothing to recover
@@ -450,9 +451,9 @@ def final_aggregate(out_dir: str):
 
     files = [
         f
-        for wd in glob.glob(os.path.join(ckpt.agg_dir(out_dir), "wave_*"))
-        if os.path.exists(os.path.join(wd, "_WAVE_DONE"))
-        for f in glob.glob(os.path.join(wd, "*.parquet"))
+        for wd in storage.glob(storage.join(ckpt.agg_dir(out_dir), "wave_*"))
+        if storage.exists(storage.join(wd, "_WAVE_DONE"))
+        for f in storage.glob(storage.join(wd, "*.parquet"))
     ]
     if not files:
         return SinkWriteStage.AGG_SCHEMA.empty_table().select(AGG_KEYS + AGG_VALS)
@@ -460,7 +461,7 @@ def final_aggregate(out_dir: str):
     # touches only distinct-key rows (see combine_partial_rows for the
     # distributed fallback rationale)
     t = pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="default"
+        [storage.read_parquet(f) for f in files], promote_options="default"
     )
     t = _group_sum(t, AGG_KEYS, AGG_VALS)
     return t.select(AGG_KEYS + AGG_VALS).sort_by(

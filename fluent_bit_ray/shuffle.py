@@ -147,16 +147,15 @@ def _reduce_shard(finish_fn, shard_path, *tables: pa.Table):
         return None
     out = finish_fn(pa.concat_tables(live, promote_options="default"))
     if shard_path is not None and out is not None and out.num_rows:
-        import os
+        from .state import storage
 
-        import pyarrow.parquet as pq
-
-        # runs on whichever node hosts this reduce task: the directory must
-        # be shared storage (NFS/object store mount) on a multi-node
-        # cluster — create it here, not on the driver
-        os.makedirs(os.path.dirname(shard_path), exist_ok=True)
-        pq.write_table(out, shard_path)
-        return None  # result lives on disk, not in the driver
+        # runs on whichever node hosts this reduce task: shard_path must
+        # be SHARED storage on a multi-node cluster — a mount or an
+        # fsspec URI (contract documented in state/storage.py); create
+        # the directory here, not on the driver
+        storage.makedirs(storage.dirname(shard_path))
+        storage.write_parquet(out, shard_path)
+        return None  # result lives on storage, not in the driver
     return out
 
 
@@ -210,13 +209,15 @@ def hash_exchange(
             shard_lists[s].append(r)
 
     if shard_output_dir is not None:
-        os.makedirs(shard_output_dir, exist_ok=True)
+        from .state import storage
+
+        storage.makedirs(shard_output_dir)
     result_refs = [
         reduce_.remote(
             finish_fn,
             None
             if shard_output_dir is None
-            else os.path.join(shard_output_dir, f"shard_{s:05d}.parquet"),
+            else f"{shard_output_dir.rstrip('/')}/shard_{s:05d}.parquet",
             *shard,
         )
         for s, shard in enumerate(shard_lists)

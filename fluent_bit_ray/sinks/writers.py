@@ -918,9 +918,11 @@ class SinkWriteStage:
             s.name: GrepFilter(list(s.grep)) if s.grep else None for s in sinks
         }
         if out_dir:
+            from ..state import storage
+
             for s in sinks:
                 if s.writes:
-                    os.makedirs(os.path.join(out_dir, s.name), exist_ok=True)
+                    storage.makedirs(storage.join(out_dir, s.name))
 
     def _record_cols(self, table: pa.Table, spec: SinkSpec) -> list[str]:
         if spec.columns:
@@ -967,11 +969,14 @@ class SinkWriteStage:
             # must be idempotent — same content -> same file, overwritten
             # with identical bytes instead of duplicated
             fname = f"{src}__{_chunk_token(chunk)}"
-            path = os.path.join(self.out_dir, spec.name, fname)
+            from ..state import storage
+
+            path = storage.join(self.out_dir, spec.name, fname)
             if spec.fmt == "parquet":
                 cols = rc + [c for c in ("_tag", "_time") if c in chunk.column_names]
                 self.retry.run(
-                    lambda: pq.write_table(chunk.select(cols), path + ".parquet"),
+                    lambda: storage.write_parquet(
+                        chunk.select(cols), path + ".parquet"),
                     token=fname,
                 )
             else:
@@ -1035,7 +1040,7 @@ class SinkWriteStage:
                     ext = ".ltsv"
                 def _write_text(p=path + ext, body=payload):
                     mode = "wb" if isinstance(body, bytes) else "w"
-                    with open(p, mode) as f:
+                    with storage.open_file(p, mode) as f:
                         f.write(body)
 
                 self.retry.run(_write_text, token=fname)

@@ -20,36 +20,37 @@ reference's chunk granularity.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import time
 from typing import Optional
 
+from . import storage
+
 
 def partition_id(path: str) -> str:
     """Input file -> stable partition id (basename without extension)."""
-    return os.path.splitext(os.path.basename(path))[0]
+    return os.path.splitext(storage.basename(path))[0]
 
 
 def lineage_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_lineage")
+    return storage.join(out_dir, "_lineage")
 
 
 def agg_dir(out_dir: str) -> str:
-    return os.path.join(lineage_dir(out_dir), "agg")
+    return storage.join(lineage_dir(out_dir), "agg")
 
 
 def lineage_path(out_dir: str, pid: str) -> str:
-    return os.path.join(lineage_dir(out_dir), f"{pid}.json")
+    return storage.join(lineage_dir(out_dir), f"{pid}.json")
 
 
 def is_done(out_dir: str, pid: str) -> bool:
     p = lineage_path(out_dir, pid)
-    if not os.path.exists(p):
+    if not storage.exists(p):
         return False
     try:
-        with open(p) as f:
+        with storage.open_file(p) as f:
             return json.load(f).get("status") == "done"
     except (ValueError, OSError):
         return False
@@ -66,8 +67,8 @@ def clean_partial_outputs(out_dir: str, pids: list[str], sinks: list[str]) -> in
     removed = 0
     for sink in sinks:
         for pid in pids:
-            for f in glob.glob(os.path.join(out_dir, sink, f"{pid}__*")):
-                os.remove(f)
+            for f in storage.glob(storage.join(out_dir, sink, f"{pid}__*")):
+                storage.remove(f)
                 removed += 1
     return removed
 
@@ -86,7 +87,7 @@ def write_lineage(
     the analog of flb_metrics' per-instance counters
     (src/flb_metrics.c, ids include/fluent-bit/flb_metrics.h:28-35).
     """
-    os.makedirs(lineage_dir(out_dir), exist_ok=True)
+    storage.makedirs(lineage_dir(out_dir))
     rec = {
         "partition": pid,
         "status": status,
@@ -97,16 +98,17 @@ def write_lineage(
     if extra:
         rec.update(extra)
     tmp = lineage_path(out_dir, pid) + ".tmp"
-    with open(tmp, "w") as f:
+    with storage.open_file(tmp, "w") as f:
         json.dump(rec, f, sort_keys=True)
-    os.replace(tmp, lineage_path(out_dir, pid))  # atomic commit
+    # atomic locally; torn writes elsewhere read as not-done (storage.py)
+    storage.replace(tmp, lineage_path(out_dir, pid))
 
 
 def read_lineage(out_dir: str) -> list[dict]:
     out = []
-    for p in sorted(glob.glob(os.path.join(lineage_dir(out_dir), "*.json"))):
+    for p in storage.glob(storage.join(lineage_dir(out_dir), "*.json")):
         try:
-            with open(p) as f:
+            with storage.open_file(p) as f:
                 out.append(json.load(f))
         except (ValueError, OSError):
             continue
