@@ -55,12 +55,20 @@ def _with_shard(ds, key_col: str, num_shards: Optional[int],
 
         num_shards = auto_shards_for_dataset(ds, floor)
 
-    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[key_col], index=False).to_numpy()
-        df["_shard"] = (h % num_shards).astype("int64")
-        return df
+    def add_shard(t):
+        # Arrow in/out: only the KEY column crosses to pandas for the
+        # vectorized hash (same hash family as shuffle._split_chunk) —
+        # the full-frame pandas round-trip this stage used to pay moved
+        # the whole corpus through two extra conversions
+        import pyarrow as _pa
 
-    return ds.map_batches(add_shard, batch_format="pandas")
+        h = pd.util.hash_pandas_object(
+            t.select([key_col]).to_pandas()[key_col], index=False
+        ).to_numpy()
+        return t.append_column(
+            "_shard", _pa.array((h % num_shards).astype("int64")))
+
+    return ds.map_batches(add_shard, batch_format="pyarrow")
 
 
 def _finish(df: pd.DataFrame) -> pd.DataFrame:
