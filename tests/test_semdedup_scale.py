@@ -78,6 +78,38 @@ class TestTiledParity:
         assert (got == 100).all()
 
 
+class TestTiledParityFuzz:
+    """Hypothesis fuzz over corpus shape, threshold and tile size — the
+    dense-equivalence claim must hold for EVERY (n, tau, tile), not just
+    the hand-picked cases above."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(2, 120),
+        d=st.integers(2, 12),
+        tau=st.floats(0.5, 0.999),
+        tile=st.integers(1, 140),
+        dup_groups=st.integers(0, 6),
+    )
+    def test_fuzz_matches_dense(self, seed, n, d, tau, tile, dup_groups):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d))
+        for _ in range(dup_groups):
+            sz = int(rng.integers(2, max(3, n // 3)))
+            idx = rng.choice(n, size=min(sz, n), replace=False)
+            X[idx] = rng.normal(size=d)[None, :] + rng.normal(
+                scale=1e-5, size=(len(idx), d))
+        ids = rng.permutation(n).astype(np.int64) * 3 + 1
+        Xn = _normalize(X)
+        got = _tiled_min_components(ids, Xn, tau=tau, tile=tile)
+        exp = _dense_min_labels(ids, Xn, tau=tau)
+        assert np.array_equal(got, exp)
+
+
 class TestBoundedMemory:
     def test_peak_is_tile_bounded_not_n_squared(self):
         """n=3000 all-near-identical vectors: the dense path needs the
