@@ -317,7 +317,7 @@ def pca_invariants(ds, vec_col: str = "embedding",
     proj = pca_transform(ds, mean, comps, vec_col=vec_col)
 
     def pstats(t: pa.Table) -> pa.Table:
-        P = np.asarray(t["pc"].to_pylist(), dtype=np.float64)
+        P = _batch_matrix(t, "pc")  # zero-copy flatten, not to_pylist
         return pa.table({
             "n": pa.array([len(P)], pa.int64()),
             "s": pa.array([P.sum(axis=0).tolist()]),
