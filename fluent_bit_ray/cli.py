@@ -40,9 +40,7 @@ def _init_ray(cpus=None) -> None:
             kwargs["num_cpus"] = cpus
     # non-local: plain ray.init() picks up RAY_ADDRESS; num_cpus is a
     # cluster property there, not a driver argument
-    import ray as _ray
-
-    _ray.init(**kwargs)
+    ray.init(**kwargs)
 
 
 def main(argv=None) -> int:

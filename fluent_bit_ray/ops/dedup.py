@@ -20,7 +20,6 @@ All hashing is blake2b-derived and deterministic (no process salt).
 from __future__ import annotations
 
 import hashlib
-import os
 import struct
 from typing import Iterable, Optional
 

@@ -841,7 +841,8 @@ def cohort_retention(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    merged = hash_exchange(parts.to_arrow_refs(), [user_col], per_shard)
+    merged = hash_exchange(parts.to_arrow_refs(), [user_col], per_shard,
+                           num_shards=num_shards)
     empty = pa.table({"cohort_bucket": pa.array([], pa.int64()),
                       "bucket_offset": pa.array([], pa.int64()),
                       "users": pa.array([], pa.int64())})

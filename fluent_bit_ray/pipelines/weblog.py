@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 import uuid
 from typing import Any, Optional
 
@@ -385,8 +384,6 @@ def _commit_wave(out_dir, sinks, wave_i, wave_files, refs) -> None:
     """Reduce one wave's partial refs and commit (stamp + lineage)."""
     import json as jsonmod
 
-    import pyarrow.parquet as pq
-
     agg = combine_partial_refs(refs, ["src"] + AGG_KEYS, AGG_VALS)
     wave_dir = storage.join(
         ckpt.agg_dir(out_dir), f"wave_{uuid.uuid4().hex[:8]}"
@@ -407,8 +404,6 @@ def _commit_wave(out_dir, sinks, wave_i, wave_files, refs) -> None:
 def _write_wave_lineage(out_dir: str, wave_dir: str, sinks) -> None:
     """Derive + commit per-partition lineage from a committed wave dir."""
     import json as jsonmod
-
-    import pyarrow.parquet as pq
 
     with storage.open_file(storage.join(wave_dir, "_WAVE_DONE")) as f:
         stamp = jsonmod.load(f)
@@ -447,8 +442,6 @@ def final_aggregate(out_dir: str):
     Reads only the (pre-combined) per-src aggregate parquet, never the sink
     outputs — finished partitions are never recomputed.
     """
-    import pyarrow.parquet as pq
-
     files = [
         f
         for wd in storage.glob(storage.join(ckpt.agg_dir(out_dir), "wave_*"))

@@ -75,20 +75,46 @@ def shards_for_bytes(total_bytes: Optional[int], floor: int,
     return max(floor, min(cap, need))
 
 
-def refs_total_bytes(block_refs: list) -> Optional[int]:
-    """Exact total bytes of in-object-store blocks (no fetch): Ray tracks
-    object sizes in the location metadata."""
+def refs_total_bytes(block_refs: list,
+                     sample_frac: float = 0.1,
+                     sample_timeout_s: float = 60.0) -> Optional[int]:
+    """Total bytes of object-store blocks (no fetch): Ray tracks object
+    sizes in location metadata.
+
+    CHAINED exchanges pass refs whose producing tasks may still be
+    running (`return_refs=True` from a previous hash_exchange), so some
+    sizes are unknown at call time. Falling back to the floor there would
+    silently re-create the old 32-shard cap on exactly the multi-exchange
+    pipelines (q3/q5/top-star joins) the sizing rule exists for. Instead:
+    wait for a small sample (`sample_frac`, bounded by `sample_timeout_s`)
+    of the pending refs to finish — the split tasks block on ALL of them
+    anyway, so this costs no pipeline work — then EXTRAPOLATE the total
+    from the known sizes (mean × count). Exact when everything is already
+    materialized (the common case); None only if nothing can be sized."""
     import ray
 
     try:
         locs = ray.experimental.get_object_locations(block_refs)
-        total = 0
-        for r in block_refs:
-            sz = locs.get(r, {}).get("object_size")
-            if sz is None:
-                return None
-            total += int(sz)
-        return total
+
+        def known() -> list[int]:
+            return [
+                int(locs[r]["object_size"])
+                for r in block_refs
+                if locs.get(r, {}).get("object_size") is not None
+            ]
+
+        sizes = known()
+        want = max(1, int(len(block_refs) * sample_frac))
+        if len(sizes) < want:
+            ray.wait(list(block_refs), num_returns=want,
+                     timeout=sample_timeout_s, fetch_local=False)
+            locs = ray.experimental.get_object_locations(block_refs)
+            sizes = known()
+        if not sizes:
+            return None
+        if len(sizes) == len(block_refs):
+            return sum(sizes)
+        return int(sum(sizes) / len(sizes) * len(block_refs))
     except Exception:  # noqa: BLE001 — sizing is best-effort, floor applies
         return None
 

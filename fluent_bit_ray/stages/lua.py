@@ -52,11 +52,12 @@ def _lua_number_repack(v: float):
 
 def _is_maplike(obj: Any) -> bool:
     """is_valid_map analog: the replacement record must be a non-empty
-    string-keyed mapping (an array-style table packs as msgpack array and
-    is rejected by the reference)."""
-    return isinstance(obj, dict) and len(obj) > 0 and not all(
-        isinstance(k, int) for k in obj.keys()
-    )
+    mapping. An ARRAY-style table (consecutive 1..n integer keys) packs
+    as a msgpack array in the reference and is rejected — from_lua
+    already converts that shape to a Python list, so any dict that
+    reaches here (including SPARSE integer-keyed tables, which
+    lua_tomsgpack packs as a map) is valid, matching lua.c:354-363."""
+    return isinstance(obj, dict) and len(obj) > 0
 
 
 class LuaNotAvailable(RuntimeError):
@@ -114,6 +115,15 @@ def _build_lua_callback(script_text: str, call: str) -> Callable:
 class LuaFilter:
     """Lua UDF filter: a stateful stage (lupa runtime per worker).
 
+    Pickling contract: a LuaRuntime and its Lua function objects are NOT
+    picklable, but filter instances ARE shipped to Ray workers inside
+    map_batches closures. So the compiled callback is a per-process cache
+    that __getstate__ drops — the driver compiles once at construction
+    (validating the script and the Call name eagerly), and each worker
+    recompiles from the stored script text on its first batch. That is
+    exactly the reference's model too: one lua_State per worker
+    (flb_luajit_create per filter instance).
+
     `_cb` injects the compiled callback directly — the contract tests use
     it to pin the -1/0/1/invalid-map semantics without a Lua runtime, and
     it keeps the code path identical when lupa IS present."""
@@ -125,15 +135,35 @@ class LuaFilter:
         call: str = "cb_filter",
         _cb: Optional[Callable] = None,
     ):
+        self._injected = _cb
+        self._compiled: Optional[Callable] = None
+        self._script_text = script_text
+        self._call = call
         if _cb is not None:
-            self.cb = _cb
             return
         if script_path is not None:
             with open(script_path, "r", encoding="utf-8") as f:
-                script_text = f.read()
-        if script_text is None:
+                self._script_text = f.read()
+        if self._script_text is None:
             raise ValueError("[filter_lua] needs Script")
-        self.cb = _build_lua_callback(script_text, call)
+        # eager driver-side compile: surfaces a bad script / missing
+        # function at config-build time (lua.c cb_lua_init parity); the
+        # compiled runtime stays in THIS process only
+        self._compiled = _build_lua_callback(self._script_text, self._call)
+
+    @property
+    def cb(self) -> Callable:
+        if self._injected is not None:
+            return self._injected
+        if self._compiled is None:  # fresh worker after unpickling
+            self._compiled = _build_lua_callback(
+                self._script_text, self._call)
+        return self._compiled
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_compiled"] = None  # LuaRuntime is per-process
+        return state
 
     # -- row oracle twin ---------------------------------------------------
     def _apply_one(self, tag: str, ts_ns: int, record: dict):
@@ -148,8 +178,12 @@ class LuaFilter:
             if not _is_maplike(l_rec):
                 raise _InvalidMap(
                     f"[filter_lua] invalid table returned ({l_rec!r})")
+            # non-string keys (sparse int-keyed Lua tables are valid maps)
+            # stringify at the boundary: the engine's record model is
+            # Arrow columns, whose names are strings — documented
+            # divergence from msgpack's typed map keys
             return int(round(l_ts * 1e9)), {
-                k: (_lua_number_repack(v) if isinstance(v, float) else v)
+                str(k): (_lua_number_repack(v) if isinstance(v, float) else v)
                 for k, v in l_rec.items()
             }
         # 0 or unexpected: keep the original record

@@ -23,6 +23,10 @@ except ImportError:
     HAVE_LUPA = False
 
 
+def _keep_cb(tag, ts, rec):  # module-level: plain-pickle friendly
+    return (0, 0, 0)
+
+
 def _batch():
     return pa.table({
         "_tag": pa.array(["app.a", "app.b", "app.c"]),
@@ -61,16 +65,41 @@ class TestCallbackContract:
         assert pa.types.is_integer(out.schema.field("new").type)
 
     def test_invalid_map_notouch_for_whole_chunk(self):
-        # array-style table at code 1 -> is_valid_map fails -> the WHOLE
-        # batch passes through untouched (FLB_FILTER_NOTOUCH)
+        # array-style table at code 1 (from_lua yields a LIST for
+        # consecutive 1..n keys) -> is_valid_map fails -> the WHOLE batch
+        # passes through untouched (FLB_FILTER_NOTOUCH)
         def cb(tag, ts, rec):
             if rec["msg"] == "two":
-                return 1, ts, {1: "a", 2: "b"}  # array-like: invalid
+                return 1, ts, ["a", "b"]  # array table: invalid map
             return 1, ts, {"rewritten": True}
 
         t = _batch()
         out = LuaFilter(_cb=cb).process_batch(t)
         assert out is t
+
+    def test_sparse_int_keyed_table_is_a_valid_map(self):
+        # lua_tomsgpack packs {[1]=..., [3]=...} as a MAP (non-consecutive
+        # keys), so the reference accepts it at code 1; keys stringify at
+        # the Arrow boundary (string column names)
+        f = LuaFilter(_cb=lambda tag, ts, rec: (1, ts, {1: "a", 3: "b"}))
+        out = f.process_batch(_batch())
+        assert out["1"].to_pylist() == ["a"] * 3
+        assert out["3"].to_pylist() == ["b"] * 3
+
+    def test_filter_survives_pickling(self):
+        # the stage ships to Ray workers inside map_batches closures; the
+        # per-process compiled runtime must drop and rebuild on arrival
+        import pickle
+
+        f = LuaFilter(_cb=_keep_cb)
+        f2 = pickle.loads(pickle.dumps(f))
+        assert f2.process_batch(_batch()).num_rows == 3
+        if HAVE_LUPA:
+            g = LuaFilter(script_text=APPEND_TAG_LUA, call="append_tag")
+            g2 = pickle.loads(pickle.dumps(g))
+            assert g2._compiled is None  # runtime dropped in transit
+            out = g2.process_batch(_batch())  # recompiles on first use
+            assert out["tag"].to_pylist() == ["app.a", "app.b", "app.c"]
 
     def test_unexpected_code_keeps_original(self):
         f = LuaFilter(_cb=lambda tag, ts, rec: (7, 0, 0))
