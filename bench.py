@@ -624,6 +624,7 @@ def run_single(name: str, cpus: int, rows_mult: int = 1) -> dict:
 
 
 def run_all(cpus: int) -> None:
+    env_pre = _env_probe()  # this VM's state swings by the minute
     _init_ray(cpus)
     _pages_dir()  # materialize the synth cache outside timings
     bench_weblog_agg()  # untimed warmup: spins up the full worker pool
@@ -648,7 +649,11 @@ def run_all(cpus: int) -> None:
                 "num_cpus": cpus,
                 "pages_rows": rows,
                 "weblog_rows_per_sec": round(rows / headline, 1),
+                # pre AND post probes: the §0 fault-bandwidth pathology
+                # oscillates by the minute, so a single probe can
+                # misrepresent the window the benches actually ran in
                 "env": _env_probe(),
+                "env_pre": env_pre,
             }
         )
     )
