@@ -142,7 +142,17 @@ def dataset_size_estimate(ds) -> Optional[int]:
 
 def auto_shards_for_dataset(ds, floor: int) -> int:
     """Shard count for a Dataset-side exchange (ops/windows and friends):
-    the sizing rule over the plan's non-executing size estimate."""
+    the sizing rule over the plan's non-executing size estimate.
+
+    Estimate direction: the nearest SIZED ancestor is usually the raw
+    parquet read, while the exchanged rows are a pruned projection of it
+    — so the estimate typically OVERSHOOTS and errs toward more, smaller
+    shards (the safe direction; empty shards cost one no-op task). A map
+    that EXPANDS data (explode/flat_map) before the exchange inverts
+    that: pass `num_shards` explicitly there. (The exploding operators in
+    this package — line_dedup, boilerplate, dup_spans — are not affected:
+    they exchange via hash_exchange, which sizes from the MEASURED bytes
+    of the already-exploded blocks, not from this estimate.)"""
     return shards_for_bytes(dataset_size_estimate(ds), floor)
 
 
