@@ -84,6 +84,28 @@ def _value_hash(df: pd.DataFrame) -> str:
         df.to_csv(index=False, float_format="%.6f").encode()).hexdigest()
 
 
+def test_kilo_shard_exchange_equals_small(ray_session, sf_dir):
+    """num_returns stress: a 1200-shard exchange (the topology a ~150 GB
+    exchanged payload would demand under the default target) must return
+    exactly the 8-shard result."""
+    import ray
+
+    from fluent_bit_ray.shuffle import hash_reduce
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "n"])
+
+    refs = ds.map_batches(part, batch_format="pyarrow").to_arrow_refs()
+    a = hash_reduce(refs, ["user_id"], ["n"], num_shards=8)
+    b = hash_reduce(refs, ["user_id"], ["n"], num_shards=1200)
+    assert a.sort_by([("user_id", "ascending")]).equals(
+        b.sort_by([("user_id", "ascending")]))
+
+
 # the exchange-based queries the round-3 verdict names as the gate
 _FORCED_QUERIES = ["sliding_window", "asof_join", "percentiles",
                    "minhash_invariant", "tumbling_window"]
