@@ -147,22 +147,33 @@ def _gunzip_multi(data: bytes, chunk: int = 1 << 16) -> bytes:
     view = memoryview(data)
     pos, n = 0, len(data)
     d = zlib.decompressobj(wbits=31)  # gzip wrapper
+    fed = False  # bytes fed to d since its last reset (truncation detector)
     try:
         while pos < n:
             piece = view[pos : pos + chunk]
             out.append(d.decompress(piece))
+            fed = True
             pos += len(piece)
             while d.eof:
                 tail = d.unused_data  # <= chunk bytes: bounded copy
                 if not tail:
                     d = zlib.decompressobj(wbits=31)
+                    fed = False
                     break
                 pos -= len(tail)
                 d = zlib.decompressobj(wbits=31)
                 out.append(d.decompress(tail))
+                fed = True
                 pos += len(tail)
     except zlib.error as e:  # gzip.decompress parity on corrupt input
         raise gzip.BadGzipFile(str(e)) from e
+    if fed and not d.eof:
+        # gzip.decompress parity: a member that never reached its
+        # end-of-stream marker is truncated input, not short output —
+        # returning the partial bytes would silently drop records.
+        raise EOFError(
+            "Compressed file ended before the end-of-stream marker was reached"
+        )
     return b"".join(out)
 
 

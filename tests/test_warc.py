@@ -96,3 +96,57 @@ def test_read_warc_dataset(tmp_path):
     # payload bytes exact through the Dataset path too
     row = out[out["url"] == "https://b.example/y?z=1"].iloc[0]
     assert bytes(row["html"]) == t["html"][1].as_py()
+
+
+class TestGunzipMulti:
+    """_gunzip_multi must match gzip.decompress byte-for-byte AND
+    error-for-error: silent partial output on a truncated shard would
+    drop records without a trace."""
+
+    def members(self):
+        import gzip
+
+        return [gzip.compress(b"hello world" * 100), gzip.compress(b"x" * 70000),
+                gzip.compress(b""), gzip.compress(b"tail member")]
+
+    def test_equal_to_stdlib(self):
+        import gzip
+
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        blob = b"".join(self.members())
+        assert _gunzip_multi(blob) == gzip.decompress(blob)
+        # tiny chunks force many member boundaries inside one chunk
+        assert _gunzip_multi(blob, chunk=7) == gzip.decompress(blob)
+
+    @pytest.mark.parametrize("cut", [20, 1])  # mid-data and mid-trailer
+    def test_data_truncation_raises(self, cut):
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        blob = b"".join(self.members())
+        with pytest.raises(EOFError):
+            _gunzip_multi(blob[:-cut])
+
+    def test_header_truncation_raises(self):
+        # input ends 5 bytes into the NEXT member's header
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        first = self.members()[0]
+        with pytest.raises(EOFError):
+            _gunzip_multi(b"".join(self.members())[: len(first) + 5])
+
+    def test_clean_boundary_ok(self):
+        import gzip
+
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        first = self.members()[0]
+        assert _gunzip_multi(first) == gzip.decompress(first)
+
+    def test_garbage_raises_badgzip(self):
+        import gzip
+
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        with pytest.raises(gzip.BadGzipFile):
+            _gunzip_multi(self.members()[0] + b"not gzip at all----")
