@@ -85,6 +85,12 @@ def _init_ray(cpus: int) -> None:
             num_cpus=cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            # keep stdout to exactly ONE JSON line: without this, Ray
+            # mirrors worker stdout/stderr fragments into the driver's
+            # stdout (observed "(pid=...) ..." lines landing BEFORE the
+            # result line), which breaks any consumer that parses the
+            # bench output as JSON
+            log_to_driver=False,
         )
 
 
