@@ -13,15 +13,18 @@ training-data suite the engine adds on top.
 Plan shape:
 
     pass 1: per-block DISTINCT doc-set token document frequencies →
-    `shuffle.hash_reduce` → (token, df) vocabulary broadcast once via
-    ray.put (read zero-copy in every prep task)
+    `shuffle.hash_reduce` → global token RANKS under the (df, token)
+    order, broadcast once via ray.put (read zero-copy in every prep task)
     →  pass 2 map_batches: tokenize (the `ops/dedup` zero-copy Arrow
     split + vectorized polynomial hash), per-doc DISTINCT sorted hash
     set, prefix emission — each doc posts only its first
-    (s - ceil(tau*s) + 1) tokens under the GLOBAL (df, token) order
-    →  ONE prefix-token exchange co-locates each token's postings
-    →  shard-local candidate generation (vectorized triangle per token
-    group, size-ratio filter min >= tau*max) and exact verify.
+    (s - ceil(tau*s) + 1) token RANKS under the global order
+    →  ONE prefix-rank exchange co-locates each rank's postings
+    →  shard-local candidate generation (vectorized triangle per rank
+    group), exact verify, and OWNER emission: a pair is emitted ONLY in
+    the group of its smallest shared prefix rank, so every qualifying
+    pair leaves exactly one shard exactly once — no second exchange, no
+    downstream dedup.
 
 Why df-ascending order matters: prefix filtering is correct under ANY
 global token order, but its pruning power comes from prefixes holding
@@ -43,17 +46,22 @@ everything pairwise similar, where prefix filtering provably cannot
 prune (the true result is itself Ω(n²)) — verifies at matrix-multiply
 speed. Tiny groups take a per-pair sorted-intersect path instead.
 
-A pair verifies identically in every group of a shared prefix token
-(<= prefix-length duplicates), so verified pairs chain object-store-
-to-object-store (`return_refs`) into a second, pair-keyed exchange
-that keeps one copy — no driver materialization on the wide path.
+Exactly-once emission: every shared prefix rank's group contains both
+docs of a qualifying pair (both posted that rank), so the pair's OWNER
+group — the smallest shared prefix rank — always sees it; ownership is
+checked on verified pairs with one padded rank-matrix broadcast (h ×
+p_max² int compares, p_max = (1-tau)·s_max + 1 prefix entries). The
+round-3 design verified each pair in every shared group and removed the
+duplicates with a second (da, db)-keyed exchange; owner emission keeps
+the verify GEMM but deletes that whole all-to-all — at corpus scale the
+output pair set never travels twice.
 
-Partitioning assumptions (documented): one PREFIX TOKEN's posting list
+Partitioning assumptions (documented): one PREFIX RANK's posting list
 fits a reduce shard, and its g² pair matrix fits that shard's heap —
 both bounded by the token's document frequency, which the df-ascending
 prefix order makes small on any corpus whose vocabulary grows with its
-size. Sets travel duplicated once per prefix token (factor
-(1-tau)*s + 1 — small for high tau), and only verified
+size. Sets travel duplicated once per prefix rank (factor
+(1-tau)*s + 1 — small for high tau), and only owner-emitted verified
 (doc_a, doc_b, jac) pairs leave the shards.
 """
 
@@ -66,6 +74,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..shuffle import hash_exchange, hash_reduce
+
+_PAD = np.iinfo(np.int64).max
 
 
 def _doc_sets(texts) -> tuple[np.ndarray, np.ndarray]:
@@ -117,6 +127,43 @@ def _token_df(ds, text_col: str):
     return toks[order], dfs[order]
 
 
+def _multi_slice_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for values[starts[i]:starts[i]+lens[i]] per i,
+    concatenated — one vectorized fancy-index instead of a slice loop."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    cum = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return np.repeat(starts - cum, lens) + np.arange(total, dtype=np.int64)
+
+
+def _padded_ranks(off: np.ndarray, val: np.ndarray,
+                  idx: np.ndarray) -> np.ndarray:
+    """(len(idx), p_max) matrix of the selected docs' prefix ranks,
+    PAD-filled — the owner check's broadcast operand."""
+    p0 = off[idx]
+    plen = off[idx + 1] - p0
+    pmax = int(plen.max()) if len(plen) else 0
+    padded = np.full((len(idx), max(pmax, 1)), _PAD, np.int64)
+    rows = np.repeat(np.arange(len(idx), dtype=np.int64), plen)
+    within = _multi_slice_gather(np.zeros(len(idx), np.int64), plen)
+    padded[rows, within] = val[_multi_slice_gather(p0, plen)]
+    return padded
+
+
+def _owner_rank(padded: np.ndarray, ii: np.ndarray,
+                jj: np.ndarray) -> np.ndarray:
+    """Smallest rank present in BOTH pairs' prefixes, per (ii, jj) pair.
+
+    PAD==PAD positions match each other but contribute _PAD, which never
+    wins the min: the group's own rank is always shared, so the true
+    owner is <= it < _PAD."""
+    a = padded[ii]
+    b = padded[jj]
+    m = a[:, :, None] == b[:, None, :]
+    return np.where(m, a[:, :, None], _PAD).min(axis=(1, 2))
+
+
 def jaccard_join(
     ds,
     id_col: str,
@@ -129,28 +176,38 @@ def jaccard_join(
     Tokenization is whitespace-split (str.split() parity, matching the
     text-suite oracles); similarity is over DISTINCT tokens. Docs whose
     token set is empty never pair (SQL: no posting rows). Returns
-    (da, db, jac) sorted by (da, db)."""
+    (da, db, jac) sorted by (da, db). With `shard_output_dir`, shards
+    are keyed by owner prefix rank (each pair appears in exactly one
+    shard file)."""
     import ray
 
     if not 0.0 < tau <= 1.0:
         raise ValueError("tau must be in (0, 1]")
 
     vocab, dfs = _token_df(ds, text_col)
-    vocab_ref = ray.put((vocab, dfs))
+    # global prefix order = (df, token) ascending, as a dense rank so the
+    # exchange key, the per-doc prefix lists, and the owner check all
+    # speak the same integer
+    gorder = np.lexsort((vocab, dfs))
+    rank = np.empty(len(vocab), np.int64)
+    rank[gorder] = np.arange(len(vocab), dtype=np.int64)
+    vocab_ref = ray.put((vocab, rank))
+
+    empty_posting = pa.table({
+        "tok": pa.array([], pa.int64()),
+        "doc": pa.array([], pa.int64()),
+        "sz": pa.array([], pa.int64()),
+        "set": pa.array([], pa.list_(pa.int64())),
+        "pfx": pa.array([], pa.list_(pa.int64())),
+    })
 
     def prep(t: pa.Table) -> pa.Table:
-        vtoks, vdfs = ray.get(vocab_ref)  # zero-copy plasma read
+        vtoks, vranks = ray.get(vocab_ref)  # zero-copy plasma read
         ids = np.asarray(pc.cast(t[id_col], pa.int64()))
         flat, sizes = _doc_sets(t[text_col])
         nz = sizes > 0
-        empty = pa.table({
-            "tok": pa.array([], pa.int64()),
-            "doc": pa.array([], pa.int64()),
-            "sz": pa.array([], pa.int64()),
-            "set": pa.array([], pa.list_(pa.int64())),
-        })
         if not nz.any():
-            return empty
+            return empty_posting
         # prefix length p = s - ceil(tau*s) + 1; the epsilon can only
         # LOWER ceil(tau*s) by one at float boundaries, which lengthens
         # the prefix — the safe direction (verification stays exact)
@@ -159,52 +216,74 @@ def jaccard_join(
         offsets = np.concatenate(([0], np.cumsum(sizes)))
         sets = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
-        # re-order each doc's set by the GLOBAL (df, token) order: one
-        # lexsort serves the batch (doc-major, then df, then token)
+        # per-token global rank (every token was seen by the df pass on
+        # the same dataset, so the searchsorted always hits)
         if len(vtoks):
             pos = np.clip(np.searchsorted(vtoks, flat), 0, len(vtoks) - 1)
-            dfv = np.where(vtoks[pos] == flat, vdfs[pos], 0).astype(
+            rankv = np.where(vtoks[pos] == flat, vranks[pos], 0).astype(
                 np.int64)
         else:  # unreachable when the df pass saw the same dataset
-            dfv = np.zeros(len(flat), np.int64)
+            rankv = np.zeros(len(flat), np.int64)
+        # re-order each doc's set by the global order: one lexsort serves
+        # the batch (doc-major, then rank); within a doc ranks ascend
         doc_idx = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
-        order = np.lexsort((flat, dfv, doc_idx))
-        flat_df = flat[order]
-        # within-doc position under df order (doc runs are contiguous
-        # and sizes unchanged by the re-sort)
-        within = np.arange(len(flat_df), dtype=np.int64) - np.repeat(
+        order = np.lexsort((rankv, doc_idx))
+        flat_rank = rankv[order]
+        # within-doc position under the global order (doc runs are
+        # contiguous and sizes unchanged by the re-sort)
+        within = np.arange(len(flat_rank), dtype=np.int64) - np.repeat(
             offsets[:-1], sizes)
         pfx_mask = within < p[doc_idx]
-        pfx_flat = flat_df[pfx_mask]
-        # one posting row per prefix token
+        pfx_ranks = flat_rank[pfx_mask]
+        pfx = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(p))), pa.int32()),
+            pa.array(pfx_ranks, pa.int64()))
+        # one posting row per prefix rank
         doc_rep = np.repeat(np.arange(len(sizes), dtype=np.int64), p)
+        take = pa.array(doc_rep, pa.int64())
         return pa.table({
-            "tok": pa.array(pfx_flat, pa.int64()),
+            "tok": pa.array(pfx_ranks, pa.int64()),
             "doc": pa.array(ids[doc_rep], pa.int64()),
             "sz": pa.array(sizes[doc_rep], pa.int64()),
-            "set": sets.take(pa.array(doc_rep, pa.int64())),
+            "set": sets.take(take),
+            "pfx": pfx.take(take),
         })
 
+    empty_pairs = pa.table({"da": pa.array([], pa.int64()),
+                            "db": pa.array([], pa.int64()),
+                            "jac": pa.array([], pa.float64())})
+
     def finish(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
+        if t.num_rows == 0:
+            return empty_pairs
+        tc = t.combine_chunks()
+        toks = np.asarray(tc["tok"])
+        docs = np.asarray(tc["doc"])
+        szs = np.asarray(tc["sz"])
+        set_la = tc.column("set").chunk(0)
+        set_off = np.asarray(set_la.offsets, dtype=np.int64)
+        set_val = np.asarray(set_la.values, dtype=np.int64)
+        pfx_la = tc.column("pfx").chunk(0)
+        pfx_off = np.asarray(pfx_la.offsets, dtype=np.int64)
+        pfx_val = np.asarray(pfx_la.values, dtype=np.int64)
+        order = np.lexsort((docs, toks))
+        st = toks[order]
+        starts = np.concatenate(
+            ([0], np.nonzero(st[1:] != st[:-1])[0] + 1, [len(st)]))
         da_out: list[np.ndarray] = []
         db_out: list[np.ndarray] = []
         jac_out: list[np.ndarray] = []
-        df = df.sort_values(["tok", "doc"], kind="stable")
-        toks = df["tok"].to_numpy()
-        docs = df["doc"].to_numpy()
-        szs = df["sz"].to_numpy()
-        sets = df["set"].to_numpy()
-        starts = np.concatenate(
-            ([0], np.nonzero(toks[1:] != toks[:-1])[0] + 1, [len(toks)]))
         for gi in range(len(starts) - 1):
             lo, hi = starts[gi], starts[gi + 1]
             g = hi - lo
             if g < 2:
                 continue
-            gd = docs[lo:hi]
-            gs = szs[lo:hi].astype(np.int64)
-            gsets = sets[lo:hi]
+            idx = order[lo:hi]
+            r = int(st[lo])  # this group's prefix rank
+            gd = docs[idx]
+            gs = szs[idx].astype(np.int64)
+            s0 = set_off[idx]
+            slen = set_off[idx + 1] - s0
             # verify EVERY group pair exactly, vectorized: dictionary-
             # encode the group's tokens locally and compute all pairwise
             # intersection sizes with one dense GEMM (g × local-vocab
@@ -213,10 +292,10 @@ def jaccard_join(
             # the group all-docs. Falls back to per-pair sorted
             # intersects only for tiny groups where GEMM setup dominates.
             if g >= 16:
-                allt = np.concatenate(gsets)
+                allt = set_val[_multi_slice_gather(s0, slen)]
                 uniq, inv = np.unique(allt, return_inverse=True)
                 m = np.zeros((g, len(uniq)), np.float32)
-                rows = np.repeat(np.arange(g, dtype=np.int64), gs)
+                rows = np.repeat(np.arange(g, dtype=np.int64), slen)
                 m[rows, inv] = 1.0
                 inter = np.rint(m @ m.T).astype(np.int64)
                 union = gs[:, None] + gs[None, :] - inter
@@ -224,9 +303,16 @@ def jaccard_join(
                 ii, jj = np.triu_indices(g, k=1)
                 hit = jac[ii, jj] >= tau
                 ii, jj = ii[hit], jj[hit]
+                if len(ii):
+                    # owner emission: keep only pairs whose smallest
+                    # shared prefix rank IS this group
+                    padded = _padded_ranks(pfx_off, pfx_val, idx)
+                    own = _owner_rank(padded, ii, jj) == r
+                    ii, jj = ii[own], jj[own]
                 da_out.append(gd[ii])
                 db_out.append(gd[jj])
-                jac_out.append(jac[ii, jj])
+                jac_out.append(jac[ii, jj] if len(ii) else
+                               np.empty(0, np.float64))
             else:
                 ii, jj = np.triu_indices(g, k=1)
                 ok = np.minimum(gs[ii], gs[jj]) + 1e-9 >= tau * np.maximum(
@@ -235,22 +321,26 @@ def jaccard_join(
                 pa_db: list[int] = []
                 pa_j: list[float] = []
                 for i, j in zip(ii[ok], jj[ok]):
-                    sa = gsets[i]
-                    sb = gsets[j]
+                    sa = set_val[s0[i]:s0[i] + slen[i]]
+                    sb = set_val[s0[j]:s0[j] + slen[j]]
                     inter = np.intersect1d(
                         sa, sb, assume_unique=True).size
                     jac = inter / (len(sa) + len(sb) - inter)
-                    if jac >= tau:
-                        pa_da.append(int(gd[i]))
-                        pa_db.append(int(gd[j]))
-                        pa_j.append(float(jac))
+                    if jac < tau:
+                        continue
+                    fa = pfx_val[pfx_off[idx[i]]:pfx_off[idx[i] + 1]]
+                    fb = pfx_val[pfx_off[idx[j]]:pfx_off[idx[j] + 1]]
+                    shared = np.intersect1d(fa, fb, assume_unique=True)
+                    if int(shared.min()) != r:  # another group owns it
+                        continue
+                    pa_da.append(int(gd[i]))
+                    pa_db.append(int(gd[j]))
+                    pa_j.append(float(jac))
                 da_out.append(np.asarray(pa_da, np.int64))
                 db_out.append(np.asarray(pa_db, np.int64))
                 jac_out.append(np.asarray(pa_j, np.float64))
         if not da_out:
-            return pa.table({"da": pa.array([], pa.int64()),
-                             "db": pa.array([], pa.int64()),
-                             "jac": pa.array([], pa.float64())})
+            return empty_pairs
         da = np.concatenate(da_out).astype(np.int64)
         db = np.concatenate(db_out).astype(np.int64)
         jc = np.concatenate(jac_out).astype(np.float64)
@@ -261,23 +351,12 @@ def jaccard_join(
         return pa.table({"da": pa.array(da2), "db": pa.array(db2),
                          "jac": pa.array(jc)})
 
-    def dedup_pairs(t: pa.Table) -> pa.Table:
-        # a pair verifies identically in every group of a shared prefix
-        # token (<= prefix-length duplicates); keep one
-        return t.group_by(["da", "db"]).aggregate([("jac", "min")]) \
-            .rename_columns(["da", "db", "jac"])
-
-    pair_refs = hash_exchange(
+    res = hash_exchange(
         ds.select_columns([id_col, text_col]).map_batches(
             prep, batch_format="pyarrow").to_arrow_refs(),
-        ["tok"], finish, return_refs=True)
-    res = hash_exchange(pair_refs, ["da", "db"], dedup_pairs,
-                        shard_output_dir=shard_output_dir)
+        ["tok"], finish, shard_output_dir=shard_output_dir)
     if shard_output_dir is not None:
         return None
-    empty = pa.table({"da": pa.array([], pa.int64()),
-                      "db": pa.array([], pa.int64()),
-                      "jac": pa.array([], pa.float64())})
     if res is None or res.num_rows == 0:
-        return empty
+        return empty_pairs
     return res.sort_by([("da", "ascending"), ("db", "ascending")])
