@@ -743,8 +743,11 @@ def run_scaling(rows_mult: int = 4) -> None:
         _pages_dir()  # materialize both input sizes once, outside all timings
 
     def one(cpus: int, mult: int) -> dict:
+        # best-of-3: the sandbox VM's first-touch bandwidth swings minute to
+        # minute (BASELINE.md §0) and one slow rep at either level skews the
+        # ratio; three fresh-process reps per level keeps the pair honest.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--one", "weblog_agg", "--cpus", str(cpus),

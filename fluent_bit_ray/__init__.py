@@ -24,6 +24,8 @@ __version__ = "0.1.0"
 
 # Ray 2.49 workaround: Dataset.to_arrow_refs() re-executes the whole plan
 # for a schema fetch; the shim reads schemas off the consumed bundles
-# instead (see _ray_compat docstring). Must run before any pipeline code
-# calls to_arrow_refs, so it applies at package import.
+# instead (see _ray_compat docstring). Importing the module arms a LAZY
+# post-import hook — the patch lands the moment ray.data.dataset finishes
+# importing (immediately if it already has), and `import fluent_bit_ray`
+# itself never pulls in ray.
 from . import _ray_compat as _ray_compat  # noqa: E402,F401

@@ -28,30 +28,65 @@ re-executed ``schema()`` would fetch), preserving upstream semantics:
   schema);
 - empty dataset: empty list.
 
-Idempotent; applied on package import.  If upstream stops re-fetching the
-schema (the fix is to read it off the consumed bundles, as here), this
-module can simply be deleted.
+Installation is LAZY: importing this module (via the package
+``__init__``) does NOT import ray.  If ``ray.data.dataset`` is already
+loaded the patch applies immediately; otherwise a meta-path hook fires
+``apply()`` the moment that module finishes executing.  ``import
+fluent_bit_ray`` therefore stays cheap for pure-helper consumers (parser
+kernels, WARC byte readers, tests of either) and works with no ray
+installed at all.
+
+Before patching, ``apply()`` probes every internal the replacement body
+relies on (``RefBundle.schema``, ``ray.data.dataset._block_to_arrow``,
+``cached_remote_fn``, ``iter_internal_ref_bundles``); on any mismatch —
+an older or newer Ray that moved them — it leaves upstream behavior
+untouched rather than installing a method that would raise at call time.
+If upstream stops re-fetching the schema (the fix is to read it off the
+consumed bundles, as here), this module can simply be deleted.
 """
 from __future__ import annotations
 
 import functools
+import importlib.abc
+import sys
 
 _APPLIED = False
+_TARGET_MODULE = "ray.data.dataset"
 
 
 def apply() -> None:
-    """Install the ``to_arrow_refs`` patch once per process."""
+    """Install the ``to_arrow_refs`` patch once per process.
+
+    No-op (leaving upstream behavior) when ray is absent or its internals
+    don't match the pinned 2.49 layout.
+    """
     global _APPLIED
     if _APPLIED:
         return
-    import ray
-
-    if not ray.__version__.startswith("2."):
-        # Unknown future Ray: keep upstream behavior.
+    try:
+        import pyarrow  # noqa: F401  (needed by the patched body)
+        # import from ray.data.dataset DIRECTLY: when the post-import hook
+        # fires, that module is fully executed but the parent ray.data
+        # package may still be mid-__init__ (its Dataset attribute unset)
+        from ray.data._internal.execution.interfaces.ref_bundle import (
+            RefBundle,
+        )
+        from ray.data._internal.remote_fn import cached_remote_fn  # noqa: F401
+        from ray.data.dataset import (  # noqa: F401
+            Dataset,
+            Schema,
+            _block_to_arrow,
+        )
+        if (
+            "schema" not in getattr(RefBundle, "__dataclass_fields__", {})
+            or not callable(getattr(Dataset, "iter_internal_ref_bundles", None))
+            or not callable(getattr(Dataset, "to_arrow_refs", None))
+        ):
+            raise ImportError("ray internals moved")
+    except (ImportError, AttributeError):
+        # ray missing or its internals don't match the pin: keep upstream.
         _APPLIED = True
         return
-
-    from ray.data import Dataset
 
     original = Dataset.to_arrow_refs
 
@@ -83,4 +118,53 @@ def apply() -> None:
     _APPLIED = True
 
 
-apply()
+class _LoaderShim(importlib.abc.Loader):
+    """Wraps the real loader of ``ray.data.dataset`` to fire ``apply()``
+    right after the module body finishes executing."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def create_module(self, spec):
+        return self._inner.create_module(spec)
+
+    def exec_module(self, module):
+        self._inner.exec_module(module)
+        _unhook()
+        apply()
+
+    def __getattr__(self, name):  # delegate everything else (repr, etc.)
+        return getattr(self._inner, name)
+
+
+class _PostImportHook(importlib.abc.MetaPathFinder):
+    """Meta-path finder that delegates spec resolution for
+    ``ray.data.dataset`` to the remaining finders and shims its loader."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        if fullname != _TARGET_MODULE or _APPLIED:
+            return None
+        for finder in sys.meta_path:
+            if finder is self or not hasattr(finder, "find_spec"):
+                continue
+            spec = finder.find_spec(fullname, path, target)
+            if spec is not None and spec.loader is not None:
+                spec.loader = _LoaderShim(spec.loader)
+                return spec
+        return None
+
+
+_HOOK = _PostImportHook()
+
+
+def _unhook() -> None:
+    try:
+        sys.meta_path.remove(_HOOK)
+    except ValueError:
+        pass
+
+
+if _TARGET_MODULE in sys.modules:
+    apply()
+else:
+    sys.meta_path.insert(0, _HOOK)

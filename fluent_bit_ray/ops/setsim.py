@@ -151,17 +151,31 @@ def _padded_ranks(off: np.ndarray, val: np.ndarray,
     return padded
 
 
+# per-chunk element budget for the owner check's (chunk, p_max, p_max)
+# broadcast temporaries: 4M int64 elements ~= 32 MB, independent of how
+# many pairs a near-duplicate-dense group verifies
+_OWNER_CHUNK_ELEMS = 1 << 22
+
+
 def _owner_rank(padded: np.ndarray, ii: np.ndarray,
                 jj: np.ndarray) -> np.ndarray:
     """Smallest rank present in BOTH pairs' prefixes, per (ii, jj) pair.
 
     PAD==PAD positions match each other but contribute _PAD, which never
     wins the min: the group's own rank is always shared, so the true
-    owner is <= it < _PAD."""
-    a = padded[ii]
-    b = padded[jj]
-    m = a[:, :, None] == b[:, None, :]
-    return np.where(m, a[:, :, None], _PAD).min(axis=(1, 2))
+    owner is <= it < _PAD. Pairs are processed in bounded chunks: the
+    broadcast temporaries are (pairs, p_max, p_max), which for a dense
+    group (h ~ g^2/2 hits, long prefixes) would otherwise dwarf the g^2
+    similarity matrix the heap sizing assumes."""
+    pmax = padded.shape[1]
+    out = np.empty(len(ii), np.int64)
+    step = max(1, _OWNER_CHUNK_ELEMS // max(1, pmax * pmax))
+    for lo in range(0, len(ii), step):
+        a = padded[ii[lo:lo + step]]
+        b = padded[jj[lo:lo + step]]
+        m = a[:, :, None] == b[:, None, :]
+        out[lo:lo + step] = np.where(m, a[:, :, None], _PAD).min(axis=(1, 2))
+    return out
 
 
 def jaccard_join(
@@ -311,8 +325,7 @@ def jaccard_join(
                     ii, jj = ii[own], jj[own]
                 da_out.append(gd[ii])
                 db_out.append(gd[jj])
-                jac_out.append(jac[ii, jj] if len(ii) else
-                               np.empty(0, np.float64))
+                jac_out.append(jac[ii, jj])
             else:
                 ii, jj = np.triu_indices(g, k=1)
                 ok = np.minimum(gs[ii], gs[jj]) + 1e-9 >= tau * np.maximum(

@@ -148,6 +148,7 @@ def _gunzip_multi(data: bytes, chunk: int = 1 << 16) -> bytes:
     pos, n = 0, len(data)
     d = zlib.decompressobj(wbits=31)  # gzip wrapper
     fed = False  # bytes fed to d since its last reset (truncation detector)
+    mem_pos = 0  # offset in `data` where the current member began
     try:
         while pos < n:
             piece = view[pos : pos + chunk]
@@ -159,15 +160,25 @@ def _gunzip_multi(data: bytes, chunk: int = 1 << 16) -> bytes:
                 if not tail:
                     d = zlib.decompressobj(wbits=31)
                     fed = False
+                    mem_pos = pos
                     break
                 pos -= len(tail)
                 d = zlib.decompressobj(wbits=31)
+                mem_pos = pos
                 out.append(d.decompress(tail))
                 fed = True
                 pos += len(tail)
     except zlib.error as e:  # gzip.decompress parity on corrupt input
         raise gzip.BadGzipFile(str(e)) from e
     if fed and not d.eof:
+        if n - mem_pos == 1:
+            # gzip.decompress parity: a member cut inside the 2-byte magic
+            # never reaches zlib's own magic check (1 byte is "need more
+            # input", not an error) — stdlib's header read compares the
+            # short read against the magic and raises BadGzipFile.
+            raise gzip.BadGzipFile(
+                "Not a gzipped file (%r)" % bytes(view[mem_pos : mem_pos + 1])
+            )
         # gzip.decompress parity: a member that never reached its
         # end-of-stream marker is truncated input, not short output —
         # returning the partial bytes would silently drop records.

@@ -86,3 +86,37 @@ def test_patch_is_applied_and_idempotent():
     fn_before = ray.data.Dataset.to_arrow_refs
     _ray_compat.apply()
     assert ray.data.Dataset.to_arrow_refs is fn_before
+
+
+def test_package_import_is_lazy():
+    # `import fluent_bit_ray` must not pull in ray: pure-helper consumers
+    # (parser kernels, WARC byte readers) shouldn't pay the ray.data
+    # import, and the package must import with no ray installed at all
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import fluent_bit_ray\n"
+        "assert 'ray' not in sys.modules, 'package import pulled in ray'\n"
+        "import ray.data\n"
+        "from fluent_bit_ray import _ray_compat\n"
+        "assert _ray_compat._APPLIED\n"
+        "f = ray.data.Dataset.to_arrow_refs\n"
+        "assert '_ray_compat' in f.__code__.co_filename\n"
+        "assert _ray_compat._HOOK not in sys.meta_path\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def test_patch_applies_when_ray_data_imported_first():
+    import subprocess
+    import sys
+
+    code = (
+        "import ray.data\n"
+        "import fluent_bit_ray\n"
+        "f = ray.data.Dataset.to_arrow_refs\n"
+        "assert '_ray_compat' in f.__code__.co_filename\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True)

@@ -153,6 +153,51 @@ class TestCdcUpsert:
         assert got == {1: (1.0, "base")}
 
 
+class TestOwnerRankChunking:
+    def test_chunked_equals_dense(self, monkeypatch):
+        # the bounded-chunk owner check must equal the one-shot broadcast
+        # for every chunk size, including steps that split the pair list
+        # mid-stride and the degenerate step=1
+        from fluent_bit_ray.ops import setsim
+
+        rng = np.random.RandomState(7)
+        n, pmax = 23, 6
+        padded = rng.randint(0, 50, size=(n, pmax)).astype(np.int64)
+        # PAD-fill random suffixes like _padded_ranks does
+        for i in range(n):
+            k = rng.randint(1, pmax + 1)
+            padded[i, k:] = setsim._PAD
+        ii, jj = np.triu_indices(n, k=1)
+        a, b = padded[ii], padded[jj]
+        m = a[:, :, None] == b[:, None, :]
+        dense = np.where(m, a[:, :, None], setsim._PAD).min(axis=(1, 2))
+        for elems in (1, 37, pmax * pmax, 10**9):
+            monkeypatch.setattr(setsim, "_OWNER_CHUNK_ELEMS", elems)
+            np.testing.assert_array_equal(
+                setsim._owner_rank(padded, ii, jj), dense)
+
+    def test_dense_group_end_to_end(self, ray_session, monkeypatch):
+        # a near-duplicate-dense corpus (every doc similar to every other)
+        # under a tiny chunk budget: the owner check runs many chunks and
+        # the exactly-once pair emission must survive
+        import ray.data
+
+        from fluent_bit_ray.ops import setsim
+
+        monkeypatch.setattr(setsim, "_OWNER_CHUNK_ELEMS", 8)
+        base = [f"w{i}" for i in range(20)]
+        docs = [" ".join(base[:19] + [f"u{i}"]) for i in range(25)]
+        t = pa.table({"doc_id": pa.array(range(25), pa.int64()),
+                      "text": pa.array(docs)})
+        out = setsim.jaccard_join(
+            ray.data.from_arrow(t).repartition(4),
+            "doc_id", "text", tau=0.9).to_pylist()
+        # J = 19/21 ~ 0.905 for every pair: all 300 pairs, each once
+        pairs = [(r["da"], r["db"]) for r in out]
+        assert len(pairs) == len(set(pairs)) == 25 * 24 // 2
+        assert all(abs(r["jac"] - 19 / 21) < 1e-12 for r in out)
+
+
 class TestJaccardJoin:
     def test_hand_model(self, ray_session):
         import ray.data

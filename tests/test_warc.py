@@ -150,3 +150,25 @@ class TestGunzipMulti:
 
         with pytest.raises(gzip.BadGzipFile):
             _gunzip_multi(self.members()[0] + b"not gzip at all----")
+
+    def test_every_cut_matches_stdlib_exception_class(self):
+        # exhaustive parity pin: for EVERY prefix of a two-member blob,
+        # _gunzip_multi returns the same bytes or raises the same exception
+        # CLASS as gzip.decompress (incl. the 1-byte-into-next-magic cut,
+        # where stdlib's header read gives BadGzipFile, not EOFError)
+        import gzip
+
+        from fluent_bit_ray.sources.warc import _gunzip_multi
+
+        blob = gzip.compress(b"alpha") + gzip.compress(b"beta")
+        for cut in range(len(blob) + 1):
+            prefix = blob[:cut]
+            try:
+                expect = ("ok", gzip.decompress(prefix))
+            except Exception as e:  # noqa: BLE001
+                expect = ("err", type(e))
+            try:
+                got = ("ok", _gunzip_multi(prefix, chunk=5))
+            except Exception as e:  # noqa: BLE001
+                got = ("err", type(e))
+            assert got == expect, f"cut={cut}: {got} != {expect}"
