@@ -157,8 +157,8 @@ def _padded_ranks(off: np.ndarray, val: np.ndarray,
 _OWNER_CHUNK_ELEMS = 1 << 22
 
 
-def _owner_rank(padded: np.ndarray, ii: np.ndarray,
-                jj: np.ndarray) -> np.ndarray:
+def _owner_rank(padded: np.ndarray, ii: np.ndarray, jj: np.ndarray,
+                chunk_elems: Optional[int] = None) -> np.ndarray:
     """Smallest rank present in BOTH pairs' prefixes, per (ii, jj) pair.
 
     PAD==PAD positions match each other but contribute _PAD, which never
@@ -167,9 +167,11 @@ def _owner_rank(padded: np.ndarray, ii: np.ndarray,
     broadcast temporaries are (pairs, p_max, p_max), which for a dense
     group (h ~ g^2/2 hits, long prefixes) would otherwise dwarf the g^2
     similarity matrix the heap sizing assumes."""
+    if chunk_elems is None:
+        chunk_elems = _OWNER_CHUNK_ELEMS
     pmax = padded.shape[1]
     out = np.empty(len(ii), np.int64)
-    step = max(1, _OWNER_CHUNK_ELEMS // max(1, pmax * pmax))
+    step = max(1, chunk_elems // max(1, pmax * pmax))
     for lo in range(0, len(ii), step):
         a = padded[ii[lo:lo + step]]
         b = padded[jj[lo:lo + step]]
@@ -184,6 +186,7 @@ def jaccard_join(
     text_col: str,
     tau: float,
     shard_output_dir: Optional[str] = None,
+    _owner_chunk_elems: Optional[int] = None,
 ):
     """All pairs (doc_a < doc_b) with token-set Jaccard >= tau, exact.
 
@@ -192,7 +195,10 @@ def jaccard_join(
     token set is empty never pair (SQL: no posting rows). Returns
     (da, db, jac) sorted by (da, db). With `shard_output_dir`, shards
     are keyed by owner prefix rank (each pair appears in exactly one
-    shard file)."""
+    shard file). `_owner_chunk_elems` overrides the owner check's
+    per-chunk element budget (test knob: a closure-captured value ships
+    by VALUE to Ray workers, unlike a monkeypatched module global which
+    workers re-import at its default)."""
     import ray
 
     if not 0.0 < tau <= 1.0:
@@ -210,7 +216,6 @@ def jaccard_join(
     empty_posting = pa.table({
         "tok": pa.array([], pa.int64()),
         "doc": pa.array([], pa.int64()),
-        "sz": pa.array([], pa.int64()),
         "set": pa.array([], pa.list_(pa.int64())),
         "pfx": pa.array([], pa.list_(pa.int64())),
     })
@@ -255,10 +260,11 @@ def jaccard_join(
         # one posting row per prefix rank
         doc_rep = np.repeat(np.arange(len(sizes), dtype=np.int64), p)
         take = pa.array(doc_rep, pa.int64())
+        # no size column: a doc's DISTINCT token count is exactly its
+        # set-list length, which finish() reads off the list offsets
         return pa.table({
             "tok": pa.array(pfx_ranks, pa.int64()),
             "doc": pa.array(ids[doc_rep], pa.int64()),
-            "sz": pa.array(sizes[doc_rep], pa.int64()),
             "set": sets.take(take),
             "pfx": pfx.take(take),
         })
@@ -273,7 +279,6 @@ def jaccard_join(
         tc = t.combine_chunks()
         toks = np.asarray(tc["tok"])
         docs = np.asarray(tc["doc"])
-        szs = np.asarray(tc["sz"])
         set_la = tc.column("set").chunk(0)
         set_off = np.asarray(set_la.offsets, dtype=np.int64)
         set_val = np.asarray(set_la.values, dtype=np.int64)
@@ -295,9 +300,9 @@ def jaccard_join(
             idx = order[lo:hi]
             r = int(st[lo])  # this group's prefix rank
             gd = docs[idx]
-            gs = szs[idx].astype(np.int64)
             s0 = set_off[idx]
             slen = set_off[idx + 1] - s0
+            gs = slen  # doc's distinct-token count IS its set length
             # verify EVERY group pair exactly, vectorized: dictionary-
             # encode the group's tokens locally and compute all pairwise
             # intersection sizes with one dense GEMM (g × local-vocab
@@ -321,7 +326,8 @@ def jaccard_join(
                     # owner emission: keep only pairs whose smallest
                     # shared prefix rank IS this group
                     padded = _padded_ranks(pfx_off, pfx_val, idx)
-                    own = _owner_rank(padded, ii, jj) == r
+                    own = _owner_rank(padded, ii, jj,
+                                      _owner_chunk_elems) == r
                     ii, jj = ii[own], jj[own]
                 da_out.append(gd[ii])
                 db_out.append(gd[jj])

@@ -176,22 +176,24 @@ class TestOwnerRankChunking:
             np.testing.assert_array_equal(
                 setsim._owner_rank(padded, ii, jj), dense)
 
-    def test_dense_group_end_to_end(self, ray_session, monkeypatch):
+    def test_dense_group_end_to_end(self, ray_session):
         # a near-duplicate-dense corpus (every doc similar to every other)
         # under a tiny chunk budget: the owner check runs many chunks and
-        # the exactly-once pair emission must survive
+        # the exactly-once pair emission must survive. The budget goes in
+        # as a jaccard_join argument (closure-captured, ships by VALUE to
+        # the Ray reduce workers); a monkeypatched module global would be
+        # invisible there — workers re-import the module at its default.
         import ray.data
 
         from fluent_bit_ray.ops import setsim
 
-        monkeypatch.setattr(setsim, "_OWNER_CHUNK_ELEMS", 8)
         base = [f"w{i}" for i in range(20)]
         docs = [" ".join(base[:19] + [f"u{i}"]) for i in range(25)]
         t = pa.table({"doc_id": pa.array(range(25), pa.int64()),
                       "text": pa.array(docs)})
         out = setsim.jaccard_join(
             ray.data.from_arrow(t).repartition(4),
-            "doc_id", "text", tau=0.9).to_pylist()
+            "doc_id", "text", tau=0.9, _owner_chunk_elems=8).to_pylist()
         # J = 19/21 ~ 0.905 for every pair: all 300 pairs, each once
         pairs = [(r["da"], r["db"]) for r in out]
         assert len(pairs) == len(set(pairs)) == 25 * 24 // 2

@@ -192,8 +192,16 @@ def main() -> int:
         i = args.index("--chunk-size")
         chunk_size = int(args[i + 1])
         del args[i:i + 2]
+    unknown = [a for a in args if a.startswith("-")]
+    if unknown:  # e.g. --help: fail fast, don't sweep a nonsense sf_dir
+        print(__doc__)
+        print(f"unknown flag(s): {' '.join(unknown)}")
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:]
+    if not os.path.isdir(sf_dir):
+        print(f"sf_dir is not a directory: {sf_dir}")
+        return 2
 
     if in_process or names:
         if not names:  # child invoked with no explicit list: everything
