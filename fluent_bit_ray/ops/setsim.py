@@ -12,19 +12,34 @@ training-data suite the engine adds on top.
 
 Plan shape:
 
-    pass 1: per-block DISTINCT doc-set token document frequencies →
-    `shuffle.hash_reduce` → global token RANKS under the (df, token)
-    order, broadcast once via ray.put (read zero-copy in every prep task)
-    →  pass 2 map_batches: tokenize (the `ops/dedup` zero-copy Arrow
-    split + vectorized polynomial hash), per-doc DISTINCT sorted hash
-    set, prefix emission — each doc posts only its first
-    (s - ceil(tau*s) + 1) token RANKS under the global order
+    pass 0 (the ONLY read of the text column): map_batches tokenizes
+    (the `ops/dedup` zero-copy Arrow split + vectorized polynomial
+    hash) into per-doc DISTINCT sorted hash sets, materialized once as
+    (id, set) Arrow blocks — both later passes read these blocks
+    zero-copy from the object store instead of re-reading and
+    re-tokenizing the corpus (the round-4 design executed the whole
+    dataset twice; at bench scale that second execution was ~40% of
+    wall time)
+    →  df pass: ONE `shuffle.hash_exchange` over the set blocks whose
+    map-side combiner emits per-chunk (tok, df) partials → global token
+    RANKS under the (df, token) order, broadcast once via ray.put
+    →  posting pass: per-block prefix emission (one remote task per set
+    block, vocab read zero-copy) — each doc posts only its first
+    (s - ceil(tau*s) + 1) token RANKS under the global order; the
+    posting exchange then sizes its shards from the MEASURED posting
+    bytes
     →  ONE prefix-rank exchange co-locates each rank's postings
     →  shard-local candidate generation (vectorized triangle per rank
     group), exact verify, and OWNER emission: a pair is emitted ONLY in
     the group of its smallest shared prefix rank, so every qualifying
     pair leaves exactly one shard exactly once — no second exchange, no
     downstream dedup.
+
+Memory at scale: the materialized sets table is the corpus' distinct
+token hashes (≤ the text bytes themselves) and lives in the object
+store, which spills; the round-4 peak already included the strictly
+LARGER posting table (sets duplicated once per prefix rank), so the
+single-tokenize design does not raise the high-water mark.
 
 Why df-ascending order matters: prefix filtering is correct under ANY
 global token order, but its pruning power comes from prefixes holding
@@ -106,19 +121,31 @@ def _doc_sets(texts) -> tuple[np.ndarray, np.ndarray]:
     return f, sizes
 
 
-def _token_df(ds, text_col: str):
-    """(sorted token array, df array) over DISTINCT per-doc tokens."""
+def _df_combine(t: pa.Table) -> pa.Table:
+    """Map-side combiner for the df exchange: a concatenated chunk of
+    (id, set) blocks -> per-chunk (tok, df) partial counts. Set values
+    are already per-doc DISTINCT, so counting flat occurrences counts
+    documents."""
+    la = t.combine_chunks().column("set").chunk(0) if t.num_rows else None
+    flat = (np.asarray(la.values, dtype=np.int64)
+            if la is not None else np.empty(0, np.int64))
+    uniq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"tok": pa.array(uniq, pa.int64()),
+                     "df": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    def partial(t: pa.Table) -> pa.Table:
-        flat, _ = _doc_sets(t[text_col])
-        uniq, cnt = np.unique(flat, return_counts=True)
-        return pa.table({"tok": pa.array(uniq, pa.int64()),
-                         "df": pa.array(cnt, pa.int64())})
 
-    res = hash_reduce(
-        ds.select_columns([text_col]).map_batches(
-            partial, batch_format="pyarrow").to_arrow_refs(),
-        ["tok"], ["df"])
+def _token_df(set_refs) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted token array, df array) over the materialized set blocks —
+    one hash exchange whose split tasks read the blocks zero-copy and
+    emit (tok, df) partials via `_df_combine`."""
+    from functools import partial as _partial
+
+    from ..shuffle import _group_sum
+
+    gs = _partial(_group_sum, keys=["tok"], vals=["df"])
+    # _df_combine output is already unique-per-chunk, so it IS the
+    # map-side combine; gs merges the per-chunk partials in the shards
+    res = hash_exchange(set_refs, ["tok"], gs, combine_fn=_df_combine)
     if res is None or res.num_rows == 0:
         return np.array([], np.int64), np.array([], np.int64)
     toks = np.asarray(res["tok"])
@@ -204,7 +231,21 @@ def jaccard_join(
     if not 0.0 < tau <= 1.0:
         raise ValueError("tau must be in (0, 1]")
 
-    vocab, dfs = _token_df(ds, text_col)
+    # pass 0 — the ONLY read/tokenize of the corpus: materialize per-doc
+    # DISTINCT sorted token-hash sets as (id, set) blocks; both exchanges
+    # below read these blocks zero-copy from the object store
+    def make_sets(t: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(t[id_col], pa.int64()))
+        flat, sizes = _doc_sets(t[text_col])
+        offsets = np.concatenate(([0], np.cumsum(sizes)))
+        sets = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
+        return pa.table({"id": pa.array(ids, pa.int64()), "set": sets})
+
+    set_refs = ds.select_columns([id_col, text_col]).map_batches(
+        make_sets, batch_format="pyarrow").to_arrow_refs()
+
+    vocab, dfs = _token_df(set_refs)
     # global prefix order = (df, token) ascending, as a dense rank so the
     # exchange key, the per-doc prefix lists, and the owner check all
     # speak the same integer
@@ -221,9 +262,20 @@ def jaccard_join(
     })
 
     def prep(t: pa.Table) -> pa.Table:
+        """Per-set-block posting emission: an (id, set) block -> posting
+        rows (one per prefix rank per doc)."""
         vtoks, vranks = ray.get(vocab_ref)  # zero-copy plasma read
-        ids = np.asarray(pc.cast(t[id_col], pa.int64()))
-        flat, sizes = _doc_sets(t[text_col])
+        tc = t.combine_chunks()
+        ids = np.asarray(tc["id"])
+        set_la = (tc.column("set").chunk(0) if tc.num_rows
+                  else pa.array([], pa.list_(pa.int64())))
+        set_offs = np.asarray(set_la.offsets, dtype=np.int64)
+        flat = np.asarray(set_la.values, dtype=np.int64)
+        sizes = set_offs[1:] - set_offs[:-1]
+        if len(set_offs) and (set_offs[0] != 0 or set_offs[-1] != len(flat)):
+            # sliced list array: .values spans the WHOLE buffer — compact
+            # to the zero-based layout the offset math below assumes
+            flat = flat[_multi_slice_gather(set_offs[:-1], sizes)]
         nz = sizes > 0
         if not nz.any():
             return empty_posting
@@ -370,9 +422,14 @@ def jaccard_join(
         return pa.table({"da": pa.array(da2), "db": pa.array(db2),
                          "jac": pa.array(jc)})
 
+    # posting emission as one small task per set block (blocks read
+    # zero-copy; vocab_ref dereferenced zero-copy inside each task). The
+    # exchange then sizes its shard count from the MEASURED posting
+    # bytes — at low tau postings dwarf the sets (each set travels once
+    # per prefix rank), so sizing from set bytes would undershoot.
+    prep_task = ray.remote(prep)
     res = hash_exchange(
-        ds.select_columns([id_col, text_col]).map_batches(
-            prep, batch_format="pyarrow").to_arrow_refs(),
+        [prep_task.remote(r) for r in set_refs],
         ["tok"], finish, shard_output_dir=shard_output_dir)
     if shard_output_dir is not None:
         return None
