@@ -547,12 +547,13 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     vocabulary size, so repetitive/templated prose scores low NLL and
     token-salad scores high even when its unigrams are common.
 
-    Phases: (1) bigram counts via the composite-code partials above +
-    ONE (u,w)-keyed exchange; prefix totals c(u,·) are a vocabulary-sized
-    group-by over that table, not another pass; (2) V from the shared
-    unigram exchange; (3) a pure scoring map — tokens mapped to vocab ids
-    once, bigram lookups by binary search over the broadcast sorted
-    composite codes, one reduceat mean per doc. Docs with <2 tokens are
+    Phases: (1) ONE counting pass + ONE (u,w)-keyed exchange carrying
+    both the bigram counts and the vocabulary (distinct tokens ride as
+    null-w rows, so V costs no second corpus read); prefix totals c(u,·)
+    are a vocabulary-sized group-by over that table, not another pass;
+    (2) a pure scoring map — tokens mapped to vocab ids once, bigram
+    lookups by binary search over the broadcast sorted composite codes,
+    one reduceat mean per doc. Docs with <2 tokens are
     omitted (no bigram likelihood). Partitioning assumption (documented,
     same as tfidf/unigram): the corpus BIGRAM table fits a worker heap —
     the scale knob is min-count pruning at the exchange, which changes
@@ -562,29 +563,64 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     from ..shuffle import hash_exchange
 
     def _sum_big(t: pa.Table) -> pa.Table:
+        # null w = unigram-vocab carrier rows; Arrow group_by keys null
+        # as its own group, so both kinds merge through one aggregate
         g = t.group_by(["u", "w"]).aggregate([("cnt", "sum")])
         return g.rename_columns(["u", "w", "cnt"])
 
+    _empty_uw = pa.table({"u": pa.array([], pa.string()),
+                          "w": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+
+    def both_partial(col) -> pa.Table:
+        """One tokenize per batch serves BOTH the bigram counts and the
+        vocabulary: distinct non-empty tokens travel as (token, NULL,
+        cnt) rows through the same (u, w)-keyed exchange — the separate
+        unigram pass this op used to run re-read and re-tokenized the
+        whole corpus just to learn V."""
+        flat, bounds, _ = _doc_tokens(col)
+        n = len(flat)
+        if n == 0:
+            return _empty_uw
+        d = flat.dictionary_encode()
+        codes = np.asarray(d.indices, dtype=np.int64)
+        k = len(d.dictionary)
+        cnts = np.bincount(codes, minlength=k).astype(np.int64)
+        keep = np.asarray(pc.not_equal(d.dictionary, ""))
+        uni_t = pa.table({
+            "u": d.dictionary.filter(pa.array(keep)),
+            "w": pa.nulls(int(keep.sum()), pa.string()),
+            "cnt": pa.array(cnts[keep]),
+        })
+        starts = np.ones(n, dtype=bool)
+        starts[bounds[1:] - 1] = False
+        i = np.nonzero(starts)[0]
+        if not len(i):
+            return uni_t
+        comp = codes[i] * k + codes[i + 1]
+        uniq, cnt = np.unique(comp, return_counts=True)
+        big_t = pa.table({
+            "u": d.dictionary.take(pa.array(uniq // k, pa.int64())),
+            "w": d.dictionary.take(pa.array(uniq % k, pa.int64())),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+        return pa.concat_tables([uni_t, big_t])
+
     parts = ds.map_batches(
-        lambda b: bigram_count_partial(b[text_col]), batch_format="pyarrow"
+        lambda b: both_partial(b[text_col]), batch_format="pyarrow"
     )
-    big = hash_exchange(parts.to_arrow_refs(), ["u", "w"], _sum_big,
-                        combine_fn=_sum_big)
+    merged = hash_exchange(parts.to_arrow_refs(), ["u", "w"], _sum_big,
+                           combine_fn=_sum_big)
     empty = pa.table({id_col: pa.array([], pa.int64()),
                       "nll": pa.array([], pa.float64())})
-    if big is None or big.num_rows == 0:
+    if merged is None or merged.num_rows == 0:
         return empty
-
-    def _sum_tok(t: pa.Table) -> pa.Table:
-        g = t.group_by(["token"]).aggregate([("cnt", "sum")])
-        return g.rename_columns(["token", "cnt"])
-
-    uni = hash_exchange(
-        ds.map_batches(lambda b: token_count_partial(b[text_col]),
-                       batch_format="pyarrow").to_arrow_refs(),
-        ["token"], _sum_tok, combine_fn=_sum_tok)
-    vocab = uni["token"].combine_chunks()
+    is_uni = pc.is_null(merged["w"])
+    vocab = merged.filter(is_uni)["u"].combine_chunks()
+    big = merged.filter(pc.invert(is_uni)).combine_chunks()
     v_size = float(len(vocab))
+    if big.num_rows == 0:
+        return empty
 
     # vocab-id-indexed model arrays (collision-free composite = u_id*V+w_id)
     u_id = np.asarray(
