@@ -981,15 +981,27 @@ def boilerplate_lines(
 # --------------------------------------------------------------- dup spans
 
 def _span_tokens(batch: pa.Table, text_col: str):
-    """Whitespace tokens per doc: (flat token array, per-doc counts)."""
+    """Whitespace tokens per doc: (flat token array, per-doc counts).
+
+    Contract: len(flat) == counts.sum() — every window/offset computation
+    downstream (_shingle_hashes, _span_window_rows) cumsum's counts to
+    index flat. Arrow's split of an empty/whitespace-only doc yields one
+    '' element; zeroing that doc's count WITHOUT dropping the element
+    (the pre-fix behavior) shifted every later doc's offsets by one,
+    silently corrupting dup_spans/decontaminate on corpora containing
+    empty documents."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     trimmed = pc.utf8_trim_whitespace(pc.fill_null(text, ""))
     lists = pc.utf8_split_whitespace(trimmed)
     raw = np.asarray(pc.list_value_length(lists)).astype(np.int64)
-    counts = np.where(np.asarray(pc.equal(trimmed, "")), 0, raw)
-    return pc.list_flatten(lists), counts
+    empty = np.asarray(pc.equal(trimmed, ""))
+    counts = np.where(empty, 0, raw)
+    flat = pc.list_flatten(lists)
+    if empty.any():
+        flat = flat.filter(pa.array(np.repeat(~empty, raw)))
+    return flat, counts
 
 
 def _span_window_rows(batch: pa.Table, text_col: str, id_col: str, k: int):

@@ -1151,6 +1151,37 @@ class TestDupSpans:
         )
         assert got == {}
 
+    def test_empty_docs_do_not_shift_offsets(self):
+        # regression: Arrow's split of an empty/whitespace-only doc
+        # yields one '' element; leaving it in the flat token array while
+        # zeroing the doc's count shifted every LATER doc's window
+        # offsets by one — the shared end-of-doc span went undetected
+        got = self._run(
+            [
+                {"doc_id": 0, "text": ""},
+                {"doc_id": 1, "text": "aa a b c d"},
+                {"doc_id": 2, "text": "  \t "},
+                {"doc_id": 3, "text": "bb a b c d"},
+            ],
+            span_k=4,
+        )
+        assert got == {1: 1, 3: 1}
+
+    def test_empty_docs_decontaminate_offsets(self):
+        import pyarrow as _pa
+        import ray.data
+
+        from fluent_bit_ray.ops.dedup import decontaminate
+
+        train = ray.data.from_arrow(_pa.Table.from_pylist(
+            [{"doc_id": 0, "text": ""},
+             {"doc_id": 1, "text": "zz a b c d"}]))
+        bench = ray.data.from_arrow(_pa.Table.from_pylist(
+            [{"doc_id": 100, "text": " "},
+             {"doc_id": 101, "text": "qq a b c d"}]))
+        out = decontaminate(train, bench, span_k=4).to_pylist()
+        assert {r["doc_id"]: r["contaminated_windows"] for r in out} == {1: 1}
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestSampling:
