@@ -1004,14 +1004,56 @@ def _span_tokens(batch: pa.Table, text_col: str):
     return flat, counts
 
 
+def _tokens_table(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, toks list<string>) block — the materialized single-tokenize
+    form of the span front end: downstream window passes read these
+    blocks zero-copy instead of re-reading and re-splitting the text."""
+    flat, counts = _span_tokens(batch, text_col)
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    toks = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+    return pa.table({id_col: pc.cast(batch[id_col], pa.int64()),
+                     "toks": toks})
+
+
+def _span_tokens_from_table(t: pa.Table, id_col: str):
+    """(flat tokens, per-doc counts, ids) off a _tokens_table block."""
+    if t.num_rows == 0 or "toks" not in t.column_names:
+        # Ray passes EMPTY blocks through map_batches without running
+        # the fn, so an empty block still has the pre-tokenize schema
+        return (pa.array([], pa.string()), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    tc = t.combine_chunks()
+    ids = np.asarray(tc[id_col]).astype(np.int64)
+    la = (tc.column("toks").chunk(0) if tc.num_rows
+          else pa.array([], pa.list_(pa.string())))
+    offs = np.asarray(la.offsets, dtype=np.int64)
+    flat = la.values
+    counts = offs[1:] - offs[:-1]
+    if len(offs) and (offs[0] != 0 or offs[-1] != len(flat)):
+        # sliced list array: .values spans the whole buffer — compact
+        gather = np.repeat(offs[:-1] - np.concatenate(
+            ([0], np.cumsum(counts[:-1]))), counts) + np.arange(
+            int(counts.sum()), dtype=np.int64)
+        flat = flat.take(pa.array(gather, pa.int64()))
+    return flat, counts, ids
+
+
 def _span_window_rows(batch: pa.Table, text_col: str, id_col: str, k: int):
     """(hash, doc id, flat start position, flat tokens) for every full
     k-token window — the shared front end of dup_spans / decontaminate.
     Docs shorter than k tokens contribute no windows."""
     flat, counts = _span_tokens(batch, text_col)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return _window_rows(flat, counts, ids, k)
+
+
+def _window_rows(flat, counts: np.ndarray, ids: np.ndarray, k: int):
+    """Core of _span_window_rows over already-tokenized arrays."""
     fh = _hash_string_array(flat)
     sh, sh_counts = _shingle_hashes(fh, counts, k)
+    if len(sh) == 0:  # no windows at all (empty or all-empty-doc block)
+        z = np.empty(0, np.int64)
+        return z, z, z, flat
     # drop the short-doc single pseudo-shingle (< k tokens)
     keep = np.repeat(counts >= k, sh_counts)
     sh_off = np.concatenate(([0], np.cumsum(sh_counts)[:-1]))
@@ -1054,15 +1096,18 @@ def dup_spans(
     for documents with at least one duplicated window; docs shorter than
     span_k contribute no windows.
 
-    Exact without shipping window text for the whole corpus — two passes:
+    Exact without shipping window text for the whole corpus. The text is
+    read and tokenized ONCE (materialized (id, toks) blocks; both window
+    passes read them zero-copy from the object store) — then two passes:
       A. rolling 64-bit window hashes (the minhash shingle kernel) flow
          through one hash exchange that keeps only hashes seen >= 2 times;
          the surviving CANDIDATE hash set (tiny: only near-dup material)
          is broadcast with ray.put;
-      B. a second map pass re-derives hashes, reconstructs the window
-         STRINGS only at candidate positions, and a second exchange
-         groups candidates by the actual string (collision-exact),
-         emitting per-doc partial counts merged by hash_reduce.
+      B. a second pass over the SAME token blocks re-derives hashes,
+         reconstructs the window STRINGS only at candidate positions,
+         and a second exchange groups candidates by the actual string
+         (collision-exact), emitting per-doc partial counts merged by
+         hash_reduce.
 
     The per-doc result is corpus-sized at scale: pass `shard_output_dir`
     and each reduce shard writes its own parquet file (returns None)
@@ -1072,8 +1117,13 @@ def dup_spans(
 
     from ..shuffle import hash_exchange, hash_reduce
 
-    def pass_a(batch: pa.Table) -> pa.Table:
-        h, doc, _, _ = _span_window_rows(batch, text_col, id_col, span_k)
+    tok_refs = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _tokens_table(b, text_col, id_col),
+        batch_format="pyarrow", batch_size=None).to_arrow_refs()
+
+    def pass_a(t: pa.Table) -> pa.Table:
+        flat, counts, ids = _span_tokens_from_table(t, id_col)
+        h, doc, _, _ = _window_rows(flat, counts, ids, span_k)
         return pa.table({"h": pa.array(h), id_col: pa.array(doc)})
 
     def dup_hashes(t: pa.Table) -> Optional[pa.Table]:
@@ -1081,17 +1131,19 @@ def dup_spans(
         g = g.filter(pc.greater_equal(g["h_count"], 2))
         return g.select(["h"]) if g.num_rows else None
 
-    a = ds.map_batches(pass_a, batch_format="pyarrow", batch_size=None)
-    cand = hash_exchange(a.to_arrow_refs(), ["h"], dup_hashes)
+    a_task = ray.remote(pass_a)
+    cand = hash_exchange([a_task.remote(r) for r in tok_refs],
+                         ["h"], dup_hashes)
     if cand is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "dup_windows": pa.array([], pa.int64())})
     cand_sorted = np.sort(cand["h"].to_numpy(zero_copy_only=False))
     cand_ref = ray.put(cand_sorted)
 
-    def pass_b(batch: pa.Table) -> pa.Table:
+    def pass_b(t: pa.Table) -> pa.Table:
         cands = ray.get(cand_ref)
-        h, doc, fstart, flat = _span_window_rows(batch, text_col, id_col, span_k)
+        tflat, counts, ids = _span_tokens_from_table(t, id_col)
+        h, doc, fstart, flat = _window_rows(tflat, counts, ids, span_k)
         pos = np.searchsorted(cands, h)
         pos[pos >= len(cands)] = 0
         idx = np.flatnonzero(cands[pos] == h)
@@ -1119,9 +1171,9 @@ def dup_spans(
         out = out.rename(columns={"size": "dup_windows"})
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    b = ds.map_batches(pass_b, batch_format="pyarrow", batch_size=None)
-    part_refs = hash_exchange(b.to_arrow_refs(), ["h"], exact_dup_counts,
-                              return_refs=True)
+    b_task = ray.remote(pass_b)
+    part_refs = hash_exchange([b_task.remote(r) for r in tok_refs],
+                              ["h"], exact_dup_counts, return_refs=True)
     part_refs = [r for r in part_refs if r is not None]
     out = hash_reduce(part_refs, [id_col], ["dup_windows"],
                       shard_output_dir=shard_output_dir)
