@@ -821,9 +821,10 @@ def rollup_sum(
 ) -> pa.Table:
     """Two-level rollup — one pass computing sums at (k1, k2), (k1) and
     grand-total granularity (SQL `GROUP BY ROLLUP(k1, k2)`: rolled levels
-    carry NULL in the rolled key). Key columns are assumed non-null (the
-    usual practical rollup; a data-NULL key would be indistinguishable
-    from a roll-NULL without a GROUPING id column).
+    carry NULL in the rolled key). Null-key rows are EXCLUDED — enforced
+    by a filter, since a data-NULL key would be indistinguishable from a
+    roll-NULL without a GROUPING id column; the SQL twin filters the
+    same way.
 
     Map-side (k1, k2) partial sums cross the wire, never raw rows; ONE
     exchange keyed on k1 alone co-locates everything a k1 group needs, so
@@ -835,6 +836,11 @@ def rollup_sum(
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        # null-key rows are EXCLUDED (enforced, not just assumed): a
+        # data-NULL key is indistinguishable from a roll-NULL marker in
+        # the output, so the contract filters them up front — the SQL
+        # twins carry the same WHERE
+        t = t.filter(pc.and_(pc.is_valid(t[k1]), pc.is_valid(t[k2])))
         g = pa.table({
             k1: t[k1], k2: t[k2],
             "v": pc.cast(t[value_col], pa.float64()),
@@ -1130,7 +1136,8 @@ def cube_sum(
 ) -> pa.Table:
     """Two-key CUBE — sums at (k1, k2), (k1), (k2) and grand total in
     one pass (SQL `GROUP BY CUBE(k1, k2)`, rolled keys NULL). Key
-    columns are assumed non-null, same contract as `rollup_sum`.
+    rows with a null key are excluded (enforced), same contract as
+    `rollup_sum`.
 
     Map-side (k1, k2) partial sums feed TWO small exchanges of the same
     partial refs: the k1-keyed one finishes the (k1, k2) and (k1)
@@ -1140,6 +1147,11 @@ def cube_sum(
     only pre-combined partials, twice."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # null-key rows are EXCLUDED (enforced, not just assumed): a
+        # data-NULL key is indistinguishable from a roll-NULL marker in
+        # the output, so the contract filters them up front — the SQL
+        # twins carry the same WHERE
+        t = t.filter(pc.and_(pc.is_valid(t[k1]), pc.is_valid(t[k2])))
         g = pa.table({
             k1: t[k1], k2: t[k2],
             "v": pc.cast(t[value_col], pa.float64()),
@@ -1203,7 +1215,7 @@ def grouping_sets_sum(
     """GROUP BY GROUPING SETS ((k1, k2), (k1), ()) with the standard
     GROUPING(k1, k2) bitmask id (gid 0 fine, 1 k2-rolled, 3 grand) —
     the arbitrary-level sibling that completes rollup_sum (prefix
-    levels) and cube_sum (all levels). Key columns assumed non-null,
+    levels) and cube_sum (all levels). Null-key rows excluded (enforced),
     same contract as those two.
 
     Unlike cube, every requested level here is k1-groupable, so ONE
@@ -1213,6 +1225,11 @@ def grouping_sets_sum(
     exchange is needed."""
 
     def partial(t: pa.Table) -> pa.Table:
+        # null-key rows are EXCLUDED (enforced, not just assumed): a
+        # data-NULL key is indistinguishable from a roll-NULL marker in
+        # the output, so the contract filters them up front — the SQL
+        # twins carry the same WHERE
+        t = t.filter(pc.and_(pc.is_valid(t[k1]), pc.is_valid(t[k2])))
         g = pa.table({
             k1: t[k1], k2: t[k2],
             "v": pc.cast(t[value_col], pa.float64()),

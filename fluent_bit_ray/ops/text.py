@@ -22,8 +22,10 @@ _LANG_PROFILES = {
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token + byte counts, fully vectorized (no Python loop)."""
-    text = batch[text_col]
+    """Whitespace token + byte counts, fully vectorized (no Python loop).
+    Null text is an empty document (0 bytes, 0 tokens) — the package-wide
+    fill_null(text, '') contract, matched by the oracle's coalesce."""
+    text = pc.fill_null(batch[text_col], "")
     trimmed = pc.utf8_trim_whitespace(text)
     tokens = pc.utf8_split_whitespace(trimmed)
     # split('') yields [''], not []: empty/whitespace-only text has 0 tokens
@@ -947,8 +949,9 @@ def char_entropy_batch(batch: pa.Table, text_col: str = "text",
                        id_col: str = "doc_id") -> pa.Table:
     """Byte-level Shannon entropy per document (bits/byte) — the
     gibberish/compression quality signal: natural text sits ~4.0-4.5,
-    random base64 near 6, repeated filler near 0. Equals character
-    entropy on ASCII corpora (what the SQL oracle checks char-wise).
+    random base64 near 6, repeated filler near 0. The SQL twin is
+    byte-exact on ANY corpus: it expands each char to its UTF-8 bytes
+    arithmetically from the codepoint, so non-ASCII text agrees too.
 
     Pure map — no shuffle, no state. Vectorized: ONE buffer concat per
     batch, one bincount over (doc_index * 256 + byte) composite codes,

@@ -1198,7 +1198,12 @@ def _affix_star_refs(sf_dir: str, symmetric: bool = False):
 
     def star(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        hub = df.groupby("key", sort=False)["doc_id"].transform("min")
+        # dropna=False: a null affix key (null text) is ONE group, the
+        # same as the SQL twins' window PARTITION BY, which groups NULLs
+        # together. pandas' default silently dropped those rows, leaving
+        # a NaN hub that round-tripped to INT64_MIN in the edge table.
+        hub = df.groupby("key", sort=False,
+                         dropna=False)["doc_id"].transform("min")
         h, d = hub.to_numpy(), df["doc_id"].to_numpy()
         if symmetric:
             return pa.table({"src": np.concatenate([h, d]),
@@ -1343,13 +1348,24 @@ def q_triangles(sf_dir: str):
                  ["doc_id", "lang", "source", "n_chars"])
 
     def keyed(t: pa.Table) -> pa.Table:
+        # drop rows with a null key component FIRST, mirroring the SQL
+        # twin where 'f1|' || NULL nulls the key and a.k = b.k never
+        # matches NULL. The dropna also keeps the bucket dtype int64 —
+        # one NaN used to float the whole block's n_chars, so the SAME
+        # (lang, source, bucket) group keyed as 'f1|…|2' in clean blocks
+        # and 'f1|…|2.0' in blocks holding a null, splitting cliques.
         df = t.to_pandas()
-        k1 = ("f1|" + df["lang"] + "|" + df["source"] + "|"
-              + (df["n_chars"] // 200).astype(str))
-        k2 = "f2|" + df["source"] + "|" + (df["n_chars"] // 50).astype(str)
+        d1 = df.dropna(subset=["lang", "source", "n_chars"])
+        k1 = ("f1|" + d1["lang"] + "|" + d1["source"] + "|"
+              + (d1["n_chars"].astype(np.int64) // 200).astype(str))
+        d2 = df.dropna(subset=["source", "n_chars"])
+        k2 = ("f2|" + d2["source"] + "|"
+              + (d2["n_chars"].astype(np.int64) // 50).astype(str))
         return pa.table({
-            "key": pd.concat([k1, k2], ignore_index=True),
-            "doc_id": np.concatenate([df["doc_id"], df["doc_id"]]),
+            "key": pa.array(pd.concat([k1, k2], ignore_index=True),
+                            pa.string()),
+            "doc_id": np.concatenate([d1["doc_id"].to_numpy(np.int64),
+                                      d2["doc_id"].to_numpy(np.int64)]),
         })
 
     edges = clique_edges(
@@ -2433,13 +2449,15 @@ def q_boilerplate(sf_dir: str):
     from ..ops.dedup import boilerplate_lines
 
     def inject(b: pa.Table) -> pa.Table:
-        hdr = pc.binary_join_element_wise(
-            "NAV MENU FOR ", b["source"], "")
-        ftr = pc.binary_join_element_wise(
-            "COPYRIGHT FOOTER ", b["source"], "")
+        # null source coalesces to '' (its own boilerplate group) in
+        # both the engine and the SQL twin — '' || NULL would otherwise
+        # null the whole injected text and silently drop the doc
+        src = pc.fill_null(b["source"], "")
+        hdr = pc.binary_join_element_wise("NAV MENU FOR ", src, "")
+        ftr = pc.binary_join_element_wise("COPYRIGHT FOOTER ", src, "")
         text = pc.binary_join_element_wise(
             hdr, pc.fill_null(b["text"], ""), ftr, "\n")
-        return pa.table({"doc_id": b["doc_id"], "source": b["source"],
+        return pa.table({"doc_id": b["doc_id"], "source": src,
                          "text": text})
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"]
@@ -2972,6 +2990,15 @@ QUERIES: dict[str, Callable] = {
 }
 
 
+# null-safe documents view for the text-suite oracles: the engine's
+# documented contract is fill_null(text, '') — a null text is an empty
+# document, not an absent row — so these twins read text through
+# coalesce. (DuckDB NULL would otherwise null the key/whole expression
+# and silently drop or mis-score the row.)
+_DOCS_TEXT_NN = ("(SELECT * REPLACE (coalesce(text, '') AS text) "
+                 "FROM documents) documents")
+
+
 ORACLE_SQL: dict[str, str] = {
     "grep": (
         "SELECT doc_id, text, lang FROM documents "
@@ -3053,8 +3080,8 @@ ORACLE_SQL: dict[str, str] = {
         "FROM aug GROUP BY text HAVING count(*) > 1"
     ),
     "line_dedup": (
-        "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
-        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100), "
+        f"WITH aug AS (SELECT doc_id, text FROM {_DOCS_TEXT_NN} UNION ALL "
+        f"SELECT doc_id + 1000000, text FROM {_DOCS_TEXT_NN} WHERE doc_id < 100), "
         "split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug), "
         "lines AS (SELECT doc_id, unnest(ls) AS line, "
         "generate_subscripts(ls, 1) - 1 AS idx FROM split), "
@@ -3129,7 +3156,7 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
         "ELSE len(string_split_regex("
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
-        "AS n_tokens FROM documents), "
+        f"AS n_tokens FROM {_DOCS_TEXT_NN}), "
         "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER ("
         "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
         "), 0) AS off FROM tc) "
@@ -3154,7 +3181,7 @@ ORACLE_SQL: dict[str, str] = {
         "WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
         "text || ' reach doc' || doc_id::VARCHAR || "
         "'@mail.example.org from 10.1.2.' || (doc_id % 256)::VARCHAR || "
-        "' call 555-123-4567' ELSE text END AS text FROM documents), "
+        f"' call 555-123-4567' ELSE text END AS text FROM {_DOCS_TEXT_NN}), "
         "e AS (SELECT doc_id, len(regexp_extract_all(text, "
         "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
         "regexp_replace(text, "
@@ -3173,7 +3200,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "repetition": (
         "WITH lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line "
-        "FROM documents), "
+        f"FROM {_DOCS_TEXT_NN}), "
         "lgrp AS (SELECT doc_id, count(*) AS cnt, length(line) AS ln "
         "FROM lines GROUP BY doc_id, line), "
         "lstat AS (SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_distinct, "
@@ -3183,7 +3210,7 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
         "ELSE string_split_regex("
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
-        "FROM documents), "
+        f"FROM {_DOCS_TEXT_NN}), "
         "grams AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g "
         "FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i "
         "FROM toks WHERE len(t) >= 2)), "
@@ -3260,8 +3287,15 @@ ORACLE_SQL: dict[str, str] = {
         "FROM aug GROUP BY text HAVING count(*) > 1"
     ),
     "text_stats": (
-        "SELECT doc_id, strlen(text) AS n_bytes, "
-        "len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents"
+        # coalesce + the regexp trim: DuckDB's trim() strips SPACES only
+        # (not \t\n), and split of a trimmed-empty string yields ['']
+        # where str.split() yields [] — both diverge from the engine's
+        # str.split() parity on whitespace-only/null docs
+        "SELECT doc_id, strlen(coalesce(text, '')) AS n_bytes, "
+        "CASE WHEN regexp_replace(coalesce(text, ''), "
+        "'^\\s+|\\s+$', '', 'g') = '' THEN 0 ELSE "
+        "len(string_split_regex(regexp_replace(coalesce(text, ''), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens FROM documents"
     ),
     "quality": (
         "WITH toks AS (SELECT doc_id, length(text) AS n_chars, "
@@ -3269,7 +3303,7 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
         "ELSE string_split_regex("
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
-        "FROM documents) "
+        f"FROM {_DOCS_TEXT_NN}) "
         "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
         "CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0 END "
         "  AS punct_ratio, "
@@ -3285,7 +3319,7 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
         "ELSE list_distinct(list_transform(string_split_regex("
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
-        "x -> lower(x))) END AS dt FROM documents), "
+        f"x -> lower(x))) END AS dt FROM {_DOCS_TEXT_NN}), "
         "scored AS (SELECT doc_id, "
         "len(list_intersect(dt, ['the','and','of','to','a','in','is',"
         "'that','it','for'])) AS s_en, "
@@ -3726,10 +3760,10 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT sum(len(t))::BIGINT AS n_items, 0 AS n_violations FROM toks"
     ),
     "corpus_diff": (
-        "WITH old AS (SELECT doc_id, text FROM documents "
+        f"WITH old AS (SELECT doc_id, text FROM {_DOCS_TEXT_NN} "
         "WHERE doc_id % 13 <> 0), "
         "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
-        "THEN text || ' v2' ELSE text END AS text FROM documents) "
+        f"THEN text || ' v2' ELSE text END AS text FROM {_DOCS_TEXT_NN}) "
         "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
         "CASE WHEN o.doc_id IS NULL THEN 'added' "
         "WHEN n.doc_id IS NULL THEN 'removed' "
@@ -3788,21 +3822,38 @@ ORACLE_SQL: dict[str, str] = {
     # because 2^32 * 3266489917 overflows BIGINT) and ranks over it —
     # built from the same shuffle_hash_sql the engine documents
     "inverted_index": (
+        # regexp trim (DuckDB trim() is space-only) + coalesce: null and
+        # whitespace-only docs contribute no postings, like the engine
         "WITH toks AS (SELECT DISTINCT doc_id, "
-        "unnest(string_split_regex(trim(text), '\\s+')) AS token "
-        "FROM documents WHERE trim(text) <> '') "
+        "unnest(string_split_regex(regexp_replace(coalesce(text, ''), "
+        "'^\\s+|\\s+$', '', 'g'), '\\s+')) AS token "
+        "FROM documents WHERE regexp_replace(coalesce(text, ''), "
+        "'^\\s+|\\s+$', '', 'g') <> '') "
         "SELECT token, count(*) AS df, string_agg(CAST(doc_id AS VARCHAR), "
         "',' ORDER BY doc_id) AS postings FROM toks GROUP BY token"
     ),
     "entropy": (
+        # BYTE-level entropy, exactly like the engine: each char's UTF-8
+        # bytes are derived arithmetically from its codepoint (DuckDB has
+        # no blob substring), so continuation bytes shared across chars
+        # (é/ç both emit 0xC3) count together — char-level entropy would
+        # diverge on any non-ASCII corpus
         "WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c "
-        "FROM documents WHERE length(text) > 0), "
-        "freq AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2), "
+        "FROM documents WHERE length(coalesce(text, '')) > 0), "
+        "cp AS (SELECT doc_id, unicode(c) AS u FROM ch), "
+        "bs AS (SELECT doc_id, unnest(CASE "
+        "WHEN u < 128 THEN [u] "
+        "WHEN u < 2048 THEN [192 + u//64, 128 + u%64] "
+        "WHEN u < 65536 THEN "
+        "[224 + u//4096, 128 + (u//64)%64, 128 + u%64] "
+        "ELSE [240 + u//262144, 128 + (u//4096)%64, "
+        "128 + (u//64)%64, 128 + u%64] END) AS b FROM cp), "
+        "freq AS (SELECT doc_id, b, count(*) AS n FROM bs GROUP BY 1, 2), "
         "tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1) "
         "SELECT f.doc_id, -sum((f.n / t.t) * log2(f.n / t.t)) AS entropy "
         "FROM freq f JOIN tot t ON f.doc_id = t.doc_id GROUP BY f.doc_id "
         "UNION ALL SELECT doc_id, NULL AS entropy FROM documents "
-        "WHERE length(text) = 0 OR text IS NULL"
+        "WHERE length(coalesce(text, '')) = 0"
     ),
     "funnel": (
         "WITH ev AS (SELECT * FROM events WHERE value <= 30), "
@@ -3852,7 +3903,8 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "rollup": (
         "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
-        "FROM documents GROUP BY ROLLUP(lang, source)"
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+        "GROUP BY ROLLUP(lang, source)"
     ),
     "unpivot": (
         "SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, "
@@ -3974,11 +4026,13 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "cube": (
         "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars "
-        "FROM documents GROUP BY CUBE(lang, source)"
+        "FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL "
+        "GROUP BY CUBE(lang, source)"
     ),
     "grouping_sets": (
         "SELECT lang, source, CAST(sum(n_chars) AS DOUBLE) AS sum_chars, "
         "CAST(GROUPING(lang, source) AS BIGINT) AS gid FROM documents "
+        "WHERE lang IS NOT NULL AND source IS NOT NULL "
         "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
     ),
     "skyline": (
@@ -4259,7 +4313,7 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
         "ELSE string_split_regex("
         "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
-        "FROM documents), "
+        f"FROM {_DOCS_TEXT_NN}), "
         "tf AS (SELECT doc_id, len(t) AS dl, "
         "len(list_filter(t, x -> x = 'join')) AS tf0, "
         "len(list_filter(t, x -> x = 'hash')) AS tf1, "
@@ -4291,9 +4345,11 @@ ORACLE_SQL: dict[str, str] = {
     # in >= 3 distinct docs of one source is boilerplate and every
     # occurrence is removed (short lines always survive)
     "boilerplate": (
-        "WITH d AS (SELECT doc_id, source, "
-        "'NAV MENU FOR ' || source || chr(10) || coalesce(text, '') || "
-        "chr(10) || 'COPYRIGHT FOOTER ' || source AS text FROM documents), "
+        "WITH d AS (SELECT doc_id, coalesce(source, '') AS source, "
+        "'NAV MENU FOR ' || coalesce(source, '') || chr(10) || "
+        "coalesce(text, '') || "
+        "chr(10) || 'COPYRIGHT FOOTER ' || coalesce(source, '') "
+        "AS text FROM documents), "
         "l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls "
         "FROM d), "
         "x AS (SELECT doc_id, source, unnest(ls) AS line, "
@@ -5870,7 +5926,7 @@ ORACLE_SQL["lang_confusion"] = (
     "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
     "ELSE list_distinct(list_transform(string_split_regex("
     "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
-    "x -> lower(x))) END AS dt FROM documents), "
+    f"x -> lower(x))) END AS dt FROM {_DOCS_TEXT_NN}), "
     "scored AS (SELECT doc_id, lang, "
     "len(list_intersect(dt, ['the','and','of','to','a','in','is',"
     "'that','it','for'])) AS s_en, "
