@@ -41,11 +41,14 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _shard_of(nodes: pd.Series, k: int) -> np.ndarray:
-    # single-column frame so the hash matches everywhere a node id is
-    # sharded (column NAME does not participate in hash_pandas_object)
-    h = pd.util.hash_pandas_object(nodes, index=False).to_numpy()
-    return (h % k).astype(np.int64)
+def _shard_of(nodes, k: int) -> np.ndarray:
+    # Arrow-native node hash (_hashing family): type-stable — a pandas
+    # hash would shard the same node id differently if its column ever
+    # floated (one null in a block floats int64 in pandas)
+    from .._hashing import hash_columns
+
+    arr = pa.array(np.asarray(nodes, dtype=np.int64), pa.int64())
+    return (hash_columns(pa.table({"n": arr}), ["n"]) % k).astype(np.int64)
 
 
 def _build_adj(src: str, dst: str, k: int, *tables):

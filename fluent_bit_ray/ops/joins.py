@@ -124,10 +124,17 @@ def asof_join(
     def finish(t: pa.Table) -> pa.Table:
         df = _ensure_cols(t.to_pandas(), ["_rval", *left_cols])
         codes = pd.factorize(df[key_col], use_na_sentinel=False)[0].astype(np.int64)
-        ts = df["_ts_us"].to_numpy().astype(np.int64)
+        # SQL null-ts semantics: a timestamp comparison through NULL is
+        # never true — null-ts right rows are no candidates and null-ts
+        # left rows match nothing (the old int64 cast turned NaN into
+        # INT64_MIN, silently letting two null-ts rows pair up). µs
+        # magnitudes stay exact through the float mask (< 2^53).
+        tvalid = df["_ts_us"].notna().to_numpy()
+        ts = np.where(tvalid, np.nan_to_num(
+            df["_ts_us"].to_numpy(dtype=np.float64)), 0.0).astype(np.int64)
         is_left = df["_side"].to_numpy() == 1
         l = np.flatnonzero(is_left)
-        r = np.flatnonzero(~is_left)
+        r = np.flatnonzero(~is_left & tvalid)
         match = np.full(len(l), -1, dtype=np.int64)
         if len(r) and len(l):
             ridx = _sorted_right(codes, ts, r)
@@ -149,7 +156,11 @@ def asof_join(
                     p = np.searchsorted(rt[s:e], ts[li], side="right") - 1
                     if p >= 0:
                         match[i] = ridx[s + p]
-        out = pd.DataFrame({key_col: df[key_col].to_numpy()[l], "ts_us": ts[l]})
+        match[~tvalid[l]] = -1
+        ts_out = pd.array(ts[l], dtype="Int64")
+        ts_out[~tvalid[l]] = pd.NA
+        out = pd.DataFrame({key_col: df[key_col].to_numpy()[l],
+                            "ts_us": ts_out})
         for c in left_cols:
             out[c] = df[c].to_numpy()[l]
             if c in int_cols:
@@ -205,10 +216,17 @@ def range_join_agg(
     def finish(t: pa.Table) -> pa.Table:
         df = _ensure_cols(t.to_pandas(), ["_rval", *left_cols])
         codes = pd.factorize(df[key_col], use_na_sentinel=False)[0].astype(np.int64)
-        ts = df["_ts_us"].to_numpy().astype(np.int64)
+        # SQL null-ts semantics: a timestamp comparison through NULL is
+        # never true — null-ts right rows are no candidates and null-ts
+        # left rows match nothing (the old int64 cast turned NaN into
+        # INT64_MIN, silently letting two null-ts rows pair up). µs
+        # magnitudes stay exact through the float mask (< 2^53).
+        tvalid = df["_ts_us"].notna().to_numpy()
+        ts = np.where(tvalid, np.nan_to_num(
+            df["_ts_us"].to_numpy(dtype=np.float64)), 0.0).astype(np.int64)
         is_left = df["_side"].to_numpy() == 1
         l = np.flatnonzero(is_left)
-        r = np.flatnonzero(~is_left)
+        r = np.flatnonzero(~is_left & tvalid)
         n = np.zeros(len(l), dtype=np.int64)
         s = np.zeros(len(l), dtype=np.float64)
         if len(r) and len(l):
@@ -237,6 +255,8 @@ def range_join_agg(
                     p1 = a + np.searchsorted(rt[a:b], ts[li] + hi_us, side="right")
                     n[i] = p1 - p0
                     s[i] = pre[p1] - pre[p0]
+        n[~tvalid[l]] = 0
+        s[~tvalid[l]] = 0.0
         out = pd.DataFrame({key_col: df[key_col].to_numpy()[l]})
         for c in left_cols:
             out[c] = df[c].to_numpy()[l]

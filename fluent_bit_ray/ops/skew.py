@@ -42,16 +42,12 @@ def salted_count(
     def partial(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         # deterministic per-row salt from a row-unique column, via the
-        # same vectorized hash family as shuffle._split_chunk (Arrow ->
-        # pandas block conversion, zero-copy for numerics — no
-        # to_pylist() Python-object round-trip)
-        import pandas as pd
+        # same Arrow-native vectorized hash family as
+        # shuffle._split_chunk (type-stable under nulls, no pandas)
+        from .._hashing import hash_columns
 
-        salt_series = batch.select([salt_col]).to_pandas()[salt_col]
-        salts = (
-            pd.util.hash_pandas_object(salt_series, index=False).to_numpy()
-            % num_salts
-        ).astype(np.int64)
+        salts = (hash_columns(batch, [salt_col]) % num_salts).astype(
+            np.int64)
         cols = {
             key_col: batch[key_col],
             "_salt": pa.array(salts),

@@ -30,6 +30,38 @@ import pyarrow.compute as pc
 from ..shuffle import hash_exchange
 
 
+def _key_groups(tc: pa.Table, key_col: str):
+    """Type-stable key factorization: (unique-keys Arrow array, int64
+    group id per row). A null key is its own group (the last id), like
+    SQL GROUP BY. Keys never round-trip through pandas — an int64 key
+    column holding one null would otherwise float the WHOLE column (and
+    an all-null shard would infer double for a string key), so two
+    shards of one exchange could emit incompatible schemas."""
+    col = tc[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    ind = enc.indices
+    k = len(enc.dictionary)
+    codes = ind.to_numpy(zero_copy_only=False)
+    null_mask = np.asarray(pc.is_null(ind))
+    gid = np.where(null_mask, k, codes).astype(np.int64)
+    keys = enc.dictionary
+    if null_mask.any():
+        keys = pa.concat_arrays([keys, pa.nulls(1, keys.type)])
+    return keys, gid
+
+
+def _group_slices(gid: np.ndarray):
+    """Row-index runs per group id: (sorted order, run starts) — loop
+    over DISTINCT groups, not rows."""
+    order = np.argsort(gid, kind="stable")
+    g = gid[order]
+    starts = np.concatenate(
+        ([0], np.nonzero(g[1:] != g[:-1])[0] + 1, [len(g)]))
+    return order, starts
+
+
 def keyed_quantiles(
     ds,
     key_col: str,
@@ -38,26 +70,40 @@ def keyed_quantiles(
     names: Sequence[str] = ("p50", "p95", "p99"),
 ) -> Optional[pa.Table]:
     """Per key: exact linear-interpolated quantiles of `value_col` (the
-    SQL `quantile_cont` / numpy 'linear' definition), nulls ignored."""
+    SQL `quantile_cont` / numpy 'linear' definition), nulls ignored. A
+    null KEY is its own group (SQL GROUP BY); keys whose values are all
+    null produce no row (quantile_cont over nothing is NULL and the SQL
+    twin drops it the same way)."""
     qlist = list(qs)
 
     def finish(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df[value_col].notna()]
-        keys_out = []
+        tc = t.combine_chunks()
+        keys, gid = _key_groups(tc, key_col)
+        vals = tc[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = ~np.isnan(vals)
+        gid, vals = gid[ok], vals[ok]
+        if not len(gid):  # every value in the shard was null
+            cols = {key_col: keys.slice(0, 0)}
+            for name in names:
+                cols[name] = pa.array([], pa.float64())
+            return pa.table(cols)
+        order, starts = _group_slices(gid)
+        key_ids = []
         rows = []
         # vectorized within each key: one np.quantile call computes all
-        # requested quantiles over the key's sorted values at C speed;
-        # the Python loop is over DISTINCT KEYS in the shard, not rows
-        for key, g in df.groupby(key_col, sort=False, dropna=False):
-            keys_out.append(key)
-            rows.append(np.quantile(g[value_col].to_numpy(), qlist,
-                                    method="linear"))
-        mat = np.asarray(rows, dtype=np.float64).reshape(len(rows), len(qlist))
-        out = {key_col: keys_out}
+        # requested quantiles over the key's values at C speed; the
+        # Python loop is over DISTINCT KEYS in the shard, not rows
+        for i in range(len(starts) - 1):
+            sel = order[starts[i]:starts[i + 1]]
+            key_ids.append(gid[sel[0]])
+            rows.append(np.quantile(vals[sel], qlist, method="linear"))
+        mat = np.asarray(rows, dtype=np.float64).reshape(
+            len(rows), len(qlist))
+        cols = {key_col: keys.take(pa.array(key_ids, pa.int64()))}
         for j, name in enumerate(names):
-            out[name] = mat[:, j]
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+            cols[name] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
 
     pruned = ds.select_columns([key_col, value_col])
     return hash_exchange(pruned.to_arrow_refs(), [key_col], finish)
@@ -932,11 +978,16 @@ def keyed_corr(
             [key_col, "n", "sx", "sy", "sxx", "syy", "sxy"])
 
     def finish(t: pa.Table) -> pa.Table:
-        df = combine(t).to_pandas()
-        n = df["n"].to_numpy()
-        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
-        sxx, syy, sxy = (df["sxx"].to_numpy(), df["syy"].to_numpy(),
-                         df["sxy"].to_numpy())
+        m = combine(t)
+        # the KEY column stays Arrow end-to-end: a pandas round-trip
+        # would float an int64 key holding one null, making this shard's
+        # schema clash with its siblings at the driver concat
+        n = m["n"].to_numpy(zero_copy_only=False)
+        sx = m["sx"].to_numpy(zero_copy_only=False)
+        sy = m["sy"].to_numpy(zero_copy_only=False)
+        sxx = m["sxx"].to_numpy(zero_copy_only=False)
+        syy = m["syy"].to_numpy(zero_copy_only=False)
+        sxy = m["sxy"].to_numpy(zero_copy_only=False)
         with np.errstate(invalid="ignore", divide="ignore"):
             cxx = sxx - sx * sx / n
             cyy = syy - sy * sy / n
@@ -948,14 +999,16 @@ def keyed_corr(
         corr[bad | (cyy <= 0)] = np.nan
         slope[bad] = np.nan
         intercept[bad] = np.nan
-        out = pd.DataFrame({
-            key_col: df[key_col],
-            "n_pairs": n.astype(np.int64),
-            "corr": corr, "slope": slope, "intercept": intercept,
+        # from_pandas=True maps the NaNs to Arrow NULLs, matching the
+        # SQL aggregates' NULLs for degenerate keys
+        return pa.table({
+            key_col: m[key_col],
+            "n_pairs": pa.array(n.astype(np.int64), pa.int64()),
+            "corr": pa.array(corr, pa.float64(), from_pandas=True),
+            "slope": pa.array(slope, pa.float64(), from_pandas=True),
+            "intercept": pa.array(intercept, pa.float64(),
+                                  from_pandas=True),
         })
-        # from_pandas turns the NaNs into Arrow NULLs, matching the SQL
-        # aggregates' NULLs for degenerate keys
-        return pa.Table.from_pandas(out, preserve_index=False)
 
     refs = ds.select_columns([key_col, x_col, y_col]).map_batches(
         partial, batch_format="pyarrow").to_arrow_refs()
@@ -1000,14 +1053,31 @@ def mode_per_key(
         return g.rename_columns([key_col, value_col, "n"])
 
     def finish(t: pa.Table) -> pa.Table:
-        df = combine(t).to_pandas()
-        df = df.sort_values([key_col, "n", value_col],
-                            ascending=[True, False, True],
-                            kind="mergesort")
-        win = df[~df[key_col].duplicated()].reset_index(drop=True)
-        return pa.Table.from_pandas(
-            win.rename(columns={value_col: "mode", "n": "n_mode"}),
-            preserve_index=False)
+        m = combine(t).combine_chunks()
+        # Arrow-native winner election: keys never round-trip through
+        # pandas (an int64 key with one null would float the column and
+        # clash with sibling shards), and Arrow's sort orders any value
+        # type the column can hold
+        keys, gid = _key_groups(m, key_col)
+        tmp = pa.table({"g": pa.array(gid, pa.int64()),
+                        "n": m["n"], "v": m[value_col]})
+        idx = np.asarray(pc.sort_indices(
+            tmp, sort_keys=[("g", "ascending"), ("n", "descending"),
+                            ("v", "ascending")]))
+        gs = gid[idx]
+        first = np.ones(len(gs), dtype=bool)
+        first[1:] = gs[1:] != gs[:-1]
+        sel = pa.array(idx[first], pa.int64())
+        vals = (m[value_col].combine_chunks()
+                if isinstance(m[value_col], pa.ChunkedArray)
+                else m[value_col])
+        ncol = (m["n"].combine_chunks()
+                if isinstance(m["n"], pa.ChunkedArray) else m["n"])
+        return pa.table({
+            key_col: keys.take(pa.array(gs[first], pa.int64())),
+            "mode": vals.take(sel),
+            "n_mode": ncol.take(sel),
+        })
 
     refs = ds.select_columns([key_col, value_col]).map_batches(
         partial, batch_format="pyarrow").to_arrow_refs()
@@ -1644,7 +1714,8 @@ def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
     (medians, then medians of absolute deviations) with the tiny per-key
     stat tables ray.put-broadcast between passes, then a pure vectorized
     flag map — nothing corpus-sized moves. Null values are dropped
-    (documented; the SQL twin filters them); null keys group together.
+    (documented; the SQL twin filters them) and so are null-KEY rows
+    (the twin's equality join never matches a null key).
     Returns every surviving row + (med, mad, is_outlier)."""
     import ray
 
@@ -1698,7 +1769,9 @@ def mad_outliers(ds, key_col: str, value_col: str, thresh: float = 3.0):
     def flag(t: pa.Table) -> pa.Table:
         keys, med = ray.get(med_ref)
         mkeys, mad = ray.get(mad_ref)  # own key order: separate exchange
-        live = pc.is_valid(t[value_col])
+        # null-KEY rows are excluded too: the SQL twin's JOIN ... USING
+        # (key) never matches a null key, so such rows have no baseline
+        live = pc.and_(pc.is_valid(t[value_col]), pc.is_valid(t[key_col]))
         t = t.filter(live)
         if t.num_rows == 0:
             return t.append_column(

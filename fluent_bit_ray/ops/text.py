@@ -1161,11 +1161,17 @@ def template_novelty(ds, text_col: str = "text", ts_col: str = "ts",
         first = df.loc[df["bucket"].notna()].groupby(
             "template", dropna=False)["bucket"].min()
         fb = df["template"].map(first)
-        df["is_new"] = (df["bucket"].notna() & fb.notna()
-                        & (df["bucket"] == fb))
-        return pa.Table.from_pandas(
-            df[["bucket", "template", "cnt", "is_new"]],
-            preserve_index=False)
+        is_new = (df["bucket"].notna() & fb.notna()
+                  & (df["bucket"] == fb))
+        # bucket/template/cnt stay the Arrow columns: a from_pandas
+        # round-trip floats the int64 bucket when a null-ts row is in
+        # the shard, clashing with sibling shards at the concat
+        return pa.table({
+            "bucket": g["bucket"],
+            "template": g["template"],
+            "cnt": g["cnt"],
+            "is_new": pa.array(is_new.to_numpy(dtype=bool)),
+        })
 
     out = hash_exchange(
         ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs(),

@@ -18,6 +18,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 #: parallelism FLOOR for the shard exchange, not a cap: the actual shard
 #: count is data-derived (shuffle.py sizing rule — ceil(input_bytes /
@@ -56,19 +57,52 @@ def _with_shard(ds, key_col: str, num_shards: Optional[int],
         num_shards = auto_shards_for_dataset(ds, floor)
 
     def add_shard(t):
-        # Arrow in/out: only the KEY column crosses to pandas for the
-        # vectorized hash (same hash family as shuffle._split_chunk) —
-        # the full-frame pandas round-trip this stage used to pay moved
-        # the whole corpus through two extra conversions
+        # Arrow-native key hash (same family as shuffle._split_chunk):
+        # the old pandas hash floated an int64 key column holding one
+        # null, so the SAME key could land in different shards depending
+        # on which block carried it — splitting one user's window rows
         import pyarrow as _pa
 
-        h = pd.util.hash_pandas_object(
-            t.select([key_col]).to_pandas()[key_col], index=False
-        ).to_numpy()
+        from .._hashing import hash_columns
+
+        h = hash_columns(t, [key_col])
         return t.append_column(
             "_shard", _pa.array((h % num_shards).astype("int64")))
 
     return ds.map_batches(add_shard, batch_format="pyarrow")
+
+
+def _keyed_map_groups(ds, key_col, num_shards, floor, per_shard):
+    """_with_shard -> per-shard pandas body -> float-key restoration.
+
+    Ray's pandas conversion floats an integer key column for any shard
+    holding a null key; a shard that then drops its null rows (or one
+    that never had any) emits int64 — two shards, two schemas, and the
+    driver concat dies (or silently mis-merges). The restoration stage
+    casts a floating key column back to int64 with NaN -> null (exact:
+    the floats are round-tripped int64 keys), so the op's output schema
+    is stable no matter where nulls landed. String keys pass through
+    untouched; every op in this family keys on an id/entity column.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out = _with_shard(ds, key_col, num_shards, floor=floor).groupby(
+        "_shard").map_groups(per_shard, batch_format="pandas")
+
+    def _fix(t):
+        if key_col in t.column_names:
+            col = t[key_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_floating(col.type):
+                arr = pa.array(col.to_numpy(zero_copy_only=False),
+                               from_pandas=True)
+                t = t.set_column(t.column_names.index(key_col), key_col,
+                                 pc.cast(arr, pa.int64(), safe=False))
+        return t
+
+    return out.map_batches(_fix, batch_format="pyarrow")
 
 
 def _finish(df: pd.DataFrame) -> pd.DataFrame:
@@ -122,9 +156,7 @@ def sliding_count(
         df[out_col] = counts.astype("int64")
         return _finish(df)
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def tumbling_agg(
@@ -140,20 +172,28 @@ def tumbling_agg(
     per shard, all the shard's keys at once)."""
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
-        bucket = (_epoch_ns(df[ts_col]) // (window_sec * 10**9)).astype("int64")
+        dt = df[ts_col].astype("datetime64[ns]")
+        # nullable Int64 bucket: a null ts is the SQL NULL bucket group,
+        # not the garbage INT64_MIN // window the raw cast produced; the
+        # extension dtype also keeps the output schema identical across
+        # shards with and without null-ts rows
+        bucket = (dt.astype("int64") // (window_sec * 10**9)).astype(
+            "Int64")
+        bucket[dt.isna()] = pd.NA
         g = (
             df.assign(bucket=bucket)
             # dropna=False: null keys form their own group (the previous
             # per-key map_groups path emitted one, and silently losing
             # rows is never acceptable in an aggregate)
             .groupby([key_col, "bucket"], as_index=False, sort=False, dropna=False)
-            .agg(records=(value_col, "size"), total=(value_col, "sum"))
+            .agg(records=(value_col, "size"), total=(value_col, "sum"),
+                 _nn=(value_col, "count"))
         )
+        # SQL sum() over an all-null group is NULL, not 0
+        g.loc[g["_nn"] == 0, "total"] = np.nan
         return g[[key_col, "bucket", "records", "total"]]
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def session_windows(
@@ -169,21 +209,39 @@ def session_windows(
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col]).reset_index(drop=True)
         ns = _epoch_ns(df[ts_col])
+        valid = df[ts_col].notna().to_numpy()
         # null-safe key-change detection (NaN != NaN would split every
         # null-key row into its own session): factorize codes compare equal
         codes = pd.factorize(df[key_col], use_na_sentinel=False)[0]
-        key_change = pd.Series(np.r_[True, codes[1:] != codes[:-1]])
-        new_session = (ns.diff() > gap_sec * 10**9) | key_change
+        key_change = np.r_[True, codes[1:] != codes[:-1]]
+        # exact int64 gap test (Series.diff floats int64 and ±ULP at
+        # 1.7e18 ns could flip an exactly-gap boundary); a null-ts row
+        # never breaks (SQL: NULL - lag > gap is never true) — it sorts
+        # last in its key, so it joins the key's final session, and the
+        # wrapped NaT subtraction at its position is masked by `valid`
+        nsv = ns.to_numpy()
+        d = np.zeros(len(nsv), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            d[1:] = nsv[1:] - nsv[:-1]
+        new_session = pd.Series((d > gap_sec * 10**9) & valid
+                                | key_change)
+        # NaT's int64 form must not win the session min — mask
+        # to +inf for the min, NULL the start when no valid ts exists
+        ns_for_min = ns.where(pd.Series(valid),
+                              np.iinfo(np.int64).max).astype("int64")
         sid = new_session.cumsum()
-        g = df.assign(_sid=sid, _ns=ns).groupby(
+        g = df.assign(_sid=sid, _ns=ns_for_min, _ok=valid).groupby(
             [key_col, "_sid"], sort=False, dropna=False
         )
-        out = g.agg(session_start=("_ns", "min"), events=("_ns", "size"))
-        return out.reset_index()[[key_col, "session_start", "events"]]
+        out = g.agg(session_start=("_ns", "min"), events=("_ns", "size"),
+                    _nv=("_ok", "sum"))
+        out = out.reset_index()
+        start = out["session_start"].astype("Int64")
+        start[out["_nv"] == 0] = pd.NA
+        out["session_start"] = start
+        return out[[key_col, "session_start", "events"]]
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def running_totals(
@@ -245,9 +303,7 @@ def running_totals(
         )
         return out
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def moving_avg(
@@ -306,9 +362,7 @@ def moving_avg(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def lag_deltas(
@@ -354,9 +408,7 @@ def lag_deltas(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def rank_per_key(
@@ -414,9 +466,7 @@ def rank_per_key(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def transition_counts(
@@ -498,9 +548,7 @@ def collect_per_key(
         g["seq"] = g["seq"].astype("string")
         return g
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def funnel(
@@ -526,8 +574,15 @@ def funnel(
     """
     steps = list(steps)
 
-    def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[type_col].isin(steps)][[key_col, type_col, ts_col]]
+    def prune(t):
+        # Arrow in/out: a pandas prune floated the int64 key column of
+        # any block holding a null key, so the SAME key hashed (and
+        # sharded) differently across blocks — per-key results doubled
+        import pyarrow.compute as _pc
+
+        keep = _pc.fill_null(_pc.is_in(t[type_col], value_set=pa.array(
+            steps, t.schema.field(type_col).type)), False)
+        return t.filter(keep).select([key_col, type_col, ts_col])
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         first = df[df[type_col] == steps[0]].groupby(key_col)[ts_col].min()
@@ -542,10 +597,8 @@ def funnel(
             prev = cur
         return out.reset_index()
 
-    pruned = ds.map_batches(prune, batch_format="pandas")
-    return _with_shard(pruned, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return _keyed_map_groups(pruned, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def window_dedup(
@@ -586,9 +639,7 @@ def window_dedup(
                      | (cb[1:] != cb[:-1]))
         return _finish(df.iloc[order[first]])
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def late_events(
@@ -642,9 +693,7 @@ def late_events(
             "lateness_us": prior[late] - us[late],
         })
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def counter_rate(
@@ -699,9 +748,7 @@ def counter_rate(
             "rate": rate,
         })
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def resample_ffill(
@@ -783,9 +830,7 @@ def resample_ffill(
             "value": filled,
         })
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def cohort_retention(
@@ -814,12 +859,20 @@ def cohort_retention(
 
     from ..shuffle import hash_exchange
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = df[user_col].notna() & df[ts_col].notna()
-        df = df[m]
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow in/out: the old pandas form floated the int64 user
+        # column of any block holding a null user (dtype survives the
+        # notna filter), so that block's partial clashed with its
+        # siblings at the exchange concat
+        from .profile import _as_comparable
+
+        t = t.filter(pc.and_(pc.is_valid(t[user_col]),
+                             pc.is_valid(t[ts_col])))
+        us, _ = _as_comparable(t[ts_col])  # exact epoch µs, any unit
         # int64 floor-div matches SQL epoch_us(ts) // week_us exactly
-        w = _epoch_ns(df[ts_col]).to_numpy() // 1000 // bucket_us
-        return pd.DataFrame({user_col: df[user_col].to_numpy(), "w": w})
+        w = np.asarray(us, dtype=np.int64) // bucket_us
+        return pa.table({user_col: t[user_col],
+                         "w": pa.array(w, pa.int64())})
 
     def per_shard(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -840,7 +893,7 @@ def cohort_retention(
              .size().reset_index(name="users"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    parts = ds.map_batches(partial, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pyarrow")
     merged = hash_exchange(parts.to_arrow_refs(), [user_col], per_shard,
                            num_shards=num_shards)
     empty = pa.table({"cohort_bucket": pa.array([], pa.int64()),
@@ -911,9 +964,7 @@ def interval_merge(
                              "n_intervals"]])
         return g
 
-    return _with_shard(ds, key_col, num_shards, floor=32).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 32, per_shard)
 
 
 def last_touch_attribution(
@@ -970,9 +1021,7 @@ def last_touch_attribution(
             "touch_id": touch_id,
         })
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def time_weighted_avg(
@@ -1024,9 +1073,7 @@ def time_weighted_avg(
         return pd.DataFrame({key_col: g[key_col],
                              "twap": g["w"] / g["span"]})
 
-    return _with_shard(ds, key_col, num_shards, floor=32).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 32, per_shard)
 
 
 def ewma(
@@ -1069,9 +1116,7 @@ def ewma(
                              id_col: df[id_col],
                              "ewma": y.to_numpy(dtype=np.float64)})
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def cusum_drift(
@@ -1129,9 +1174,7 @@ def cusum_drift(
                              "cusum": s_plus,
                              "is_drift": s_plus > thresh})
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def sessionize(
@@ -1182,9 +1225,7 @@ def sessionize(
         return pd.DataFrame({key_col: df[key_col], id_col: df[id_col],
                              "session_seq": seq.astype(np.int64)})
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def rank_dist(
@@ -1246,9 +1287,7 @@ def rank_dist(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def lead_deltas(
@@ -1294,9 +1333,7 @@ def lead_deltas(
             }
         )
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def session_stats(
@@ -1388,9 +1425,7 @@ def session_stats(
             "is_bounce": counts == 1,
         })
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def gap_stats(
@@ -1446,9 +1481,7 @@ def gap_stats(
                              "n_gaps": n_gaps,
                              "max_gap_us": max_us})
 
-    return _with_shard(ds, key_col, num_shards, floor=16).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, 16, per_shard)
 
 
 def sliding_sum(
@@ -1489,9 +1522,7 @@ def sliding_sum(
         df[out_col] = pd.Series(sums).mask(cnt == 0)
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def _frame_bounds(codes: np.ndarray, base: np.ndarray, ns: np.ndarray,
@@ -1582,9 +1613,7 @@ def _sliding_extreme(
         df[out_col] = pd.Series(out).mask(C[right] - C[left] == 0)
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)
 
 
 def sliding_max(
@@ -1698,6 +1727,4 @@ def sliding_spikes(
         df["is_spike"] = spike
         return _finish(df.drop(columns=[value_col]))
 
-    return _with_shard(ds, key_col, num_shards, floor=DEFAULT_SHARDS).groupby("_shard").map_groups(
-        per_shard, batch_format="pandas"
-    )
+    return _keyed_map_groups(ds, key_col, num_shards, DEFAULT_SHARDS, per_shard)

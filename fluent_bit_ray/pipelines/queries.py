@@ -126,9 +126,13 @@ def q_router_counts(sf_dir: str):
     router = Router(_EVENT_ROUTES)
 
     def count_batch(b: pa.Table) -> pa.Table:
+        # a reference record always HAS a tag — null event_type tags as
+        # "evt." (matches the catch-all route, no typed route), instead
+        # of a NULL tag silently falling out of every sink incl. s_all
+        et = pc.fill_null(b["event_type"], "")
         tags = pc.binary_join_element_wise(
-            pa.scalar("evt"), b["event_type"].combine_chunks()
-            if isinstance(b["event_type"], pa.ChunkedArray) else b["event_type"],
+            pa.scalar("evt"), et.combine_chunks()
+            if isinstance(et, pa.ChunkedArray) else et,
             ".",
         )
         masks = router.masks(tags)
@@ -793,8 +797,12 @@ def _syslog_fixture(sf_dir: str, n_files: int = 4) -> str:
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "user_id", "ts"],
     ).sort_by([("event_id", "ascending")])
+    # a syslog line can't render from a null timestamp/host/tag: rows
+    # missing any rendered field produce NO line (the oracle filters
+    # identically) — v2 cache key, the filter changes fixture bytes
+    t = t.drop_null()
     key = hashlib.blake2b(
-        f"{os.path.normpath(sf_dir)}:{t.num_rows}:syslog-v1".encode(),
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:syslog-v2".encode(),
         digest_size=8,
     ).hexdigest()
     d = os.path.join("/tmp/fbr_syslog_cache", key)
@@ -869,8 +877,12 @@ def _forward_fixture(sf_dir: str, n_files: int = 4) -> str:
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "user_id", "ts"],
     ).sort_by([("event_id", "ascending")])
+    # an EventTime fixext8 can't encode a null timestamp: such rows emit
+    # no frame entry (the oracle filters the same); null user/type pass
+    # through as msgpack nil and round-trip as nulls. v2 cache key.
+    t = t.filter(pc.is_valid(t["ts"]))
     key = hashlib.blake2b(
-        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v2".encode(), digest_size=8
     ).hexdigest()
     d = os.path.join("/tmp/fbr_forward_cache", key)
     done = os.path.join(d, "_DONE")
@@ -1385,8 +1397,10 @@ def q_corr_stats(sf_dir: str):
     def add_x(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         secs = (us // 1_000_000) % 86_400
+        # from_pandas=True: a null ts came through as NaN — map it back
+        # to an Arrow NULL so regr_count's pairwise-exclusion holds
         return t.select(["user_id", "value"]).append_column(
-            "tod", pa.array(secs.astype(np.float64)))
+            "tod", pa.array(secs.astype(np.float64), from_pandas=True))
 
     return keyed_corr(
         _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
@@ -1730,15 +1744,19 @@ def q_template_novelty(sf_dir: str):
     on each template's FIRST-seen bucket (ops/text.template_novelty —
     per-block masked group_by partials, ONE template-keyed exchange so
     first-seen is a shard-local group-min)."""
-    from functools import partial
-
     from ..ops.text import template_novelty
+
+    def drop_null_lines(b: pa.Table) -> pa.Table:
+        # a null component nulls the whole synthesized line (SQL ||
+        # semantics); the twin's JOIN f USING (template) then drops the
+        # null template, so such rows carry no signature on either side
+        t = _mk_request_lines(b, keep=("ts",))
+        return t.filter(pc.is_valid(t["text"]))
 
     return template_novelty(
         _read(sf_dir, "events",
               ["event_id", "user_id", "event_type", "ts"]
-              ).map_batches(partial(_mk_request_lines, keep=("ts",)),
-                            batch_format="pyarrow"),
+              ).map_batches(drop_null_lines, batch_format="pyarrow"),
         bucket_us=86_400_000_000)
 
 
@@ -1999,6 +2017,10 @@ def q_hll_per_key(sf_dir: str):
 
     def uniq_partial(b: pa.Table) -> pa.Table:
         t = pa.table({"event_type": b["event_type"], "user": b["user"]})
+        # the exact side drops null keys/items like the HLL op (and like
+        # the twin's count(DISTINCT event_type), which ignores NULLs)
+        t = t.filter(pc.and_(pc.is_valid(t["event_type"]),
+                             pc.is_valid(t["user"])))
         return t.group_by(["event_type", "user"]).aggregate([]).select(
             ["event_type", "user"]
         )
@@ -3359,7 +3381,7 @@ ORACLE_SQL: dict[str, str] = {
     ),
     "forward_events": (
         "SELECT event_id, event_type, user_id, epoch_ns(ts) AS time_ns "
-        "FROM events"
+        "FROM events WHERE ts IS NOT NULL"
     ),
     "syslog_events": (
         "SELECT CAST(event_id % 192 AS VARCHAR) AS pri, "
@@ -3369,7 +3391,8 @@ ORACLE_SQL: dict[str, str] = {
         "event_type || ' event ' || CAST(event_id AS VARCHAR) AS message, "
         "epoch_ns(make_timestamp(2018, month(ts), day(ts), hour(ts), "
         "minute(ts), CAST(date_part('second', ts) AS DOUBLE))) AS time_ns "
-        "FROM events"
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+        "AND event_type IS NOT NULL AND event_id IS NOT NULL"
     ),
     "salted_topk": (
         "SELECT user_id, count(*) AS records FROM events GROUP BY user_id "
@@ -4036,8 +4059,12 @@ ORACLE_SQL: dict[str, str] = {
         "GROUP BY GROUPING SETS ((lang, source), (lang), ())"
     ),
     "skyline": (
+        # null value/ts rows are excluded like the engine (a NULL
+        # coordinate would "survive" the NOT EXISTS only because NULL
+        # comparisons are unknown — not because it is maximal)
         "WITH p AS (SELECT event_id, value, epoch_us(ts) AS ts_us "
-        "FROM events WHERE event_type = 'purchase') "
+        "FROM events WHERE event_type = 'purchase' "
+        "AND value IS NOT NULL AND ts IS NOT NULL) "
         "SELECT event_id, value, ts_us FROM p b WHERE NOT EXISTS ("
         "SELECT 1 FROM p a WHERE a.value >= b.value "
         "AND a.ts_us >= b.ts_us "
@@ -6103,9 +6130,13 @@ def q_config_pipeline(sf_dir: str):
 
 QUERIES["config_pipeline"] = q_config_pipeline
 ORACLE_SQL["config_pipeline"] = (
+    # coalesce(..., FALSE) mirrors the reference grep's missing-field
+    # semantics (src/flb_filter_grep.c): a Regex rule on an absent/null
+    # field never matches (row DROPS), an Exclude rule on an absent
+    # field never matches either (row KEEPS)
     "SELECT count(*)::BIGINT AS records FROM events "
-    "WHERE regexp_matches(event_type, 'click|view') "
-    "AND NOT regexp_matches(props, '9}$')"
+    "WHERE coalesce(regexp_matches(event_type, 'click|view'), FALSE) "
+    "AND NOT coalesce(regexp_matches(props, '9}$'), FALSE)"
 )
 
 
@@ -6890,9 +6921,12 @@ def q_next_day_retention(sf_dir: str):
 
 QUERIES["next_day_retention"] = q_next_day_retention
 ORACLE_SQL["next_day_retention"] = (
+    # an "active user" needs an identity: null user_id rows are excluded
+    # on both sides (count(*) would otherwise count an anonymous row the
+    # b-side join can never return)
     "WITH d AS (SELECT DISTINCT user_id, "
     "epoch_us(date_trunc('day', ts)) AS day_us FROM events "
-    "WHERE ts IS NOT NULL) "
+    "WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
     "SELECT a.day_us, count(*)::BIGINT AS active, "
     "sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT "
     "AS returned, "

@@ -43,8 +43,9 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import pandas as pd
 import pyarrow as pa
+
+from ._hashing import hash_columns
 
 #: target bytes of exchanged data per reduce shard (env-overridable so
 #: tests / operators can force many-shard topologies on small inputs)
@@ -171,8 +172,11 @@ def _split_chunk(keys: list[str], combine_fn, k: int, *tables: pa.Table):
     table = pa.concat_tables(live, promote_options="default")
     if combine_fn is not None:
         table = combine_fn(table)
-    key_df = table.select(keys).to_pandas()
-    h = pd.util.hash_pandas_object(key_df, index=False).to_numpy() % k
+    # Arrow-native key hashing (_hashing.hash_columns): the old pandas
+    # hash floated an int64 key column holding one null, so the SAME key
+    # hashed differently depending on which block it came from and a
+    # key's rows could split across reduce shards
+    h = hash_columns(table, keys) % k
     out = [table.filter(pa.array(h == s)) for s in range(k)]
     return out if k > 1 else out[0]
 

@@ -47,6 +47,14 @@ def value_hash(df) -> str:
 
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
+        # normalize a nullable-int column (pandas Int64) to what DuckDB's
+        # fetchdf yields for the same values: float64 when nulls are
+        # present (NaN), plain int64 when none are — so "5" vs
+        # "5.000000" never depends on which wrapper produced the frame
+        if (isinstance(df[c].dtype, pd.api.extensions.ExtensionDtype)
+                and pd.api.types.is_integer_dtype(df[c])):
+            df[c] = df[c].astype(
+                "float64" if df[c].isna().any() else "int64")
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)

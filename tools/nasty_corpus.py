@@ -23,14 +23,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def build(base_sf: str, out_dir: str) -> str:
+def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     os.makedirs(out_dir, exist_ok=True)
+    skip = {"documents.parquet"} | (
+        {"events.parquet"} if nasty_events else set())
     for f in os.listdir(base_sf):
-        if not f.endswith(".parquet") or f == "documents.parquet":
+        if not f.endswith(".parquet") or f in skip:
             continue
         dst = os.path.join(out_dir, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(base_sf, f), dst)
+    if nasty_events:
+        _build_events(base_sf, out_dir)
 
     base = pq.read_table(os.path.join(base_sf, "documents.parquet"))
     rows = base.to_pylist()
@@ -73,6 +77,61 @@ def build(base_sf: str, out_dir: str) -> str:
     t = pa.Table.from_pylist(allr, schema=base.schema)
     pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
     return out_dir
+
+
+def _build_events(base_sf: str, out_dir: str) -> None:
+    """Adversarial events rows appended with fresh sequential event_ids
+    (keeps the file id-sorted): timestamp TIES within one user (window/
+    rank tiebreak stress), exact bucket-boundary timestamps (hour/day
+    edges), NULL ts/user_id/value/event_type/props, zero and negative
+    values, and one NaN value (float aggregate propagation)."""
+    import datetime as dt
+
+    base = pq.read_table(os.path.join(base_sf, "events.parquet"))
+    next_id = base.num_rows
+    T = dt.datetime
+    tie = T(2024, 1, 10, 12, 0, 0)
+    nasty = [
+        # three-way ts tie, one user, distinct types/values
+        {"ts": tie, "user_id": 7001, "event_type": "click", "value": 1.0,
+         "props": '{"k": 1}'},
+        {"ts": tie, "user_id": 7001, "event_type": "view", "value": 2.0,
+         "props": '{"k": 2}'},
+        {"ts": tie, "user_id": 7001, "event_type": "purchase", "value": 3.0,
+         "props": '{"k": 3}'},
+        # exact hour and day bucket boundaries
+        {"ts": T(2024, 1, 15, 0, 0, 0), "user_id": 7002,
+         "event_type": "click", "value": 5.0, "props": '{"k": 4}'},
+        {"ts": T(2024, 1, 15, 13, 0, 0), "user_id": 7002,
+         "event_type": "purchase", "value": 7.5, "props": '{"k": 5}'},
+        # nulls in every nullable column
+        {"ts": None, "user_id": 7003, "event_type": "click", "value": 1.0,
+         "props": '{"k": 6}'},
+        {"ts": T(2024, 1, 16, 1, 2, 3), "user_id": None,
+         "event_type": "view", "value": 2.0, "props": '{"k": 7}'},
+        {"ts": T(2024, 1, 16, 2, 3, 4), "user_id": 7004,
+         "event_type": None, "value": 4.0, "props": '{"k": 8}'},
+        {"ts": T(2024, 1, 16, 3, 4, 5), "user_id": 7004,
+         "event_type": "purchase", "value": None, "props": '{"k": 9}'},
+        {"ts": T(2024, 1, 16, 4, 5, 6), "user_id": 7004,
+         "event_type": "click", "value": 6.0, "props": None},
+        # zero, negative, NaN values
+        {"ts": T(2024, 1, 17, 5, 0, 1), "user_id": 7005,
+         "event_type": "purchase", "value": 0.0, "props": '{"k": 10}'},
+        {"ts": T(2024, 1, 17, 5, 0, 2), "user_id": 7005,
+         "event_type": "purchase", "value": -12.5, "props": '{"k": 11}'},
+        # (no NaN value row: DuckDB's STDDEV family ERRORS on NaN input,
+        # so NaN parity is oracle-untestable; null value covers the
+        # missing-measurement case)
+        # a single-event user (degenerate sessions/retention)
+        {"ts": T(2024, 1, 18, 6, 7, 8), "user_id": 7006,
+         "event_type": "signup", "value": 50.0, "props": '{"k": 13}'},
+    ]
+    for i, r in enumerate(nasty):
+        r["event_id"] = next_id + i
+    t = pa.Table.from_pylist(nasty, schema=base.schema)
+    pq.write_table(pa.concat_tables([base, t]),
+                   os.path.join(out_dir, "events.parquet"))
 
 
 if __name__ == "__main__":
