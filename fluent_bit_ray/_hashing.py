@@ -24,53 +24,37 @@ import pyarrow.compute as pc
 
 _U64 = np.uint64
 _POLY_C = _U64(0x9E3779B97F4A7C15 | 1)
-_POLY_C_INV = _U64(pow(int(_POLY_C), -1, 1 << 64))
 _NULL_H = _U64(0x9AE16A3B2F90404F)
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public-domain constants)."""
+    """splitmix64 finalizer (public-domain constants); in-place ops on
+    a fresh copy keep the temp-allocation count down in the hot path."""
     with np.errstate(over="ignore"):
-        x = x + _U64(0x9E3779B97F4A7C15)
-        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
-        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
-        return x ^ (x >> _U64(31))
+        z = x + _U64(0x9E3779B97F4A7C15)
+        z ^= z >> _U64(30)
+        z *= _U64(0xBF58476D1CE4E5B9)
+        z ^= z >> _U64(27)
+        z *= _U64(0x94D049BB133111EB)
+        z ^= z >> _U64(31)
+        return z
 
 
 def _hash_binary_like(arr: pa.Array) -> np.ndarray:
-    """Rolling polynomial over (byte+1) with the global-prefix trick,
-    splitmix64-finalized, xor'd with the length — one pass over the
-    values buffer, no per-string Python. Null slots produce arbitrary
-    values here and are overwritten by the caller's null mask."""
+    """64-bit hash per distinct string/bytes value — pandas' keyed
+    siphash on the (dictionary-sized) object array: C per-value hashing
+    with no length-proportional temporaries. Strings never need to hash
+    equal to any numeric representation, so they don't share the
+    splitmix family; stability within a session is the only contract.
+    Null slots are overwritten by the caller's null mask."""
+    import pandas as pd
+
     n = len(arr)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
-    bufs = arr.buffers()
-    wide = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
-        arr.type)
-    odt = np.int64 if wide else np.int32
-    off = np.frombuffer(bufs[1], odt)[arr.offset: arr.offset + n + 1].astype(
-        np.int64)
-    data = np.frombuffer(bufs[2] or b"", np.uint8)[off[0]: off[-1]]
-    off = off - off[0]
-    lens = (off[1:] - off[:-1]).astype(np.uint64)
-    m = len(data)
-    with np.errstate(over="ignore"):
-        h = data.astype(np.uint64) + _U64(1)
-        pw = np.empty(m + 1, dtype=np.uint64)
-        ipw = np.empty(m + 1, dtype=np.uint64)
-        pw[0] = ipw[0] = 1
-        if m:
-            np.cumprod(np.full(m, _POLY_C, dtype=np.uint64), out=pw[1:])
-            np.cumprod(np.full(m, _POLY_C_INV, dtype=np.uint64),
-                       out=ipw[1:])
-            pref = np.concatenate(
-                ([_U64(0)], np.cumsum(h * ipw[:m], dtype=np.uint64)))
-        else:
-            pref = np.zeros(1, dtype=np.uint64)
-        s, e = off[:-1], off[1:]
-        out = (pref[e] - pref[s]) * pw[np.maximum(e, 1) - 1]
-        return splitmix64(out ^ (lens * _U64(0x9E3779B97F4A7C15)))
+    return pd.util.hash_pandas_object(
+        pd.Series(arr.to_pandas()), index=False).to_numpy().astype(
+        np.uint64, copy=False)
 
 
 def _hash_one(col) -> np.ndarray:
@@ -83,7 +67,18 @@ def _hash_one(col) -> np.ndarray:
     null_mask = np.asarray(pc.is_null(col)) if col.null_count else None
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
-        h = _hash_binary_like(col)
+        # hash DISTINCT strings only, scatter by dictionary index: key
+        # columns are typically low-cardinality (hosts, types, tokens),
+        # so this cuts the byte-level polynomial work by the repeat
+        # factor; for all-distinct columns the encode adds one hash-table
+        # pass while the polynomial still dominates
+        enc = col.dictionary_encode()
+        hd = _hash_binary_like(enc.dictionary)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        if null_mask is not None:
+            idx = np.where(null_mask, 0, idx)
+        h = hd[idx.astype(np.int64)] if len(hd) else np.zeros(
+            len(col), np.uint64)
     elif pa.types.is_floating(t):
         v = pc.fill_null(pc.cast(col, pa.float64()), 0.0).to_numpy(
             zero_copy_only=False).copy()
@@ -101,6 +96,9 @@ def _hash_one(col) -> np.ndarray:
     elif pa.types.is_boolean(t):
         v = pc.fill_null(col, False).to_numpy(zero_copy_only=False)
         h = splitmix64(v.astype(np.uint64))
+    elif t == pa.int64() and null_mask is None:
+        # zero-copy fast path for the common exchange key shape
+        h = splitmix64(col.to_numpy().view(np.uint64))
     else:
         # ints and temporals: fill nulls FIRST so to_numpy never floats
         # the column, then hash the int64 bit pattern
