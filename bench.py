@@ -843,7 +843,10 @@ def main() -> None:
     if args.cpus is not None and args.cpus < 1:
         ap.error("--cpus must be >= 1 (ray.init(num_cpus=0) hangs)")
     if args.scaling:
-        run_scaling()
+        # --rows-mult scales the scaling protocol's input too (default 4:
+        # 2→8 pair at 8× sf rows, 8→32 pair at 4×); larger inputs amortize
+        # the fixed per-process costs that dominate short healthy-VM runs
+        run_scaling(args.rows_mult if args.rows_mult > 1 else 4)
     elif args.stats:
         run_stats(args.cpus)
     elif args.one:
