@@ -841,15 +841,19 @@ def url_parts_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Vectorized URL decomposition (scheme/host/port/path/query/fragment)
     — the per-host/per-path keys a web-corpus pipeline groups on. One
     Arrow RE2 scan per part with the EXACT patterns the SQL oracle uses
-    (regexp_extract parity: no match -> empty string, never null)."""
+    (regexp_extract parity: no match -> empty string; NULL url -> NULL
+    url and NULL parts, like every DuckDB function on NULL input)."""
     col = batch[url_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    col = pc.fill_null(col, "")
+    valid = pc.is_valid(col)
+    filled = pc.fill_null(col, "")
+    nulls = pa.scalar(None, pa.string())
     out = {url_col: col}
     for name, pat in _URL_PARTS:
-        ex = pc.extract_regex(col, _named(pat))
-        out[name] = pc.if_else(pc.is_valid(ex), ex.field("g"), "")
+        ex = pc.extract_regex(filled, _named(pat))
+        part = pc.if_else(pc.is_valid(ex), ex.field("g"), "")
+        out[name] = pc.if_else(valid, part, nulls)
     return pa.table(out)
 
 

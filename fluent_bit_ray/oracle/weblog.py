@@ -58,21 +58,35 @@ def run_oracle(pages_dir: str, sinks, bucket_sec: int = 60) -> dict:
                 "text": row["text"],
                 "lang": row["lang"],
             }
-            rec = pf_text.process_row(rec)
-            ok = rec.pop("_parse_ok", False)
-            if rec.get("stream") is not None:
-                rec = pf_log.process_row(rec)
-                rec.pop("_parse_ok", None)
+            # null conventions shared with the engine's partial-agg
+            # sentinels (sinks/writers.py) and the DuckDB twin: NULL text
+            # is an unparsed 0-byte record, NULL lang/host group as '',
+            # a row with neither parsed time nor warc_ts lands in
+            # bucket -1, and the tag renders null segments empty so
+            # sink_all's '*' still takes the row
+            if row["text"] is None:
+                ok = False
+            else:
+                rec = pf_text.process_row(rec)
+                ok = rec.pop("_parse_ok", False)
+                if rec.get("stream") is not None:
+                    rec = pf_log.process_row(rec)
+                    rec.pop("_parse_ok", None)
             rec = rename.process_row(rec)
-            host = host_re.match(row["url"]).group(1)
+            m = host_re.match(row["url"]) if row["url"] is not None else None
+            host = (None if row["url"] is None
+                    else (m.group(1) if m else ""))
             rec["host"] = host
-            tag = f"web.{row['lang']}.{host}"
+            tag = f"web.{row['lang'] or ''}.{host or ''}"
             extracted = rec["log"] if rec.get("log") is not None else row["text"]
             ts = rec.get("_time")
             if ts is None:
-                ts = int(row["warc_ts"].timestamp() * 1_000_000) * 1000
-            bucket = (ts // 1_000_000_000) // bucket_sec
-            nbytes = len(row["text"].encode())  # octet length of raw payload
+                ts = (None if row["warc_ts"] is None
+                      else int(row["warc_ts"].timestamp() * 1_000_000) * 1000)
+            bucket = (-1 if ts is None
+                      else (ts // 1_000_000_000) // bucket_sec)
+            nbytes = (0 if row["text"] is None
+                      else len(row["text"].encode()))
             rec["client_host"] = rec.get("client_host")
 
             for sink in router.route_row(tag):
@@ -80,7 +94,7 @@ def run_oracle(pages_dir: str, sinks, bucket_sec: int = 60) -> dict:
                 if g is not None and g.process_row(rec) is None:
                     continue
                 routed[sink].append((row["url"], extracted))
-                k = (sink, row["lang"], host, bucket)
+                k = (sink, row["lang"] or "", host or "", bucket)
                 a = agg[k]
                 a[0] += 1
                 a[1] += nbytes

@@ -43,19 +43,31 @@ _SYSLOG_RE = (
 _CODE_5XX_PRED = "code IS NOT NULL AND regexp_matches(code, '(?m)^5\\d\\d$')"
 
 
-def weblog_aggregate_sql(pages_glob: str, now_year: int = 2018) -> str:
-    """The flagship oracle over `pages_glob` (a parquet glob path)."""
+def weblog_aggregate_sql(pages_glob: str, now_year: int = 2018,
+                         where: str = "") -> str:
+    """The flagship oracle over `pages_glob` (a parquet glob path).
+
+    `where` restricts the pages CTE (SQL predicate, no 'WHERE') — used by
+    the WARC twin, whose corpus excludes rows a WARC response record
+    cannot represent (NULL url/warc_ts/html, sources/warc.write_warc)."""
+    where_sql = f"WHERE {where}" if where else ""
     return f"""
 WITH pages AS (
   SELECT url, warc_ts, text, lang
   FROM read_parquet('{pages_glob}')
+  {where_sql}
 ),
 parsed AS (
+  -- null conventions match the engine's partial-agg sentinels
+  -- (sinks/writers.py _partial_agg): lang/host group as '', a NULL text
+  -- contributes 0 bytes and a parse failure, an unparsable row with a
+  -- NULL warc_ts lands in bucket -1
   SELECT
-    lang,
-    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-    CAST(strlen(text) AS BIGINT) AS nbytes,
+    COALESCE(lang, '') AS lang,
+    COALESCE(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '') AS host,
+    CAST(COALESCE(strlen(text), 0) AS BIGINT) AS nbytes,
     CASE
+      WHEN text IS NULL THEN 'fail'
       WHEN regexp_matches(text, '{_APACHE_RE}') THEN 'apache'
       WHEN json_type(TRY_CAST(text AS JSON)) = 'OBJECT' THEN 'docker'
       WHEN regexp_matches(text, '{_SYSLOG_RE}') THEN 'syslog'
@@ -103,7 +115,7 @@ routed AS (
 )
 SELECT
   sink, lang, host,
-  event_ns // 60000000000 AS bucket,
+  COALESCE(event_ns // 60000000000, -1) AS bucket,
   CAST(count(*) AS BIGINT) AS records,
   CAST(sum(nbytes) AS BIGINT) AS bytes,
   CAST(sum(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END) AS BIGINT)
@@ -181,7 +193,9 @@ def weblog_error_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
     return _timed_cte(pages_glob, now_year) + f"""
 SELECT
   host,
-  event_ns // 3600000000000 AS bucket,
+  -- engine sentinel parity: a row with neither parsed time nor warc_ts
+  -- lands in bucket -1 (sinks/writers.py _partial_agg convention)
+  COALESCE(event_ns // 3600000000000, -1) AS bucket,
   count(*)::BIGINT AS records,
   sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '(?m)^4\\d\\d$')
       THEN 1 ELSE 0 END)::BIGINT AS n_4xx,
@@ -254,8 +268,11 @@ def weblog_top_paths_sql(pages_glob: str, now_year: int = 2018,
   FROM parsed
 ),
 c AS (
+  -- host IS NOT NULL: topk_count_per_key's documented null-key contract
+  -- (ops/stats.py) — a NULL-url page has no host to attribute paths to
   SELECT host, path, count(*)::BIGINT AS n FROM reqs
-  WHERE path IS NOT NULL AND path <> '' GROUP BY host, path
+  WHERE path IS NOT NULL AND path <> '' AND host IS NOT NULL
+  GROUP BY host, path
 )
 SELECT * FROM (
   SELECT host, path, n,
@@ -324,8 +341,8 @@ def weblog_burn_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
     return _timed_cte(pages_glob, now_year) + f"""
 , hourly AS (
   SELECT host,
-    event_ns // 3600000000000 AS hour_bucket,
-    (event_ns // 3600000000000) // 6 AS long_bucket,
+    COALESCE(event_ns // 3600000000000, -1) AS hour_bucket,
+    COALESCE((event_ns // 3600000000000) // 6, -1) AS long_bucket,
     count(*)::BIGINT AS n,
     sum(CASE WHEN {_CODE_5XX_PRED}
         THEN 1 ELSE 0 END)::BIGINT AS n_5xx

@@ -4461,7 +4461,12 @@ def oracle_sql_full() -> dict[str, str]:
     sql = weblog_aggregate_sql(pages_path(rows) + "/*.parquet")
     out["weblog_aggregate"] = sql
     out["weblog_from_html"] = sql
-    out["weblog_from_warc"] = sql
+    # the WARC corpus holds only representable rows (write_warc skips
+    # NULL url/warc_ts/html), so its aggregate twin filters the same
+    _warc_pred = ("url IS NOT NULL AND warc_ts IS NOT NULL "
+                  "AND html IS NOT NULL")
+    out["weblog_from_warc"] = weblog_aggregate_sql(
+        pages_path(rows) + "/*.parquet", where=_warc_pred)
     # url decomposition over the same pages corpus: the SQL twin runs the
     # EXACT regex patterns the engine's Arrow RE2 scans use (ops/text
     # ._URL_PARTS), group 1, with regexp_extract's empty-on-no-match
@@ -4480,7 +4485,8 @@ def oracle_sql_full() -> dict[str, str]:
     out["warc_roundtrip"] = (
         "SELECT url, epoch_us(warc_ts) AS ts_us, "
         "octet_length(html)::BIGINT AS html_bytes "
-        f"FROM read_parquet('{pages_path(rows)}/*.parquet')"
+        f"FROM read_parquet('{pages_path(rows)}/*.parquet') "
+        f"WHERE {_warc_pred}"
     )
     # weblog analytics twins share the flagship's parse CTE (same regex,
     # same time algebra, same fallback) with method/size captures added
@@ -4668,8 +4674,12 @@ def q_weblog_error_rate(sf_dir: str):
         ns = t["_time"]
         if isinstance(ns, pa.ChunkedArray):
             ns = ns.combine_chunks()
+        # null event time (parse fail + NULL warc_ts) -> bucket -1, the
+        # flagship partial-agg sentinel; the SQL twin COALESCEs the same
+        raw = np.asarray(ns.fill_null(np.iinfo(np.int64).min))
         bucket = pa.array(
-            np.asarray(ns, dtype=np.int64) // 3_600_000_000_000, pa.int64())
+            np.where(raw == np.iinfo(np.int64).min, -1,
+                     raw // 3_600_000_000_000), pa.int64())
         code = _col_or_nulls(t, "code")
         is4 = pc.fill_null(pc.match_substring_regex(code, r"^4\d\d$"), False)
         is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
@@ -5991,7 +6001,14 @@ def q_lineage_metrics(sf_dir: str):
 
     rows = pages_rows_for_sf(sf_dir)
     pages = pages_path(rows)
-    out_dir = f"/tmp/fbr_lineage_q_{rows}"
+    # key the resume dir on the INPUT DIRECTORY, not just the row count:
+    # resume=True makes reruns idempotent per input, and two different
+    # corpora with the same row count (e.g. the clean cache vs an
+    # FBR_PAGES_OVERRIDE adversarial table) must never share checkpoints
+    import hashlib
+
+    tag = hashlib.md5(pages.encode()).hexdigest()[:10]
+    out_dir = f"/tmp/fbr_lineage_q_{rows}_{tag}"
     run_weblog(pages, out_dir, resume=True)
 
     recs = []
@@ -6425,13 +6442,17 @@ def q_burn_rate(sf_dir: str):
         ns = t["_time"]
         if isinstance(ns, pa.ChunkedArray):
             ns = ns.combine_chunks()
-        hour = np.asarray(ns, dtype=np.int64) // 3_600_000_000_000
+        # null event time -> hour/long buckets -1 (flagship sentinel)
+        raw = np.asarray(ns.fill_null(np.iinfo(np.int64).min))
+        nullt = raw == np.iinfo(np.int64).min
+        hour = np.where(nullt, -1, raw // 3_600_000_000_000)
         code = _col_or_nulls(t, "code")
         is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
         g = pa.table({
             "host": t["host"],
             "hour_bucket": pa.array(hour, pa.int64()),
-            "long_bucket": pa.array(hour // 6, pa.int64()),
+            "long_bucket": pa.array(np.where(nullt, -1, hour // 6),
+                                    pa.int64()),
             "n": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
             "n_5xx": pc.cast(is5, pa.int64()),
         }).group_by(["host", "hour_bucket", "long_bucket"]).aggregate(

@@ -71,14 +71,26 @@ def compute_tags(
     """The input stage's dynamic tag: `{prefix}.{lang}.{host}`.
 
     Analog of in_tail's `prefix.path` dyntag (SURVEY §1.2); vectorized
-    string concat, dictionary-encoding left to Arrow.
+    string concat, dictionary-encoding left to Arrow. NULL components
+    render as empty segments (`web..host`): a reference record always
+    HAS a tag, so a null lang/host must not null the tag and silently
+    drop the row from every sink — `sink_all`'s `*` still takes it,
+    matching the SQL twin's unconditional `sink_all` branch.
     """
     return pc.binary_join_element_wise(
-        pa.scalar(prefix), lang, host, "."
+        pa.scalar(prefix), lang, host, ".",
+        null_handling="replace", null_replacement="",
     )
 
 
 def host_from_url(urls: pa.Array) -> pa.Array:
-    """Extract the host from `https://host/path` urls (vectorized)."""
+    """Extract the host from `https://host/path` urls (vectorized).
+
+    DuckDB-regexp_extract parity (the SQL twins' host expression): a
+    NON-MATCHING url yields '' while a NULL url stays NULL — the two
+    cases group separately everywhere hosts are grouped raw
+    (host_skew, visitors); the flagship's partial agg then folds both
+    to '' via its fill_null sentinel, same as the twin's COALESCE."""
     ex = pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)")
-    return pc.struct_field(ex, "h")
+    h = pc.fill_null(pc.struct_field(ex, "h"), "")
+    return pc.if_else(pc.is_valid(urls), h, pa.scalar(None, pa.string()))

@@ -54,7 +54,13 @@ def write_warc(
     then the payload bytes. `compress=True` gzips each record as its own
     member (the Common Crawl layout). `lang_col` emits the
     WARC-Identified-Content-Language header Common Crawl has carried
-    since 2018. Returns the record count."""
+    since 2018. Returns the record count.
+
+    Rows with a NULL url, timestamp, or payload are SKIPPED: a WARC
+    response record requires a WARC-Target-URI, a WARC-Date, and a
+    payload block (ISO 28500 §5), and writing b'' for a NULL payload
+    would silently conflate null-html with empty-html on read-back —
+    the roundtrip oracles carry the matching IS NOT NULL predicate."""
     langs = table[lang_col].to_pylist() if lang_col else [None] * table.num_rows
     urls = table[url_col].to_pylist()
     ts = table[ts_col]
@@ -66,10 +72,12 @@ def write_warc(
         ts_us = ts.to_pylist()
     payloads = table[payload_col].to_pylist()
     out = open(path, "wb")
+    n_written = 0
     try:
         for url, t, body, lang in zip(urls, ts_us, payloads, langs):
-            if body is None:
-                body = b""
+            if url is None or t is None or body is None:
+                continue  # unrepresentable as a WARC response record
+            n_written += 1
             if isinstance(body, str):
                 body = body.encode("utf-8")
             http = (
@@ -86,7 +94,7 @@ def write_warc(
                 b"WARC/1.0\r\n"
                 b"WARC-Type: response\r\n"
                 b"WARC-Target-URI: " + url.encode() + _CRLF +
-                b"WARC-Date: " + _iso8601(int(t or 0)).encode() + _CRLF +
+                b"WARC-Date: " + _iso8601(int(t)).encode() + _CRLF +
                 lang_hdr +
                 b"Content-Type: application/http; msgtype=response\r\n"
                 b"Content-Length: " + str(len(block)).encode() + _SEP
@@ -105,7 +113,7 @@ def write_warc(
                 out.write(rec)
     finally:
         out.close()
-    return len(urls)
+    return n_written
 
 
 _DATE_CACHE: dict = {}

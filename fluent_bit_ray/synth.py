@@ -207,7 +207,16 @@ def pages_path(n_rows: int, seed: int = SEED, partitions: int = 16) -> str:
     Written as `partitions` parquet files so reads parallelize and the resume
     fixture has natural per-file partitions. Pure function of
     (n_rows, seed, partitions) -> cached under /tmp.
+
+    `FBR_PAGES_OVERRIDE=<dir>` substitutes an external pages directory
+    (PAGES_SCHEMA parquet files) for EVERY caller — both the Ray queries
+    and the DuckDB oracle builders resolve the corpus through this
+    function, so the adversarial-pages gate (`tools/nasty_corpus.py
+    --pages`) swaps one corpus under both sides consistently.
     """
+    override = os.environ.get("FBR_PAGES_OVERRIDE")
+    if override:
+        return override
     d = os.path.join(CACHE_ROOT, f"{_GEN_VERSION}_n{n_rows}_s{seed}_p{partitions}")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):

@@ -22,6 +22,8 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     os.makedirs(out_dir, exist_ok=True)
@@ -134,7 +136,126 @@ def _build_events(base_sf: str, out_dir: str) -> None:
                    os.path.join(out_dir, "events.parquet"))
 
 
+def build_pages(out_dir: str = "/tmp/nasty_pages", n_clean: int = 6000) -> str:
+    """Adversarial PAGES table (the flagship's north-rule input).
+
+    Clean synthetic rows (fluent_bit_ray.synth.pages_batch — the same
+    generator every weblog query/oracle reads) interleaved with rows the
+    generator never emits: NULL url/warc_ts/html/text/lang, empty and
+    whitespace-only text, invalid-UTF-8 html, html without <body>, json
+    arrays (the object-only parser must fail them), syslog year-inject
+    boundaries, embedded newlines, duplicate urls, timestamp extremes.
+
+    INVARIANT (asserted here): html_body_text(html) == text byte-exactly
+    for every row — the north rule's per-url byte-identity — so
+    weblog_from_html stays oracle-comparable on this corpus too.
+
+    Run the gate with the override BOTH sides resolve through
+    synth.pages_path:
+
+        python tools/nasty_corpus.py --pages
+        FBR_PAGES_OVERRIDE=/tmp/nasty_pages python tools/check_queries.py \\
+            /root/testdata/sf0.001 weblog_aggregate weblog_from_html ...
+    """
+    sys.path.insert(0, REPO)
+    from fluent_bit_ray.ops.multimodal import html_body_text
+    from fluent_bit_ray.synth import PAGES_SCHEMA, pages_batch
+
+    US = 1_000_000
+    T0 = 1519234013 * US  # the clean corpus' BASE_EPOCH, 2018-02-21
+    A = ('187.3.2.1 - - [21/Feb/2018:17:26:53 +0000] '
+         '"GET /nasty/a.html HTTP/1.0" 503 -')
+    A6 = ('::1 - admin [21/Feb/2018:18:00:00 +0100] '
+          '"POST /login HTTP/1.1" 500 123')
+    AHR = ('9.8.7.6 - - [21/Feb/2018:18:00:00 +0000] '
+           '"GET /hour/boundary HTTP/1.0" 200 1024')
+    NL = "garbage first line\n" + (
+        '5.6.7.8 - - [21/Feb/2018:17:30:00 +0000] '
+        '"GET /second/line HTTP/1.0" 200 77')
+
+    def pg(url, ts_us, text, lang):
+        html = (None if text is None
+                else b"<html><body>" + text.encode() + b"</body></html>")
+        return {"url": url, "warc_ts": ts_us, "html": html,
+                "text": text, "lang": lang}
+
+    u = "https://nasty.example.dev/p/{}.html".format
+    rows = [
+        pg(u(0), T0, None, "en"),                       # NULL text+html
+        pg(u(1), T0 + US, "", "en"),                    # empty text
+        pg(u(2), T0 + 2 * US, "   \t  ", "de"),         # whitespace text
+        pg(u(3), T0 + 3 * US, A, "en"),                 # 503 with '-' size
+        pg(u(4), T0 + 4 * US, A6, "fr"),                # ::1 host, +0100 tz
+        pg(u(5), T0 + 5 * US, A[:38] + "~TRUNC~", "en"),  # truncated apache
+        pg(u(6), T0 + 6 * US,
+           '{"log":"hello\\n","stream":"stderr",'
+           '"time":"2018-02-21T17:26:53.000000000Z"}', "en"),
+        pg(u(7), T0 + 7 * US, '["a", 1]', "en"),        # json ARRAY -> fail
+        pg(u(8), T0 + 8 * US, "{}", "en"),              # empty json object
+        pg(u(9), T0 + 9 * US,
+           '{"log":"caf\\u00e9","nested":{"a":[1,2]}}', "ja"),
+        pg(u(10), T0 + 10 * US,
+           "<13>Feb 21 17:26:53 h1.example.com app: no pid here", "en"),
+        pg(u(11), T0 + 11 * US,
+           "<13>Dec 31 23:59:59 h2.example.org cron[1]: year boundary",
+           "en"),
+        pg(u(12), T0 + 12 * US, "~~~###~~~", "xx"),     # pure garbage
+        pg(u(13), T0 + 13 * US, NL, "en"),              # embedded newline
+        pg(u(14), T0 + 14 * US, "Ünïcodé 日本語 naïve мир", "ja"),
+        pg("https://dup.example.com/same.html", T0 + 15 * US, A, "en"),
+        pg("https://dup.example.com/same.html", T0 + 16 * US, AHR, "en"),
+        pg(None, T0 + 17 * US, AHR, "en"),              # NULL url
+        pg("not a url at all", T0 + 18 * US, A, "en"),  # scheme-less url
+        pg(u(19), T0 + 19 * US, A, None),               # NULL lang
+        pg(u(20), T0 + 20 * US, A, "zz"),               # unknown lang
+        pg(u(21), None, A, "en"),                       # NULL warc_ts
+        pg(u(22), 0, A, "en"),                          # 1970 epoch
+        pg(u(23), 4102444800 * US, A, "en"),            # year 2100
+        pg(u(24), T0 + 24 * US, "x " * 5000, "en"),     # 10k-char line
+        pg(u(25), T0 + 25 * US, AHR, "es"),             # exact hour bucket
+        # invalid UTF-8 in the html BYTES; text is the decode-with-replace
+        # of the body span, so the byte-identity invariant still holds
+        {"url": u(26), "warc_ts": T0 + 26 * US,
+         "html": b"<html><body>\xff\xfebad utf8</body></html>",
+         "text": "��bad utf8", "lang": "en"},
+        # html WITHOUT <body>: extraction takes the strip-tags fallback
+        {"url": u(27), "warc_ts": T0 + 27 * US,
+         "html": b"<p>no body here</p>", "text": "no body here",
+         "lang": "en"},
+    ]
+
+    clean = pages_batch(0, n_clean).to_pylist()
+    for r in clean:
+        # to_pylist yields tz-aware datetimes; normalize to epoch us ints
+        # so one from_pylist schema application serves both row sources
+        r["warc_ts"] = int(r["warc_ts"].timestamp() * US)
+    mid = n_clean // 2
+    allr = (clean[:100] + rows[:14] + clean[100:mid] + rows[14:]
+            + clean[mid:])
+    t = pa.Table.from_pylist(allr, schema=PAGES_SCHEMA)
+
+    # assert the north-rule invariant on the corpus we just built
+    got = html_body_text(t.select(["html"]), out_col="t")["t"].to_pylist()
+    want = t["text"].to_pylist()
+    bad = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
+    assert not bad, f"html/text byte-identity broken at rows {bad[:5]}"
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (t.num_rows + 7) // 8
+    for p in range(8):
+        part = t.slice(p * per, per)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(out_dir,
+                                              f"pages_{p:05d}.parquet"),
+                           row_group_size=2048)
+    return out_dir
+
+
 if __name__ == "__main__":
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nasty_sf"
-    print(build(base, out))
+    if "--pages" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--pages"]
+        print(build_pages(args[0] if args else "/tmp/nasty_pages"))
+    else:
+        base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+        out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nasty_sf"
+        print(build(base, out))
