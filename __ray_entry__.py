@@ -12,10 +12,11 @@ here (or in fluent_bit_ray) calls ray.init()/ray.shutdown().
 - oracle_sql(): DuckDB equivalents with matching column names, including
   dynamically-built oracles for the flagship weblog pipeline (the pages
   parquet is synthesized on call so the SQL is runnable in any order).
-  Rows-only (no SQL equivalent): minhash_dedup / simhash cluster tables and
-  fingerprint — their exact-dup co-cluster invariants ARE oracle-checked
-  via minhash_invariant / simhash_invariant, and exact equality vs the
-  pure-Python oracle is asserted in pytest.
+  EVERY queries() entry has an oracle (r5): the minhash/simhash/
+  fingerprint/semdedup primaries are canonical exact-dup co-cluster
+  projections (group_size / distinct_reps / cocluster_pairs per
+  exact-duplicate group) whose expected values the SQL derives from the
+  data; their raw cluster tables stay pinned by pytest.
 """
 
 from __future__ import annotations

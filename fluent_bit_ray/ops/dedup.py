@@ -19,24 +19,13 @@ All hashing is blake2b-derived and deterministic (no process salt).
 
 from __future__ import annotations
 
-import hashlib
-import struct
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
-
-
-def _hash64(s: str, seed: int = 0) -> int:
-    h = hashlib.blake2b(s.encode(), digest_size=8, salt=seed.to_bytes(8, "little"))
-    return struct.unpack("<Q", h.digest())[0]
-
-
-def _hash_column(texts: Iterable[Optional[str]], seed: int = 0) -> list[Optional[int]]:
-    return [None if t is None else _hash64(t, seed) & 0x7FFFFFFFFFFFFFFF for t in texts]
 
 
 def add_text_hash(batch: pa.Table, text_col: str = "text", out: str = "text_hash") -> pa.Table:

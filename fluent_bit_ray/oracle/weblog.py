@@ -83,8 +83,10 @@ def run_oracle(pages_dir: str, sinks, bucket_sec: int = 60) -> dict:
             if ts is None:
                 ts = (None if row["warc_ts"] is None
                       else int(row["warc_ts"].timestamp() * 1_000_000) * 1000)
+            # pre-epoch event times clamp to bucket 0 (-1 = NULL only;
+            # matches writers.py np.maximum and the SQL greatest(...,0))
             bucket = (-1 if ts is None
-                      else (ts // 1_000_000_000) // bucket_sec)
+                      else (max(ts, 0) // 1_000_000_000) // bucket_sec)
             nbytes = (0 if row["text"] is None
                       else len(row["text"].encode()))
             rec["client_host"] = rec.get("client_host")

@@ -115,7 +115,9 @@ routed AS (
 )
 SELECT
   sink, lang, host,
-  COALESCE(event_ns // 60000000000, -1) AS bucket,
+  -- greatest(...,0): pre-epoch event times clamp to bucket 0 on both
+  -- sides (-1 is the NULL sentinel; DuckDB // truncates, numpy floors)
+  COALESCE(greatest(event_ns, 0) // 60000000000, -1) AS bucket,
   CAST(count(*) AS BIGINT) AS records,
   CAST(sum(nbytes) AS BIGINT) AS bytes,
   CAST(sum(CASE WHEN kind = 'fail' THEN 1 ELSE 0 END) AS BIGINT)
@@ -195,7 +197,7 @@ SELECT
   host,
   -- engine sentinel parity: a row with neither parsed time nor warc_ts
   -- lands in bucket -1 (sinks/writers.py _partial_agg convention)
-  COALESCE(event_ns // 3600000000000, -1) AS bucket,
+  COALESCE(greatest(event_ns, 0) // 3600000000000, -1) AS bucket,
   count(*)::BIGINT AS records,
   sum(CASE WHEN code IS NOT NULL AND regexp_matches(code, '(?m)^4\\d\\d$')
       THEN 1 ELSE 0 END)::BIGINT AS n_4xx,
@@ -341,8 +343,8 @@ def weblog_burn_rate_sql(pages_glob: str, now_year: int = 2018) -> str:
     return _timed_cte(pages_glob, now_year) + f"""
 , hourly AS (
   SELECT host,
-    COALESCE(event_ns // 3600000000000, -1) AS hour_bucket,
-    COALESCE((event_ns // 3600000000000) // 6, -1) AS long_bucket,
+    COALESCE(greatest(event_ns, 0) // 3600000000000, -1) AS hour_bucket,
+    COALESCE((greatest(event_ns, 0) // 3600000000000) // 6, -1) AS long_bucket,
     count(*)::BIGINT AS n,
     sum(CASE WHEN {_CODE_5XX_PRED}
         THEN 1 ELSE 0 END)::BIGINT AS n_5xx

@@ -4,14 +4,16 @@ One entry per implemented operator/pipeline (SURVEY §2 checklist). Each
 callable takes `sf_dir` and returns a Dataset / pyarrow Table; `ORACLE_SQL`
 holds the equivalent ANSI SQL for the driver's side-by-side check (column
 names match exactly — the driver hashes values after sorting columns by
-name). Ops with no SQL equivalent (pages-table pipelines, LSH/simhash,
-fingerprints) have no oracle entry → driver records a rows-only check; their
-exact equality is covered by pytest against the pure-Python oracle instead.
+name). EVERY query has an oracle (r5): ops whose full output is not
+SQL-expressible (LSH/simhash/fingerprint/semdedup cluster tables) expose a
+canonical exact-dup co-cluster projection as their primary result instead,
+with the raw tables pinned by pytest against the pure-Python oracles.
 """
 
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable
 
 import numpy as np
@@ -25,6 +27,7 @@ from ..router import Route, Router
 from ..stages import (
     GrepFilter,
     ModifyFilter,
+    NestFilter,
     ParserFilter,
     RecordModifierFilter,
     ThrottleFilter,
@@ -80,6 +83,126 @@ def q_modify(sf_dir: str):
         return out.select(["event_id", "event_type", "value", "error_value", "severity"])
 
     return _read(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_nest(sf_dir: str):
+    """filter_nest roundtrip + nested-struct projection: nest `user_*`
+    and `value` under a `payload` submap (plugins/filter_nest/nest.c:
+    34-120 Wildcard prefix semantics), project a field OUT of the live
+    struct (payload_user — proves the submap really exists mid-pipeline)
+    plus its validity bit (had_payload — pins the all-null-sources →
+    NULL-struct rule), then lift the submap back (nest.c:196-260: keys
+    spliced to the parent, submap key removed). Values must round-trip
+    exactly, so the SQL twin is the identity projection with the same
+    derived columns."""
+
+    nest = NestFilter("nest", wildcard=["user_*", "value"],
+                      nest_under="payload")
+    lift = NestFilter("lift", nested_under="payload")
+
+    def run(b: pa.Table) -> pa.Table:
+        nested = nest.process_batch(b)
+        col = nested["payload"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        nested = nested.append_column(
+            "payload_user", pc.struct_field(col, "user_id")
+        ).append_column(
+            "had_payload", pc.cast(pc.is_valid(col), pa.int64())
+        )
+        out = lift.process_batch(nested)
+        return out.select(["event_id", "event_type", "user_id", "value",
+                           "payload_user", "had_payload"])
+
+    return _read(
+        sf_dir, "events", ["event_id", "user_id", "event_type", "value"]
+    ).map_batches(run, batch_format="pyarrow")
+
+
+def q_decoders(sf_dir: str):
+    """standalone parser-decoder oracle (src/flb_parser_decoder.c:138-267,
+    364-689): three decoder chains over wire-escaped forms of the document
+    text built in-batch, then decoded by the REAL rule engine — the SQL
+    twin is the identity projection, so any deviation in the unescape
+    kernels breaks byte equality on real multi-line text.
+
+    - `esc` (Decode_Field_As escaped): \\n/\\t wire form; the reference
+      kernel DROPS bare backslashes (decoder.c:178-229 re-examines the
+      next byte), so texts containing a backslash are not invertible and
+      are sent as NULL (the SQL CASE mirrors the exclusion).
+    - `u8` (Decode_Field_As escaped_utf8): control + BMP-non-ascii chars
+      as \\uXXXX (libutf8 u8_read_escape_sequence semantics: codepoint at
+      a time, \\" kept literally → quotes ride raw, astral chars ride as
+      raw UTF-8); same backslash exclusion.
+    - `dock` (Decode_Field json): a quote-escaped JSON object — the
+      kubernetes/docker double-escaped wire shape — unescaped then
+      object-parsed, decoded keys msg/n appended at the record END
+      (merge_record_and_extra_keys). msg is the text sanitized of
+      chars that cannot survive the escaped-unescape (ctrl/quote/bslash),
+      built identically by the SQL regexp_replace.
+
+    Per-row escape construction is deliberate (the decoders under test are
+    the unit here, not the construction; documents is dimension-bounded
+    at correctness scale)."""
+    from ..parsers.decoders import DecoderRule, apply_decoders_columns
+
+    rules = [
+        DecoderRule("field_as", "escaped", "esc"),
+        DecoderRule("field_as", "escaped_utf8", "u8"),
+        DecoderRule("field", "json", "dock"),
+    ]
+    _ctrl = re.compile(r'[\x00-\x1f"\\]')
+
+    def _u8_escape(t: str) -> str:
+        out = []
+        for ch in t:
+            o = ord(ch)
+            if ch == "\n":
+                out.append("\\n")
+            elif ch == "\t":
+                out.append("\\t")
+            elif o < 0x20:
+                out.append("\\u%04x" % o)
+            elif o < 0x80 or o > 0xFFFF:
+                out.append(ch)
+            else:
+                out.append("\\u%04x" % o)
+        return "".join(out)
+
+    def run(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        esc, u8, dock = [], [], []
+        for t in texts:
+            if t is None:
+                esc.append(None)
+                u8.append(None)
+                dock.append(None)
+                continue
+            if "\\" in t:
+                esc.append(None)
+                u8.append(None)
+            else:
+                esc.append(t.replace("\n", "\\n").replace("\t", "\\t"))
+                u8.append(_u8_escape(t))
+            msg0 = _ctrl.sub("", t)
+            inner = '{"msg":"' + msg0 + '","n":' + str(len(msg0)) + "}"
+            dock.append(inner.replace('"', '\\"'))
+        cols = apply_decoders_columns(rules, {
+            "doc_id": b["doc_id"].to_pylist(),
+            "esc": esc, "u8": u8, "dock": dock,
+        })
+        n = len(texts)
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "esc": pa.array(cols["esc"], pa.string()),
+            "u8": pa.array(cols["u8"], pa.string()),
+            "msg": pa.array(cols.get("msg", [None] * n), pa.string()),
+            "n": pa.array(cols.get("n", [None] * n), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         run, batch_format="pyarrow"
     )
 
@@ -341,13 +464,24 @@ def q_keep_best(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup clustering (rows-only check)."""
-    return dedup.minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    """MinHash+LSH near-dup clustering — primary result is the canonical
+    SQL-expressible projection: per exact-duplicate text group of the
+    clone-augmented corpus, the MEASURED distinct rep assignments (must
+    be 1: identical texts → identical signatures → identical LSH buckets
+    → one rep) and the MEASURED co-clustered pair count (must be
+    C(n,2)). group_size comes from the data on both sides, so the oracle
+    is not a constant. The raw (doc_id, rep_id) cluster table stays
+    pinned by pytest (tests/test_ops.py) and the *_invariant twins."""
+    reps = dedup.minhash_lsh_dedup(_augmented_docs_ds(sf_dir))
+    return _exact_group_cocluster(sf_dir, reps, "rep_id")
 
 
 def q_simhash(sf_dir: str):
-    """SimHash dedup clusters (rows-only check)."""
-    return dedup.simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    """SimHash dedup — same canonical exact-dup co-cluster projection as
+    minhash_dedup (identical texts → identical 64-bit simhash), measured
+    against the actual simhash values; raw table pinned by pytest."""
+    reps = dedup.simhash_dedup(_augmented_docs_ds(sf_dir))
+    return _exact_group_cocluster(sf_dir, reps, "simhash")
 
 
 # the base documents tables have almost no exact duplicates, which would
@@ -402,6 +536,50 @@ def _exact_group_invariant(sf_dir: str, rep_table: pa.Table, val_col: str):
             "doc_id": pa.array(g["doc_id"], pa.int64()),
             "distinct_assignments": pa.array(g["distinct"], pa.int64()),
         }
+    )
+
+
+def _cocluster_projection(aug, rep_df, val_col: str, id_col: str,
+                          key_col: str) -> pa.Table:
+    """Shared core for the canonical dedup projections: per exact-dup
+    group of `key_col` (null keys excluded on both sides — the SQL twins
+    carry `WHERE key IS NOT NULL`), the measured distinct `val_col`
+    assignments and the measured number of pairs sharing one value."""
+    merged = aug.merge(rep_df, on=id_col)
+    merged = merged[merged[key_col].notna()]
+    g = merged.groupby(key_col)
+    out = g.agg(**{
+        id_col: (id_col, "min"),
+        "group_size": (id_col, "size"),
+        "distinct_reps": (val_col, "nunique"),
+    })
+    per_val = merged.groupby([key_col, val_col]).size()
+    pairs = (per_val * (per_val - 1) // 2).groupby(level=0).sum()
+    out["cocluster_pairs"] = pairs.reindex(out.index).fillna(0).astype("int64")
+    out = out[out["group_size"] > 1].reset_index(drop=True)
+    return pa.table({
+        id_col: pa.array(out[id_col], pa.int64()),
+        "group_size": pa.array(out["group_size"], pa.int64()),
+        "distinct_reps": pa.array(out["distinct_reps"], pa.int64()),
+        "cocluster_pairs": pa.array(out["cocluster_pairs"], pa.int64()),
+    })
+
+
+def _exact_group_cocluster(sf_dir: str, rep_table: pa.Table,
+                           val_col: str) -> pa.Table:
+    """Canonical projection over the clone-augmented documents corpus
+    (see _cocluster_projection)."""
+    import pandas as pd
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).to_pandas()
+    clones = docs[docs["doc_id"] < _AUG_CLONE_BELOW].assign(
+        doc_id=lambda d: d["doc_id"] + _AUG_SHIFT
+    )
+    aug = pd.concat([docs, clones], ignore_index=True)
+    return _cocluster_projection(
+        aug, rep_table.to_pandas(), val_col, "doc_id", "text"
     )
 
 
@@ -715,10 +893,16 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """winnowing document fingerprint (rows-only)."""
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    """winnowing document fingerprint — primary result is the canonical
+    SQL-expressible projection: fingerprints are a pure function of the
+    text, so per exact-duplicate text group of the clone-augmented
+    corpus the measured distinct fingerprint count must be 1 and all
+    C(n,2) pairs must agree. Raw (doc_id, fingerprint) rows stay pinned
+    by pytest and fingerprint_invariant."""
+    fp = _augmented_docs_ds(sf_dir).map_batches(
         text_ops.fingerprint_batch, batch_format="pyarrow"
     )
+    return _exact_group_cocluster(sf_dir, fp, "fingerprint")
 
 
 def q_ann_topk(sf_dir: str):
@@ -2207,6 +2391,23 @@ def q_url_parts(sf_dir: str):
     return ds.map_batches(text_ops.url_parts_batch, batch_format="pyarrow")
 
 
+def _corpus_fingerprint(src_dir: str) -> str:
+    """Content fingerprint of a parquet corpus directory: hash of the
+    sorted (basename, size, mtime_ns) of its shards. Caches keyed on it
+    (the WARC fixture, the lineage resume dir) invalidate when a corpus
+    is rebuilt IN PLACE at the same path — e.g. nasty_corpus.py --pages
+    rerun with a different n_clean into the same override dir (ADVICE r4)."""
+    import glob as g
+    import hashlib
+
+    h = hashlib.md5()
+    for p in sorted(g.glob(os.path.join(src_dir, "*.parquet"))):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};"
+                 .encode())
+    return h.hexdigest()[:10]
+
+
 def _warc_fixture(sf_dir: str) -> str:
     """Deterministic WARC corpus built once from the pages parquet (one
     .warc.gz per shard, cached under /tmp) — the Common-Crawl at-rest
@@ -2219,7 +2420,10 @@ def _warc_fixture(sf_dir: str) -> str:
     from ..synth import pages_path, pages_rows_for_sf
 
     src = pages_path(pages_rows_for_sf(sf_dir))
-    out_dir = src.rstrip("/") + "_warc_v2"  # v2: carries the lang header
+    # v3: null rows skipped by write_warc (not written as b'' with date 0);
+    # the content fingerprint keys the cache to THIS corpus build, so an
+    # in-place rebuild under the same path never reuses stale WARC shards
+    out_dir = f"{src.rstrip('/')}_warc_v3_{_corpus_fingerprint(src)}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
         os.makedirs(out_dir, exist_ok=True)
@@ -2861,6 +3065,8 @@ QUERIES: dict[str, Callable] = {
     "grep": q_grep,
     "record_modifier": q_record_modifier,
     "modify": q_modify,
+    "nest": q_nest,
+    "decoders": q_decoders,
     "parser_json": q_parser_json,
     "parser_regex": q_parser_regex,
     "router_counts": q_router_counts,
@@ -3033,6 +3239,31 @@ ORACLE_SQL: dict[str, str] = {
         "CASE WHEN event_type = 'error' THEN value ELSE NULL END AS error_value, "
         "CASE WHEN event_type = 'error' THEN 'high' ELSE NULL END AS severity "
         "FROM events"
+    ),
+    # the decoder chains are wire-escape → real-unescape roundtrips, so
+    # the oracle is the identity projection with the same exclusions: the
+    # reference `escaped` kernel destroys bare backslashes (not
+    # invertible → NULL), and the json-explode msg is the text sanitized
+    # of ctrl/quote/backslash chars by the SAME regexp on both sides
+    "decoders": (
+        "SELECT doc_id, "
+        "CASE WHEN strpos(text, chr(92)) > 0 THEN NULL ELSE text END "
+        "AS esc, "
+        "CASE WHEN strpos(text, chr(92)) > 0 THEN NULL ELSE text END "
+        "AS u8, "
+        "regexp_replace(text, '[\\x00-\\x1f\"\\\\]', '', 'g') AS msg, "
+        "CAST(length(regexp_replace(text, '[\\x00-\\x1f\"\\\\]', '', 'g')) "
+        "AS BIGINT) AS n "
+        "FROM documents"
+    ),
+    # nest→lift is a value-preserving roundtrip; the struct-derived
+    # columns pin that the submap existed mid-pipeline (payload_user) and
+    # that an all-null source set yields a NULL struct (had_payload)
+    "nest": (
+        "SELECT event_id, event_type, user_id, value, "
+        "user_id AS payload_user, "
+        "CAST(user_id IS NOT NULL OR value IS NOT NULL AS BIGINT) "
+        "AS had_payload FROM events"
     ),
     "parser_json": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
@@ -4425,9 +4656,34 @@ ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, string_agg(event_type, '>' "
         "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
     ),
-    # rows-only (non-SQL-expressible): minhash_dedup, simhash, fingerprint
-    # (their invariants are oracle-checked via *_invariant above)
 }
+
+# canonical dedup projections (r5): the minhash/simhash/fingerprint/semdedup
+# PRIMARY results are now the exact-dup co-cluster projections — per
+# exact-duplicate group, group_size (data-derived on both sides), the
+# measured distinct assignments (correct clustering ⇒ 1) and the measured
+# co-clustered pair count (correct clustering ⇒ C(n,2)). The raw cluster
+# tables remain pinned by pytest; nothing is rows-only any more.
+_COCLUSTER_DOCS_SQL = (
+    "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100) "
+    "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS group_size, "
+    "CAST(1 AS BIGINT) AS distinct_reps, "
+    "CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS cocluster_pairs "
+    "FROM aug WHERE text IS NOT NULL GROUP BY text HAVING count(*) > 1"
+)
+ORACLE_SQL["minhash_dedup"] = _COCLUSTER_DOCS_SQL
+ORACLE_SQL["simhash"] = _COCLUSTER_DOCS_SQL
+ORACLE_SQL["fingerprint"] = _COCLUSTER_DOCS_SQL
+ORACLE_SQL["semdedup"] = (
+    "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50) "
+    "SELECT min(vec_id) AS vec_id, count(*)::BIGINT AS group_size, "
+    "CAST(1 AS BIGINT) AS distinct_reps, "
+    "CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT) AS cocluster_pairs "
+    "FROM aug WHERE embedding IS NOT NULL "
+    "GROUP BY embedding HAVING count(*) > 1"
+)
 
 # the Bloom-gated path must produce BIT-IDENTICAL contamination counts
 # (false positives die in the string-exact join) — same oracle, verbatim
@@ -4677,9 +4933,10 @@ def q_weblog_error_rate(sf_dir: str):
         # null event time (parse fail + NULL warc_ts) -> bucket -1, the
         # flagship partial-agg sentinel; the SQL twin COALESCEs the same
         raw = np.asarray(ns.fill_null(np.iinfo(np.int64).min))
+        # pre-epoch times clamp to bucket 0 (-1 = NULL only; see writers.py)
         bucket = pa.array(
             np.where(raw == np.iinfo(np.int64).min, -1,
-                     raw // 3_600_000_000_000), pa.int64())
+                     np.maximum(raw, 0) // 3_600_000_000_000), pa.int64())
         code = _col_or_nulls(t, "code")
         is4 = pc.fill_null(pc.match_substring_regex(code, r"^4\d\d$"), False)
         is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
@@ -4755,14 +5012,31 @@ def _augmented_emb_ds(sf_dir: str):
 
 
 def q_semdedup(sf_dir: str):
-    """SemDeDup semantic dedup clusters over the clone-augmented
-    embeddings (rows-only; the exact-dup co-assignment and structural
-    contracts are hash-checked by the two invariant queries below)
+    """SemDeDup semantic dedup over the clone-augmented embeddings —
+    primary result is the canonical SQL-expressible projection: per
+    exact-duplicate VECTOR group (identical rows → identical kmeans
+    argmin → co-located → cosine 1 >= tau unions them), the measured
+    distinct rep assignments (must be 1) and co-clustered pair count
+    (must be C(n,2)). Raw cluster table stays pinned by pytest
+    (tests/test_semdedup_scale.py) and the two invariant twins
     (ops/cluster.semdedup — kmeans bounds the O(n²) cosine pass to
     within-cluster GEMMs, ONE cluster-keyed exchange)."""
+    import pandas as pd
+
     from ..ops.cluster import semdedup
 
-    return semdedup(_augmented_emb_ds(sf_dir), tau=0.97)
+    reps = semdedup(_augmented_emb_ds(sf_dir), tau=0.97).to_pandas()
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"]).to_pandas()
+    clones = emb[emb["vec_id"] < _EMB_CLONE_BELOW].assign(
+        vec_id=lambda d: d["vec_id"] + _AUG_SHIFT)
+    aug = pd.concat([emb, clones], ignore_index=True)
+    aug["_key"] = aug["embedding"].map(
+        lambda v: None if v is None
+        else np.asarray(v, dtype=np.float32).tobytes())
+    return _cocluster_projection(
+        aug.drop(columns=["embedding"]), reps, "rep_id", "vec_id", "_key"
+    )
 
 
 def q_semdedup_invariant(sf_dir: str):
@@ -5984,6 +6258,26 @@ ORACLE_SQL["lang_confusion"] = (
 )
 
 
+def lineage_run_dirs(sf_dir: str) -> tuple[str, str]:
+    """(pages_dir, resume_out_dir) for the lineage query — the resume dir
+    is keyed on the input PATH **and** a content fingerprint of its
+    shards: resume=True makes reruns idempotent per input, two corpora
+    with the same row count (clean cache vs FBR_PAGES_OVERRIDE) never
+    share checkpoints, and a corpus rebuilt IN PLACE at the same path
+    invalidates stale checkpoints too (ADVICE r4). Exposed separately so
+    bench.py can time the cold (fresh dir) and resume (second run) paths
+    as distinct entries instead of conflating run-or-resume states."""
+    import hashlib
+
+    from ..synth import pages_path, pages_rows_for_sf
+
+    rows = pages_rows_for_sf(sf_dir)
+    pages = pages_path(rows)
+    tag = hashlib.md5(pages.encode()).hexdigest()[:6]
+    out_dir = f"/tmp/fbr_lineage_q_{rows}_{tag}_{_corpus_fingerprint(pages)}"
+    return pages, out_dir
+
+
 def q_lineage_metrics(sf_dir: str):
     """the checkpoint surface as data: run (or resume — idempotent) the
     flagship in wave mode and emit every committed per-partition lineage
@@ -5999,16 +6293,7 @@ def q_lineage_metrics(sf_dir: str):
     from ..state import checkpoint as ckpt
     from .weblog import run_weblog
 
-    rows = pages_rows_for_sf(sf_dir)
-    pages = pages_path(rows)
-    # key the resume dir on the INPUT DIRECTORY, not just the row count:
-    # resume=True makes reruns idempotent per input, and two different
-    # corpora with the same row count (e.g. the clean cache vs an
-    # FBR_PAGES_OVERRIDE adversarial table) must never share checkpoints
-    import hashlib
-
-    tag = hashlib.md5(pages.encode()).hexdigest()[:10]
-    out_dir = f"/tmp/fbr_lineage_q_{rows}_{tag}"
+    pages, out_dir = lineage_run_dirs(sf_dir)
     run_weblog(pages, out_dir, resume=True)
 
     recs = []
@@ -6445,7 +6730,8 @@ def q_burn_rate(sf_dir: str):
         # null event time -> hour/long buckets -1 (flagship sentinel)
         raw = np.asarray(ns.fill_null(np.iinfo(np.int64).min))
         nullt = raw == np.iinfo(np.int64).min
-        hour = np.where(nullt, -1, raw // 3_600_000_000_000)
+        # pre-epoch times clamp to bucket 0 (-1 = NULL only; see writers.py)
+        hour = np.where(nullt, -1, np.maximum(raw, 0) // 3_600_000_000_000)
         code = _col_or_nulls(t, "code")
         is5 = pc.fill_null(pc.match_substring_regex(code, r"^5\d\d$"), False)
         g = pa.table({

@@ -1060,17 +1060,21 @@ class SinkWriteStage:
                 # boundary could otherwise move a record one bucket off the
                 # SQL oracle's integer division
                 ts = np.asarray(col.fill_null(np.iinfo(np.int64).min))
+                # pre-epoch event times clamp to bucket 0: -1 is reserved
+                # for NULL event time, and DuckDB's integer `//` truncates
+                # toward zero while numpy floors, so negative ns would
+                # otherwise bucket differently on the two sides (ADVICE r4)
                 bucket = np.where(
                     ts == np.iinfo(np.int64).min,
                     -1,
-                    ts // (self.bucket_sec * 10**9),
+                    np.maximum(ts, 0) // (self.bucket_sec * 10**9),
                 ).astype("int64")
             else:
                 t = col.to_numpy(zero_copy_only=False).astype("float64")
                 bucket = np.where(
                     np.isnan(t) | (t == _NAT_F),
                     -1,
-                    (t / 1e9 // self.bucket_sec).astype("int64"),
+                    (np.maximum(t, 0.0) / 1e9 // self.bucket_sec).astype("int64"),
                 ).astype("int64")
         else:
             bucket = np.full(n, -1, dtype=np.int64)

@@ -222,6 +222,12 @@ def build_pages(out_dir: str = "/tmp/nasty_pages", n_clean: int = 6000) -> str:
         {"url": u(27), "warc_ts": T0 + 27 * US,
          "html": b"<p>no body here</p>", "text": "no body here",
          "lang": "en"},
+        # pre-1970 parsed event time: negative event_ns must clamp to
+        # bucket 0 on BOTH sides (engine np.maximum, oracle greatest) —
+        # -1 stays reserved for NULL event time (ADVICE r4)
+        pg(u(28), T0 + 28 * US,
+           '1.2.3.4 - - [21/Feb/1960:17:26:53 +0000] '
+           '"GET /pre/epoch HTTP/1.0" 200 10', "en"),
     ]
 
     clean = pages_batch(0, n_clean).to_pylist()
