@@ -49,64 +49,102 @@ def _sort_ns(ns: np.ndarray) -> np.ndarray:
     return np.where(ns == _NAT, np.iinfo(np.int64).max, ns)
 
 
-def _with_shard(ds, key_col: str, num_shards: Optional[int],
-                floor: int = DEFAULT_SHARDS):
-    if num_shards is None:
-        from ..shuffle import auto_shards_for_dataset
+def _shard_body_finish(per_shard, key_col: str, keep_empty: bool = False):
+    """Wrap a pandas shard body as a hash_exchange `finish_fn`.
 
-        num_shards = auto_shards_for_dataset(ds, floor)
-
-    def add_shard(t):
-        # Arrow-native key hash (same family as shuffle._split_chunk):
-        # the old pandas hash floated an int64 key column holding one
-        # null, so the SAME key could land in different shards depending
-        # on which block carried it — splitting one user's window rows
-        import pyarrow as _pa
-
-        from .._hashing import hash_columns
-
-        h = hash_columns(t, [key_col])
-        return t.append_column(
-            "_shard", _pa.array((h % num_shards).astype("int64")))
-
-    return ds.map_batches(add_shard, batch_format="pyarrow")
-
-
-def _keyed_map_groups(ds, key_col, num_shards, floor, per_shard):
-    """_with_shard -> per-shard pandas body -> float-key restoration.
-
-    Ray's pandas conversion floats an integer key column for any shard
-    holding a null key; a shard that then drops its null rows (or one
-    that never had any) emits int64 — two shards, two schemas, and the
-    driver concat dies (or silently mis-merges). The restoration stage
-    casts a floating key column back to int64 with NaN -> null (exact:
-    the floats are round-tripped int64 keys), so the op's output schema
-    is stable no matter where nulls landed. String keys pass through
-    untouched; every op in this family keys on an id/entity column.
-    """
-    import pyarrow as pa
+    The reduce shard holds ALL rows of every key hashed to it (the
+    exchange's co-location guarantee), so the body's pandas math is
+    unchanged. Pandas conversion happens INSIDE the shard; because
+    pandas floats an integer key column whenever the shard holds a null
+    key, the key column is restored to its original Arrow type before
+    the table leaves the shard (exact: the floats are round-tripped
+    int64 keys, NaN -> null) — every shard emits one stable schema, so
+    the old post-shuffle restoration stage is gone. A shard whose body
+    returns ZERO rows returns None instead of an empty table (unless
+    `keep_empty`): empty pandas frames infer float64 for what are
+    really string/int columns, and one such shard would poison the
+    final Arrow concat's schema unification."""
     import pyarrow.compute as pc
 
-    out = _with_shard(ds, key_col, num_shards, floor=floor).groupby(
-        "_shard").map_groups(per_shard, batch_format="pandas")
-
-    def _fix(t):
-        if key_col in t.column_names:
-            col = t[key_col]
+    def finish(t: pa.Table) -> pa.Table:
+        key_type = (t.schema.field(key_col).type
+                    if key_col in t.column_names else None)
+        out = pa.Table.from_pandas(per_shard(t.to_pandas()),
+                                   preserve_index=False)
+        if out.num_rows == 0 and not keep_empty:
+            return None
+        if (key_type is not None and key_col in out.column_names
+                and pa.types.is_integer(key_type)):
+            col = out[key_col]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             if pa.types.is_floating(col.type):
                 arr = pa.array(col.to_numpy(zero_copy_only=False),
                                from_pandas=True)
-                t = t.set_column(t.column_names.index(key_col), key_col,
-                                 pc.cast(arr, pa.int64(), safe=False))
-        return t
+                out = out.set_column(
+                    out.column_names.index(key_col), key_col,
+                    pc.cast(arr, key_type, safe=False))
+        return out
 
-    return out.map_batches(_fix, batch_format="pyarrow")
+    return finish
+
+
+def _keyed_exchange_refs(ds, key_col, num_shards, floor, per_shard):
+    """Dataset -> one Arrow-native key-hash exchange -> per-shard result
+    refs (object-store resident; empty shards are None refs)."""
+    from ..shuffle import auto_shards_for_dataset, hash_exchange
+
+    if num_shards is None:
+        num_shards = auto_shards_for_dataset(ds, floor)
+    return hash_exchange(
+        ds.to_arrow_refs(),
+        [key_col],
+        _shard_body_finish(per_shard, key_col),
+        num_shards=num_shards,
+        return_refs=True,
+    )
+
+
+def _keyed_map_groups(ds, key_col, num_shards, floor, per_shard):
+    """Keyed shard family core: ONE shuffle.hash_exchange keyed on the
+    Arrow-native key hash, the same pandas math per reduce shard.
+
+    This replaces the r1-r4 `groupby("_shard").map_groups(pandas)` path:
+    Ray Data's sort-based shuffle (tens of seconds of fixed overhead on
+    sub-10M-row inputs), its per-shard pandas conversion and the
+    post-shuffle float-key restoration stage are all gone — the exchange
+    moves each row once by hash, shard bodies are unchanged, and results
+    stay in the object store (ray.data.from_arrow_refs) so callers keep
+    chaining map_batches. Null keys hash like any value and co-locate;
+    skew lives WITHIN a key, which still fits one shard by construction
+    (module docstring)."""
+    import ray
+    import ray.data
+
+    refs = _keyed_exchange_refs(ds, key_col, num_shards, floor, per_shard)
+
+    @ray.remote
+    def _has_rows(t) -> bool:
+        return t is not None and t.num_rows > 0
+
+    live = [r for r, ok in zip(refs, ray.get([_has_rows.remote(r)
+                                              for r in refs])) if ok]
+    if live:
+        return ray.data.from_arrow_refs(live)
+    # fully-empty input (or every shard empty): run the body once over an
+    # empty table with the input schema so the output schema is still the
+    # body's (every body handles len==0)
+    sch = ds.schema()
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=t) for t in sch.types], names=sch.names)
+    return ray.data.from_arrow(
+        _shard_body_finish(per_shard, key_col, keep_empty=True)(empty))
 
 
 def _finish(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop(columns=["_shard"])
+    # the exchange path carries no helper column; errors="ignore" keeps
+    # bodies source-compatible with the old _shard-column shuffle
+    return df.drop(columns=["_shard"], errors="ignore")
 
 
 def sliding_count(
@@ -489,7 +527,6 @@ def transition_counts(
     nulled), each shard emits pre-combined (from, to, n) partials, and a
     tiny hash reduce merges them — the wide exchange moves event rows
     once; the second exchange moves only |types|^2-bounded partials."""
-    from ..ops.skew import hash_reduce_dataset_refs
 
     def per_shard(df: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(df[key_col], use_na_sentinel=False)
@@ -509,12 +546,23 @@ def transition_counts(
         out = pd.DataFrame({"from_type": prev[keep], "to_type": tv[keep]})
         g = (out.groupby(["from_type", "to_type"], sort=False,
                          dropna=False).size().rename("n").reset_index())
+        # reset_index floats a type column whose surviving group keys are
+        # all-NaN (a to-null-only shard) — keep both string-keyed columns
+        # object-dtyped with real Nones so every shard emits string/null
+        # Arrow columns, never double
+        for col in ("from_type", "to_type"):
+            g[col] = g[col].astype(object).where(pd.notna(g[col]), None)
         return g
 
-    partials = _with_shard(ds, key_col, num_shards, floor=16).groupby(
-        "_shard").map_groups(per_shard, batch_format="pandas")
-    return hash_reduce_dataset_refs(
-        partials, ["from_type", "to_type"], ["n"])
+    refs = _keyed_exchange_refs(ds, key_col, num_shards, 16, per_shard)
+    from ..shuffle import hash_reduce
+
+    out = hash_reduce(refs, ["from_type", "to_type"], ["n"])
+    if out is None:  # no key had two events: empty, typed like the data
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return out
 
 
 def collect_per_key(

@@ -106,9 +106,11 @@ def test_kilo_shard_exchange_equals_small(ray_session, sf_dir):
         b.sort_by([("user_id", "ascending")]))
 
 
-# the exchange-based queries the round-3 verdict names as the gate
+# the exchange-based queries the round-3 verdict names as the gate;
+# session_stats added in r5 when the keyed window family moved from
+# groupby("_shard").map_groups onto shuffle.hash_exchange
 _FORCED_QUERIES = ["sliding_window", "asof_join", "percentiles",
-                   "minhash_invariant", "tumbling_window"]
+                   "minhash_invariant", "tumbling_window", "session_stats"]
 
 
 @pytest.mark.parametrize("name", _FORCED_QUERIES)
