@@ -155,11 +155,11 @@ def build_filter(sec: dict, registry: ParserRegistry):
     if name in ("lua", "udf"):
         # filter_lua (plugins/filter_lua/lua.c:292-411): a user-supplied
         # script transforms records one at a time.
-        #   Script /path/to/script.lua   -> REAL Lua via lupa when
-        #       importable (stages/lua.py — the reference's
-        #       cb(tag, ts, record) -> (code, ts, record) contract with
-        #       -1/0/1 semantics); a clear error points at the Python
-        #       path when lupa is absent.
+        #   Script /path/to/script.lua   -> REAL Lua (stages/lua.py —
+        #       the reference's cb(tag, ts, record) -> (code, ts, record)
+        #       contract with -1/0/1 semantics), executed by lupa when
+        #       importable, else the bundled minilua subset interpreter
+        #       (functions/minilua.py).
         #   Script /path/to/script.py    -> Python UDF (engine-native
         #       path, documented divergence):
         #   Call   process            (function name; record dict -> dict,

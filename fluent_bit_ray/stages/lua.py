@@ -15,10 +15,12 @@ The reference's callback contract (lua.c:333-385, scripts/test.lua):
 
 Execution engine: `lupa` when importable (a stateful actor-pool stage —
 one LuaRuntime per worker, compiled in __init__, invoked per record in
-__call__/process_batch, mirroring the reference's per-record lua_call).
-This container has no lupa, so construction without it raises a clear
-error pointing at the Python-script UdfFilter path (stages/throttle.py),
-and the code-semantics plumbing is tested through an injected callback.
+__call__/process_batch, mirroring the reference's per-record lua_call);
+when lupa (a compiled extension) is absent, the bundled pure-Python
+Lua-subset interpreter (functions/minilua.py) runs the same `.lua`
+source with the same callback contract, so real Lua scripts execute in
+every environment. The code-semantics plumbing is additionally pinned
+through an injected-callback seam (tests/test_lua_filter.py).
 
 Timestamps cross the boundary as DOUBLE seconds (flb_time_to_double /
 flb_time_from_double); engine `_time` is int64 epoch-ns with the NaT
@@ -61,23 +63,50 @@ def _is_maplike(obj: Any) -> bool:
 
 
 class LuaNotAvailable(RuntimeError):
-    pass
+    """Kept for API compatibility: no longer raised since minilua
+    (functions/minilua.py) became the lupa-less fallback engine."""
+
+
+def _build_minilua_callback(script_text: str, call: str) -> Callable:
+    """Compile `script_text` in the bundled pure-Python Lua-subset
+    interpreter (functions/minilua.py) — the fallback engine when lupa
+    (a compiled extension) cannot be installed. Same callback contract;
+    covers the Lua subset filter scripts actually use (see minilua's
+    module docstring for the supported grammar)."""
+    from ..functions.minilua import (
+        MiniLua,
+        lua_to_python,
+        python_to_lua,
+    )
+
+    lua = MiniLua()
+    lua.execute(script_text)
+    fn = lua.get_global(call)
+    if fn is None:
+        raise ValueError(f"[filter_lua] function {call} is not found")
+
+    def cb(tag: str, ts: float, record: dict):
+        res = fn(tag, float(ts), python_to_lua(record))
+        code, l_ts, l_rec = (tuple(res) + (None, None, None))[:3]
+        return (
+            int(code),
+            float(l_ts or 0.0),
+            lua_to_python(l_rec) if code == 1 else None,
+        )
+
+    return cb
 
 
 def _build_lua_callback(script_text: str, call: str) -> Callable:
     """Compile `script_text` in a fresh LuaRuntime and return a Python
     callable(tag, ts, record_dict) -> (code, ts, record_dict|None) that
-    handles the Python<->Lua table conversions."""
+    handles the Python<->Lua table conversions. Engine preference:
+    lupa (real LuaJIT bindings) when importable, else the bundled
+    minilua subset interpreter — so `.lua` scripts run everywhere."""
     try:
         import lupa
-    except ImportError as e:  # pragma: no cover - depends on environment
-        raise LuaNotAvailable(
-            "filter_lua with a .lua script needs the `lupa` package, which "
-            "is not installed in this environment. Either install lupa or "
-            "port the script to Python and use the UdfFilter path "
-            "([FILTER] Name lua, Script <file>.py) — same record contract, "
-            "documented divergence."
-        ) from e
+    except ImportError:
+        return _build_minilua_callback(script_text, call)
 
     lua = lupa.LuaRuntime(unpack_returned_tuples=True, encoding="utf-8")
     lua.execute(script_text)

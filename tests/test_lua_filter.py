@@ -1,19 +1,23 @@
 """filter_lua contract (plugins/filter_lua/lua.c:333-389, scripts/test.lua).
 
-Two layers:
+Three layers:
 - TestCallbackContract pins the -1/0/1/invalid-map/unexpected-code
   semantics through LuaFilter's injected-callback seam — runs everywhere,
   no Lua runtime needed, and exercises the exact code path lupa feeds.
 - TestRealLua runs the reference's canonical script shapes (append_tag,
-  cb_drop, cb_replace) as ACTUAL Lua through lupa; skipped when lupa is
-  not installed (this container), runs for real where it is.
+  cb_drop, cb_replace) from ACTUAL .lua source — through lupa where it
+  is installed, else through the bundled minilua subset interpreter
+  (functions/minilua.py), so these are never skipped.
+- TestLuaGolden drives a full filter script (field rewrite + severity
+  classification + conditional drop) end-to-end, pinning the
+  lua.c:333-385 code contract from real Lua source.
 """
 
 import numpy as np
 import pyarrow as pa
 import pytest
 
-from fluent_bit_ray.stages.lua import LuaFilter, LuaNotAvailable, _NAT
+from fluent_bit_ray.stages.lua import LuaFilter, _NAT
 
 try:
     import lupa  # noqa: F401
@@ -159,8 +163,9 @@ end
 """
 
 
-@pytest.mark.skipif(not HAVE_LUPA, reason="lupa not installed")
 class TestRealLua:
+    """Actual .lua source through lupa (when installed) or minilua."""
+
     def test_append_tag_script(self):
         f = LuaFilter(script_text=APPEND_TAG_LUA, call="append_tag")
         out = f.process_batch(_batch())
@@ -185,16 +190,93 @@ class TestRealLua:
 
 
 class TestConfigWiring:
-    def test_lua_script_without_lupa_errors_clearly(self, tmp_path):
+    def test_lua_script_builds_with_any_engine(self, tmp_path):
+        # lupa when importable, minilua otherwise — a .lua Script always
+        # builds a working LuaFilter
         script = tmp_path / "cb.lua"
         script.write_text(APPEND_TAG_LUA)
         from fluent_bit_ray.pipelines.config import build_filter
 
         sec = {"name": ["lua"], "match": ["*"],
                "script": [str(script)], "call": ["append_tag"]}
-        if HAVE_LUPA:
-            f = build_filter(sec, None)
-            assert isinstance(f, LuaFilter)
-        else:
-            with pytest.raises(LuaNotAvailable, match="lupa"):
-                build_filter(sec, None)
+        f = build_filter(sec, None)
+        assert isinstance(f, LuaFilter)
+        out = f.process_batch(_batch())
+        assert out["tag"].to_pylist() == ["app.a", "app.b", "app.c"]
+
+
+LOG_CLASSIFY_LUA = r"""
+-- golden filter: the docker/apache severity classifier shape a real
+-- fluent-bit deployment ships (field rewrite + classify + drop),
+-- exercising the full lua.c:333-385 code contract from Lua source
+function cb_classify(tag, timestamp, record)
+    if record["stream"] == "debug" then
+        return -1, timestamp, record      -- drop debug noise
+    end
+    if record["code"] == nil then
+        return 0, 0, 0                    -- untouched passthrough
+    end
+    local c = tonumber(record["code"])
+    local out = {}
+    for k, v in pairs(record) do
+        out[k] = v
+    end
+    if c >= 500 then
+        out["severity"] = "error"
+    elseif c >= 400 then
+        out["severity"] = "warn"
+    else
+        out["severity"] = "info"
+    end
+    out["summary"] = string.format("%s [%d] %s", tag, c,
+                                   string.sub(out["msg"], 1, 10))
+    out["delayed_ts"] = timestamp + 0.25
+    return 1, timestamp + 0.25, out
+end
+"""
+
+
+class TestLuaGolden:
+    def _batch(self):
+        return pa.table({
+            "_tag": pa.array(["web.a", "web.b", "web.c", "web.d"]),
+            "_time": pa.array([10**9, 2 * 10**9, 3 * 10**9, 4 * 10**9],
+                              pa.int64()),
+            "msg": pa.array(["GET /index.html", "POST /login x",
+                             "boom happened!", "verbose trace"]),
+            "code": pa.array(["200", "404", "503", None]),
+            "stream": pa.array(["stdout", "stdout", "stderr", "debug"]),
+        })
+
+    def test_classify_drop_keep_replace_from_lua_source(self):
+        f = LuaFilter(script_text=LOG_CLASSIFY_LUA, call="cb_classify")
+        out = f.process_batch(self._batch())
+        # row web.d (stream=debug) dropped -> 3 rows survive
+        assert out.num_rows == 3
+        got = {r["_tag"]: r for r in out.to_pylist()}
+        assert got["web.a"]["severity"] == "info"
+        assert got["web.b"]["severity"] == "warn"
+        assert got["web.c"]["severity"] == "error"
+        assert got["web.a"]["summary"] == "web.a [200] GET /index"
+        assert got["web.c"]["summary"] == "web.c [503] boom happe"
+        # code 1 replaced the timestamp (+0.25 s)
+        assert got["web.a"]["_time"] == int(1.25e9)
+        # integral lua number repacks as int64 (lua_tomsgpack rule)
+        assert isinstance(got["web.a"]["delayed_ts"], float) or isinstance(
+            got["web.a"]["delayed_ts"], int)
+
+    def test_null_code_row_kept_untouched(self):
+        # a code-0 return keeps the ORIGINAL record: no severity column
+        # value for that row even though others gained one... the column
+        # union puts null there
+        f = LuaFilter(script_text=LOG_CLASSIFY_LUA, call="cb_classify")
+        t = pa.table({
+            "_tag": pa.array(["k"]),
+            "_time": pa.array([5 * 10**9], pa.int64()),
+            "msg": pa.array(["hello"]),
+            "stream": pa.array(["stdout"]),
+        })
+        out = f.process_batch(t)
+        assert out.num_rows == 1
+        assert out["_time"].to_pylist() == [5 * 10**9]
+        assert out["msg"].to_pylist() == ["hello"]

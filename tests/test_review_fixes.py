@@ -176,32 +176,20 @@ class TestSecondReviewFixes:
         assert out["tagged"].to_pylist() == [None, True]
 
     def test_lua_script_routing(self, tmp_path):
-        # round 4 supersedes the old "port it to Python" error: a .lua
-        # Script now routes to the REAL Lua filter (stages/lua.py) —
-        # running it when lupa is importable, raising a clear
-        # lupa-pointing error when it is not (this container)
-        import pytest as _pytest
-
+        # round 5 supersedes the old lupa-pointing error: a .lua Script
+        # always routes to the REAL Lua filter (stages/lua.py), executed
+        # by lupa when importable and by the bundled minilua subset
+        # interpreter (functions/minilua.py) otherwise
         from fluent_bit_ray.pipelines.config import build_filter
         from fluent_bit_ray.parsers import DEFAULT_REGISTRY
+        from fluent_bit_ray.stages.lua import LuaFilter
 
         script = tmp_path / "functions.lua"
         script.write_text(
             "function process(tag, ts, r) return 0, 0, 0 end")
         sec = {"name": ["lua"], "script": [str(script)],
                "call": ["process"]}
-        try:
-            import lupa  # noqa: F401
-        except ImportError:
-            from fluent_bit_ray.stages.lua import LuaNotAvailable
-
-            with _pytest.raises(LuaNotAvailable, match="lupa"):
-                build_filter(sec, DEFAULT_REGISTRY)
-        else:
-            from fluent_bit_ray.stages.lua import LuaFilter
-
-            assert isinstance(build_filter(sec, DEFAULT_REGISTRY),
-                              LuaFilter)
+        assert isinstance(build_filter(sec, DEFAULT_REGISTRY), LuaFilter)
 
     def test_ext16_ext32_roundtrip(self):
         from fluent_bit_ray.sources.msgpack_io import (
