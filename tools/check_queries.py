@@ -18,6 +18,11 @@ Usage:
     python tools/check_queries.py [sf_dir]                    # full sweep
     python tools/check_queries.py [sf_dir] q1 q2 ...          # in-process
     python tools/check_queries.py --chunk-size 25 [sf_dir]
+    python tools/check_queries.py --gauntlet [out.json]       # ONE artifact:
+        # rebuilds both adversarial corpora, then sweeps clean sf0.01 +
+        # /tmp/nasty_sf (full query list each) + the 16-query adversarial
+        # pages gate; writes every per-query verdict to out.json
+        # (default /tmp/gauntlet.json)
 """
 
 from __future__ import annotations
@@ -161,7 +166,8 @@ def _run_child(sf_dir: str, names: list[str]) -> tuple[dict[str, str], bool]:
     return results, crashed
 
 
-def run_chunked(sf_dir: str, names: list[str], chunk_size: int) -> int:
+def sweep(sf_dir: str, names: list[str], chunk_size: int) -> dict[str, str]:
+    """Chunked crash-proof sweep; returns {query: ok|rows|FAIL|CRASH}."""
     results: dict[str, str] = {}
     pending = list(names)
     attempt = 0
@@ -178,9 +184,19 @@ def run_chunked(sf_dir: str, names: list[str], chunk_size: int) -> int:
         size = max(1, size // 2)  # halve granularity on retry
     for name in pending:  # still unreported after retries
         results[name] = "CRASH"
+    return results
+
+
+def _summarize(results: dict[str, str]) -> tuple[int, int, int]:
     n_ok = sum(1 for s in results.values() if s == "ok")
     n_rows = sum(1 for s in results.values() if s == "rows")
     n_fail = sum(1 for s in results.values() if s in ("FAIL", "CRASH"))
+    return n_ok, n_rows, n_fail
+
+
+def run_chunked(sf_dir: str, names: list[str], chunk_size: int) -> int:
+    results = sweep(sf_dir, names, chunk_size)
+    n_ok, n_rows, n_fail = _summarize(results)
     print(f"\n==== {len(names)} queries: {n_ok} hash-green, "
           f"{n_rows} rows-only, {n_fail} failures ====")
     if n_fail:
@@ -188,6 +204,68 @@ def run_chunked(sf_dir: str, names: list[str], chunk_size: int) -> int:
             if s in ("FAIL", "CRASH"):
                 print(f"  {s}: {name}")
     return 1 if n_fail else 0
+
+
+#: the adversarial-pages gate (SKILL.md surface 6): every query that reads
+#: the flagship pages corpus, run under FBR_PAGES_OVERRIDE
+PAGES_GATE_QUERIES = [
+    "weblog_aggregate", "weblog_from_html", "weblog_from_warc",
+    "url_parts", "warc_roundtrip", "weblog_error_rate",
+    "weblog_method_bytes", "weblog_size_quantiles", "weblog_visitors",
+    "top_paths", "lineage_metrics", "burn_rate", "geo_traffic",
+    "host_skew", "dq_audit", "dup_histogram",
+]
+
+
+def run_gauntlet(out_path: str, chunk_size: int) -> int:
+    """ONE command, ONE artifact: the full sweep on the clean sf0.01
+    corpus, the full sweep on the adversarial /tmp/nasty_sf corpus, and
+    the 16-query adversarial-pages gate — both adversarial corpora are
+    (re)built first, so the artifact always reflects HEAD against fresh
+    corpora (VERDICT r4 #9)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "nasty_corpus", os.path.join(REPO, "tools", "nasty_corpus.py"))
+    nasty = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nasty)
+    nasty_sf = nasty.build("/root/testdata/sf0.001", "/tmp/nasty_sf")
+    nasty_pages = nasty.build_pages()
+
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    artifact: dict = {"queries_total": len(names)}
+
+    print(f"=== gauntlet 1/3: clean sf0.01 ({len(names)} queries)")
+    artifact["clean_sf001"] = sweep("/root/testdata/sf0.01", names,
+                                    chunk_size)
+    print(f"=== gauntlet 2/3: adversarial {nasty_sf} ({len(names)})")
+    artifact["nasty_sf"] = sweep(nasty_sf, names, chunk_size)
+    print(f"=== gauntlet 3/3: adversarial pages gate "
+          f"({len(PAGES_GATE_QUERIES)} queries)")
+    os.environ["FBR_PAGES_OVERRIDE"] = nasty_pages  # children inherit
+    try:
+        artifact["nasty_pages"] = sweep("/root/testdata/sf0.001",
+                                        PAGES_GATE_QUERIES, chunk_size)
+    finally:
+        del os.environ["FBR_PAGES_OVERRIDE"]
+
+    total_fail = 0
+    for corpus in ("clean_sf001", "nasty_sf", "nasty_pages"):
+        n_ok, n_rows, n_fail = _summarize(artifact[corpus])
+        artifact[f"{corpus}_summary"] = {
+            "ok": n_ok, "rows_only": n_rows, "failures": n_fail}
+        total_fail += n_fail
+        print(f"==== {corpus}: {n_ok} hash-green, {n_rows} rows-only, "
+              f"{n_fail} failures ====")
+    artifact["all_green"] = total_fail == 0
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print(f"gauntlet artifact -> {out_path}")
+    return 1 if total_fail else 0
 
 
 def main() -> int:
@@ -200,6 +278,11 @@ def main() -> int:
         i = args.index("--chunk-size")
         chunk_size = int(args[i + 1])
         del args[i:i + 2]
+    if "--gauntlet" in args:
+        i = args.index("--gauntlet")
+        out_path = (args[i + 1] if i + 1 < len(args)
+                    else "/tmp/gauntlet.json")
+        return run_gauntlet(out_path, chunk_size)
     unknown = [a for a in args if a.startswith("-")]
     if unknown:  # e.g. --help: fail fast, don't sweep a nonsense sf_dir
         print(__doc__)
