@@ -6,14 +6,17 @@ src/fluent-bit.c:368-540 (`flb_service_conf`) and each plugin's option names
 — a user's existing fluent-bit classic config for the supported plugins
 parses unchanged:
 
-    [INPUT]  Name tail|parquet|dummy, Path, Tag, Parser, Path_Key
+    [INPUT]  Name tail|parquet|dummy|mqtt|serial|…, Path, Tag, Parser,
+             Path_Key (mqtt/serial read capture files of the live
+             transport's byte stream; see sources/transports.py)
     [FILTER] Name grep|record_modifier|modify|nest|parser|throttle|stdout,
              Match, + the plugin's own options (Regex/Exclude, Remove_key/
              Whitelist_key/Record, Set/Add/Rename/…/Condition, Operation/
              Wildcard/Nest_under/Nested_under, Key_Name/Parser/Reserve_Data/
              Preserve_Key, Rate/Window/Interval)
-    [OUTPUT] Name file|parquet|null|stdout|counter|flowcounter, Match, Path,
-             Format json|csv|ltsv
+    [OUTPUT] Name file|parquet|null|stdout|counter|flowcounter|es|influxdb|
+             kafka|kafka_rest|nats|td|azure|splunk|http|forward|plot,
+             Match, Path, Format json|csv|ltsv
 
 Execution: each input becomes a Dataset; the filter chain is ONE fused
 map_batches; outputs become SinkSpecs driven by SinkWriteStage. Timer/server
@@ -483,10 +486,43 @@ def build_input(sec: dict, registry: ParserRegistry):
                 "kernel ring requires privileges this environment lacks"
             ) from e
         return ray.data.from_arrow(records_to_table(recs)), tag or "kmsg.0"
+    if name == "mqtt":
+        # in_mqtt batch analog: an MQTT client-session capture file (the
+        # bytes the live broker socket would deliver) instead of a server.
+        # PUBLISH payloads must be JSON maps; topic is injected
+        # (plugins/in_mqtt/mqtt_prot.c:112-172).
+        from ..sources.transports import mqtt_capture_dataset
+
+        path = _one(sec, "path")
+        if not path:
+            raise ValueError(
+                "[INPUT] Name mqtt needs Path (an MQTT session capture "
+                "file/glob; the live broker socket is out of batch scope)"
+            )
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        return mqtt_capture_dataset(files), tag or "mqtt.0"
+    if name == "serial":
+        # in_serial batch analog: a tty byte-stream dump with the
+        # reference's Separator / Format json framing
+        # (plugins/in_serial/in_serial.c:100-230).
+        from ..sources.transports import serial_capture_dataset
+
+        path = _one(sec, "file") or _one(sec, "path")
+        if not path:
+            raise ValueError(
+                "[INPUT] Name serial needs File (a captured byte-stream "
+                "dump; the live tty is out of batch scope)"
+            )
+        files = sorted(globmod.glob(path)) if any(c in path for c in "*?[") else [path]
+        fmt = (_one(sec, "format") or "").lower() or None
+        return (
+            serial_capture_dataset(files, _one(sec, "separator"), fmt),
+            tag or "serial.0",
+        )
     raise ValueError(
-        f"unsupported input plugin: {name!r} (device/server-transport inputs "
-        "— serial, mqtt, http — are out of scope for the batch engine; see "
-        "SURVEY §2.4 and COVERAGE.md for the supported set)"
+        f"unsupported input plugin: {name!r} (the http server input is out "
+        "of scope — a 113-LoC stub even in the reference, plugins/in_http; "
+        "see SURVEY §2.4 and COVERAGE.md for the supported set)"
     )
 
 
@@ -598,6 +634,38 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
             ("json_date_key", _one(sec, "json_date_key", "date")),
             ("json_date_format", _one(sec, "json_date_format", "double")),
             ("http_format", _one(sec, "format", "json")),
+        )
+        return spec
+    if name == "nats":
+        # out_nats analog: PUB-framed JSON payload files (transport out of
+        # scope; plugins/out_nats/nats.c body + framing)
+        return OutputSpec("file", match, path, "nats")
+    if name == "kafka_rest":
+        # out_kafka_rest analog: Kafka REST Proxy records-envelope bodies
+        spec = OutputSpec("file", match, path, "kafka_rest")
+        opts = [
+            ("time_key", _one(sec, "time_key", "@timestamp")),
+            ("time_key_format", _one(sec, "time_key_format",
+                                     "%Y-%m-%dT%H:%M:%S")),
+        ]
+        if _on(sec, "include_tag_key", False):
+            opts.append(("include_tag_key", "on"))
+            opts.append(("tag_key", _one(sec, "tag_key", "_flb-key")))
+        if _one(sec, "partition") is not None:
+            opts.append(("partition", _one(sec, "partition")))
+        if _one(sec, "message_key"):
+            opts.append(("message_key", _one(sec, "message_key")))
+        spec.fmt_options = tuple(opts)
+        return spec
+    if name == "td":
+        # out_td analog: gzip msgpack import payloads (time key injected)
+        return OutputSpec("file", match, path, "td")
+    if name == "azure":
+        # out_azure analog: Log Analytics JSON array bodies (the SharedKey
+        # signature helper lives in sinks.writers.azure_shared_key_headers)
+        spec = OutputSpec("file", match, path, "azure")
+        spec.fmt_options = (
+            ("time_key", _one(sec, "time_key", "@timestamp")),
         )
         return spec
     if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):

@@ -7242,3 +7242,241 @@ ORACLE_SQL["next_day_retention"] = (
     "FROM d a LEFT JOIN d b ON a.user_id = b.user_id "
     "AND b.day_us = a.day_us + 86400000000 GROUP BY a.day_us"
 )
+
+
+# ----------------------------------------- transport / SaaS format analogs
+
+def _mqtt_fixture(sf_dir: str, n_files: int = 4) -> str:
+    """Deterministic MQTT client-session captures of the events table
+    (cached): topic "events/<type>", payload {"event_id","user_id"}, QoS
+    cycling 0/1/2 (packet-id skip path), periodic PINGREQ frames."""
+    import hashlib
+    import json as _json
+
+    from ..sources.transports import write_mqtt_capture
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id"],
+    ).sort_by([("event_id", "ascending")])
+    # a PUBLISH needs a topic and a JSON-map payload: rows with a null
+    # topic source or null payload fields emit no packet (oracle filters
+    # the same)
+    m = pc.and_(
+        pc.and_(pc.is_valid(t["event_id"]), pc.is_valid(t["user_id"])),
+        pc.is_valid(t["event_type"]),
+    )
+    t = t.filter(m)
+    key = hashlib.blake2b(
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+    ).hexdigest()
+    d = os.path.join("/tmp/fbr_mqtt_cache", key)
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        users = t["user_id"].to_pylist()
+        msgs: list[list] = [[] for _ in range(n_files)]
+        for i in range(len(ids)):
+            msgs[i % n_files].append(
+                (
+                    f"events/{types[i]}",
+                    _json.dumps(
+                        {"event_id": ids[i], "user_id": users[i]},
+                        sort_keys=True,
+                    ).encode("utf-8"),
+                )
+            )
+        for fi, mm in enumerate(msgs):
+            write_mqtt_capture(
+                os.path.join(d, f"mq_{fi:03d}.mqtt"), mm, ping_every=64
+            )
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def q_mqtt_ingest(sf_dir: str):
+    """in_mqtt batch analog: decode captured MQTT PUBLISH frames (QoS
+    0/1/2, PINGREQ skip, JSON-map payload contract) back into records;
+    the oracle derives the same rows straight from events."""
+    import glob as g
+    import json as _json
+
+    from ..sources.transports import mqtt_capture_dataset
+
+    d = _mqtt_fixture(sf_dir)
+    ds = mqtt_capture_dataset(sorted(g.glob(os.path.join(d, "*.mqtt"))))
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, users = [], []
+        for p in b["payload"].to_pylist():
+            rec = _json.loads(p)
+            ids.append(rec["event_id"])
+            users.append(rec["user_id"])
+        return pa.table(
+            {
+                "topic": b["topic"],
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def _serial_fixture(sf_dir: str, n_files: int = 4) -> str:
+    """Separator-framed serial line dumps of the events table (cached):
+    each frame "<type>:<event_id>" followed by the reference's separator."""
+    import hashlib
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    ).sort_by([("event_id", "ascending")])
+    m = pc.and_(pc.is_valid(t["event_id"]), pc.is_valid(t["event_type"]))
+    t = t.filter(m)
+    key = hashlib.blake2b(
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+    ).hexdigest()
+    d = os.path.join("/tmp/fbr_serial_cache", key)
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        ids = t["event_id"].to_pylist()
+        types = t["event_type"].to_pylist()
+        bufs = [bytearray() for _ in range(n_files)]
+        for i in range(len(ids)):
+            bufs[i % n_files] += f"{types[i]}:{ids[i]}\n".encode("utf-8")
+        for fi, b in enumerate(bufs):
+            with open(os.path.join(d, f"tty_{fi:03d}.bin"), "wb") as f:
+                f.write(bytes(b))
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def q_serial_ingest(sf_dir: str):
+    """in_serial batch analog: separator-framed byte dumps re-framed into
+    {"msg"} records (process_line semantics); oracle rebuilds the frame
+    text from events."""
+    import glob as g
+
+    from ..sources.transports import serial_capture_dataset
+
+    d = _serial_fixture(sf_dir)
+    return serial_capture_dataset(
+        sorted(g.glob(os.path.join(d, "*.bin"))), separator="\n"
+    )
+
+
+def q_td_sink(sf_dir: str):
+    """out_td roundtrip: events -> td msgpack import payload (integer
+    "time" injected first, gzip container) -> decode -> rows. Exact
+    msgpack roundtrip makes the payload SQL-comparable."""
+    import gzip as _gzip
+
+    from ..sinks.writers import format_td, gzip_td_payload
+    from ..sources.msgpack_io import iter_msgpack_stream
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id", "ts"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        staged = pa.table(
+            {
+                "_time": pc.multiply(
+                    pc.cast(b["ts"], pa.int64()),  # timestamp[us] -> us
+                    pa.scalar(1000, pa.int64()),
+                ),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+            }
+        )
+        payload = _gzip.decompress(
+            gzip_td_payload(
+                format_td(staged, ["event_id", "event_type", "user_id"])
+            )
+        )
+        recs = list(iter_msgpack_stream(payload))
+        return pa.table(
+            {
+                "time": pa.array([r.get("time") for r in recs], pa.int64()),
+                "event_id": pa.array(
+                    [r.get("event_id") for r in recs], pa.int64()),
+                "event_type": pa.array(
+                    [r.get("event_type") for r in recs], pa.string()),
+                "user_id": pa.array(
+                    [r.get("user_id") for r in recs], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+def q_kafka_rest_sink(sf_dir: str):
+    """out_kafka_rest roundtrip: events -> records envelope (gmtime time
+    string + raw-nsec suffix) -> JSON decode -> rows; the oracle rebuilds
+    the exact time string with strftime + posmod nanoseconds."""
+    import json as _json
+
+    from ..sinks.writers import format_kafka_rest
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["ts"]))
+        staged = pa.table(
+            {
+                "_time": pc.multiply(
+                    pc.cast(b["ts"], pa.int64()),  # timestamp[us] -> us
+                    pa.scalar(1000, pa.int64()),
+                ),
+                "event_id": b["event_id"],
+            }
+        )
+        env = _json.loads(format_kafka_rest(staged, ["event_id"]))
+        ts_strs, ids = [], []
+        for rec in env["records"]:
+            v = rec["value"]
+            ts_strs.append(v["@timestamp"])
+            ids.append(v.get("event_id"))
+        return pa.table(
+            {
+                "ts_str": pa.array(ts_strs, pa.string()),
+                "event_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+QUERIES["mqtt_ingest"] = q_mqtt_ingest
+QUERIES["serial_ingest"] = q_serial_ingest
+QUERIES["td_sink"] = q_td_sink
+QUERIES["kafka_rest_sink"] = q_kafka_rest_sink
+
+ORACLE_SQL["mqtt_ingest"] = (
+    "SELECT 'events/' || event_type AS topic, event_id, user_id "
+    "FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL "
+    "AND event_type IS NOT NULL"
+)
+ORACLE_SQL["serial_ingest"] = (
+    "SELECT event_type || ':' || CAST(event_id AS VARCHAR) AS msg "
+    "FROM events WHERE event_id IS NOT NULL AND event_type IS NOT NULL"
+)
+ORACLE_SQL["td_sink"] = (
+    # floor-division to seconds on both sides (the engine floors int64
+    # ns; DuckDB // truncates, so subtract the positive mod first)
+    "SELECT CAST((epoch_ns(ts) - ((epoch_ns(ts) % 1000000000) + 1000000000)"
+    " % 1000000000) // 1000000000 AS BIGINT) AS time, "
+    "event_id, event_type, user_id FROM events WHERE ts IS NOT NULL"
+)
+ORACLE_SQL["kafka_rest_sink"] = (
+    "SELECT strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') || '.' "
+    "|| CAST(CAST(((epoch_ns(ts) % 1000000000) + 1000000000) % 1000000000 "
+    "AS BIGINT) AS VARCHAR) || 'Z' AS ts_str, event_id "
+    "FROM events WHERE ts IS NOT NULL"
+)

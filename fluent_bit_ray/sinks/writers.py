@@ -858,6 +858,224 @@ def format_forward(table: pa.Table, record_cols: list[str]) -> bytes:
     return bytes(out)
 
 
+def format_nats(table: pa.Table, record_cols: list[str]) -> bytes:
+    """out_nats wire payload (plugins/out_nats/nats.c:75-215 — studied, not
+    copied): per tag one NATS publish request ``PUB <tag> <len>\\r\\n`` +
+    JSON body + ``\\r\\n``, where the body is the flush buffer re-encoded as
+    ``[[<%f time>, {"tag": <tag>, ...record}], ...]`` (msgpack_to_json:
+    every record of the flush in ONE array, tag injected as the first map
+    key, flb_msgpack_raw_to_json_str dialect). The TCP transport and the
+    initial CONNECT handshake are out of scope; the PUB framing + body is
+    the portable part."""
+    n = table.num_rows
+    if n == 0:
+        return b""
+    tags = (
+        table["_tag"].to_pylist() if "_tag" in table.column_names else [""] * n
+    )
+    times = _times_sec(table)
+    frags = _mp_key_frags(table, record_cols)
+    tagfrag = pa.array(
+        ['"tag":"' + flb_json_escape(t or "") + '"' for t in tags], pa.string()
+    )
+    body = pc.binary_join_element_wise(
+        tagfrag, *frags, ", ", null_handling="skip"
+    )
+    heads = pa.array([f"[{t:f}, {{" for t in times], pa.string())
+    elems = pc.binary_join_element_wise(heads, body, "}]", "").to_pylist()
+    by_tag: dict[str, list[str]] = {}
+    for tag, elem in zip(tags, elems):
+        by_tag.setdefault(tag or "", []).append(elem)
+    out = bytearray()
+    for tag, el in by_tag.items():
+        payload = ("[" + ", ".join(el) + "]").encode("utf-8")
+        out += f"PUB {tag} {len(payload)}\r\n".encode("utf-8")
+        out += payload
+        out += b"\r\n"
+    return bytes(out)
+
+
+def _gmtime_strings(secs: np.ndarray, fmt: str) -> list[str]:
+    """strftime(gmtime(sec)) per row, computed once per UNIQUE second."""
+    import time as _time
+
+    uniq, inv = np.unique(secs, return_inverse=True)
+    rendered = [_time.strftime(fmt, _time.gmtime(int(s))) for s in uniq]
+    return [rendered[i] for i in inv]
+
+
+def format_kafka_rest(
+    table: pa.Table,
+    record_cols: list[str],
+    time_key: str = "@timestamp",
+    time_key_format: str = "%Y-%m-%dT%H:%M:%S",
+    include_tag_key: bool = False,
+    tag_key: str = "_flb-key",
+    partition: Optional[int] = None,
+    message_key: Optional[str] = None,
+) -> str:
+    """out_kafka_rest proxy body (plugins/out_kafka_rest/kafka.c:34-168 —
+    studied, not copied): ONE JSON object
+    ``{"records": [{("partition": p)?, ("key": k)?, "value": {<time_key>:
+    "<strftime>.<nsec>Z", (<tag_key>: tag)?, ...record}}, ...]}`` per flush.
+    The time string is gmtime-formatted seconds + "." + the raw tv_nsec
+    count + "Z" (kafka.c:130-138 — %%PRIu64, NOT zero-padded). Record keys
+    are appended blindly after the injected ones, so a record field named
+    like time_key yields a duplicate JSON key — reference parity. Defaults
+    match kafka.h:23-25. The HTTP POST transport is out of scope."""
+    n = table.num_rows
+    if n == 0:
+        return '{"records":[]}'
+    ns = _times_ns(table)
+    secs = ns // 1_000_000_000
+    nsec = ns - secs * 1_000_000_000
+    timestr = _gmtime_strings(secs, time_key_format)
+    frags = _mp_key_frags(table, record_cols)
+    head = f'"{flb_json_escape(time_key)}":'
+    tsfrag = pa.array(
+        [f'{head}"{t}.{nn}Z"' for t, nn in zip(timestr, nsec)], pa.string()
+    )
+    if include_tag_key:
+        tags = (
+            table["_tag"].to_pylist()
+            if "_tag" in table.column_names else [""] * n
+        )
+        tagname = flb_json_escape(tag_key)
+        tsfrag = pc.binary_join_element_wise(
+            tsfrag,
+            pa.array(
+                [f'"{tagname}":"{flb_json_escape(t or "")}"' for t in tags],
+                pa.string(),
+            ),
+            ", ",
+        )
+    body = pc.binary_join_element_wise(
+        tsfrag, *frags, ", ", null_handling="skip"
+    )
+    entry_head = ""
+    if partition is not None:
+        entry_head += f'"partition":{int(partition)}, '
+    if message_key is not None:
+        entry_head += f'"key":"{flb_json_escape(message_key)}", '
+    entries = pc.binary_join_element_wise(
+        "{" + entry_head + '"value":{', body, "}}", ""
+    ).to_pylist()
+    return '{"records":[' + ", ".join(entries) + "]}"
+
+
+def format_td(table: pa.Table, record_cols: list[str]) -> bytes:
+    """out_td import payload (plugins/out_td/td.c:40-130 — studied, not
+    copied): a bare msgpack stream of maps ``{"time": <int sec>, ...record}``
+    — the ``[ts, record]`` event arrays flatten into the record map with the
+    integer UNIX time injected under the fixed key "time" (td.c:113-124).
+    The gzip container + PUT transport live in gzip_td_payload /
+    td_request_headers."""
+    from ..sources.msgpack_io import msgpack_pack
+
+    secs = (_times_ns(table) // 1_000_000_000).tolist()
+    map_cols = [
+        c for c in record_cols
+        if pa.types.is_map(table.schema.field(c).type)
+    ]
+    out = bytearray()
+    for i, rec in enumerate(_row_iter(table, record_cols)):
+        for c in map_cols:
+            v = rec.get(c)
+            if isinstance(v, list):
+                rec[c] = dict(v)
+        out += msgpack_pack({"time": int(secs[i]), **rec})
+    return bytes(out)
+
+
+def gzip_td_payload(data: bytes) -> bytes:
+    """td_http gzip container (plugins/out_td/td_http.c:32-130): fixed
+    10-byte gzip header ``1F 8B 08 00 <mtime=0> 00 FF`` (XFL=0, OS=0xFF),
+    raw deflate body (windowBits=-15, memLevel=9), CRC32 + ISIZE trailer.
+    Deterministic: no mtime, no filename."""
+    import struct
+    import zlib
+
+    co = zlib.compressobj(zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15, 9)
+    body = co.compress(data) + co.flush()
+    header = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+    trailer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                          len(data) & 0xFFFFFFFF)
+    return header + body + trailer
+
+
+def td_request_headers(api_key: str, db_name: str, db_table: str) -> dict:
+    """out_td HTTP envelope (td_http.c:140-196): PUT
+    ``/v3/table/import/{db}/{table}/msgpack.gz`` with ``Authorization:
+    TD1 <api key>`` and ``Content-Type: application/gzip``."""
+    return {
+        "method": "PUT",
+        "uri": f"/v3/table/import/{db_name}/{db_table}/msgpack.gz",
+        "Authorization": f"TD1 {api_key}",
+        "Content-Type": "application/gzip",
+    }
+
+
+def format_azure(
+    table: pa.Table, record_cols: list[str], time_key: str = "@timestamp"
+) -> str:
+    """out_azure Log Analytics body (plugins/out_azure/azure.c:42-135 —
+    studied, not copied): JSON array ``[{<time_key>: <%f double>, ...record},
+    ...]`` — per record the double epoch time injected under time_key
+    (default azure.h:28 "@timestamp") followed by the original keys,
+    rendered in flb_msgpack_raw_to_json dialect. Headers/signature live in
+    azure_shared_key_headers."""
+    n = table.num_rows
+    if n == 0:
+        return "[]"
+    times = _times_sec(table)
+    frags = _mp_key_frags(table, record_cols)
+    head = f'"{flb_json_escape(time_key)}":'
+    tsfrag = pa.array([f"{head}{t:f}" for t in times], pa.string())
+    body = pc.binary_join_element_wise(
+        tsfrag, *frags, ", ", null_handling="skip"
+    )
+    entries = pc.binary_join_element_wise("{", body, "}", "").to_pylist()
+    return "[" + ", ".join(entries) + "]"
+
+
+def azure_shared_key_headers(
+    customer_id: str,
+    shared_key_b64: str,
+    content_length: int,
+    rfc1123date: str,
+    log_type: str = "fluentbit",
+) -> dict:
+    """out_azure SharedKey signing (azure.c:141-232 — studied, not copied):
+    string-to-hash ``POST\\n{len}\\napplication/json\\nx-ms-date:{date}\\n
+    /api/logs``, HMAC-SHA256 with the base64-DECODED workspace key,
+    base64-encoded digest, header ``Authorization: SharedKey {id}:{sig}``.
+    Deterministic given the date — the caller supplies rfc1123date (the
+    reference formats ``%a, %d %b %Y %H:%M:%S GMT``)."""
+    import base64
+    import hmac as _hmac
+
+    string_to_hash = (
+        f"POST\n{content_length}\napplication/json\n"
+        f"x-ms-date:{rfc1123date}\n/api/logs"
+    )
+    digest = _hmac.new(
+        base64.b64decode(shared_key_b64),
+        string_to_hash.encode("utf-8"),
+        hashlib.sha256,
+    ).digest()
+    sig = base64.b64encode(digest).decode("ascii")
+    return {
+        "uri": (
+            f"https://{customer_id}.ods.opinsights.azure.com"
+            "/api/logs?api-version=2016-04-01"
+        ),
+        "Log-Type": log_type,
+        "Content-Type": "application/json",
+        "x-ms-date": rfc1123date,
+        "Authorization": f"SharedKey {customer_id}:{sig}",
+    }
+
+
 def format_plot(table: pa.Table, key: str) -> str:
     """out_plot (plugins/out_plot/plot.c:51-123): `timestamp value` rows of
     one numeric field, gnuplot-ready."""
@@ -1028,6 +1246,32 @@ class SinkWriteStage:
                 elif spec.fmt == "forward":
                     payload = format_forward(chunk, rc)
                     ext = ".msgpack"
+                elif spec.fmt == "nats":
+                    payload = format_nats(chunk, rc)
+                    ext = ".nats"
+                elif spec.fmt == "kafka_rest":
+                    part = spec.opt("partition")
+                    payload = format_kafka_rest(
+                        chunk, rc,
+                        time_key=spec.opt("time_key", "@timestamp"),
+                        time_key_format=spec.opt(
+                            "time_key_format", "%Y-%m-%dT%H:%M:%S"),
+                        include_tag_key=spec.opt(
+                            "include_tag_key", "off") == "on",
+                        tag_key=spec.opt("tag_key", "_flb-key"),
+                        partition=int(part) if part is not None else None,
+                        message_key=spec.opt("message_key"),
+                    )
+                    ext = ".json"
+                elif spec.fmt == "td":
+                    payload = gzip_td_payload(format_td(chunk, rc))
+                    ext = ".msgpack.gz"
+                elif spec.fmt == "azure":
+                    payload = format_azure(
+                        chunk, rc,
+                        time_key=spec.opt("time_key", "@timestamp"),
+                    )
+                    ext = ".json"
                 elif spec.fmt == "plot":
                     payload = format_plot(chunk, spec.opt("key", "value"))
                     ext = ".dat"

@@ -90,8 +90,11 @@ class TestRunConfig:
         assert content.startswith("files.demo: [")
 
     def test_unsupported_plugin_clear_error(self):
-        # cpu/mem/etc are now host-sampler analogs; mqtt stays a transport
+        # in_http (a stub even in the reference) stays the one named
+        # exclusion; mqtt/serial are capture analogs that demand a Path
         with pytest.raises(ValueError, match="unsupported input plugin"):
+            run_config("[INPUT]\n    Name http\n[OUTPUT]\n    Name null\n")
+        with pytest.raises(ValueError, match="needs Path"):
             run_config("[INPUT]\n    Name mqtt\n[OUTPUT]\n    Name null\n")
 
 
