@@ -1333,6 +1333,101 @@ def extract_all(ds, id_col: str, text_col: str, pattern: str,
         flat, batch_format="pyarrow")
 
 
+# Gopher §A1.1 repetition-free quality rules use this fixed 8-word English
+# indicator set (Rae et al. 2021, public appendix)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-rule document gates (Rae et al. 2021 §A1.1, public rules) —
+    the quality-filter set next to c4_filter_batch, fully vectorized:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio < 0.1 (symbols: '#', non-overlapping '...', '…')
+    - < 90% of lines start with a bullet ('•' or '- ')
+    - < 30% of lines end with an ellipsis ('...' or '…')
+    - > 80% of words contain at least one [A-Za-z] character
+    - at least 2 DISTINCT hits from the fixed 8-word English stop set
+
+    `kept` is the conjunction. Tokenization shares _doc_tokens (the
+    string_split_regex('\\s+') contract every text oracle checks); lines
+    split on '\\n' exactly (DuckDB split(text, chr(10))); substring counts
+    are non-overlapping left-to-right on BOTH sides (pc.count_substring vs
+    the length-difference-of-replace idiom). Ratios are 0.0 for empty
+    docs (n_words = 0) like quality_score_batch; an empty doc still has
+    one line ('' splits to ['']) on both sides."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    filled = pc.fill_null(text, "")
+
+    flat, bounds, n_words = _doc_tokens(text)
+    nw = np.maximum(n_words, 1)
+    tok_len = np.asarray(pc.utf8_length(flat)).astype(np.int64)
+    mean_word_len = np.where(
+        n_words > 0, _per_doc_sum(tok_len, bounds) / nw, 0.0
+    )
+    symbols = (
+        np.asarray(pc.count_substring(filled, "#")).astype(np.int64)
+        + np.asarray(pc.count_substring(filled, "...")).astype(np.int64)
+        + np.asarray(pc.count_substring(filled, "…")).astype(np.int64)
+    )
+    symbol_ratio = np.where(n_words > 0, symbols / nw, 0.0)
+
+    lines = pc.split_pattern(filled, "\n")
+    n_lines = np.asarray(pc.list_value_length(lines)).astype(np.int64)
+    line_bounds = np.concatenate(([0], np.cumsum(n_lines)))
+    flat_lines = pc.list_flatten(lines)
+    is_bullet = np.asarray(
+        pc.or_(pc.starts_with(flat_lines, "•"),
+               pc.starts_with(flat_lines, "- "))
+    ).astype(np.int64)
+    is_ellipsis = np.asarray(
+        pc.or_(pc.ends_with(flat_lines, "..."),
+               pc.ends_with(flat_lines, "…"))
+    ).astype(np.int64)
+    nl = np.maximum(n_lines, 1)  # '' yields one line, so n_lines >= 1
+    bullet_frac = _per_doc_sum(is_bullet, line_bounds) / nl
+    ellipsis_frac = _per_doc_sum(is_ellipsis, line_bounds) / nl
+
+    has_alpha = np.asarray(
+        pc.match_substring_regex(flat, "[A-Za-z]")
+    ).astype(np.int64)
+    alpha_frac = np.where(
+        n_words > 0, _per_doc_sum(has_alpha, bounds) / nw, 0.0
+    )
+
+    low = pc.utf8_lower(flat)
+    stop_hits = np.zeros(len(n_words), dtype=np.int64)
+    for w in _GOPHER_STOPS:
+        eq = np.asarray(pc.equal(low, w)).astype(np.int64)
+        stop_hits += (_per_doc_sum(eq, bounds) > 0).astype(np.int64)
+
+    kept = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac > 0.8)
+        & (stop_hits >= 2)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(mean_word_len),
+            "symbol_ratio": pa.array(symbol_ratio),
+            "bullet_frac": pa.array(bullet_frac),
+            "ellipsis_frac": pa.array(ellipsis_frac),
+            "alpha_frac": pa.array(alpha_frac),
+            "stop_hits": pa.array(stop_hits),
+            "kept": pa.array(kept),
+        }
+    )
+
+
 def c4_filter_batch(batch: pa.Table, text_col: str = "text",
                     min_words: int = 5) -> pa.Table:
     """C4-style document gates (Raffel et al. 2020 §2.2, public rules),

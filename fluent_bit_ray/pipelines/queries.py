@@ -7480,3 +7480,145 @@ ORACLE_SQL["kafka_rest_sink"] = (
     "AS BIGINT) AS VARCHAR) || 'Z' AS ts_str, event_id "
     "FROM events WHERE ts IS NOT NULL"
 )
+
+
+# ------------------------------------------------------- gopher quality gates
+
+def q_gopher_filters(sf_dir: str):
+    """Gopher-rule quality gates (Rae et al. 2021 §A1.1, public) over the
+    documents table — the published filter set next to c4_filters: word
+    count / mean word length bounds, symbol-to-word ratio, bullet and
+    ellipsis line fractions, alpha-word fraction, 8-stopword distinct
+    hits, and the conjunction `kept`. Per-batch Arrow/numpy kernels, no
+    shuffle."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        text_ops.gopher_filter_batch, batch_format="pyarrow"
+    )
+
+
+QUERIES["gopher_filters"] = q_gopher_filters
+
+ORACLE_SQL["gopher_filters"] = (
+    "WITH base AS (SELECT doc_id, text, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+    "ELSE string_split_regex("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t, "
+    "split(text, chr(10)) AS ln "
+    f"FROM {_DOCS_TEXT_NN}), "
+    "feat AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words, "
+    "CASE WHEN len(t) > 0 THEN "
+    "list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) "
+    "ELSE 0 END AS mean_word_len, "
+    "CASE WHEN len(t) > 0 THEN ("
+    "(length(text) - length(replace(text, '#', ''))) + "
+    "(length(text) - length(replace(text, '...', ''))) // 3 + "
+    "(length(text) - length(replace(text, '…', '')))"
+    ")::DOUBLE / len(t) ELSE 0 END AS symbol_ratio, "
+    "len(list_filter(ln, x -> starts_with(x, '•') OR "
+    "starts_with(x, '- ')))::DOUBLE / len(ln) AS bullet_frac, "
+    "len(list_filter(ln, x -> ends_with(x, '...') OR "
+    "ends_with(x, '…')))::DOUBLE / len(ln) AS ellipsis_frac, "
+    "CASE WHEN len(t) > 0 THEN len(list_filter(t, "
+    "x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(t) "
+    "ELSE 0 END AS alpha_frac, "
+    "CAST(list_contains(list_transform(t, x -> lower(x)), 'the')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'be')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'to')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'of')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'and')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'that')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'have')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'with')::INT "
+    "AS BIGINT) AS stop_hits FROM base) "
+    "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, "
+    "ellipsis_frac, alpha_frac, stop_hits, "
+    "(n_words BETWEEN 50 AND 100000 AND "
+    "mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1 AND "
+    "bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND "
+    "stop_hits >= 2) AS kept FROM feat"
+)
+
+
+def q_gopher_pass_rates(sf_dir: str):
+    """per-source Gopher gate telemetry: docs seen / kept plus which rule
+    family fired (short, symbolic, non-alpha, stopword-free) — the
+    cleaning-run health report next to c4_pass_rates. Pure map of
+    gopher_filter_batch flags + ONE source-keyed reduce of pre-combined
+    count partials."""
+    from ..ops.skew import hash_reduce_dataset_refs
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = text_ops.gopher_filter_batch(t)
+        g = pa.table({
+            "source": t["source"],
+            "docs": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            "kept": pc.cast(flags["kept"], pa.int64()),
+            "short": pc.cast(pc.less(flags["n_words"], 50), pa.int64()),
+            "symbolic": pc.cast(
+                pc.greater_equal(flags["symbol_ratio"], 0.1), pa.int64()),
+            "non_alpha": pc.cast(
+                pc.less_equal(flags["alpha_frac"], 0.8), pa.int64()),
+            "no_stops": pc.cast(
+                pc.less(flags["stop_hits"], 2), pa.int64()),
+        }).group_by(["source"]).aggregate(
+            [("docs", "sum"), ("kept", "sum"), ("short", "sum"),
+             ("symbolic", "sum"), ("non_alpha", "sum"),
+             ("no_stops", "sum")])
+        return g.rename_columns(
+            ["source", "docs", "kept", "short", "symbolic", "non_alpha",
+             "no_stops"])
+
+    return hash_reduce_dataset_refs(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["source"], ["docs", "kept", "short", "symbolic", "non_alpha",
+                     "no_stops"])
+
+
+QUERIES["gopher_pass_rates"] = q_gopher_pass_rates
+
+ORACLE_SQL["gopher_pass_rates"] = (
+    "WITH base AS (SELECT doc_id, source, text, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN [] "
+    "ELSE string_split_regex("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t, "
+    "split(text, chr(10)) AS ln "
+    f"FROM {_DOCS_TEXT_NN}), "
+    "feat AS (SELECT source, CAST(len(t) AS BIGINT) AS n_words, "
+    "CASE WHEN len(t) > 0 THEN "
+    "list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t) "
+    "ELSE 0 END AS mean_word_len, "
+    "CASE WHEN len(t) > 0 THEN ("
+    "(length(text) - length(replace(text, '#', ''))) + "
+    "(length(text) - length(replace(text, '...', ''))) // 3 + "
+    "(length(text) - length(replace(text, '…', '')))"
+    ")::DOUBLE / len(t) ELSE 0 END AS symbol_ratio, "
+    "len(list_filter(ln, x -> starts_with(x, '•') OR "
+    "starts_with(x, '- ')))::DOUBLE / len(ln) AS bullet_frac, "
+    "len(list_filter(ln, x -> ends_with(x, '...') OR "
+    "ends_with(x, '…')))::DOUBLE / len(ln) AS ellipsis_frac, "
+    "CASE WHEN len(t) > 0 THEN len(list_filter(t, "
+    "x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(t) "
+    "ELSE 0 END AS alpha_frac, "
+    "list_contains(list_transform(t, x -> lower(x)), 'the')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'be')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'to')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'of')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'and')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'that')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'have')::INT + "
+    "list_contains(list_transform(t, x -> lower(x)), 'with')::INT "
+    "AS stop_hits FROM base) "
+    "SELECT source, count(*)::BIGINT AS docs, "
+    "sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND "
+    "mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1 AND "
+    "bullet_frac < 0.9 AND ellipsis_frac < 0.3 AND alpha_frac > 0.8 AND "
+    "stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS kept, "
+    "sum(CASE WHEN n_words < 50 THEN 1 ELSE 0 END)::BIGINT AS short, "
+    "sum(CASE WHEN symbol_ratio >= 0.1 THEN 1 ELSE 0 END)::BIGINT "
+    "AS symbolic, "
+    "sum(CASE WHEN alpha_frac <= 0.8 THEN 1 ELSE 0 END)::BIGINT "
+    "AS non_alpha, "
+    "sum(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END)::BIGINT AS no_stops "
+    "FROM feat GROUP BY source"
+)
