@@ -511,6 +511,27 @@ def bench_c4_filters() -> float:
     return time.time() - t0
 
 
+def bench_gopher_rates() -> float:
+    """Gopher quality gates + per-source pass-rate reduce (vectorized
+    Arrow map with line/word/stopword kernels, one key-reduced partial)."""
+    from fluent_bit_ray.pipelines.queries import q_gopher_pass_rates
+
+    t0 = time.time()
+    _consume(q_gopher_pass_rates(SF_DIR))
+    return time.time() - t0
+
+
+def bench_mqtt_ingest() -> float:
+    """MQTT capture decode (per-file framing scan + JSON payload parse);
+    fixture build is untimed, decode throughput is."""
+    from fluent_bit_ray.pipelines.queries import _mqtt_fixture, q_mqtt_ingest
+
+    _mqtt_fixture(SF_DIR)  # build/cache outside the timed window
+    t0 = time.time()
+    _consume(q_mqtt_ingest(SF_DIR))
+    return time.time() - t0
+
+
 def bench_sliding_spikes() -> float:
     """rolling z-score anomaly gate (prefix-sum frame stats + candidate
     re-verify)."""
@@ -616,6 +637,8 @@ BENCHES = {
     "session_stats": bench_session_stats,
     "weblog_error_rate": bench_weblog_error_rate,
     "c4_filters": bench_c4_filters,
+    "gopher_rates": bench_gopher_rates,
+    "mqtt_ingest": bench_mqtt_ingest,
     "sliding_spikes": bench_sliding_spikes,
     "psi_drift": bench_psi_drift,
     "q5_revenue": bench_q5,
