@@ -7267,8 +7267,11 @@ def _mqtt_fixture(sf_dir: str, n_files: int = 4) -> str:
         pc.is_valid(t["event_type"]),
     )
     t = t.filter(m)
+    # content fingerprint, not just (path, rows): an in-place corpus
+    # rebuild with the same row count must invalidate the capture cache
     key = hashlib.blake2b(
-        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:"
+        f"{_corpus_fingerprint(sf_dir)}:v1".encode(), digest_size=8
     ).hexdigest()
     d = os.path.join("/tmp/fbr_mqtt_cache", key)
     done = os.path.join(d, "_DONE")
@@ -7337,8 +7340,10 @@ def _serial_fixture(sf_dir: str, n_files: int = 4) -> str:
     ).sort_by([("event_id", "ascending")])
     m = pc.and_(pc.is_valid(t["event_id"]), pc.is_valid(t["event_type"]))
     t = t.filter(m)
+    # content-fingerprinted like the mqtt/warc fixtures (ADVICE r4 class)
     key = hashlib.blake2b(
-        f"{os.path.normpath(sf_dir)}:{t.num_rows}:v1".encode(), digest_size=8
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:"
+        f"{_corpus_fingerprint(sf_dir)}:v1".encode(), digest_size=8
     ).hexdigest()
     d = os.path.join("/tmp/fbr_serial_cache", key)
     done = os.path.join(d, "_DONE")
