@@ -125,7 +125,13 @@ def mqtt_records(buf: bytes) -> list[dict]:
     must parse as a JSON MAP (anything else is warned + dropped); the topic
     is injected as the first key; the reference stamps arrival time
     (flb_pack_time_now), which does not exist at rest — callers assign
-    event time downstream (e.g. from a payload field)."""
+    event time downstream (e.g. from a payload field).
+
+    Dict-analog caveat: the reference packs the topic AND the payload's
+    keys into one msgpack map, so a payload field named "topic" yields a
+    duplicate key with the real topic FIRST; Python dicts can't hold
+    duplicates, so here the injected (real) topic wins and the payload's
+    shadowing value is dropped."""
     out = []
     for topic, _qos, msg in iter_mqtt_publish(buf):
         try:
@@ -134,7 +140,11 @@ def mqtt_records(buf: bytes) -> list[dict]:
             continue  # "MQTT Packet incomplete or is not JSON"
         if not isinstance(payload, dict):
             continue  # non-map JSON dropped (mqtt_prot.c:139-142)
-        out.append({"topic": topic, **payload})
+        rec = {"topic": topic}
+        for k, v in payload.items():
+            if k != "topic":
+                rec[k] = v
+        out.append(rec)
     return out
 
 
