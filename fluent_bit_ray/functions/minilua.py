@@ -611,7 +611,24 @@ class _LuaFunction:
             self.interp._exec_block(self.body, env)
         except _Return as r:
             return tuple(r.values)
+        except _Break:
+            # real Lua rejects `break` outside a loop at compile time; a
+            # _Break escaping a call would silently terminate the CALLER's
+            # loop — surface it as a script error instead
+            raise LuaError("break outside a loop") from None
         return ()
+
+
+def _tonumber_base(v, base=None):
+    """Global tonumber: with a base, unparseable input returns nil (real
+    Lua semantics — the defensive `if tonumber(x, 16) then` idiom must
+    not raise), not a Python ValueError."""
+    if base is None:
+        return _tonumber(v)
+    try:
+        return float(int(str(v).strip(), int(base)))
+    except (ValueError, TypeError):
+        return None
 
 
 def _num2(op, a, b):
@@ -781,9 +798,7 @@ class MiniLua:
         g.declare("error", lua_error)
         g.declare("type", lua_type)
         g.declare("tostring", _tostring)
-        g.declare("tonumber", lambda v, base=None: (
-            float(int(str(v).strip(), int(base)))
-            if base is not None else _tonumber(v)))
+        g.declare("tonumber", _tonumber_base)
         g.declare("pairs", lua_pairs)
         g.declare("ipairs", lua_ipairs)
         g.declare("string", string_lib)
@@ -860,8 +875,8 @@ class MiniLua:
             i = _tonumber(self._eval(e1, env))
             stop = _tonumber(self._eval(e2, env))
             step = _tonumber(self._eval(e3, env)) if e3 is not None else 1.0
-            if i is None or stop is None or step == 0:
-                raise LuaError("'for' initial value must be a number")
+            if i is None or stop is None or step is None or step == 0:
+                raise LuaError("'for' initial/limit/step must be a number")
             while (step > 0 and i <= stop) or (step < 0 and i >= stop):
                 e = _Env(env)
                 e.declare(name, i)

@@ -1356,7 +1356,12 @@ def gopher_filter_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     are non-overlapping left-to-right on BOTH sides (pc.count_substring vs
     the length-difference-of-replace idiom). Ratios are 0.0 for empty
     docs (n_words = 0) like quality_score_batch; an empty doc still has
-    one line ('' splits to ['']) on both sides."""
+    one line ('' splits to ['']) on both sides.
+
+    Domain note (shared with c4_filter_batch/text_stats): Arrow's
+    whitespace class is Unicode while RE2's '\\s' is ASCII, so exotic
+    whitespace (U+00A0 etc.) diverges from the SQL twin — the corpus
+    contract is ASCII whitespace."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

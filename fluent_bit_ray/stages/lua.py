@@ -87,9 +87,16 @@ def _build_minilua_callback(script_text: str, call: str) -> Callable:
 
     def cb(tag: str, ts: float, record: dict):
         res = fn(tag, float(ts), python_to_lua(record))
-        code, l_ts, l_rec = (tuple(res) + (None, None, None))[:3]
+        if res is None:
+            res = ()
+        elif not isinstance(res, tuple):
+            res = (res,)
+        code, l_ts, l_rec = (res + (None, None, None))[:3]
+        # a cb that falls off the end returns no values; lua.c reads the
+        # missing code with lua_tointeger -> 0 (keep record, untouched)
+        code = 0 if code is None else int(code)
         return (
-            int(code),
+            code,
             float(l_ts or 0.0),
             lua_to_python(l_rec) if code == 1 else None,
         )
@@ -134,8 +141,14 @@ def _build_lua_callback(script_text: str, call: str) -> Callable:
         return obj
 
     def cb(tag: str, ts: float, record: dict):
-        code, l_ts, l_rec = fn(tag, ts, to_lua(record))
-        return int(code), float(l_ts or 0.0), (
+        res = fn(tag, ts, to_lua(record))
+        if res is None:
+            res = ()
+        elif not isinstance(res, tuple):
+            res = (res,)
+        code, l_ts, l_rec = (tuple(res) + (None, None, None))[:3]
+        code = 0 if code is None else int(code)  # nil code -> keep (lua.c)
+        return code, float(l_ts or 0.0), (
             from_lua(l_rec) if code == 1 else None)
 
     return cb

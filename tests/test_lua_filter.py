@@ -280,3 +280,23 @@ class TestLuaGolden:
         assert out.num_rows == 1
         assert out["_time"].to_pylist() == [5 * 10**9]
         assert out["msg"].to_pylist() == ["hello"]
+
+
+class TestFallthroughCallback:
+    """A cb that returns NO values (drop-only scripts with fall-through)
+    must behave as code 0 / keep-record — lua.c reads the missing return
+    with lua_tointeger -> 0 — not crash on int(None)."""
+
+    def test_minilua_fallthrough_keeps_record(self):
+        from fluent_bit_ray.stages.lua import _build_minilua_callback
+
+        cb = _build_minilua_callback(
+            "function cb_filter(tag, ts, record)\n"
+            "  if record.level == 'debug' then return -1, 0, 0 end\n"
+            "end\n",
+            "cb_filter",
+        )
+        code, ts, rec = cb("t", 1.5, {"level": "info"})
+        assert (code, rec) == (0, None)
+        code, _, _ = cb("t", 1.5, {"level": "debug"})
+        assert code == -1

@@ -174,3 +174,44 @@ class TestHostBridge:
     def test_integral_floats_repack_to_int(self):
         assert lua_to_python(LuaTable({"n": 3.0, "f": 3.5})) == {
             "n": 3, "f": 3.5}
+
+
+class TestReviewFixesR5:
+    """Regressions from the round-5 review: error paths that crashed with
+    raw Python exceptions (or silently corrupted control flow) instead of
+    Lua semantics."""
+
+    def test_tonumber_with_base_returns_nil_on_garbage(self):
+        from fluent_bit_ray.functions.minilua import MiniLua
+
+        lua = MiniLua()
+        lua.execute(
+            "a = tonumber('ff', 16)\n"
+            "b = tonumber('zz', 16)\n"
+            "c = tonumber(nil, 16)\n"
+        )
+        assert lua.get_global("a") == 255.0
+        assert lua.get_global("b") is None
+        assert lua.get_global("c") is None
+
+    def test_break_escaping_a_function_is_a_lua_error(self):
+        import pytest
+
+        from fluent_bit_ray.functions.minilua import LuaError, MiniLua
+
+        lua = MiniLua()
+        with pytest.raises(LuaError, match="break outside"):
+            lua.execute(
+                "function g() break end\n"
+                "n = 0\n"
+                "while n < 3 do n = n + 1 g() end\n"
+            )
+
+    def test_fornum_nil_step_is_a_lua_error(self):
+        import pytest
+
+        from fluent_bit_ray.functions.minilua import LuaError, MiniLua
+
+        lua = MiniLua()
+        with pytest.raises(LuaError, match="must be a number"):
+            lua.execute("for i = 1, 3, nil do end")

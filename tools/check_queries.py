@@ -239,19 +239,30 @@ def run_gauntlet(out_path: str, chunk_size: int) -> int:
     names = list(entrymod.queries())
     artifact: dict = {"queries_total": len(names)}
 
-    print(f"=== gauntlet 1/3: clean sf0.01 ({len(names)} queries)")
-    artifact["clean_sf001"] = sweep("/root/testdata/sf0.01", names,
-                                    chunk_size)
-    print(f"=== gauntlet 2/3: adversarial {nasty_sf} ({len(names)})")
-    artifact["nasty_sf"] = sweep(nasty_sf, names, chunk_size)
-    print(f"=== gauntlet 3/3: adversarial pages gate "
-          f"({len(PAGES_GATE_QUERIES)} queries)")
-    os.environ["FBR_PAGES_OVERRIDE"] = nasty_pages  # children inherit
+    # phases 1-2 are "clean"/"nasty_sf" only with the default pages corpus:
+    # drop any inherited override for the whole gauntlet, then restore the
+    # caller's value afterwards (unconditionally deleting it clobbered a
+    # user-exported override)
+    prev_override = os.environ.pop("FBR_PAGES_OVERRIDE", None)
+    if prev_override is not None:
+        print(f"(note: ignoring inherited FBR_PAGES_OVERRIDE="
+              f"{prev_override} for phases 1-2; restored afterwards)")
     try:
+        print(f"=== gauntlet 1/3: clean sf0.01 ({len(names)} queries)")
+        artifact["clean_sf001"] = sweep("/root/testdata/sf0.01", names,
+                                        chunk_size)
+        print(f"=== gauntlet 2/3: adversarial {nasty_sf} ({len(names)})")
+        artifact["nasty_sf"] = sweep(nasty_sf, names, chunk_size)
+        print(f"=== gauntlet 3/3: adversarial pages gate "
+              f"({len(PAGES_GATE_QUERIES)} queries)")
+        os.environ["FBR_PAGES_OVERRIDE"] = nasty_pages  # children inherit
         artifact["nasty_pages"] = sweep("/root/testdata/sf0.001",
                                         PAGES_GATE_QUERIES, chunk_size)
     finally:
-        del os.environ["FBR_PAGES_OVERRIDE"]
+        if prev_override is None:
+            os.environ.pop("FBR_PAGES_OVERRIDE", None)
+        else:
+            os.environ["FBR_PAGES_OVERRIDE"] = prev_override
 
     total_fail = 0
     for corpus in ("clean_sf001", "nasty_sf", "nasty_pages"):
