@@ -1258,13 +1258,33 @@ def decontaminate(
         a = bench_ds.map_batches(
             bench_hashes, batch_format="pyarrow", batch_size=None
         )
-        uniq = hash_exchange(
-            a.to_arrow_refs(), ["h"],
-            lambda t: pa.table({"h": pc.unique(t["h"])}),
-        )
-        if uniq is None:
-            return empty
-        gate_ref = ray.put(np.sort(uniq["h"].to_numpy(zero_copy_only=False)))
+        refs = a.to_arrow_refs()
+        from ..shuffle import refs_total_bytes
+
+        # the exact gate ends up sorted on the DRIVER either way (ray.put
+        # below), so the cross-block dedup exchange only pays off when the
+        # per-block unique arrays are collectively big; for the MB-scale
+        # benchmark suites this path is designed for, skipping that task
+        # wave and unique-ing on the driver is strictly faster. 64 MiB of
+        # 8-byte hashes ≈ 8M distinct windows — past that, keep the
+        # exchange (or use bloom_bits, the real large-side dial).
+        total = refs_total_bytes(refs)
+        if total is not None and total <= (64 << 20):
+            parts = [t["h"].to_numpy(zero_copy_only=False)
+                     for t in ray.get(refs)
+                     if t is not None and t.num_rows]
+            if not parts:
+                return empty
+            gate = np.unique(np.concatenate(parts))  # unique output sorted
+        else:
+            uniq = hash_exchange(
+                refs, ["h"],
+                lambda t: pa.table({"h": pc.unique(t["h"])}),
+            )
+            if uniq is None:
+                return empty
+            gate = np.sort(uniq["h"].to_numpy(zero_copy_only=False))
+        gate_ref = ray.put(gate)
 
         def _gate(bs, h: np.ndarray) -> np.ndarray:
             pos = np.searchsorted(bs, h)
