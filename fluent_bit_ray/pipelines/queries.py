@@ -7627,3 +7627,64 @@ ORACLE_SQL["gopher_pass_rates"] = (
     "sum(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END)::BIGINT AS no_stops "
     "FROM feat GROUP BY source"
 )
+
+
+# ---------------------------------------------------------- compaction
+
+def _compaction_fixture(sf_dir: str) -> str:
+    """A deliberately fragmented parquet directory (cached, content-
+    fingerprinted): the events projection written as many ~200-row shard
+    files — the post-sink layout compaction exists to fix."""
+    import hashlib
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "user_id"],
+    ).sort_by([("event_id", "ascending")])
+    key = hashlib.blake2b(
+        f"{os.path.normpath(sf_dir)}:{t.num_rows}:"
+        f"{_corpus_fingerprint(sf_dir)}:v1".encode(), digest_size=8
+    ).hexdigest()
+    d = os.path.join("/tmp/fbr_compact_cache", key)
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        src = os.path.join(d, "src")
+        os.makedirs(src, exist_ok=True)
+        per = 200
+        for fi, start in enumerate(range(0, t.num_rows, per)):
+            pq.write_table(
+                t.slice(start, per), os.path.join(src, f"part_{fi:05d}.parquet")
+            )
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def q_compaction_roundtrip(sf_dir: str):
+    """Small-file compaction (sinks/compact.py): a fragmented events
+    directory merges into ~64 KiB bins (one Ray task per bin,
+    content-addressed resumable outputs); reading the compacted layout
+    back must reproduce every row — the oracle reads the ORIGINAL
+    table, so row preservation is the hash gate. The second compact call
+    exercises the skip-finished-bins resume path."""
+    from ..sinks.compact import compact_parquet_dir
+
+    d = _compaction_fixture(sf_dir)
+    src = os.path.join(d, "src")
+    out = os.path.join(d, "compacted")
+    stats = compact_parquet_dir(src, out, target_bytes=64 << 10)
+    again = compact_parquet_dir(src, out, target_bytes=64 << 10)
+    assert again["bins_written"] == 0, "resume must skip finished bins"
+    assert stats["files_out"] <= stats["files_in"]
+    import ray.data
+
+    return ray.data.read_parquet(out).map_batches(
+        lambda b: b.select(["event_id", "event_type", "user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+QUERIES["compaction_roundtrip"] = q_compaction_roundtrip
+ORACLE_SQL["compaction_roundtrip"] = (
+    "SELECT event_id, event_type, user_id FROM events"
+)

@@ -91,6 +91,30 @@ def glob(pattern: str) -> list[str]:
     return sorted(_glob.glob(pattern))
 
 
+def list_files(dir_path: str, suffix: str = "") -> list[str]:
+    """Recursive file listing under a directory (names only — metadata
+    scan, no data reads), sorted, optionally filtered by suffix."""
+    out: list[str] = []
+    if has_scheme(dir_path):
+        fs, p = fs_for(dir_path)
+        try:
+            found = fs.find(p)
+        except FileNotFoundError:
+            return []
+        out = [fs.unstrip_protocol(m) for m in found]
+    else:
+        for root, _dirs, names in os.walk(dir_path):
+            out.extend(os.path.join(root, n) for n in names)
+    return sorted(m for m in out if m.endswith(suffix))
+
+
+def file_size(path: str) -> int:
+    if has_scheme(path):
+        fs, p = fs_for(path)
+        return int(fs.size(p))
+    return os.path.getsize(path)
+
+
 def remove(path: str) -> None:
     if has_scheme(path):
         fs, p = fs_for(path)

@@ -1,0 +1,79 @@
+"""sinks/compact.py: bin planning goldens + end-to-end merge/resume."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fluent_bit_ray.sinks.compact import (
+    DEFAULT_TARGET_BYTES,
+    compact_parquet_dir,
+    plan_bins,
+)
+
+
+class TestPlanBins:
+    def test_next_fit_in_sorted_order(self):
+        files = [("c", 40), ("a", 40), ("b", 40), ("d", 30)]
+        bins, through = plan_bins(files, target_bytes=100)
+        assert bins == [["a", "b"], ["c", "d"]]
+        assert through == []
+
+    def test_oversize_files_pass_through(self):
+        bins, through = plan_bins(
+            [("big", 500), ("s1", 10), ("s2", 10)], target_bytes=100
+        )
+        assert bins == [["s1", "s2"]]
+        assert through == ["big"]
+
+    def test_single_tiny_file_still_binned(self):
+        bins, through = plan_bins([("only", 5)], target_bytes=100)
+        assert bins == [["only"]] and through == []
+
+    def test_empty(self):
+        assert plan_bins([], DEFAULT_TARGET_BYTES) == ([], [])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompactEndToEnd:
+    def _fragment(self, d, n_files=10, rows_per=50):
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_files):
+            t = pa.table(
+                {
+                    "k": pa.array(
+                        range(i * rows_per, (i + 1) * rows_per), pa.int64()
+                    )
+                }
+            )
+            pq.write_table(t, os.path.join(d, f"p_{i:03d}.parquet"))
+
+    def test_rows_preserved_and_files_reduced(self, tmp_path):
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        self._fragment(src)
+        stats = compact_parquet_dir(src, out, target_bytes=8 << 10)
+        assert stats["rows"] == 500
+        n_out = len(os.listdir(out))
+        assert 0 < n_out < 10
+        assert stats["files_out"] == n_out
+        merged = pq.read_table(out)
+        assert sorted(merged["k"].to_pylist()) == list(range(500))
+
+    def test_rerun_skips_finished_bins(self, tmp_path):
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        self._fragment(src, n_files=4)
+        first = compact_parquet_dir(src, out, target_bytes=8 << 10)
+        second = compact_parquet_dir(src, out, target_bytes=8 << 10)
+        assert first["bins_written"] > 0
+        assert second["bins_written"] == 0
+        assert second["bins_skipped"] == first["bins_written"]
+
+    def test_source_untouched(self, tmp_path):
+        src = str(tmp_path / "src")
+        self._fragment(src, n_files=3)
+        before = sorted(os.listdir(src))
+        compact_parquet_dir(src, str(tmp_path / "out"), target_bytes=8 << 10)
+        assert sorted(os.listdir(src)) == before
