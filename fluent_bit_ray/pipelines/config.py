@@ -668,6 +668,22 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
             ("time_key", _one(sec, "time_key", "@timestamp")),
         )
         return spec
+    if name == "proxy":
+        # external-plugin analog (src/flb_plugin_proxy.c ABI as a Python
+        # module): Script names the plugin file; every other property is
+        # passed to FLBPluginInit
+        script = _one(sec, "script")
+        if not script:
+            raise ValueError(
+                "[OUTPUT] Name proxy needs Script (a Python module exposing "
+                "FLBPluginRegister/FLBPluginFlush — the flb_plugin_proxy "
+                "symbol contract)"
+            )
+        spec = OutputSpec("file", match, None, "proxy")
+        props = [(k, _one(sec, k)) for k in sec
+                 if k not in ("__name__", "name", "match", "script")]
+        spec.fmt_options = tuple([("script", script)] + props)
+        return spec
     if name in ("file", "parquet", "null", "stdout", "counter", "flowcounter"):
         spec = OutputSpec(name, match, path, _SINK_FORMATS.get(fmt, "json"))
         opts = []

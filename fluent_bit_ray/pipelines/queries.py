@@ -7688,3 +7688,109 @@ QUERIES["compaction_roundtrip"] = q_compaction_roundtrip
 ORACLE_SQL["compaction_roundtrip"] = (
     "SELECT event_id, event_type, user_id FROM events"
 )
+
+
+# ------------------------------------------------------ proxy plugin sink
+
+_PROXY_PLUGIN_SRC = '''\
+"""Test/fixture external output plugin (out_gstdout analog): decodes each
+flush buffer and dumps the records to content-addressed parquet files.
+Loaded through the flb_plugin_proxy-style Python ABI (sinks/proxy.py)."""
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fluent_bit_ray.sinks.proxy import FLB_OK, decode_proxy_events
+
+_state = {}
+
+
+def FLBPluginRegister(definition):
+    definition["name"] = "pqdump"
+    definition["desc"] = "parquet dump output"
+    definition["type"] = "output"
+
+
+def FLBPluginInit(props):
+    _state["dir"] = props["out_dir"]
+    os.makedirs(_state["dir"], exist_ok=True)
+    return 1
+
+
+def FLBPluginFlush(data, tag):
+    events = decode_proxy_events(data)
+    recs = [r for _ts, r in events]
+    t = pa.table({
+        "event_id": pa.array([r.get("event_id") for r in recs], pa.int64()),
+        "event_type": pa.array(
+            [r.get("event_type") for r in recs], pa.string()),
+        "user_id": pa.array([r.get("user_id") for r in recs], pa.int64()),
+    })
+    token = hashlib.blake2b(data, digest_size=8).hexdigest()
+    pq.write_table(t, os.path.join(_state["dir"], f"{tag}_{token}.parquet"))
+    return FLB_OK
+
+
+def FLBPluginExit():
+    return 0
+'''
+
+
+def q_proxy_plugin(sf_dir: str):
+    """External-plugin output (src/flb_plugin_proxy.c ABI as a Python
+    module): events flow through a ProxySinkStage actor pool whose
+    plugin decodes the raw msgpack flush buffers and dumps parquet;
+    reading the dump back must reproduce every record — the roundtrip
+    over the full Register/Init/Flush surface."""
+    import shutil
+
+    import ray.data
+
+    from ..sinks.proxy import ProxySinkStage
+
+    d = os.path.join(
+        "/tmp/fbr_proxy_cache",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_"
+        f"{_corpus_fingerprint(sf_dir)}",
+    )
+    os.makedirs(d, exist_ok=True)
+    script = os.path.join(d, "pqdump_plugin.py")
+    with open(script, "w") as f:
+        f.write(_PROXY_PLUGIN_SRC)
+    out = os.path.join(d, "dump")
+    shutil.rmtree(out, ignore_errors=True)  # fresh run: batch splits vary
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id", "ts"])
+
+    def stage(b: pa.Table) -> pa.Table:
+        ns = pc.multiply(pc.cast(b["ts"], pa.int64()),
+                         pa.scalar(1000, pa.int64()))
+        return pa.table(
+            {
+                "_tag": pa.array(["events.proxy"] * b.num_rows, pa.string()),
+                "_time": ns,
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+            }
+        )
+
+    staged = ds.map_batches(stage, batch_format="pyarrow")
+    staged.map_batches(
+        ProxySinkStage,
+        fn_constructor_kwargs={
+            "script_path": script,
+            "properties": {"out_dir": out},
+        },
+        concurrency=2,
+        batch_format="pyarrow",
+    ).materialize()
+    return ray.data.read_parquet(out)
+
+
+QUERIES["proxy_plugin"] = q_proxy_plugin
+ORACLE_SQL["proxy_plugin"] = (
+    "SELECT event_id, event_type, user_id FROM events"
+)

@@ -1167,7 +1167,35 @@ class SinkWriteStage:
         return pa.concat_tables(parts)
 
     # -------------------------------------------------------------- write
+    def _proxy_flush(self, sub: pa.Table, spec: SinkSpec) -> None:
+        """External-plugin sink (sinks/proxy.py): pack the routed chunk
+        per tag and hand it to the plugin's FLBPluginFlush. The loaded
+        plugin is a per-process cache — never pickled (lazily rebuilt on
+        each worker from the script path in fmt_options)."""
+        from .proxy import ProxyPlugin, pack_proxy_events
+
+        cache = getattr(self, "_proxy_cache", None)
+        if cache is None:
+            cache = self._proxy_cache = {}
+        plugin = cache.get(spec.name)
+        if plugin is None:
+            props = {k: v for k, v in spec.fmt_options if k != "script"}
+            plugin = cache[spec.name] = ProxyPlugin(
+                spec.opt("script"), props
+            )
+        rc = self._record_cols(sub, spec)
+        for tag, payload in pack_proxy_events(sub, rc).items():
+            plugin.flush(payload, tag)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_proxy_cache", None)  # loaded modules are not picklable
+        return state
+
     def _write(self, sub: pa.Table, spec: SinkSpec) -> None:
+        if spec.fmt == "proxy":
+            self._proxy_flush(sub, spec)
+            return
         srcs = (
             sub["_src"].to_pylist() if "_src" in sub.column_names else [None] * sub.num_rows
         )
