@@ -703,6 +703,15 @@ class PipelineResult:
     counts: dict = field(default_factory=dict)  # per-output routed record count
     aggregate: Optional[pa.Table] = None  # flowcounter table if configured
     stdout_sample: list = field(default_factory=list)
+    # /api/v1/metrics-shaped snapshot (src/flb_metrics_exporter.c:collect_*
+    # + flb_input.c:177-178 / flb_output.c:305-310 counter titles):
+    # {"input": {"<plugin>.<i>": {"records", "bytes"}},
+    #  "output": {"<name>_<i>": {"proc_records", "proc_bytes", "errors",
+    #             "retries", "retries_failed"}}}. errors/retries are 0 by
+    # construction in a completed batch run: sink errors RAISE (Ray task
+    # retry owns them), so a returned result implies zero failed flushes;
+    # in-task RetryPolicy attempts are not plumbed back.
+    metrics: dict = field(default_factory=dict)
 
 
 def run_config(
@@ -768,8 +777,9 @@ def run_config(
 
     result = PipelineResult()
     agg_tables = []
-    for sec in inputs:
+    for in_idx, sec in enumerate(inputs):
         ds, tag = build_input(sec, registry)
+        input_title = f"{_one(sec, 'name')}.{in_idx}"
 
         def add_tag(batch: pa.Table, _tag=tag) -> pa.Table:
             if "_tag" not in batch.column_names:
@@ -779,34 +789,49 @@ def run_config(
             return batch
 
         ds = ds.map_batches(add_tag, batch_format="pyarrow")
-        for part in parts:
-            if part[0] == "chain":
-                ds = ds.map_batches(
-                    lambda b, _c=part[1]: _c.apply_batch(b),
-                    batch_format="pyarrow",
-                )
-            else:  # dataset-level throttle, honoring its Match pattern
-                _, pat, thr = part
-                if pat == "*":
-                    ds = thr.apply_dataset(ds)
-                else:
-                    rx = match_to_regex(pat)
+        chain_only = all(p[0] == "chain" for p in parts)
+        fused_chains = []
+        if chain_only:
+            # fuse the whole record-level chain into the sink stage: the
+            # input metrics partial must be counted BEFORE the filters
+            # run (flb_input.h:570-590 sums, THEN calls flb_filter_do),
+            # and fusing also drops N map_batches hops
+            fused_chains = [p[1] for p in parts]
+        else:
+            for part in parts:
+                if part[0] == "chain":
+                    ds = ds.map_batches(
+                        lambda b, _c=part[1]: _c.apply_batch(b),
+                        batch_format="pyarrow",
+                    )
+                else:  # dataset-level throttle, honoring its Match pattern
+                    _, pat, thr = part
+                    if pat == "*":
+                        ds = thr.apply_dataset(ds)
+                    else:
+                        rx = match_to_regex(pat)
 
-                    def tag_mask(b: pa.Table, _r=rx):
-                        return pc.fill_null(
-                            pc.match_substring_regex(b["_tag"], _r), False
+                        def tag_mask(b: pa.Table, _r=rx):
+                            return pc.fill_null(
+                                pc.match_substring_regex(b["_tag"], _r), False
+                            )
+
+                        matched = ds.map_batches(
+                            lambda b, _f=tag_mask: b.filter(_f(b)),
+                            batch_format="pyarrow",
                         )
-
-                    matched = ds.map_batches(
-                        lambda b, _f=tag_mask: b.filter(_f(b)),
-                        batch_format="pyarrow",
-                    )
-                    other = ds.map_batches(
-                        lambda b, _f=tag_mask: b.filter(pc.invert(_f(b))),
-                        batch_format="pyarrow",
-                    )
-                    ds = thr.apply_dataset(matched).union(other)
-        stage = SinkWriteStage(sinks, write_dir, bytes_col="log")
+                        other = ds.map_batches(
+                            lambda b, _f=tag_mask: b.filter(pc.invert(_f(b))),
+                            batch_format="pyarrow",
+                        )
+                        ds = thr.apply_dataset(matched).union(other)
+        # with a dataset-level throttle in the chain, the input partial is
+        # counted post-chain (the single-pass tradeoff; throttle IS a
+        # filter, so the reference would count before it — documented
+        # deviation for throttle+metrics configs only)
+        stage = SinkWriteStage(sinks, write_dir, bytes_col="log",
+                               input_name=input_title,
+                               pre_chain=fused_chains)
         partials = ds.map_batches(stage, batch_format="pyarrow")
         agg = combine_partial_rows(
             partials, ["sink", "lang", "host", "bucket"], AGG_VALS
@@ -814,10 +839,25 @@ def run_config(
         agg_tables.append(agg)
 
     total = pa.concat_tables(agg_tables, promote_options="default")
+    result.metrics = {"input": {}, "output": {}}
+    for in_idx, sec in enumerate(inputs):
+        title = f"{_one(sec, 'name')}.{in_idx}"
+        sub = total.filter(pc.equal(total["sink"], f"_input::{title}"))
+        result.metrics["input"][title] = {
+            "records": pc.sum(sub["records"]).as_py() or 0,
+            "bytes": pc.sum(sub["bytes"]).as_py() or 0,
+        }
     for i, o in enumerate(outputs):
         nm = f"{o.kind}_{i}"
         sub = total.filter(pc.equal(total["sink"], nm))
         result.counts[nm] = pc.sum(sub["records"]).as_py() or 0
+        result.metrics["output"][nm] = {
+            "proc_records": result.counts[nm],
+            "proc_bytes": pc.sum(sub["bytes"]).as_py() or 0,
+            "errors": 0,
+            "retries": 0,
+            "retries_failed": 0,
+        }
         if o.kind == "flowcounter":
             result.aggregate = sub
     return result

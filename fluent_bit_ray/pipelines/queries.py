@@ -7794,3 +7794,57 @@ QUERIES["proxy_plugin"] = q_proxy_plugin
 ORACLE_SQL["proxy_plugin"] = (
     "SELECT event_id, event_type, user_id FROM events"
 )
+
+
+def q_metrics_snapshot(sf_dir: str):
+    """the /api/v1/metrics surface (src/flb_metrics_exporter.c shape,
+    flb_input.c/flb_output.c counter titles) over a classic config run:
+    per-instance records counters re-derivable from the relational
+    truth. Bytes counters exist in PipelineResult.metrics too but depend
+    on the ndjson serialization, so the SQL-checked projection pins the
+    records plane; the full nested dict is pinned by pytest."""
+    from .config import run_config
+
+    path = _events_ndjson_fixture(sf_dir)
+    conf = f"""
+[INPUT]
+    Name json
+    Path {path}
+    Tag ev
+
+[FILTER]
+    Name grep
+    Match *
+    Regex event_type click|view
+    Exclude props 9}}$
+
+[OUTPUT]
+    Name counter
+    Match *
+"""
+    res = run_config(conf)
+    rows = []
+    for section, counter in (("input", "records"),
+                             ("output", "proc_records")):
+        for inst, m in sorted(res.metrics[section].items()):
+            rows.append((section, inst, counter, int(m[counter])))
+    return pa.table(
+        {
+            "section": pa.array([r[0] for r in rows], pa.string()),
+            "instance": pa.array([r[1] for r in rows], pa.string()),
+            "metric": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+QUERIES["metrics_snapshot"] = q_metrics_snapshot
+ORACLE_SQL["metrics_snapshot"] = (
+    "SELECT 'input' AS section, 'json.0' AS instance, "
+    "'records' AS metric, count(*)::BIGINT AS value FROM events "
+    "UNION ALL "
+    "SELECT 'output', 'counter_0', 'proc_records', count(*)::BIGINT "
+    "FROM events "
+    "WHERE coalesce(regexp_matches(event_type, 'click|view'), FALSE) "
+    "AND NOT coalesce(regexp_matches(props, '9}$'), FALSE)"
+)

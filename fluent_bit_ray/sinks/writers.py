@@ -1121,6 +1121,8 @@ class SinkWriteStage:
         bucket_sec: int = 60,
         bytes_col: str = "text",
         retry=None,
+        input_name: Optional[str] = None,
+        pre_chain: Optional[list] = None,
     ):
         from .retry import RetryPolicy
 
@@ -1128,6 +1130,14 @@ class SinkWriteStage:
         self.out_dir = out_dir  # None = aggregate-only (no file writes)
         self.bucket_sec = bucket_sec
         self.bytes_col = bytes_col
+        # set = also emit a pre-route "_input::<title>" metrics partial per
+        # batch (the flb_metrics input records/bytes counters). The
+        # reference sums these BEFORE flb_filter_do runs
+        # (flb_input.h:570-590), so config pipelines fuse their filter
+        # chains in via `pre_chain` — applied here AFTER the input partial
+        # — keeping ingestion-time counting single-pass.
+        self.input_name = input_name
+        self.pre_chain = list(pre_chain or [])
         # bounded in-task retry for transient sink I/O errors; exhaustion
         # re-raises and Ray task retry takes over (sinks/retry.py design)
         self.retry = retry if retry is not None else RetryPolicy()
@@ -1150,8 +1160,17 @@ class SinkWriteStage:
         return [c for c in table.column_names if c not in ENGINE_COLS]
 
     def __call__(self, table: pa.Table) -> pa.Table:
-        masks = self.router.masks(table["_tag"])
         parts: list[pa.Table] = []
+        if self.input_name is not None:
+            # input-side metrics partial (flb_input.c:177-178 "records"/
+            # "bytes"): one extra PRE-FILTER row per batch riding the same
+            # reduce, keyed "_input::<instance title>"
+            parts.append(
+                self._partial_agg(table, f"_input::{self.input_name}")
+            )
+        for chain in self.pre_chain:
+            table = chain.apply_batch(table)
+        masks = self.router.masks(table["_tag"])
         for spec in self.sinks:
             sub = table.filter(masks[spec.name])
             g = self._greps[spec.name]
