@@ -63,10 +63,16 @@ def plan_bins(
     return bins, passthrough
 
 
-def _bin_token(members: list[str], sizes: dict[str, int]) -> str:
+def _bin_token(members: list[str], sizes: dict[str, int], root: str) -> str:
+    # hash the SRC-RELATIVE path, not the basename: partition subdirs
+    # routinely repeat file names (part_00000.parquet), and a basename
+    # collision would give two bins the same output path — the second
+    # write silently replacing the first bin's rows
     h = hashlib.blake2b(digest_size=8)
+    prefix = root.rstrip("/") + "/"
     for m in members:
-        h.update(f"{m.rsplit('/', 1)[-1]}:{sizes[m]};".encode())
+        rel = m[len(prefix):] if m.startswith(prefix) else m
+        h.update(f"{rel}:{sizes[m]};".encode())
     return h.hexdigest()
 
 
@@ -116,7 +122,7 @@ def compact_parquet_dir(
     skipped = 0
     for members in bins:
         out_path = storage.join(
-            out_dir, f"bin_{_bin_token(members, sizes)}.parquet"
+            out_dir, f"bin_{_bin_token(members, sizes, src_dir)}.parquet"
         )
         if storage.exists(out_path):
             skipped += 1

@@ -77,3 +77,21 @@ class TestCompactEndToEnd:
         before = sorted(os.listdir(src))
         compact_parquet_dir(src, str(tmp_path / "out"), target_bytes=8 << 10)
         assert sorted(os.listdir(src)) == before
+
+    def test_same_basename_across_subdirs_no_collision(self, tmp_path):
+        # partition subdirs repeat file names; the bin token must key on
+        # the src-relative path or one bin's output overwrites another's
+        src = str(tmp_path / "src")
+        for part in ("p1", "p2"):
+            d = os.path.join(src, part)
+            os.makedirs(d)
+            t = pa.table({"part": pa.array([part] * 10, pa.string())})
+            pq.write_table(t, os.path.join(d, "data.parquet"))
+        out = str(tmp_path / "out")
+        # target sized so each file is its own WRITTEN bin (one fits,
+        # two don't) — identical basename+size across both bins
+        sz = os.path.getsize(os.path.join(src, "p1", "data.parquet"))
+        stats = compact_parquet_dir(src, out, target_bytes=sz + 1)
+        assert stats["rows"] == 20
+        merged = pq.read_table(out)
+        assert sorted(merged["part"].to_pylist()) == ["p1"] * 10 + ["p2"] * 10
