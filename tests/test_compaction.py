@@ -95,3 +95,33 @@ class TestCompactEndToEnd:
         assert stats["rows"] == 20
         merged = pq.read_table(out)
         assert sorted(merged["part"].to_pylist()) == ["p1"] * 10 + ["p2"] * 10
+
+
+class TestPlanBinsProperties:
+    """Hypothesis invariants: planning never loses, duplicates, or
+    over-fills (multi-file bins stay under target; singletons exempt)."""
+
+    def test_conservation_and_bounds(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            sizes=st.lists(st.integers(min_value=0, max_value=10**9),
+                           max_size=40),
+            target=st.integers(min_value=1, max_value=10**9),
+        )
+        def prop(sizes, target):
+            files = [(f"f{i:03d}", s) for i, s in enumerate(sizes)]
+            bins, through = plan_bins(files, target)
+            flat = [m for b in bins for m in b] + through
+            assert sorted(flat) == sorted(p for p, _ in files)  # exact cover
+            assert all(b for b in bins)  # no empty bins
+            by = dict(files)
+            for b in bins:
+                if len(b) > 1:
+                    assert sum(by[m] for m in b) <= target
+                assert all(by[m] < target for m in b)  # big files pass thru
+            assert all(by[p] >= target for p in through)
+
+        prop()
