@@ -26,13 +26,46 @@ def _maybe_get(obj: Any) -> Any:
     return obj
 
 
+def drop_invalid_vectors(batch: pa.Table, col: str) -> pa.Table:
+    """Filter out rows whose embedding is NULL or empty. A row with no
+    vector cannot participate in any similarity computation — the SQL
+    twins agree for free (list_cosine_similarity against NULL is NULL and
+    never ranks). Every vector op filters through this BEFORE extracting
+    ids/matrix so row alignment is preserved."""
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    lens = pc.list_value_length(arr)
+    mask = pc.and_(pc.is_valid(arr),
+                   pc.fill_null(pc.greater(lens, 0), False))
+    if pc.all(mask).as_py():
+        return batch
+    return batch.filter(mask)
+
+
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=np.float64)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    dim = len(flat) // len(arr)
-    return flat.reshape(len(arr), dim)
+    # guard the reshape: a NULL/empty row makes len(flat) // len(arr)
+    # compute a WRONG dim and silently scramble vector->row association
+    # (worse than a crash); ragged dims are a schema violation. Callers
+    # drop null/empty rows via drop_invalid_vectors first.
+    if len(flat) != 0 and len(flat) % len(arr) == 0:
+        dim = len(flat) // len(arr)
+        if bool(arr.null_count == 0):
+            import pyarrow.compute as pc
+
+            lens = pc.unique(pc.list_value_length(arr))
+            if len(lens) == 1:
+                return flat.reshape(len(arr), dim)
+    raise ValueError(
+        f"embedding column {col!r} has NULL/empty or ragged rows; filter "
+        "with ops.ann.drop_invalid_vectors before vector kernels"
+    )
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -55,6 +88,15 @@ class _PartialTopK:
         self.exclude = exclude_ids or set()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, self.vec_col)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mat = _normalize(_batch_matrix(batch, self.vec_col))
         sims = self.q_mat @ mat.T  # [nq, nb]
@@ -155,7 +197,9 @@ def ivf_build_centroids(ds, n_centroids: int, vec_col: str = "embedding",
     mats = []
     count = 0
     for b in it:
-        mats.append(_batch_matrix(b, vec_col))
+        b = drop_invalid_vectors(b, vec_col)
+        if b.num_rows:
+            mats.append(_batch_matrix(b, vec_col))
         count += 1
         if sum(m.shape[0] for m in mats) >= n_centroids or count >= sample_batches:
             break
@@ -179,6 +223,10 @@ def ivf_topk(
     cent_ref_holder = {"c": _normalize(centroids.astype(np.float64))}
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, vec_col)
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "_ivf_bucket", pa.array([], pa.int64()))
         c = cent_ref_holder["c"]
         mat = _normalize(_batch_matrix(batch, vec_col))
         bucket = (mat @ c.T).argmax(axis=1).astype(np.int64)
@@ -220,6 +268,13 @@ def quantize_embeddings(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
     zero-copy from the int8 buffer (no per-row Python)."""
 
     def qz(b: pa.Table) -> pa.Table:
+        b = drop_invalid_vectors(b, vec_col)
+        if b.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "qvec": pa.array([], pa.binary()),
+                 "scale": pa.array([], pa.float32())}
+            )
         X = _batch_matrix(b, vec_col)
         Q, scale = _quantize_rows(X)
         d = Q.shape[1] if Q.ndim == 2 and Q.shape[0] else 0
@@ -268,6 +323,13 @@ def quantized_topk(
     m = rerank_factor * k + 1  # +1 headroom for the self-match exclusion
 
     def approx(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, vec_col)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "approx": pa.array([], pa.float64())}
+            )
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         X = _batch_matrix(batch, vec_col)
         Q, scale = _quantize_rows(X)
@@ -349,6 +411,7 @@ def hard_negative_topk(
         q_ids = np.asarray(q["ids"], dtype=np.int64)
         q_labels = np.asarray(q["labels"])
         q_mat = _normalize(np.asarray(q["mat"], dtype=np.float64))
+        batch = drop_invalid_vectors(batch, vec_col)
         lab = batch[label_col]
         if isinstance(lab, pa.ChunkedArray):
             lab = lab.combine_chunks()

@@ -38,15 +38,28 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from .ann import _batch_matrix
+from .ann import _batch_matrix, drop_invalid_vectors
 
 
 def _partial_stats(batch: pa.Table, cent: np.ndarray, vec_col: str) -> pa.Table:
     """One block's k-row partial: per-cluster count, component sums,
     inertia. Assignment is a single GEMM + argmin; sums are C-level
     scatter-adds."""
-    X = _batch_matrix(batch, vec_col)
+    batch = drop_invalid_vectors(batch, vec_col)
     k, d = cent.shape
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "count": pa.array(np.zeros(k, dtype=np.int64)),
+                "vec_sum": pa.array(
+                    list(np.zeros((k, d), dtype=np.float64)),
+                    pa.list_(pa.float64()),
+                ),
+                "inertia": pa.array(np.zeros(k, dtype=np.float64)),
+            }
+        )
+    X = _batch_matrix(batch, vec_col)
     # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; argmin needs only the last two terms
     cross = X @ cent.T
     c2 = (cent * cent).sum(axis=1)
@@ -75,6 +88,9 @@ def _init_centroids(ds, k: int, vec_col: str) -> np.ndarray:
     mats: list[np.ndarray] = []
     have = 0
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=max(256, k)):
+        b = drop_invalid_vectors(b, vec_col)
+        if b.num_rows == 0:
+            continue
         mats.append(_batch_matrix(b, vec_col))
         have += mats[-1].shape[0]
         if have >= k:
@@ -140,8 +156,12 @@ def kmeans_assign(
     cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, vec_col)
         cent = ray.get(cent_ref)
-        X = _batch_matrix(batch, vec_col)
+        if batch.num_rows == 0:
+            X = np.zeros((0, cent.shape[1]), dtype=np.float64)
+        else:
+            X = _batch_matrix(batch, vec_col)
         c2 = (cent * cent).sum(axis=1)
         scores = c2[None, :] - 2.0 * (X @ cent.T)
         a = scores.argmin(axis=1)
@@ -185,8 +205,12 @@ def kmeans_invariants(
         is re-checked against an INDEPENDENT distance formulation — an
         explicit per-centroid |x - c|^2 loop — so a broken expansion
         (|x|^2 - 2x.c + |c|^2) or a stale broadcast can't self-certify."""
+        batch = drop_invalid_vectors(batch, vec_col)
         c = ray.get(_ref)
-        X = _batch_matrix(batch, vec_col)
+        if batch.num_rows == 0:
+            X = np.zeros((0, c.shape[1]), dtype=np.float64)
+        else:
+            X = _batch_matrix(batch, vec_col)
         c2 = (c * c).sum(axis=1)
         scores = c2[None, :] - 2.0 * (X @ c.T)
         a = scores.argmin(axis=1)
@@ -243,6 +267,13 @@ def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):
     eigvals_all[d] descending, info)."""
 
     def part(t: pa.Table) -> pa.Table:
+        t = drop_invalid_vectors(t, vec_col)
+        if t.num_rows == 0:
+            # dimension unknown on an all-invalid block: emit a no-op
+            # partial the reducer drops (n=0, empty sums)
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([[]], pa.list_(pa.float64())),
+                             "g": pa.array([[]], pa.list_(pa.float64()))})
         X = _batch_matrix(t, vec_col)
         g = X.T @ X
         return pa.table({
@@ -253,6 +284,7 @@ def pca_fit(ds, vec_col: str = "embedding", n_components: int = 8):
 
     rows = ds.select_columns([vec_col]).map_batches(
         part, batch_format="pyarrow").take_all()
+    rows = [r for r in rows if r["n"] > 0]  # all-invalid-block no-ops
     if not rows:
         raise ValueError("pca_fit: empty input")
     n = sum(r["n"] for r in rows)
@@ -288,8 +320,12 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
                    np.asarray(components, np.float64)))
 
     def proj(t: pa.Table) -> pa.Table:
+        t = drop_invalid_vectors(t, vec_col)
         mu, W = ray.get(ref)
-        X = _batch_matrix(t, vec_col)
+        if t.num_rows == 0:
+            X = np.zeros((0, mu.shape[0]), dtype=np.float64)
+        else:
+            X = _batch_matrix(t, vec_col)
         P = (X - mu[None, :]) @ W.T
         return pa.table({id_col: t[id_col],
                          out_col: pa.array(P.tolist())})
@@ -456,8 +492,12 @@ def semdedup(
     cent_ref = ray.put(np.asarray(cent, dtype=np.float64))
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, vec_col)
         c = ray.get(cent_ref)
-        X = _batch_matrix(batch, vec_col)
+        if batch.num_rows == 0:
+            X = np.zeros((0, c.shape[1]), dtype=np.float64)
+        else:
+            X = _batch_matrix(batch, vec_col)
         scores = (c * c).sum(axis=1)[None, :] - 2.0 * (X @ c.T)
         return pa.table({
             id_col: batch[id_col],

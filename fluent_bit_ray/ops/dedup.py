@@ -601,8 +601,18 @@ def _pair_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
 
 def _block_pairs_task(threshold, id_col, vec_col, ta, tb=None,
                       out_path=None):
-    from .ann import _batch_matrix, _normalize
+    from .ann import _batch_matrix, _normalize, drop_invalid_vectors
 
+    ta = drop_invalid_vectors(ta, vec_col)
+    cross_empty = False
+    if tb is not None:
+        tb = drop_invalid_vectors(tb, vec_col)
+        cross_empty = tb.num_rows == 0
+    if ta.num_rows == 0 or cross_empty:
+        # a fully-invalid block contributes no candidate pairs
+        if out_path is not None:
+            return 0  # count contract: pairs live on storage
+        return _pair_table(np.array([], np.int64), np.array([], np.int64))
     ids_a = ta[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     ma = _normalize(_batch_matrix(ta, vec_col))
     if tb is None:
@@ -732,14 +742,23 @@ def embedding_neardup_pairs_ivf(
     missed); EXACT for identical/near-identical vectors, which share
     probe sets by construction — the regime this path is for.
     """
-    from .ann import _batch_matrix, _normalize, ivf_build_centroids
+    from .ann import (
+        _batch_matrix,
+        _normalize,
+        drop_invalid_vectors,
+        ivf_build_centroids,
+    )
     from ..shuffle import hash_exchange
 
     cents = ivf_build_centroids(ds, n_centroids, vec_col)
     holder = {"c": cents}
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vectors(batch, vec_col)
         c = holder["c"]
+        if batch.num_rows == 0:
+            return batch.select([id_col, vec_col]).append_column(
+                "_bucket", pa.array([], pa.int64()))
         mat = _normalize(_batch_matrix(batch, vec_col))
         probes = np.argsort(-(mat @ c.T), kind="stable", axis=1)[:, :n_probe]
         n = batch.num_rows

@@ -4056,15 +4056,19 @@ ORACLE_SQL: dict[str, str] = {
     # see (point count; zero violations) — the violation counts themselves
     # are computed by an independent in-engine distance recheck
     "kmeans_invariant": (
+        # NULL/empty embeddings cannot participate (the engine drops them
+        # via ops.ann.drop_invalid_vectors) — count the valid plane only
         "SELECT count(*) AS n_points, 0 AS n_bad_argmin, "
-        "0 AS n_inertia_increases, 1 AS clusters_ok FROM embeddings"
+        "0 AS n_inertia_increases, 1 AS clusters_ok FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) > 0"
     ),
     # trace_cov is a REAL cross-engine check: DuckDB independently sums
     # per-dimension population variances; the engine reports the sum of
     # its covariance eigenvalues — equal iff the distributed covariance
     # is right (value-hash rounds to 1e-6)
     "pca_invariant": (
-        "SELECT (SELECT count(*) FROM embeddings) AS n_vectors, "
+        "SELECT (SELECT count(*) FROM embeddings "
+        "WHERE embedding IS NOT NULL AND len(embedding) > 0) AS n_vectors, "
         "(SELECT sum(v) FROM (SELECT var_pop(x) AS v FROM "
         "(SELECT unnest(embedding) AS x, "
         "generate_subscripts(embedding, 1) AS j FROM embeddings) "
@@ -5084,8 +5088,12 @@ QUERIES["semdedup_invariant"] = q_semdedup_invariant
 QUERIES["semdedup_rep_invariant"] = q_semdedup_rep_invariant
 
 ORACLE_SQL["semdedup_invariant"] = (
-    "WITH aug AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
-    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50) "
+    # embedding IS NOT NULL: NULL vectors drop on the engine side and a
+    # GROUP BY would otherwise co-group all NULLs into a phantom group
+    "WITH aug AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE embedding IS NOT NULL UNION ALL "
+    "SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50 "
+    "AND embedding IS NOT NULL) "
     "SELECT min(vec_id) AS vec_id, CAST(1 AS BIGINT) AS distinct_assignments "
     "FROM aug GROUP BY embedding HAVING count(*) > 1"
 )
@@ -5094,7 +5102,7 @@ ORACLE_SQL["semdedup_rep_invariant"] = (
     "CAST(0 AS BIGINT) AS rep_not_self, "
     "CAST(0 AS BIGINT) AS dup_assignments, "
     "(SELECT CAST(count(*) + count(*) FILTER (vec_id < 50) AS BIGINT) "
-    "FROM embeddings) AS rows_assigned"
+    "FROM embeddings WHERE embedding IS NOT NULL) AS rows_assigned"
 )
 
 

@@ -1,0 +1,117 @@
+"""Adversarial embeddings: NULL and empty vector rows must be DROPPED by
+every vector op (a row with no vector cannot rank — list_cosine_similarity
+against NULL is NULL in the SQL twins), never silently scrambled.
+
+Regression anchor: `_batch_matrix` used `len(flat) // len(arr)` for the
+dim, so one NULL row made every later vector mis-associate with its id —
+wrong answers, no crash. Now: invalid rows filter out via
+drop_invalid_vectors; a ragged (mixed-dim) column raises loudly."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from fluent_bit_ray.ops.ann import (
+    _batch_matrix,
+    brute_force_topk,
+    drop_invalid_vectors,
+)
+
+
+def _emb_table(with_bad=True):
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.1]]
+    ids = [0, 1, 2, 3]
+    labels = [0, 1, 0, 1]
+    if with_bad:
+        vecs += [None, []]
+        ids += [90, 91]
+        labels += [0, 1]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+
+
+class TestBatchMatrixGuards:
+    def test_null_row_raises_not_scrambles(self):
+        t = _emb_table()
+        with pytest.raises(ValueError, match="NULL/empty or ragged"):
+            _batch_matrix(t, "embedding")
+
+    def test_ragged_dims_raise(self):
+        t = pa.table(
+            {"embedding": pa.array([[1.0, 2.0], [1.0, 2.0, 3.0]],
+                                   pa.list_(pa.float32()))}
+        )
+        with pytest.raises(ValueError, match="ragged"):
+            _batch_matrix(t, "embedding")
+
+    def test_drop_invalid_filters_null_and_empty(self):
+        t = _emb_table()
+        clean = drop_invalid_vectors(t, "embedding")
+        assert clean["vec_id"].to_pylist() == [0, 1, 2, 3]
+        # clean input passes through untouched (same object path)
+        t2 = _emb_table(with_bad=False)
+        assert drop_invalid_vectors(t2, "embedding") is t2
+
+    def test_clean_matrix_unchanged(self):
+        t = _emb_table(with_bad=False)
+        m = _batch_matrix(t, "embedding")
+        assert m.shape == (4, 2) and m[3, 1] == pytest.approx(0.1, rel=1e-6)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOpsDropInvalidRows:
+    def _results_equal(self, a, b):
+        import pandas as pd
+
+        pa_, pb = a.to_pandas(), b.to_pandas()
+        cols = sorted(pa_.columns)
+        pa_ = pa_[cols].sort_values(cols).reset_index(drop=True)
+        pb = pb[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(pa_, pb)
+
+    def test_brute_topk_ignores_invalid_rows(self):
+        q = ray.put({"ids": np.array([0], np.int64),
+                     "mat": np.array([[1.0, 0.0]], np.float64)})
+        dirty = ray.data.from_arrow(_emb_table(True))
+        clean = ray.data.from_arrow(_emb_table(False))
+        out_d = brute_force_topk(dirty, q, k=2)
+        out_c = brute_force_topk(clean, q, k=2)
+        td = out_d if isinstance(out_d, pa.Table) else pa.Table.from_pandas(
+            out_d.to_pandas())
+        tc = out_c if isinstance(out_c, pa.Table) else pa.Table.from_pandas(
+            out_c.to_pandas())
+        self._results_equal(td, tc)
+        assert 90 not in td.to_pandas()["vec_id"].tolist()
+
+    def test_kmeans_and_semdedup_ignore_invalid_rows(self):
+        from fluent_bit_ray.ops.cluster import kmeans_fit
+
+        dirty = ray.data.from_arrow(_emb_table(True))
+        clean = ray.data.from_arrow(_emb_table(False))
+        cd, infod = kmeans_fit(dirty, k=2, iters=3, cache=False)
+        cc, infoc = kmeans_fit(clean, k=2, iters=3, cache=False)
+        assert np.allclose(np.asarray(cd), np.asarray(cc))
+
+    def test_neardup_blocked_ignores_invalid_rows(self):
+        from fluent_bit_ray.ops.dedup import embedding_neardup_pairs_blocked
+
+        t = _emb_table(True)
+        # duplicate vec 0 so a real pair exists
+        t2 = pa.table(
+            {
+                "vec_id": pa.array([50], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        )
+        ds = ray.data.from_arrow(pa.concat_tables([t, t2]))
+        pairs = embedding_neardup_pairs_blocked(ds, threshold=0.999)
+        got = set(map(tuple, pairs.to_pandas()[["id_a", "id_b"]].values))
+        assert (0, 50) in got
+        assert not any(90 in p or 91 in p for p in got)

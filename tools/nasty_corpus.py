@@ -27,7 +27,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     os.makedirs(out_dir, exist_ok=True)
-    skip = {"documents.parquet"} | (
+    skip = {"documents.parquet", "embeddings.parquet"} | (
         {"events.parquet"} if nasty_events else set())
     for f in os.listdir(base_sf):
         if not f.endswith(".parquet") or f in skip:
@@ -37,6 +37,7 @@ def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
             os.symlink(os.path.join(base_sf, f), dst)
     if nasty_events:
         _build_events(base_sf, out_dir)
+    _build_embeddings(base_sf, out_dir)
 
     base = pq.read_table(os.path.join(base_sf, "documents.parquet"))
     rows = base.to_pylist()
@@ -79,6 +80,37 @@ def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     t = pa.Table.from_pylist(allr, schema=base.schema)
     pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
     return out_dir
+
+
+def _build_embeddings(base_sf: str, out_dir: str) -> None:
+    """Adversarial embeddings rows appended with fresh high vec_ids:
+    NULL embedding (must DROP in every vector op — the r5 `_batch_matrix`
+    silent-scramble regression class), NULL label (hard-negative mining
+    must skip it), and an exact duplicate of vector 0 at a high id (a
+    cross-id duplicate group the clone augmentations never create).
+    Deliberately excluded, with reasons:
+      - empty lists: DuckDB list_cosine_similarity ERRORS on dim-0 input,
+        so oracle parity is untestable (engine drop is pinned by
+        tests/test_vector_nulls.py);
+      - ragged dims: a schema violation the engine REJECTS loudly
+        (pytest-pinned), not a value-semantics case;
+      - NaN components / zero-norm vectors: NaN poisons float compare and
+        the zero-norm guard is an engine-side convention DuckDB's NaN
+        division cannot mirror."""
+    base = pq.read_table(os.path.join(base_sf, "embeddings.parquet"))
+    next_id = base.num_rows
+    dup_vec = base["embedding"][0].as_py()
+    nasty = [
+        {"vec_id": next_id + 0, "embedding": None, "label": 0},
+        {"vec_id": next_id + 1, "embedding": None, "label": None},
+        {"vec_id": next_id + 2, "embedding": dup_vec,
+         "label": base["label"][0].as_py()},
+        {"vec_id": next_id + 3, "embedding": base["embedding"][1].as_py(),
+         "label": None},
+    ]
+    t = pa.Table.from_pylist(nasty, schema=base.schema)
+    pq.write_table(pa.concat_tables([base, t]),
+                   os.path.join(out_dir, "embeddings.parquet"))
 
 
 def _build_events(base_sf: str, out_dir: str) -> None:
