@@ -25,6 +25,14 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _safe_write(table, path) -> None:
+    """Never write THROUGH a stale symlink into the base corpus (the
+    r5 incident class): unlink a link first, then write a real file."""
+    if os.path.islink(path):
+        os.unlink(path)
+    pq.write_table(table, path)
+
+
 def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     os.makedirs(out_dir, exist_ok=True)
     skip = {"documents.parquet", "embeddings.parquet"} | (
@@ -78,7 +86,7 @@ def build(base_sf: str, out_dir: str, nasty_events: bool = True) -> str:
     for i, r in enumerate(allr):
         r["doc_id"] = i
     t = pa.Table.from_pylist(allr, schema=base.schema)
-    pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
+    _safe_write(t, os.path.join(out_dir, "documents.parquet"))
     return out_dir
 
 
@@ -97,7 +105,22 @@ def _build_embeddings(base_sf: str, out_dir: str) -> None:
       - NaN components / zero-norm vectors: NaN poisons float compare and
         the zero-norm guard is an engine-side convention DuckDB's NaN
         division cannot mirror."""
+    out_path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(out_path):
+        # a pre-existing symlink from an older build layout: writing
+        # "to" it would write THROUGH it into the (read-only-by-contract)
+        # base corpus — remove the link, write a real file
+        os.unlink(out_path)
     base = pq.read_table(os.path.join(base_sf, "embeddings.parquet"))
+    # base-integrity guard: ids must be the pristine 0..n-1 range; a base
+    # that already contains appended adversarial rows (id >= n) means a
+    # previous run corrupted it — refuse to compound the damage
+    ids = base["vec_id"].to_pylist()
+    if ids != list(range(len(ids))):
+        raise RuntimeError(
+            f"base embeddings at {base_sf} are not pristine "
+            f"(ids 0..{len(ids) - 1} expected); refusing to build on top"
+        )
     next_id = base.num_rows
     dup_vec = base["embedding"][0].as_py()
     nasty = [
@@ -109,8 +132,7 @@ def _build_embeddings(base_sf: str, out_dir: str) -> None:
          "label": None},
     ]
     t = pa.Table.from_pylist(nasty, schema=base.schema)
-    pq.write_table(pa.concat_tables([base, t]),
-                   os.path.join(out_dir, "embeddings.parquet"))
+    _safe_write(pa.concat_tables([base, t]), out_path)
 
 
 def _build_events(base_sf: str, out_dir: str) -> None:
@@ -164,8 +186,8 @@ def _build_events(base_sf: str, out_dir: str) -> None:
     for i, r in enumerate(nasty):
         r["event_id"] = next_id + i
     t = pa.Table.from_pylist(nasty, schema=base.schema)
-    pq.write_table(pa.concat_tables([base, t]),
-                   os.path.join(out_dir, "events.parquet"))
+    _safe_write(pa.concat_tables([base, t]),
+                os.path.join(out_dir, "events.parquet"))
 
 
 def build_pages(out_dir: str = "/tmp/nasty_pages", n_clean: int = 6000) -> str:
