@@ -198,11 +198,17 @@ def ivf_build_centroids(ds, n_centroids: int, vec_col: str = "embedding",
     count = 0
     for b in it:
         b = drop_invalid_vectors(b, vec_col)
-        if b.num_rows:
-            mats.append(_batch_matrix(b, vec_col))
+        if b.num_rows == 0:
+            continue  # invalid-only batches don't consume the budget
+        mats.append(_batch_matrix(b, vec_col))
         count += 1
         if sum(m.shape[0] for m in mats) >= n_centroids or count >= sample_batches:
             break
+    if not mats:
+        raise ValueError(
+            "ivf_build_centroids: no valid vectors to sample (every row "
+            "has a NULL/empty embedding — see ops.ann.drop_invalid_vectors)"
+        )
     all_m = np.concatenate(mats, axis=0)[:n_centroids]
     return _normalize(all_m)
 
@@ -263,9 +269,13 @@ def _quantize_rows(X: np.ndarray):
 
 
 def quantize_embeddings(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Storage form for a 100 TB embedding table: (id, qvec fixed-size
-    binary d bytes, scale float32). The fixed-size binary column is built
-    zero-copy from the int8 buffer (no per-row Python)."""
+    """Storage form for a 100 TB embedding table: (id, qvec binary of
+    exactly d bytes per row, scale float32). The binary column is built
+    zero-copy from the int8 buffer with an arange offsets vector (no
+    per-row Python). Variable-width `binary` — not fixed_size_binary(d) —
+    so an EMPTY or all-invalid block (d unknowable there) emits the SAME
+    column type as every other block and the dataset schema stays
+    unifiable; the uniform per-row length is a value property."""
 
     def qz(b: pa.Table) -> pa.Table:
         b = drop_invalid_vectors(b, vec_col)
@@ -278,8 +288,10 @@ def quantize_embeddings(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
         X = _batch_matrix(b, vec_col)
         Q, scale = _quantize_rows(X)
         d = Q.shape[1] if Q.ndim == 2 and Q.shape[0] else 0
+        offsets = np.arange(len(Q) + 1, dtype=np.int32) * d
         qvec = pa.Array.from_buffers(
-            pa.binary(d), len(Q), [None, pa.py_buffer(Q.tobytes())]
+            pa.binary(), len(Q),
+            [None, pa.py_buffer(offsets), pa.py_buffer(Q.tobytes())],
         )
         return pa.table(
             {id_col: b[id_col], "qvec": qvec,

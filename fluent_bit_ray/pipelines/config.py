@@ -679,7 +679,7 @@ def build_output(sec: dict, idx: int) -> OutputSpec:
                 "FLBPluginRegister/FLBPluginFlush — the flb_plugin_proxy "
                 "symbol contract)"
             )
-        spec = OutputSpec("file", match, None, "proxy")
+        spec = OutputSpec("proxy", match, None, "proxy")
         props = [(k, _one(sec, k)) for k in sec
                  if k not in ("__name__", "name", "match", "script")]
         spec.fmt_options = tuple([("script", script)] + props)
@@ -763,9 +763,10 @@ def run_config(
     for i, o in enumerate(outputs):
         nm = f"{o.kind}_{i}"
         out_names.append(nm)
-        if o.kind in ("file", "parquet"):
+        if o.kind in ("file", "parquet", "proxy"):
             sinks.append(
-                SinkSpec(nm, (o.match,), o.fmt if o.kind == "file" else "parquet",
+                SinkSpec(nm, (o.match,),
+                         "parquet" if o.kind == "parquet" else o.fmt,
                          fmt_options=tuple(o.fmt_options))
             )
         else:

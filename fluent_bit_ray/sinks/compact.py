@@ -115,7 +115,12 @@ def compact_parquet_dir(
             with storage.open_file(m, "rb") as f:
                 tables.append(pq.read_table(f))
         out = pa.concat_tables(tables, promote_options="default")
-        storage.write_parquet(out, out_path)
+        # atomic publish: the resume path skips any existing output, so a
+        # crash mid-write must never leave a truncated file under the
+        # final name (write tmp, rename — storage.replace contract)
+        tmp = out_path + ".tmp"
+        storage.write_parquet(out, tmp)
+        storage.replace(tmp, out_path)
         return out.num_rows
 
     refs = []

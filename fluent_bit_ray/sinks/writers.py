@@ -1149,7 +1149,7 @@ class SinkWriteStage:
             from ..state import storage
 
             for s in sinks:
-                if s.writes:
+                if s.writes and s.fmt != "proxy":  # proxy writes no files
                     storage.makedirs(storage.join(out_dir, s.name))
 
     def _record_cols(self, table: pa.Table, spec: SinkSpec) -> list[str]:
@@ -1178,7 +1178,9 @@ class SinkWriteStage:
                 sub = g.process_batch(sub)
             if sub.num_rows == 0:
                 continue
-            if self.out_dir and spec.writes:
+            # proxy sinks deliver via FLBPluginFlush, not files: they must
+            # flush even when no out_dir is configured
+            if spec.writes and (self.out_dir or spec.fmt == "proxy"):
                 self._write(sub, spec)
             parts.append(self._partial_agg(sub, spec.name))
         if not parts:

@@ -157,7 +157,46 @@ class TestConfigEndToEnd:
     Path   {sink}
 """
         res = run_config(conf, out_root=str(tmp_path / "out"))
-        assert res.counts["file_0"] == 2
+        # proxy outputs are named as their own instance kind, not file_N
+        assert res.counts["proxy_0"] == 2
+        assert res.metrics["output"]["proxy_0"]["proc_records"] == 2
         lines = [json.loads(x) for x in sink.read_text().splitlines()]
         assert sorted(r["m"] for _t, r in lines) == ["one", "two"]
         assert all(t == "px.demo" for t, _r in lines)
+
+    def test_proxy_delivers_without_out_root(self, tmp_path):
+        # a proxy sink needs no output directory: FLBPluginFlush IS the
+        # delivery — run_config without out_root must still invoke it
+        from fluent_bit_ray.pipelines.config import run_config
+
+        sink = tmp_path / "sink.txt"
+        plugin = _write(
+            tmp_path, "count.py",
+            "_d = {}\n"
+            "def FLBPluginRegister(d): d['name'] = 'count'\n"
+            "def FLBPluginInit(props):\n"
+            "    _d['path'] = props['path']\n"
+            "    return 1\n"
+            "def FLBPluginFlush(data, tag):\n"
+            "    from fluent_bit_ray.sinks.proxy import decode_proxy_events\n"
+            "    with open(_d['path'], 'a') as f:\n"
+            "        f.write(f'{len(decode_proxy_events(data))}\\n')\n"
+            "    return 1\n",
+        )
+        log = tmp_path / "in.log"
+        log.write_text("x\ny\nz\n")
+        conf = f"""
+[INPUT]
+    Name tail
+    Path {log}
+    Tag  t.a
+
+[OUTPUT]
+    Name   proxy
+    Match  *
+    Script {plugin}
+    Path   {sink}
+"""
+        res = run_config(conf)  # NO out_root
+        assert res.counts["proxy_0"] == 3
+        assert sum(int(x) for x in sink.read_text().split()) == 3

@@ -115,3 +115,71 @@ class TestOpsDropInvalidRows:
         got = set(map(tuple, pairs.to_pandas()[["id_a", "id_b"]].values))
         assert (0, 50) in got
         assert not any(90 in p or 91 in p for p in got)
+
+
+class TestReviewEdgeCases:
+    """Round-5 second-review regressions: schema stability and sampling
+    over all-invalid blocks."""
+
+    def test_quantize_schema_stable_across_invalid_blocks(self, ray_session):
+        from fluent_bit_ray.ops.ann import quantize_embeddings
+
+        all_bad = pa.table(
+            {
+                "vec_id": pa.array([7, 8], pa.int64()),
+                "embedding": pa.array([None, None], pa.list_(pa.float32())),
+                "label": pa.array([0, 0], pa.int32()),
+            }
+        )
+        mixed = ray.data.from_arrow(_emb_table(False)).union(
+            ray.data.from_arrow(all_bad)
+        )
+        rows = quantize_embeddings(mixed).take_all()  # schema must unify
+        assert sorted(r["vec_id"] for r in rows) == [0, 1, 2, 3]
+        assert all(len(r["qvec"]) == 2 for r in rows)
+
+    def test_ivf_centroids_skip_invalid_blocks(self, ray_session):
+        from fluent_bit_ray.ops.ann import ivf_build_centroids
+
+        all_bad = pa.table(
+            {
+                "vec_id": pa.array([7], pa.int64()),
+                "embedding": pa.array([None], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        )
+        # invalid-only block first: must not consume the sample budget
+        ds = ray.data.from_arrow(all_bad).union(
+            ray.data.from_arrow(_emb_table(False))
+        )
+        c = ivf_build_centroids(ds, n_centroids=2)
+        assert c.shape == (2, 2)
+        only_bad = ray.data.from_arrow(all_bad)
+        with pytest.raises(ValueError, match="no valid vectors"):
+            ivf_build_centroids(only_bad, n_centroids=2)
+
+    def test_compaction_resume_ignores_partial_tmp(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        from fluent_bit_ray.sinks.compact import compact_parquet_dir
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i in range(3):
+            pq.write_table(
+                pa.table({"k": pa.array([i], pa.int64())}),
+                os.path.join(src, f"p_{i}.parquet"),
+            )
+        out = str(tmp_path / "out")
+        os.makedirs(out)
+        # a truncated tmp from a crashed run must not block or corrupt
+        with open(os.path.join(out, "bin_deadbeef.parquet.tmp"), "wb") as f:
+            f.write(b"partial")
+        stats = compact_parquet_dir(src, out, target_bytes=1 << 20)
+        assert stats["rows"] == 3
+        finals = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert len(finals) == 1
+        assert sorted(pq.read_table(
+            os.path.join(out, finals[0]))["k"].to_pylist()) == [0, 1, 2]

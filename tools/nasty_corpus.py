@@ -106,11 +106,6 @@ def _build_embeddings(base_sf: str, out_dir: str) -> None:
         the zero-norm guard is an engine-side convention DuckDB's NaN
         division cannot mirror."""
     out_path = os.path.join(out_dir, "embeddings.parquet")
-    if os.path.islink(out_path):
-        # a pre-existing symlink from an older build layout: writing
-        # "to" it would write THROUGH it into the (read-only-by-contract)
-        # base corpus — remove the link, write a real file
-        os.unlink(out_path)
     base = pq.read_table(os.path.join(base_sf, "embeddings.parquet"))
     # base-integrity guard: ids must be the pristine 0..n-1 range; a base
     # that already contains appended adversarial rows (id >= n) means a
