@@ -77,6 +77,65 @@ def exact_dedup(
     return out
 
 
+def soft_dedup_weights(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_output_dir: Optional[str] = None,
+) -> Optional[pa.Table]:
+    """SoftDeDup (He et al. 2024, public method): instead of DROPPING
+    exact duplicates, keep every document and emit a training weight
+    1/n for each member of an n-way exact-duplicate group — duplicates
+    still contribute, proportionally down-weighted (sampling-temperature
+    style reweighting at the dedup layer).
+
+    Same exchange shape as exact_dedup: content-hash co-location, then a
+    shard-local group-size computation by the ACTUAL text
+    (collision-exact). The in-shard kernel is a dictionary-encode +
+    bincount gather — no join, no per-row Python. NULL texts form ONE
+    group (they all hash alike and so share a shard), matching SQL's
+    `count(*) OVER (PARTITION BY text)` null partitioning.
+    """
+    from ..shuffle import hash_exchange
+
+    ds = ds.map_batches(
+        lambda b: add_text_hash(b, text_col), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def weights(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)  # NaN for null
+        valid = ~np.isnan(codes) if codes.dtype.kind == "f" else np.ones(
+            len(codes), bool)
+        n = np.empty(len(codes), dtype=np.float64)
+        iv = codes[valid].astype(np.int64)
+        if iv.size:
+            sizes = np.bincount(iv)
+            n[valid] = sizes[iv]
+        n_null = int((~valid).sum())
+        if n_null:
+            n[~valid] = n_null
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "weight": pa.array(1.0 / n, pa.float64()),
+            }
+        )
+
+    out = hash_exchange(ds.to_arrow_refs(), ["text_hash"], weights,
+                        shard_output_dir=shard_output_dir)
+    if shard_output_dir is not None:
+        return None
+    if out is None:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "weight": pa.array([], pa.float64())})
+    return out
+
+
 def keep_best_per_key(
     ds,
     key_col: str = "source",

@@ -7856,3 +7856,21 @@ ORACLE_SQL["metrics_snapshot"] = (
     "WHERE coalesce(regexp_matches(event_type, 'click|view'), FALSE) "
     "AND NOT coalesce(regexp_matches(props, '9}$'), FALSE)"
 )
+
+
+def q_soft_dedup(sf_dir: str):
+    """SoftDeDup: per-document 1/group-size training weight over the
+    clone-augmented corpus (exact duplicates keep contributing,
+    down-weighted) — the drop-free sibling of dedup_exact on the same
+    content-hash exchange (ops/dedup.soft_dedup_weights)."""
+    return dedup.soft_dedup_weights(_augmented_docs_ds(sf_dir))
+
+
+QUERIES["soft_dedup"] = q_soft_dedup
+ORACLE_SQL["soft_dedup"] = (
+    "WITH aug AS (SELECT doc_id, text FROM documents UNION ALL "
+    f"SELECT doc_id + {_AUG_SHIFT}, text FROM documents "
+    f"WHERE doc_id < {_AUG_CLONE_BELOW}) "
+    "SELECT doc_id, 1.0 / CAST(count(*) OVER (PARTITION BY text) "
+    "AS DOUBLE) AS weight FROM aug"
+)

@@ -183,3 +183,28 @@ class TestReviewEdgeCases:
         assert len(finals) == 1
         assert sorted(pq.read_table(
             os.path.join(out, finals[0]))["k"].to_pylist()) == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSoftDedup:
+    """SoftDeDup weights: 1/group-size per exact-text group, nulls form
+    one group (SQL PARTITION BY parity), singletons weigh 1.0."""
+
+    def test_hand_weights(self):
+        from fluent_bit_ray.ops.dedup import soft_dedup_weights
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": pa.array(
+                    ["a", "a", "a", "b", None, None, ""], pa.string()),
+            }
+        )
+        out = soft_dedup_weights(ray.data.from_arrow(t))
+        w = dict(zip(out["doc_id"].to_pylist(), out["weight"].to_pylist()))
+        assert w[0] == w[1] == w[2] == pytest.approx(1 / 3)
+        assert w[3] == 1.0
+        assert w[4] == w[5] == pytest.approx(1 / 2)  # null partition
+        assert w[6] == 1.0  # empty string is its own group, not null's
+        # mass conservation: group weights sum to one per distinct text
+        assert sum(w.values()) == pytest.approx(4.0)
